@@ -1,0 +1,6 @@
+"""Import every query-bearing module so registration side effects run.
+
+Add one import line per new module; ``registry.all_queries()`` pulls this in.
+"""
+
+import map_reduce_go_spark.operators.mrapps  # noqa: F401

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution knobs live so every entry point (tests, bench,
+driver contract) runs the same configuration. Defaults are tuned for the
+local[32] test box but chosen to be the *same* knobs you would set on a
+1000-executor cluster:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  dynamic join-strategy switch — the mechanism that keeps a plan tuned at
+  sf0.01 valid at 100 TB.
+- Arrow on: every pandas_udf / applyInPandas / toPandas transfer is
+  Arrow-batched, never row-pickled.
+- shuffle.partitions: 2x cores locally; on a real cluster you would size it
+  so each post-shuffle partition is ~128 MB (AQE coalesces down from there).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "map_reduce_go_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    defaults to all cores.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: coalesce small shuffle partitions, split skewed ones, switch
+        # sort-merge->broadcast at runtime. Required at 100 TB; harmless at sf0.001.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for all pandas interchange (vectorized UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics: parquet naive timestamps are read
+        # as UTC so Spark and the DuckDB oracle agree on date arithmetic.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Quiet progress bars in test output.
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,76 @@
+"""Sources: parquet star-schema tables and whole-file text corpora.
+
+The reference engine's only source is a whole-file UTF-8 text scan — one
+map call per file with ``(filename, contents)`` (reference
+src/mr/worker.go:59-71). :func:`read_wholetext` reproduces that contract
+with Spark's ``text`` source in ``wholetext`` mode so the scan stays a
+distributed, splittable-by-file parquet-grade source rather than a
+driver-side read loop.
+
+The driver fixtures (TESTDATA.md) are parquet; :func:`load_table` is the
+single choke point for reading them so projection/predicate pushdown can be
+verified in one place (``.explain`` shows ReadSchema/PushedFilters on these
+scans).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any scale factor — at
+#: TPC-H-like scaling, region=5 and nation=25 rows always; customer/supplier
+#: /part grow with SF but stay orders of magnitude below the fact tables.
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Column pruning + filter pushdown reach this
+    scan automatically because every query keeps the plan declarative."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def read_wholetext(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Whole-file text scan -> DataFrame(filename string, contents string).
+
+    Mirrors the reference map-task input contract (one record per file,
+    entire contents as one string — reference src/mr/worker.go:59-71) while
+    remaining fully distributed: each file is one input partition, exactly
+    the reference's map granularity (src/mr/coordinator.go:146-150).
+    """
+    df = spark.read.format("text").option("wholetext", "true").load(paths)
+    return df.select(
+        F.input_file_name().alias("filename"),
+        F.col("value").alias("contents"),
+    )
+
+
+def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver ``documents`` table viewed as a whole-file corpus:
+    ``source`` plays filename, ``text`` plays contents (FIXTURES.md A)."""
+    return load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("filename"),
+        F.col("text").alias("contents"),
+        F.col("doc_id"),
+    )
