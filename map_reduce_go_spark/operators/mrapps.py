@@ -93,6 +93,26 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "generic_mapreduce_wordcount",
+    oracle=f"""
+    SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+    FROM ({_ORACLE_WORDS}) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def generic_mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic 2-hook map_reduce() engine (the reference's real API,
+    src/mr/worker.go:38) running the wc hooks — proves the arbitrary-UDF
+    path against the same oracle as the native plan. String-typed output
+    mirrors the reference's string-only data plane (SURVEY.md §1.2)."""
+    from map_reduce_go_spark.operators.mapreduce import map_reduce, wc_map, wc_reduce
+
+    corpus = corpus_from_documents(spark, sf_dir)
+    return map_reduce(spark, corpus, wc_map, wc_reduce, n_reduce=10, strategy="pandas")
+
+
+@register(
     "per_file_count",
     oracle="""
     SELECT source AS filename, count(*) AS cnt

@@ -20,7 +20,9 @@ TEST_SF_DIR = os.environ.get(
 def spark():
     from map_reduce_go_spark import get_spark
 
-    spark = get_spark(app_name="mrgs-tests")
+    # local[N,2]: allow one task retry so fault-tolerance tests (the A7
+    # crash-recovery analog) can inject task failures.
+    spark = get_spark(app_name="mrgs-tests", master="local[32,2]")
     yield spark
     spark.stop()
 
