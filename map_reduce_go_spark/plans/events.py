@@ -1,0 +1,119 @@
+"""Event-time windowing over the events table (batch; SURVEY.md §7.2 M4).
+
+Tumbling/sliding windows use Spark's ``window()`` and session windows use
+``session_window()`` — the same operators Structured Streaming uses, so
+these plans port to ``readStream`` unchanged (streaming variants live in
+:mod:`map_reduce_go_spark.streaming`). Window bounds are emitted as BIGINT
+epoch seconds so the DuckDB oracle compares timezone-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_go_spark.plans.relational import _dsum_sql, dsum
+from map_reduce_go_spark.registry import register
+from map_reduce_go_spark.sources.readers import load_table
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {_dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type. window() is epoch-aligned,
+    identical to date_trunc('hour') for a 1-hour width."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM (
+      SELECT event_type,
+             unnest([
+               (CAST(floor(epoch(ts) / 1800) AS BIGINT)) * 1800,
+               (CAST(floor(epoch(ts) / 1800) AS BIGINT)) * 1800 - 1800
+             ]) AS window_start
+      FROM events
+    ) t
+    GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in exactly two
+    windows (the oracle materializes both by bucket arithmetic)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 600 OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           -- floor: Spark's timestamp->long cast truncates sub-second
+           -- precision, DuckDB's double->bigint cast would round.
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap.
+
+    Spark's session_window() merges events closer than the gap; the oracle
+    derives the identical sessions with the classic gaps-and-islands window
+    construction. session_start is the first event's epoch second
+    (session_window start == min event ts).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+    )

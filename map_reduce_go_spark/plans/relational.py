@@ -1,0 +1,646 @@
+"""Relational breadth on the driver star schema (SURVEY.md §7.2 M3).
+
+The reference has no joins, windows, rollups, or scalar-function library
+(SURVEY.md §2.5 — absences verified line-by-line); the north star requires
+the full relational surface at Spark altitude. Every query here is a
+declarative DataFrame plan with a DuckDB oracle.
+
+Determinism contract with the oracle: monetary aggregates are summed as
+DECIMAL(18,4) (exact, order-independent) and cast back to double at the
+end, so Spark's and DuckDB's different summation orders cannot produce
+ULP-different results. Derived stats (avg, stddev) are computed *from* the
+exact sums with identical double arithmetic on both sides.
+
+Scale notes (100 TB):
+- fact⋈fact joins (lineitem⋈orders) shuffle on the join key; AQE handles
+  skew. At a fixed warehouse layout you would bucket both tables by
+  orderkey to eliminate this shuffle entirely.
+- dimension joins broadcast (explicit F.broadcast on region/nation —
+  constant-size; customer/supplier left to AQE's size-based choice so the
+  plan stays correct when those grow with SF).
+- window functions partition by bounded keys (brand, custkey); no global
+  single-partition windows anywhere.
+- top-k = orderBy+limit, which Spark executes as per-partition top-k +
+  single merge of k·p rows (TakeOrderedAndProject), never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_go_spark.registry import register
+from map_reduce_go_spark.sources.readers import load_table
+
+
+def dsum(c: str | Column) -> Column:
+    """Exact order-independent sum of a money column (see module docstring).
+
+    Scale 6 because derived money expressions (price × discount × tax, each
+    2 dp) carry exactly 6 decimal digits: the cast is lossless, so neither
+    engine's rounding mode (Spark HALF_UP vs DuckDB HALF_EVEN) is exercised.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast("decimal(24,6)")).cast("double")
+
+
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(24,6))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           count(*) AS count_order,
+           round({_dsum_sql('l_quantity')} / count(*), 6) AS avg_qty,
+           round({_dsum_sql('l_extendedprice')} / count(*), 6) AS avg_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-heavy grouped aggregation.
+
+    The plan Catalyst picks: parquet scan with shipdate filter pushed down +
+    only 8 of 11 columns read, partial hash-agg map-side (6 groups), tiny
+    final shuffle. This is the reference wordcount pattern at relational
+    altitude — the combiner the reference lacks matters most here.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+        F.round(dsum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+        F.round(dsum("l_extendedprice") / F.count(F.lit(1)), 6).alias("avg_price"),
+    )
+
+
+@register(
+    "agg_stats_per_nation",
+    oracle=f"""
+    SELECT n.n_name,
+           count(*) AS n_customers,
+           {_dsum_sql('c.c_acctbal')} AS sum_bal,
+           round({_dsum_sql('c.c_acctbal')} / count(*), 6) AS avg_bal,
+           round(CAST(min(c.c_acctbal) AS DOUBLE), 6) AS min_bal,
+           round(CAST(max(c.c_acctbal) AS DOUBLE), 6) AS max_bal,
+           round(sqrt(greatest(0.0,
+             ({_dsum_sql('c.c_acctbal * c.c_acctbal')}
+              - {_dsum_sql('c.c_acctbal')} * {_dsum_sql('c.c_acctbal')} / count(*))
+             / (count(*) - 1))), 6) AS stddev_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_stats_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev per group. stddev is derived from exact decimal
+    sums (sqrt((Σx² − (Σx)²/n)/(n−1))) so both engines do identical double
+    arithmetic — see module docstring."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    cnt = F.count(F.lit(1))
+    sx = dsum("c_acctbal")
+    sxx = dsum(F.col("c_acctbal") * F.col("c_acctbal"))
+    return j.groupBy("n_name").agg(
+        cnt.alias("n_customers"),
+        sx.alias("sum_bal"),
+        F.round(sx / cnt, 6).alias("avg_bal"),
+        F.round(F.min("c_acctbal").cast("double"), 6).alias("min_bal"),
+        F.round(F.max("c_acctbal").cast("double"), 6).alias("max_bal"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), (sxx - sx * sx / cnt) / (cnt - 1))), 6
+        ).alias("stddev_bal"),
+    )
+
+
+@register(
+    "count_distinct_custkey",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def count_distinct_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per group (Catalyst expands to a two-phase
+    aggregate; at 100 TB prefer approx_count_distinct — see
+    approx_distinct_probe)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("approx_distinct_probe", oracle=None)
+def approx_distinct_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct — the 100 TB path (no exact-distinct
+    shuffle expansion). Sketch values are engine-specific -> rows-only check;
+    accuracy vs exact is asserted in tests."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
+    )
+
+
+@register(
+    "rollup_lineitem_flags",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           {_dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, flag+status, grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "cube_orders_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping sets in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "grouping_sets_nation_segment",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS n_customers,
+           {_dsum_sql('c_acctbal')} AS sum_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
+    """,
+)
+def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (DataFrame API has no direct
+    grouping-sets builder; SQL keeps the plan declarative)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        FROM v_customer
+        GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
+        """
+    )
+
+
+@register(
+    "conditional_agg_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {_dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS fulfilled,
+           {_dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS open_,
+           {_dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END")} AS pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (portable form of df.pivot —
+    single pass, no extra shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def bucket(status: str) -> Column:
+        return dsum(
+            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")).otherwise(0)
+        )
+
+    return o.groupBy("o_orderpriority").agg(
+        bucket("F").alias("fulfilled"),
+        bucket("O").alias("open_"),
+        bucket("P").alias("pending"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_top_revenue_orders",
+    oracle=f"""
+    SELECT l.l_orderkey, {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter -> fact⋈fact join -> top-k.
+
+    customer(filtered) joins orders (AQE broadcasts when small enough),
+    then orders⋈lineitem shuffles on orderkey. Top-k executes as
+    TakeOrderedAndProject (per-partition heap + merge), never a full sort.
+    orderkey tie-break makes LIMIT deterministic for the oracle.
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n.n_name, {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: local-supplier revenue per nation of one
+    region. region/nation explicitly broadcast (constant-size at any SF);
+    the supplier join carries the colocation predicate s_nationkey =
+    c_nationkey exactly as Q5 specifies."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@register(
+    "semi_join_customers_with_purchases",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def semi_join_customers_with_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — EXISTS semantics, no duplication, right side never
+    materialized into the output."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_parts_never_ordered",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """,
+)
+def anti_join_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — NOT EXISTS semantics. The quantity predicate keeps
+    the result non-empty at every fixture SF (a 0-row result would make the
+    oracle comparison vacuous)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "outer_join_nation_customer_counts",
+    oracle="""
+    SELECT n.n_name, count(c.c_custkey) AS n_customers
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def outer_join_nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving empty nations (count(col) skips nulls)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows, top-k, sort, set ops
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part) t
+    WHERE rn <= 3
+    """,
+)
+def window_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window; partition key (brand) is bounded
+    so no partition exceeds executor memory at scale."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+@register(
+    "window_running_customer_spend",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           CAST(lag(CAST(o_totalprice AS DECIMAL(18,4)), 1)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS DOUBLE) AS prev_price
+    FROM orders
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum + lag per customer ordered by time.
+    Decimal accumulation keeps the running sum prefix-exact on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag(dec, 1).over(w).cast("double").alias("prev_price"),
+    )
+
+
+@register(
+    "top20_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def top20_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject, not a total sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "set_ops_nation_presence",
+    oracle="""
+    SELECT nk, 'both' AS presence FROM
+      (SELECT c_nationkey AS nk FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier) t
+    UNION ALL
+    SELECT nk, 'customer_only' FROM
+      (SELECT c_nationkey AS nk FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier) t
+    """,
+)
+def set_ops_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one result."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = c.intersect(s).withColumn("presence", F.lit("both"))
+    only = c.subtract(s).withColumn("presence", F.lit("customer_only"))
+    return both.unionByName(only)
+
+
+@register(
+    "distinct_sorted_segments",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_sorted_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a composite key."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# Scalar function library
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           lower(p_brand) AS low_brand,
+           length(p_name) AS name_len,
+           substring(p_type, 1, 3) AS type_prefix,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           concat(p_brand, ':', p_type) AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+           contains(p_name, 'a') AS has_a,
+           trim(p_name) AS trimmed
+    FROM part
+    """,
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function library parity (the reference buries all string ops
+    inside app UDFs — SURVEY.md §2.3; here they are JVM built-ins)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("low_brand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+        F.contains(F.col("p_name"), F.lit("a")).alias("has_a"),
+        F.trim(F.col("p_name")).alias("trimmed"),
+    )
+
+
+@register(
+    "scalar_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dy,
+           quarter(o_orderdate) AS qtr,
+           CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function parity. Epochs are emitted as BIGINT seconds so
+    both engines compare tz-free (session tz pinned to UTC)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate")))
+        .cast("long")
+        .alias("month_start_epoch"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "scalar_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS abs_disc,
+           ceil(l_quantity) AS ceil_qty,
+           floor(l_quantity / 7) AS floor_qty_bucket,
+           round(sqrt(l_extendedprice), 6) AS sqrt_price,
+           round(ln(l_extendedprice + 1), 6) AS ln_price,
+           round(pow(1 - l_discount, 2), 6) AS sq_keep,
+           CAST(l_partkey % 16 AS BIGINT) AS partkey_mod
+    FROM lineitem
+    """,
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function parity; results rounded to 6 dp (single-input libm
+    calls are bit-identical across both engines in practice; rounding guards
+    the comparison)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc"),
+        F.ceil("l_quantity").alias("ceil_qty"),
+        F.floor(F.col("l_quantity") / 7).alias("floor_qty_bucket"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.round(F.pow(1 - F.col("l_discount"), 2), 6).alias("sq_keep"),
+        (F.col("l_partkey") % 16).cast("long").alias("partkey_mod"),
+    )
+
+
+@register(
+    "array_functions_showcase",
+    oracle="""
+    SELECT p_partkey,
+           len(string_split(p_type, ' ')) AS n_words,
+           list_contains(string_split(p_type, ' '), 'PROMO') AS is_promo,
+           list_sort(string_split(p_type, ' ')) AS sorted_words,
+           array_to_string(list_sort(string_split(p_type, ' ')), '-') AS joined
+    FROM part
+    """,
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function parity: split/size/contains/sort/join (the reference's
+    only collection type is the reduce value list — SURVEY.md §1.2)."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "PROMO").alias("is_promo"),
+        F.sort_array(words).alias("sorted_words"),
+        F.concat_ws("-", F.sort_array(words)).alias("joined"),
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events props payload (from_json with an
+    explicit schema — schema-on-read, no inference at scale)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k_value"),
+    )
