@@ -1,0 +1,308 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families over the ``documents`` table, all pure DataFrame plans:
+
+- exact: hash-groupBy on content digest — one shuffle on the digest.
+- MinHash + LSH: shingle -> minhash signature -> band -> bucket self-join.
+  The 100 TB workhorse: candidate generation touches only docs sharing a
+  band bucket, never all pairs.
+- SimHash: 16-bit locality-sensitive bit signature per doc.
+- n-gram Jaccard: exact pairwise similarity via inverted-index pair
+  generation — the correctness baseline LSH recall is measured against.
+
+Portability contract with the DuckDB oracle: every hash is md5 (identical
+hex output in both engines), minhash takes the lexicographic min of hex
+digests (a valid random permutation), and SimHash bits come from hex-digit
+comparisons — so signatures are bit-identical across engines with no
+engine-specific hash anywhere.
+
+Scale notes (100 TB):
+- shingling explodes ~n_words rows per doc; distinct() before signature
+  aggregation bounds it to unique (doc, shingle) pairs. One shuffle.
+- signatures are P aggregates in ONE groupBy pass (no per-permutation scan).
+- the band self-join shuffles on (band_id, band_value) — bucket sizes are
+  the LSH knob (more bands -> smaller buckets); skewed buckets (boilerplate
+  docs) are exactly what AQE skew-join splitting handles.
+- exact Jaccard joins on shingle: hot shingles (stop-phrases) skew —
+  mitigated by the distinct() and, at scale, by dropping top-frequency
+  shingles (standard practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_go_spark.functions.text import WORD_BOUNDARY
+from map_reduce_go_spark.registry import register
+from map_reduce_go_spark.sources.readers import load_table
+
+N_PERM = 8  # minhash permutations
+N_BANDS = 4  # bands of r = N_PERM / N_BANDS rows
+
+# Shared SQL fragments for the oracle (DuckDB) side ------------------------
+
+_ORACLE_SHINGLES = r"""
+  w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS ws
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+    FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+  )
+"""
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct word-trigram shingles."""
+    ws = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
+    trigrams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(trigrams).alias("s")).distinct()
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: digest-groupBy, keep the lowest doc_id per content hash.
+
+    At 100 TB: shuffle moves only (digest, doc_id) — never the text; the
+    digest is computed map-side in codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _sig_cols() -> list[Column]:
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"sig{p}")
+        for p in range(N_PERM)
+    ]
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + N_PERM minhash columns, one groupBy pass over shingles."""
+    return _shingles(docs).groupBy("doc_id").agg(*_sig_cols())
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs: equal minhash band in >=1 of N_BANDS."""
+    sig = minhash_signatures(docs)
+    r = N_PERM // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(
+                            *[F.col(f"sig{b * r + i}") for i in range(r)]
+                        ).alias("bv"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.bv")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_ORACLE_SIGS = ",\n".join(
+    f"min(md5('{p}|' || s)) AS sig{p}" for p in range(N_PERM)
+)
+_ORACLE_BANDS = "\n    UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, sig{b * 2} || sig{b * 2 + 1} AS bv FROM sig"
+    for b in range(N_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    sig AS (SELECT doc_id, {_ORACLE_SIGS} FROM sh GROUP BY doc_id),
+    bands AS ({_ORACLE_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS nc
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b,
+           round(CAST(m.nc AS DOUBLE) / (sa.n + sb.n - m.nc), 6) AS jaccard
+    FROM common m
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup: candidate pairs from band collisions, then
+    exact trigram Jaccard computed only for candidates.
+
+    8 permutations in 4 bands of 2 -> candidate threshold around
+    j ~ (1/4)^(1/2) = 0.5 with a long recall tail below.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    cand = lsh_candidate_pairs(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    common = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.s") == F.col("x.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("nc").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("nc")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_expr() -> Column:
+    """16-bit SimHash over distinct words: bit j set iff the majority of
+    word-hashes have hex digit j >= '8' (the top bit of that nibble).
+    String comparison on md5 hex is engine-portable."""
+    votes = [
+        F.sum(
+            F.when(F.substring(F.md5(F.col("word")), j + 1, 1) >= "8", 1).otherwise(-1)
+        )
+        for j in range(_SIMHASH_BITS)
+    ]
+    return sum(
+        (F.when(v > 0, F.lit(1 << j)).otherwise(0) for j, v in enumerate(votes)),
+        F.lit(0),
+    ).cast("long")
+
+
+_ORACLE_SIMHASH = " + ".join(
+    f"CASE WHEN SUM(CASE WHEN substr(md5(word), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) > 0 "
+    f"THEN {1 << j} ELSE 0 END"
+    for j in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(text, '[^\\p{{L}}]+'),
+                                x -> len(x) > 0)) AS word
+      FROM documents
+    )
+    SELECT doc_id, CAST({_ORACLE_SIMHASH} AS BIGINT) AS simhash
+    FROM words
+    GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures: near-dup docs get small Hamming distance.
+    One explode + one groupBy; the 16 bit-votes are columnar aggregates in
+    a single pass (at 100 TB this is a map-side-partial agg like wordcount).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", WORD_BOUNDARY), lambda x: F.length(x) > 0)
+            ).alias("word"),
+        ).distinct()
+    )
+    return words.groupBy("doc_id").agg(_simhash_expr().alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS nc
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT m.doc_a, m.doc_b,
+           round(CAST(m.nc AS DOUBLE) / (sa.n + sb.n - m.nc), 6) AS jaccard
+    FROM common m
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    WHERE CAST(m.nc AS DOUBLE) / (sa.n + sb.n - m.nc) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= 0.05 via inverted-index pair
+    generation (join on shingle). The exact baseline for LSH recall; at
+    100 TB you run the LSH variant — this one is quadratic in docs *per
+    shared shingle*."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    common = (
+        x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jacc = F.col("nc").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("nc"))
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jacc >= 0.05)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )

@@ -1,0 +1,147 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(deterministic fake features; ``decode_mode="real"`` raises
+NotImplementedError at the exact seam where PIL/ffmpeg would plug in). The
+Spark-side plumbing is real and tested: binary columns, metadata structs,
+Arrow-batched ``mapInPandas`` with a bounded batch size, and a schema that
+holds at any scale.
+
+Scale notes:
+- blobs ride through scans/shuffles as parquet binary; metadata extraction
+  is columnar and never Python-side.
+- feature extraction is mapInPandas over Arrow batches: one Python worker
+  per core, ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak
+  memory per batch regardless of blob size distribution.
+- at 100 TB you partition by the modality/shard column so decode failures
+  quarantine per-partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from map_reduce_go_spark.registry import register
+from map_reduce_go_spark.sources.readers import load_table
+
+MODALITIES = ("image", "audio", "video")
+
+
+def blobs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture adapter: treat each document's UTF-8 bytes as an opaque blob
+    with a modality assigned by doc_id (the fixtures ship no real media;
+    the schema — blob + typed metadata — is the real contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % len(MODALITIES) + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("blob"),
+        modality.alias("modality"),
+    )
+
+
+@register(
+    "multimodal_blob_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar metadata over binary payloads: byte length + content digest.
+    Entirely JVM-side — blobs are never deserialized into Python."""
+    blobs = blobs_from_documents(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        blobs.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "modality",
+            F.length("blob").alias("byte_len"),
+            F.sha2(F.col("text"), 256).alias("content_sha256"),
+        )
+    )
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("modality", StringType(), True),
+        StructField("byte_len", IntegerType(), True),
+        StructField("fake_width", IntegerType(), True),
+        StructField("fake_height", IntegerType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
+    """Arrow-batched feature extraction over binary blobs.
+
+    ``stub`` mode computes a deterministic 16-bin byte histogram (normalized)
+    plus fake width/height from the first bytes — the real decode
+    (PIL.Image.open / soundfile / frame sampling) plugs into the marked seam
+    with the same signature and schema.
+    """
+    if decode_mode not in ("stub", "real"):
+        raise ValueError(f"unknown decode_mode {decode_mode!r}")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "modality", "byte_len", "fake_width", "fake_height", "features"
+            )}
+            for doc_id, blob, modality in zip(
+                pdf["doc_id"], pdf["blob"], pdf["modality"]
+            ):
+                data = np.frombuffer(blob, dtype=np.uint8)
+                if decode_mode == "real":
+                    # Seam for real codecs (PIL / torchaudio / pyav) — not
+                    # available in this container.
+                    raise NotImplementedError(
+                        "real decode requires image/audio libraries"
+                    )
+                hist = np.bincount(data >> 4, minlength=FEATURE_DIM).astype(np.float64)
+                total = hist.sum() or 1.0
+                rows["doc_id"].append(int(doc_id))
+                rows["modality"].append(modality)
+                rows["byte_len"].append(len(data))
+                rows["fake_width"].append(int(data[0]) + 1 if len(data) else 1)
+                rows["fake_height"].append(int(data[-1]) + 1 if len(data) else 1)
+                rows["features"].append((hist / total).astype(np.float32))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+@register("multimodal_feature_stub", oracle=None)
+def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode/feature-extract pipeline over binary blobs (schema,
+    batching, and plumbing are real; the codec is a deterministic fake).
+    Python-side -> rows-only driver check; determinism and shape are
+    asserted in tests/test_llm_ops.py."""
+    return extract_features(blobs_from_documents(spark, sf_dir), decode_mode="stub")

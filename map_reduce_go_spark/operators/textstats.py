@@ -1,0 +1,189 @@
+"""Text-analysis operators for training-data pipelines: quality scoring,
+language ID, token counting, fingerprinting. All JVM built-ins (regex +
+higher-order array functions) — zero Python UDFs, so every one of these is
+a single codegen'd projection over the scan, which is exactly what you want
+for a 100 TB quality-filter pass (no shuffle at all until you aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_go_spark.functions.text import WORD_BOUNDARY
+from map_reduce_go_spark.registry import register
+from map_reduce_go_spark.sources.readers import load_table
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# (Real pipelines plug a fastText model into the same plan shape.)
+LANG_PROFILES = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une"),
+}
+
+def _tokens() -> Column:
+    return F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
+
+
+def _hits(langwords: tuple[str, ...]) -> Column:
+    return F.size(F.filter(_tokens(), lambda t: t.isin(*langwords)))
+
+
+def _hits_sql(langwords: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in langwords)
+    return (
+        r"len(list_filter(list_filter(string_split_regex(text, '[^\p{L}]+'),"
+        f" x -> len(x) > 0), t -> list_contains([{lst}], t)))"
+    )
+
+
+@register(
+    "text_quality_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(ws) AS n_tokens,
+           round(CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+                 / greatest(len(ws), 1), 6) AS avg_token_len,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS digit_ratio,
+           round(CAST(length(regexp_replace(text, '[\p{L}0-9\s]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(CAST(len(list_filter(ws, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+                 / greatest(len(ws), 1), 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: length, token count, average token
+    length, digit/punctuation character ratios, stopword ratio. The
+    standard pre-training quality-filter feature set."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    letters = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
+    digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[\p{L}0-9\s]", ""))
+    stop = _hits(LANG_PROFILES["en"])
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(letters.cast("double") / F.greatest(n_tokens, F.lit(1)), 6).alias(
+            "avg_token_len"
+        ),
+        F.round(digits.cast("double") / F.greatest(F.length("text"), F.lit(1)), 6).alias(
+            "digit_ratio"
+        ),
+        F.round(punct.cast("double") / F.greatest(F.length("text"), F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 6).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+_GUESS_SQL = f"""
+    CASE
+      WHEN {_hits_sql(LANG_PROFILES['en'])} >= greatest({_hits_sql(LANG_PROFILES['es'])},
+             {_hits_sql(LANG_PROFILES['de'])}, {_hits_sql(LANG_PROFILES['fr'])}, 1) THEN 'en'
+      WHEN {_hits_sql(LANG_PROFILES['es'])} >= greatest({_hits_sql(LANG_PROFILES['de'])},
+             {_hits_sql(LANG_PROFILES['fr'])}, 1) THEN 'es'
+      WHEN {_hits_sql(LANG_PROFILES['de'])} >= greatest({_hits_sql(LANG_PROFILES['fr'])}, 1) THEN 'de'
+      WHEN {_hits_sql(LANG_PROFILES['fr'])} >= 1 THEN 'fr'
+      ELSE 'unknown'
+    END
+"""
+
+
+@register(
+    "language_guess",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_hits_sql(LANG_PROFILES['en'])} AS en_hits,
+           {_hits_sql(LANG_PROFILES['es'])} AS es_hits,
+           {_hits_sql(LANG_PROFILES['de'])} AS de_hits,
+           {_hits_sql(LANG_PROFILES['fr'])} AS fr_hits,
+           {_GUESS_SQL} AS guessed_lang
+    FROM documents
+    """,
+)
+def language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with a fixed priority tie-break
+    (en > es > de > fr > unknown). Deterministic, engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = {lang: _hits(words) for lang, words in LANG_PROFILES.items()}
+    guess = (
+        F.when(
+            hits["en"]
+            >= F.greatest(hits["es"], hits["de"], hits["fr"], F.lit(1)),
+            "en",
+        )
+        .when(hits["es"] >= F.greatest(hits["de"], hits["fr"], F.lit(1)), "es")
+        .when(hits["de"] >= F.greatest(hits["fr"], F.lit(1)), "de")
+        .when(hits["fr"] >= 1, "fr")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        guess.alias("guessed_lang"),
+    )
+
+
+@register(
+    "token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter chunks capped at 4 chars + digits + punctuation singletons) —
+    the cheap proxy for LLM token-budget accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9]"), 0
+            )
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8)
+             AS shard_key
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (lowercase, collapsed whitespace) —
+    the join/dedup key for cross-snapshot document identity; shard_key
+    prefix is what you would bucket/partition by at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = F.md5(normalized)
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
+    )

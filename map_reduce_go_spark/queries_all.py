@@ -3,6 +3,10 @@
 Add one import line per new module; ``registry.all_queries()`` pulls this in.
 """
 
+import map_reduce_go_spark.operators.dedup  # noqa: F401
 import map_reduce_go_spark.operators.mrapps  # noqa: F401
+import map_reduce_go_spark.operators.multimodal  # noqa: F401
+import map_reduce_go_spark.operators.similarity  # noqa: F401
+import map_reduce_go_spark.operators.textstats  # noqa: F401
 import map_reduce_go_spark.plans.events  # noqa: F401
 import map_reduce_go_spark.plans.relational  # noqa: F401
