@@ -56,18 +56,24 @@ _ORACLE_SHINGLES = r"""
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """doc_id -> exploded distinct word-trigram shingles."""
+    """doc_id -> exploded distinct word-trigram shingles.
+
+    The token array is materialized into its own column BEFORE the trigram
+    transform: column expressions are trees, so referencing the split
+    expression directly inside the lambda would re-run the regex split for
+    every ws[i] access (~3 × n_shingles splits per doc).
+    """
     ws = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
+    base = docs.select("doc_id", ws.alias("ws"))
+    arr = F.col("ws")
     trigrams = F.when(
-        F.size(ws) >= 3,
+        F.size(arr) >= 3,
         F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 3),
-            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2]),
+            F.sequence(F.lit(0), F.size(arr) - 3),
+            lambda i: F.concat_ws(" ", arr[i], arr[i + 1], arr[i + 2]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", F.explode(trigrams).alias("s")).distinct()
-    )
+    return base.select("doc_id", F.explode(trigrams).alias("s")).distinct()
 
 
 @register(
@@ -101,14 +107,15 @@ def _sig_cols() -> list[Column]:
     ]
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """doc_id + N_PERM minhash columns, one groupBy pass over shingles."""
-    return _shingles(docs).groupBy("doc_id").agg(*_sig_cols())
+    sh = shingles if shingles is not None else _shingles(docs)
+    return sh.groupBy("doc_id").agg(*_sig_cols())
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: equal minhash band in >=1 of N_BANDS."""
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs, shingles)
     r = N_PERM // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -183,8 +190,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     j ~ (1/4)^(1/2) = 0.5 with a long recall tail below.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # One shingle pass feeds signatures, sizes, AND the Jaccard join —
+    # cached so the explode+distinct shuffle happens exactly once.
     sh = _shingles(docs).cache()
-    cand = lsh_candidate_pairs(docs)
+    cand = lsh_candidate_pairs(docs, shingles=sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
     common = (

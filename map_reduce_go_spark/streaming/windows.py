@@ -1,0 +1,119 @@
+"""Structured Streaming over the events schema.
+
+The reference engine is strictly batch (SURVEY.md §2.5 — no streaming
+surface exists); this module is the north-star extension. The windowing
+transformations are the *same* expressions the batch queries in
+:mod:`map_reduce_go_spark.plans.events` use — a DataFrame transformation is
+source-agnostic, so each builder here accepts either a batch or a streaming
+DataFrame and the streaming tests assert batch/stream result equality
+(exactly the reference's sequential-vs-distributed oracle philosophy).
+
+Scale notes:
+- watermarks bound state: without one, windowed state grows forever on an
+  unbounded stream. 10 minutes here; production sets it to the observed
+  late-data tail.
+- session windows + watermark is the canonical "user sessionization at
+  scale" pattern; state store is RocksDB-backed on a real cluster
+  (spark.sql.streaming.stateStore.providerClass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, src_dir: str, fmt: str = "parquet") -> DataFrame:
+    """File-source stream of events (new files appear -> new micro-batch).
+    Explicit schema — streaming sources never infer at scale."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .load(src_dir)
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """1-hour tumbling counts per event type; watermark bounds state and
+    admits late data up to the threshold."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_avg_value(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """1-hour windows sliding every 30 minutes, average value per type."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "10 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (inactivity gap) — streaming sessionization."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, complete: bool = True):
+    """Drain all available input into an in-memory sink table and stop.
+    Test/debug harness for file-source streams (availableNow = process
+    everything present, then finish — deterministic)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

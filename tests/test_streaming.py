@@ -1,0 +1,130 @@
+"""Streaming tests: batch/stream equality for windowed aggregations (the
+same transformation applied to a file-source stream must equal the batch
+result — mirrors the reference's distributed-vs-sequential golden compare),
+plus the custom stateful operator.
+"""
+
+import os
+import shutil
+import uuid
+
+import pytest
+
+from map_reduce_go_spark.sources.readers import load_table
+from map_reduce_go_spark.streaming import stateful, windows
+
+
+@pytest.fixture(scope="module")
+def event_source(spark, sf_dir, tmp_path_factory):
+    """Events re-written as a multi-file parquet dir usable as a stream
+    source (each file becomes micro-batch input)."""
+    src = str(tmp_path_factory.mktemp("events_src"))
+    load_table(spark, sf_dir, "events").repartition(8).write.mode("overwrite").parquet(src)
+    return src
+
+
+def _batch_events(spark, src):
+    return spark.read.schema(windows.EVENTS_SCHEMA).parquet(src)
+
+
+@pytest.mark.parametrize(
+    "builder", [windows.tumbling_counts, windows.sliding_avg_value, windows.session_counts]
+)
+def test_stream_equals_batch(spark, event_source, builder):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = windows.read_event_stream(spark, event_source)
+    windows.run_to_memory(builder(stream), name, complete=True)
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in builder(_batch_events(spark, event_source)).collect()}
+    assert got == want
+
+
+def test_stateful_running_totals(spark, event_source):
+    name = f"rt_{uuid.uuid4().hex[:8]}"
+    stream = windows.read_event_stream(spark, event_source)
+    q = (
+        stateful.running_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Last emitted row per key must equal the batch totals.
+    import pandas as pd
+
+    emitted = spark.table(name).toPandas()
+    final = emitted.groupby("event_type").last()
+    batch = (
+        _batch_events(spark, event_source)
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et, row in batch.iterrows():
+        assert final.loc[et, "n_events"] == row["count"]
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """An event older than the watermark horizon must not create/refresh a
+    window once the watermark has advanced past it (append mode emits only
+    finalized windows)."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    chk = str(tmp_path / "chk")
+
+    def write_batch(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema=windows.EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # Batch 1: events at 10:00 and 13:00 -> watermark advances to 12:50.
+    write_batch("b1", [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 13:00:00", 1, "click", 1.0, "{}"),
+    ])
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(windows.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    agg = windows.tumbling_counts(stream, watermark="10 minutes")
+
+    def run_once():
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    # Append mode with watermark 12:50 finalizes the 10:00 window.
+    first = run_once()
+    assert (1704103200, "click", 1) in first  # 10:00 UTC window emitted
+
+    # Batch 2: a late event at 10:30 (far behind watermark) then a fresh
+    # event advancing time; the late event must not resurrect the window.
+    write_batch("b2", [
+        (3, "2024-01-01 10:30:00", 1, "click", 1.0, "{}"),
+        (4, "2024-01-01 15:00:00", 1, "click", 1.0, "{}"),
+    ])
+    emitted = run_once()
+    # 13:00 window finalized with count 1 — the late 10:30 event was
+    # discarded, and the 10:00 window was not re-emitted or updated.
+    assert (1704114000, "click", 1) in emitted
+    assert (1704103200, "click", 1) in emitted  # from run 1, unchanged
+    assert not any(r[0] == 1704103200 and r[2] != 1 for r in emitted)
