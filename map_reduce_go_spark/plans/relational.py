@@ -644,3 +644,154 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Additional TPC-H-shaped plans and subquery surface
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure filter + global aggregate — the canonical
+    predicate-pushdown showcase (every predicate reaches the parquet scan;
+    zero shuffle beyond the single-row final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT round(
+             100.0 * {_dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {_dsum_sql('l_extendedprice * (1 - l_discount)')}, 6) AS promo_share,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share. part joins via AQE's
+    size-based choice (broadcast at small SF, shuffle when part grows)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(0)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * dsum(promo_rev) / dsum(rev), 6).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_epoch,
+           {_dsum_sql('l.l_quantity')} AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+    HAVING SUM(l.l_quantity) > 150
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: large-volume orders (group + HAVING over a
+    fact⋈fact join). The HAVING predicate is a post-agg filter Catalyst
+    keeps after the partial/final aggregate split."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(dsum("l_quantity").alias("total_qty"), F.sum("l_quantity").alias("_raw"))
+        .where(F.col("_raw") > 150)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp(F.col("o_orderdate")).alias("order_epoch"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "median_price_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def median_price_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+        )
+    )
+
+
+@register(
+    "correlated_subquery_above_nation_avg",
+    oracle="""
+    SELECT c_custkey, c_nationkey, round(c_acctbal, 6) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def correlated_subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's average
+    balance) — expressed as SQL so Catalyst's decorrelation rewrites it to
+    an aggregate + join; the oracle runs the identical query."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_sub")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 6) AS acctbal
+        FROM v_cust_sub c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM v_cust_sub c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )

@@ -1,0 +1,122 @@
+"""Temporal join operators: as-of join and range join.
+
+Spark has no native ASOF or range join operator; these are the canonical
+compositions (SURVEY.md §7.1 custom-operator path (a): composition of
+existing DataFrame ops — no UDF, no custom strategy needed):
+
+- **as-of join** = union both sides tagged, one window pass per key carrying
+  the last observation forward. O(n log n) per key via the window sort, no
+  range cross-join blowup — this is the standard scalable formulation.
+- **range join** = coarse time-bucket equi-join (bucket width = range span,
+  probe side exploded into the two covering buckets) + exact range filter.
+  Turns an unbounded theta-join into an equi-join AQE can plan; bucket
+  width is the selectivity knob.
+
+Both are oracle-checked: DuckDB has native ASOF JOIN and can afford the
+naive inequality join at fixture scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_go_spark.registry import register
+from map_reduce_go_spark.sources.readers import load_table
+
+
+@register(
+    "asof_join_purchase_to_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS last_click_epoch
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's most recent
+    click at-or-before it (NULL if none) — attribution, the classic as-of
+    workload.
+
+    Plan: union(click, purchase) -> single window per user ordered by
+    (ts, tag) -> last(click_ts) carried forward. One shuffle on user_id;
+    clicks sort before purchases at equal ts so "at-or-before" includes
+    same-instant clicks, matching ASOF's >= bound.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("tag"), F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("tag"),
+        F.lit(None).cast("timestamp").alias("click_ts"), "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("tag") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").cast("long").alias("purchase_epoch"),
+        F.col("last_click_ts").cast("long").alias("last_click_epoch"),
+    )
+
+
+_RANGE_SEC = 300  # 5-minute lookback
+
+
+@register(
+    "range_join_error_click_counts",
+    oracle=f"""
+    SELECT a.event_id AS error_id, a.user_id, count(*) AS clicks_in_window
+    FROM (SELECT * FROM events WHERE event_type = 'error') a
+    JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts - INTERVAL {_RANGE_SEC} SECOND
+     AND b.ts <= a.ts
+    GROUP BY a.event_id, a.user_id
+    """,
+)
+def range_join_error_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks by the same user in the 5 minutes before each
+    error (errors with zero preceding clicks drop out — inner semantics).
+
+    Plan: both sides bucketed by floor(epoch/range); the probe (click) side
+    is exploded into the two buckets its match window can span, turning the
+    theta-join into an equi-join on (user_id, bucket) + exact filter.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / _RANGE_SEC).cast("long")
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        bucket.alias("bk"),
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.explode(F.array(bucket, bucket + 1)).alias("bk"),
+        )
+    )
+    return (
+        errors.join(clicks, ["user_id", "bk"])
+        .where(
+            (F.col("click_ts") >= F.col("err_ts") - F.expr(f"INTERVAL {_RANGE_SEC} SECOND"))
+            & (F.col("click_ts") <= F.col("err_ts"))
+        )
+        .groupBy("error_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("clicks_in_window"))
+    )

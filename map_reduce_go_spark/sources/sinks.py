@@ -1,0 +1,45 @@
+"""Sinks: parquet (partitioned/bucketed), CSV, JSON, and the reference's
+plain-text KV format (in :mod:`..operators.mapreduce`).
+
+The reference's only sink is partitioned plain text (reference
+src/mr/worker.go:138-165). Here every format goes through Spark's
+FileOutputCommitter (atomic per-task commit — the reference's temp-file +
+rename, for free) and supports partitioned layouts that enable partition
+pruning on read-back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink; ``partition_by`` produces a hive layout whose
+    partition values prune at scan time (PartitionFilters — the read-side
+    contract tests assert it)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema always explicit — inference is a full extra pass at scale."""
+    return spark.read.option("header", "true").schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.schema(schema).json(path)

@@ -1,0 +1,64 @@
+"""Source/sink roundtrips and scan-contract assertions: every format
+written by the engine reads back value-identical, partitioned parquet
+prunes partitions at scan, and the generic engine's n_reduce=1 run equals
+the distributed run (the reference's sequential-oracle comparison,
+src/main/mrsequential.go — SURVEY.md §3.2).
+"""
+
+from pyspark.sql import functions as F
+
+from map_reduce_go_spark.operators import mapreduce as mr
+from map_reduce_go_spark.sources import sinks
+from map_reduce_go_spark.sources.readers import corpus_from_documents, load_table
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_parquet_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders")
+    sinks.write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert _rows(back, ["o_orderkey", "o_orderstatus"]) == _rows(
+        orders, ["o_orderkey", "o_orderstatus"]
+    )
+    # Partition pruning: a filter on the partition column must appear as a
+    # PartitionFilter, not a post-scan filter.
+    plan = (
+        back.where(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    nation = load_table(spark, sf_dir, "nation")
+    sinks.write_csv(nation, out)
+    back = sinks.read_csv(spark, out, "n_nationkey INT, n_name STRING, n_regionkey INT")
+    assert _rows(back, ["n_nationkey", "n_name", "n_regionkey"]) == _rows(
+        nation, ["n_nationkey", "n_name", "n_regionkey"]
+    )
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "region_json")
+    region = load_table(spark, sf_dir, "region")
+    sinks.write_json(region, out)
+    back = sinks.read_json(spark, out, "r_regionkey INT, r_name STRING")
+    assert _rows(back, ["r_regionkey", "r_name"]) == _rows(
+        region, ["r_regionkey", "r_name"]
+    )
+
+
+def test_sequential_oracle_conformance(spark, sf_dir):
+    """n_reduce=1 (the mrsequential analog: everything in one partition)
+    must produce exactly the distributed n_reduce=10 result."""
+    corpus = corpus_from_documents(spark, sf_dir)
+    seq = mr.map_reduce(spark, corpus, mr.wc_map, mr.wc_reduce, n_reduce=1)
+    dist = mr.map_reduce(spark, corpus, mr.wc_map, mr.wc_reduce, n_reduce=10)
+    assert _rows(seq, ["key", "value"]) == _rows(dist, ["key", "value"])
