@@ -315,3 +315,98 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jacc >= 0.05)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering: connected components over the LSH pair graph
+# --------------------------------------------------------------------------
+
+_CLUSTER_J = 0.5  # near-dup edge threshold
+
+
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (src, dst) edges: candidate pairs with Jaccard >= threshold."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("jaccard") >= _CLUSTER_J)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_SHINGLES},
+    sig AS (SELECT doc_id, {_ORACLE_SIGS} FROM sh GROUP BY doc_id),
+    bands AS ({_ORACLE_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS nc
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    edges AS (
+      SELECT m.doc_a AS src, m.doc_b AS dst FROM common m
+      JOIN sizes sa ON sa.doc_id = m.doc_a
+      JOIN sizes sb ON sb.doc_id = m.doc_b
+      WHERE CAST(m.nc AS DOUBLE) / (sa.n + sb.n - m.nc) >= {_CLUSTER_J}
+      UNION ALL
+      SELECT m.doc_b, m.doc_a FROM common m
+      JOIN sizes sa ON sa.doc_id = m.doc_a
+      JOIN sizes sb ON sb.doc_id = m.doc_b
+      WHERE CAST(m.nc AS DOUBLE) / (sa.n + sb.n - m.nc) >= {_CLUSTER_J}
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph (LSH pairs with
+    Jaccard >= 0.5): every doc labeled with the smallest doc_id reachable
+    through near-dup edges — the "keep one per duplicate cluster" primitive
+    (transitive closure, which pairwise dedup alone cannot give you).
+
+    Iterative min-label propagation: each round joins labels across edges
+    and takes the min; converges in O(cluster diameter) rounds. Lineage is
+    cut with localCheckpoint each round (mandatory for iterative DataFrame
+    algorithms — plan growth is exponential otherwise). The oracle computes
+    the same closure with a recursive CTE.
+
+    At 100 TB: rounds are a handful of shuffles on (doc_id); near-dup
+    cluster diameters are small in practice, and each round is a plain
+    shuffle join AQE handles like any other.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _near_dup_edges(spark, sf_dir).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(20):  # diameter bound; converges in 2-4 rounds here
+        propagated = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

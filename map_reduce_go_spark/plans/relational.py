@@ -795,3 +795,76 @@ def correlated_subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> Da
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
+
+
+@register(
+    "scalar_regex_functions",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_type, '^(PROMO|ECONOMY)') AS is_cheap_tier,
+           len(regexp_extract_all(p_name, '[A-Za-z]+')) AS n_name_words
+    FROM part
+    """,
+)
+def scalar_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function parity: extract, global replace, match-test,
+    extract-all. (Spark regexp_extract group 0 == DuckDB's; Spark rlike
+    is unanchored search like DuckDB regexp_matches.)"""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_brand"), "[0-9]+", 0).alias("brand_num"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("^(PROMO|ECONOMY)").alias("is_cheap_tier"),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[A-Za-z]+"), 0)).alias(
+            "n_name_words"
+        ),
+    )
+
+
+@register(
+    "null_handling_functions",
+    oracle="""
+    SELECT n.n_nationkey,
+           coalesce(c.c_name, '<no customers>') AS any_customer,
+           nullif(n.n_regionkey, 0) AS region_or_null,
+           CASE WHEN c.c_custkey IS NULL THEN 'empty' ELSE 'has' END AS has_customers,
+           least(n.n_nationkey, coalesce(c.c_nationkey, 999)) AS least_key,
+           greatest(n.n_nationkey, coalesce(c.c_nationkey, -1)) AS greatest_key
+    FROM nation n
+    LEFT JOIN (SELECT c_nationkey, min(c_custkey) AS c_custkey,
+                      min(c_name) AS c_name, min(c_nationkey) AS c_nationkey
+               FROM customer GROUP BY c_nationkey) c
+      ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface over an outer join that actually produces
+    NULLs: coalesce, nullif, IS NULL, least/greatest."""
+    n = load_table(spark, sf_dir, "nation")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.min("c_custkey").alias("c_custkey"),
+            F.min("c_name").alias("c_name"),
+            F.min("c_nationkey").alias("c_nationkey_min"),
+        )
+    )
+    j = n.join(c, c.c_nationkey == n.n_nationkey, "left")
+    return j.select(
+        "n_nationkey",
+        F.coalesce(F.col("c_name"), F.lit("<no customers>")).alias("any_customer"),
+        F.nullif(F.col("n_regionkey"), F.lit(0)).alias("region_or_null"),
+        F.when(F.col("c_custkey").isNull(), "empty").otherwise("has").alias(
+            "has_customers"
+        ),
+        F.least(F.col("n_nationkey"), F.coalesce(F.col("c_nationkey_min"), F.lit(999))).alias(
+            "least_key"
+        ),
+        F.greatest(
+            F.col("n_nationkey"), F.coalesce(F.col("c_nationkey_min"), F.lit(-1))
+        ).alias("greatest_key"),
+    )

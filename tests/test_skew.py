@@ -1,0 +1,39 @@
+"""Skew-handling pattern: salted two-phase aggregation over a pathological
+key distribution equals the direct aggregation (the SCALE.md mitigation for
+hot keys, exercised rather than just documented).
+"""
+
+from pyspark.sql import functions as F
+
+N_SALT = 16
+
+
+def test_salted_aggregation_equals_direct(spark):
+    # 200k rows on one hot key + a uniform tail.
+    hot = spark.range(200_000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    tail = spark.range(50_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")).alias("k"),
+        (F.col("id") % 31).cast("double").alias("v"),
+    )
+    df = hot.unionByName(tail)
+
+    direct = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("decimal(24,6)")).cast("double").alias("s"))
+        .collect()
+    }
+
+    # Phase 1: aggregate on (k, salt) — the hot key spreads over N_SALT
+    # partitions; phase 2: combine partials per k.
+    salted = (
+        df.withColumn("salt", (F.rand(seed=7) * N_SALT).cast("int"))
+        .groupBy("k", "salt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("decimal(24,6)")).alias("s"))
+        .groupBy("k")
+        .agg(F.sum("n").alias("n"), F.sum("s").cast("double").alias("s"))
+    )
+    got = {r["k"]: (r["n"], r["s"]) for r in salted.collect()}
+    assert got == direct
