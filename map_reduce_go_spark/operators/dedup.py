@@ -55,13 +55,14 @@ _ORACLE_SHINGLES = r"""
 """
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """doc_id -> exploded distinct word-trigram shingles.
+def _shingle_arrays(docs: DataFrame) -> DataFrame:
+    """doc_id -> deduped word-trigram shingle array (+ its size).
 
-    The token array is materialized into its own column BEFORE the trigram
-    transform: column expressions are trees, so referencing the split
-    expression directly inside the lambda would re-run the regex split for
-    every ws[i] access (~3 × n_shingles splits per doc).
+    Entirely map-side: tokenize, build trigrams, array_distinct — no
+    shuffle. The token array is materialized into its own column BEFORE
+    the trigram transform: column expressions are trees, so referencing
+    the split expression directly inside the lambda would re-run the regex
+    split for every ws[i] access (~3 × n_shingles splits per doc).
     """
     ws = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
     base = docs.select("doc_id", ws.alias("ws"))
@@ -73,7 +74,19 @@ def _shingles(docs: DataFrame) -> DataFrame:
             lambda i: F.concat_ws(" ", arr[i], arr[i + 1], arr[i + 2]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return base.select("doc_id", F.explode(trigrams).alias("s")).distinct()
+    return base.select(
+        "doc_id", F.array_distinct(trigrams).alias("shingles")
+    ).withColumn("n", F.size("shingles"))
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct word-trigram shingles.
+
+    array_distinct happens per-doc BEFORE the explode, so the output is
+    already (doc_id, s)-distinct with no shuffle — a full distinct()
+    after explode would shuffle every shingle row for nothing.
+    """
+    return _shingle_arrays(docs).select("doc_id", F.explode("shingles").alias("s"))
 
 
 @register(
@@ -100,22 +113,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sig_cols() -> list[Column]:
+def _sig_exprs() -> list[Column]:
+    """Per-permutation minhash as a MAP-SIDE array fold: min over the
+    shingle array of md5('p|' || s). No shuffle — a groupBy-min over
+    exploded shingles computes the identical value with a full shuffle."""
     return [
-        F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"sig{p}")
+        F.array_min(
+            F.transform(
+                F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{p}|"), s))
+            )
+        ).alias(f"sig{p}")
         for p in range(N_PERM)
     ]
 
 
-def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
-    """doc_id + N_PERM minhash columns, one groupBy pass over shingles."""
-    sh = shingles if shingles is not None else _shingles(docs)
-    return sh.groupBy("doc_id").agg(*_sig_cols())
+def minhash_signatures(
+    docs: DataFrame, shingle_arrays: DataFrame | None = None
+) -> DataFrame:
+    """doc_id + N_PERM minhash columns, computed without any shuffle.
+
+    Docs with no shingles (< 3 words) are excluded — they have no minhash,
+    matching the grouped-over-shingle-rows formulation.
+    """
+    sa = shingle_arrays if shingle_arrays is not None else _shingle_arrays(docs)
+    return sa.where(F.col("n") > 0).select("doc_id", *_sig_exprs())
 
 
-def lsh_candidate_pairs(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, shingle_arrays: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: equal minhash band in >=1 of N_BANDS."""
-    sig = minhash_signatures(docs, shingles)
+    sig = minhash_signatures(docs, shingle_arrays)
     r = N_PERM // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -188,31 +216,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     8 permutations in 4 bands of 2 -> candidate threshold around
     j ~ (1/4)^(1/2) = 0.5 with a long recall tail below.
+
+    Plan shape (the 100 TB story): shingling, signatures, and banding are
+    all map-side (array ops, zero shuffle); the ONLY wide operations are
+    the band-bucket self-join and the two joins that bring each candidate
+    pair's shingle arrays together; exact Jaccard is then
+    size(array_intersect(..)) computed in codegen. Candidate pairs are a
+    tiny fraction of docs, so both pair joins broadcast-to-shuffle-hash
+    under AQE.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # One shingle pass feeds signatures, sizes, AND the Jaccard join —
-    # cached so the explode+distinct shuffle happens exactly once.
-    sh = _shingles(docs).cache()
-    cand = lsh_candidate_pairs(docs, shingles=sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
-    common = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.s") == F.col("x.s")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("nc"))
+    # One map-side shingle pass feeds signatures, banding, AND the exact
+    # Jaccard arrays — cached so the tokenize/trigram work runs once.
+    sa = _shingle_arrays(docs).cache()
+    cand = lsh_candidate_pairs(docs, shingle_arrays=sa)
+    a = sa.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("n_a"),
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    b = sa.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    nc = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("nc").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("nc")),
-                6,
+                nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc), 6
             ).alias("jaccard"),
         )
     )
@@ -264,13 +300,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single pass (at 100 TB this is a map-side-partial agg like wordcount).
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(
-            "doc_id",
-            F.explode(
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.filter(F.split("text", WORD_BOUNDARY), lambda x: F.length(x) > 0)
-            ).alias("word"),
-        ).distinct()
+            )
+        ).alias("word"),
     )
     return words.groupBy("doc_id").agg(_simhash_expr().alias("simhash"))
 
@@ -299,8 +335,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you run the LSH variant — this one is quadratic in docs *per
     shared shingle*."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    arrs = _shingle_arrays(docs).cache()
+    sh = arrs.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = arrs.select("doc_id", "n")  # map-side, no groupBy shuffle
     x, y = sh.alias("x"), sh.alias("y")
     common = (
         x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
