@@ -355,6 +355,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-dup (semantic dedup)
+# --------------------------------------------------------------------------
+
+_EMB_SIM = 0.4  # near-dup cosine threshold for the synthetic fixtures
+
+_EMB_COS = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_EMB_COS}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_EMB_COS} >= {_EMB_SIM}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs: embedding cosine >= threshold, exact
+    all-pairs — the correctness baseline for embedding dedup. Scoring is
+    zip_with/aggregate in codegen (no Python).
+
+    At 100 TB this quadratic join is replaced by the LSH-bucketed /
+    IVF-cell candidate generation of operators/similarity.py (same scoring
+    expression, candidates restricted to shared buckets); this exact form
+    remains the recall oracle at sampled scale.
+    """
+    from map_reduce_go_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    sim = cosine(F.col("e_a"), F.col("e_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(sim >= _EMB_SIM)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Near-dup clustering: connected components over the LSH pair graph
 # --------------------------------------------------------------------------
 

@@ -177,6 +177,120 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer cells + nprobe search
+# --------------------------------------------------------------------------
+
+K_CELLS = 16
+NPROBE = 4
+
+
+def _nearest_cells(emb: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the n nearest centroid ids by cosine (descending).
+
+    Scores all K centroids in one codegen expression: build
+    array<struct<sim,cell>>, sort descending, slice. K is index metadata
+    (tiny), so this is a map-side constant-folded expression.
+    """
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("sim"),
+                cosine(emb, F.array(*[F.lit(x) for x in c])),
+                F.lit("cell"),
+                F.lit(i),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ordered = F.reverse(F.array_sort(scored))
+    return F.transform(F.slice(ordered, 1, n), lambda s: s["cell"])
+
+
+def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
+    """Train the coarse quantizer: K deterministic seed vectors + one
+    distributed Lloyd iteration (assign-to-nearest, recompute means).
+
+    The collect() here moves K×dim = 1024 floats of *index metadata* to
+    the driver — the IVF codebook is broadcast state by design, the data
+    plane is never collected. At 100 TB: same plan, larger sample feeding
+    more Lloyd iterations; the per-dim mean is a posexplode + groupBy —
+    a map-side-combinable agg over (cell, dim).
+    """
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < K_CELLS)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assigned = emb.select(
+        _nearest_cells(F.col("embedding"), seeds, 1)[0].alias("cell"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    means = (
+        assigned.groupBy("cell", "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("cell", F.transform("dm", lambda s: s["m"]).alias("centroid"))
+        .collect()
+    )
+    refined = {r["cell"]: [float(x) for x in r["centroid"]] for r in means}
+    # Cells that captured no vectors keep their seed.
+    return [refined.get(i, seeds[i]) for i in range(K_CELLS)]
+
+
+@register("ann_ivf_cosine", oracle=None)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus vectors assigned to their nearest centroid cell;
+    each query scores only vectors in its NPROBE nearest cells. The
+    engine-side index structure is engine-specific -> rows-only driver
+    check; sims on returned pairs + recall vs brute force are asserted in
+    tests/test_llm_ops.py.
+
+    At 100 TB: corpus written partitioned by `cell` (partition pruning
+    turns a query into NPROBE partition scans); the query→cell fanout is a
+    broadcast join on the tiny probe set.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_train_centroids(emb)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v_emb"),
+        _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
+    )
+    q = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                _nearest_cells(F.col("embedding"), centroids, NPROBE)
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(q),
+            (corpus.cell == q.cell) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("v_emb")).alias("raw_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("raw_sim", 6).alias("sim"), "rank")
+    )
+
+
 @register(
     "embedding_centroids",
     oracle="""

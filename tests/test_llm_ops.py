@@ -45,6 +45,36 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
             assert abs(bf[key] - r["sim"]) < 1e-9
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF-probed neighbors: every returned (query, neighbor) that brute
+    force also ranks in its top-k must carry the identical similarity, and
+    probing NPROBE of K_CELLS cells must recover a nontrivial fraction of
+    the true top-k (deterministic fixtures -> deterministic recall)."""
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in similarity.knn_bruteforce_cosine(spark, sf_dir).collect()
+    }
+    ann = similarity.ann_ivf_cosine(spark, sf_dir).collect()
+    assert len(ann) > 0
+    for r in ann:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(bf[key] - r["sim"]) < 1e-9
+    hits = sum(1 for r in ann if (r["query_id"], r["neighbor_id"]) in bf)
+    assert hits / len(bf) >= 0.2  # nprobe=4 of 16 cells on near-random vectors
+
+
+def test_ivf_centroids_shape(spark, sf_dir):
+    """Codebook: K cells x 64 dims, finite floats, refined != all-seeds."""
+    from map_reduce_go_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train_centroids(emb)
+    assert len(cents) == similarity.K_CELLS
+    assert all(len(c) == 64 for c in cents)
+    assert all(all(x == x for x in c) for c in cents)  # no NaN
+
+
 def test_multimodal_stub_deterministic_and_shaped(spark, sf_dir):
     out = multimodal.multimodal_feature_stub(spark, sf_dir)
     rows = out.orderBy("doc_id").limit(20).collect()
