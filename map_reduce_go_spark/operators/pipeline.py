@@ -1,0 +1,186 @@
+"""End-to-end training-data pipeline operators: the quality-filter chain,
+hash-based train/eval splitting, deterministic shuffle sharding, and
+sequence packing. These compose the signals from
+:mod:`map_reduce_go_spark.operators.textstats` into the decisions a
+pre-training data pipeline actually ships: which docs survive, which split
+they land in, which shard/batch they're packed into.
+
+Everything is a codegen'd projection or a bounded-key window — no Python,
+no global single-partition operation anywhere:
+
+- quality filter: pure map-side predicate over per-doc signals (at 100 TB
+  this is the pattern: one scan, filters fused into it by Catalyst).
+- train/eval split: deterministic by content hash — reproducible across
+  runs/engines/cluster sizes, no RNG state, and stable under re-runs over
+  a grown corpus (a doc never flips split when new docs arrive).
+- shuffle sharding: md5 ordering within 16 hash shards — the distributed
+  form of "shuffle the dataset": global order is (shard, sort_key), each
+  shard sorts independently (window partitioned by shard, never global).
+- sequence packing: greedy cumulative token binning per (lang, shard)
+  stream via a running-sum window — the "pack documents into fixed token
+  budget batches" step before tokenizer/writer fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_go_spark.registry import register
+from map_reduce_go_spark.sources.readers import load_table
+
+# Quality thresholds (C4-style heuristics, tuned to the synthetic corpus).
+MIN_TOKENS = 10
+MAX_DIGIT_RATIO = 0.3
+MIN_STOPWORD_RATIO = 0.0  # en-only signal; kept permissive for multilingual docs
+
+_WS_TOKENS_SQL = r"len(regexp_extract_all(text, '\S+'))"
+_DIGITS_SQL = "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+
+
+@register(
+    "quality_filter_chain",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           {_WS_TOKENS_SQL} AS n_tokens
+    FROM documents
+    WHERE {_WS_TOKENS_SQL} >= {MIN_TOKENS}
+      AND CAST({_DIGITS_SQL} AS DOUBLE) / greatest(length(text), 1)
+            < {MAX_DIGIT_RATIO}
+      AND length(text) > 0
+    """,
+)
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor set of the quality-filter chain: minimum token count,
+    bounded digit ratio, non-empty. One scan, every predicate fused into
+    it map-side — the canonical 100 TB first-pass filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    digit_ratio = digits.cast("double") / F.greatest(F.length("text"), F.lit(1))
+    return (
+        docs.where(
+            (n_tokens >= MIN_TOKENS)
+            & (digit_ratio < MAX_DIGIT_RATIO)
+            & (F.length("text") > 0)
+        )
+        .select("doc_id", "lang", "source", n_tokens.alias("n_tokens"))
+    )
+
+
+# Train/eval split: first hex char of the content-id hash. '0'..'c' = 13/16
+# of the space -> ~81% train; lexicographic comparison on hex is identical
+# in every engine (no integer parsing needed).
+_SPLIT_AT = "d"
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{_SPLIT_AT}'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: a document's split is a pure function of
+    its id — reproducible across engines and stable as the corpus grows
+    (new docs never flip old assignments, unlike fraction-based sampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.select(
+        "doc_id",
+        F.when(first_hex < _SPLIT_AT, "train").otherwise("eval").alias("split"),
+    )
+
+
+N_SHARDS = 16
+
+
+@register(
+    "shuffle_shards",
+    oracle="""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS sk,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND '9'
+                  THEN CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS INTEGER)
+                  ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87
+             END AS shard
+      FROM documents)
+    """,
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed dataset shuffle: pseudo-random but deterministic global
+    order expressed as (shard, pos_in_shard) — 16 hash shards, each
+    ordered by md5. The window partitions on `shard` (bounded, uniform),
+    NEVER a global single-partition row_number: at 100 TB each shard
+    sorts independently and in parallel, and a training reader streams
+    shards round-robin for the same statistical shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sk = F.md5(F.col("doc_id").cast("string"))
+    first = F.substring(sk, 1, 1)
+    shard = (
+        F.when(first.between("0", "9"), first.cast("int"))
+        .otherwise(F.ascii(first) - 87)
+    )
+    w = Window.partitionBy("shard").orderBy("sk", "doc_id")
+    return (
+        docs.select("doc_id", sk.alias("sk"), shard.alias("shard"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos_in_shard")
+    )
+
+
+TOKEN_BUDGET = 512  # tokens per packed training sequence (fixture-sized)
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    SELECT doc_id, lang, n_tok,
+           CAST(floor((cum_tok - n_tok) / {TOKEN_BUDGET}) AS BIGINT) AS bin_id
+    FROM (
+      SELECT doc_id, lang, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY sk, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM (
+        SELECT doc_id, lang,
+               {_WS_TOKENS_SQL} AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS sk
+        FROM documents))
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: stream documents per language in shuffled
+    (hash) order, accumulate token counts, open a new bin every
+    TOKEN_BUDGET tokens — bin_id = floor(preceding-cumsum / budget).
+
+    The running sum is a window over (lang) partitions in a fixed
+    deterministic order; at 100 TB the partition key becomes (lang, shard)
+    so no stream exceeds one task (same plan, finer key — the packing
+    boundary error per shard seam is one partial batch, which trainers
+    tolerate by design)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    sk = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id", "lang", n_tok.alias("n_tok"), sk.alias("sk")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("sk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / TOKEN_BUDGET).cast("long").alias("bin_id"),
+    )
