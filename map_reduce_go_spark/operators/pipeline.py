@@ -184,3 +184,22 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.floor((cum - F.col("n_tok")) / TOKEN_BUDGET).cast("long").alias("bin_id"),
     )
+
+
+SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.3, "de": 0.3, "fr": 0.3, "zh": 0.2}
+SAMPLE_SEED = 42
+
+
+@register("stratified_sample_by_lang", oracle=None)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling: per-language keep fractions (the
+    language-rebalancing step of a pre-training mix). Engine RNG is not
+    portable -> rows-only driver check; determinism-under-seed and
+    per-stratum proportions are asserted in tests/test_llm_ops.py.
+
+    sampleBy is a map-side Bernoulli filter over the scan — no shuffle,
+    arbitrarily parallel, and the same plan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED).select(
+        "doc_id", "lang"
+    )

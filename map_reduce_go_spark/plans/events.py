@@ -117,3 +117,43 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "events_multi_granularity_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN date_trunc('hour', ts) END AS hour,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def events_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour and day
+    granularities (plus grand total) in ONE pass via ROLLUP grouping
+    sets — at 100 TB this replaces N separate scans with one, and the
+    map-side partial agg compresses each granularity before the shuffle.
+    The GROUPING() guard pins NULL semantics to the rollup level (not a
+    NULL data value) identically in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    return (
+        ev.rollup("day", "hour")
+        .agg(
+            F.grouping("hour").alias("g_hour"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "day",
+            F.when(F.col("g_hour") == 0, F.col("hour")).alias("hour"),
+            "n_events",
+            "sum_value",
+        )
+    )

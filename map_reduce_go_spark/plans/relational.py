@@ -868,3 +868,69 @@ def null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey"), F.coalesce(F.col("c_nationkey_min"), F.lit(-1))
         ).alias("greatest_key"),
     )
+
+
+@register(
+    "set_ops_all_variants",
+    oracle="""
+    SELECT k, 'except_all' AS op FROM (
+      SELECT o_custkey AS k FROM orders
+      EXCEPT ALL
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t
+    UNION ALL
+    SELECT k, 'intersect_all' FROM (
+      SELECT o_custkey AS k FROM orders
+      INTERSECT ALL
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t
+    """,
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (EXCEPT ALL / INTERSECT ALL): bag semantics that
+    distinct-based set ops cannot express — each customer-side occurrence
+    cancels exactly one order-side occurrence. Spark plans both as
+    aggregate-count + generate (no join explosion)."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    ex = o.exceptAll(c).withColumn("op", F.lit("except_all"))
+    inter = o.intersectAll(c).withColumn("op", F.lit("intersect_all"))
+    return ex.unionByName(inter)
+
+
+@register(
+    "map_functions_probe",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             list_distinct(string_split(p_type, ' ')) AS words
+      FROM part
+    )
+    SELECT p_partkey,
+           len(words) AS n_entries,
+           length(words[1]) AS first_word_len,
+           list_contains(words, 'PROMO') AS has_promo,
+           array_to_string(list_sort(words), ',') AS sorted_keys
+    FROM t
+    """,
+)
+def map_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build word->length map per part, then probe it
+    with size / element_at / map_contains_key / sorted map_keys. The
+    oracle computes the same scalars straight from the word list (DuckDB
+    MAP renders differently through pandas; the probed scalars are the
+    portable contract)."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.array_distinct(F.split(F.col("p_type"), " "))
+    t = p.select("p_partkey", words.alias("words")).withColumn(
+        "m", F.map_from_arrays(F.col("words"), F.transform(F.col("words"), F.length))
+    )
+    return t.select(
+        "p_partkey",
+        F.size("m").alias("n_entries"),
+        F.element_at(F.col("m"), F.col("words")[0]).alias("first_word_len"),
+        F.map_contains_key(F.col("m"), F.lit("PROMO")).alias("has_promo"),
+        F.concat_ws(",", F.array_sort(F.map_keys(F.col("m")))).alias("sorted_keys"),
+    )

@@ -43,3 +43,13 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
 
 def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (native Spark columnar alternative to parquet; same
+    committer/pushdown machinery)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

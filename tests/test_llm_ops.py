@@ -3,6 +3,7 @@ LSH recall against exact baselines, multimodal stub determinism/shape.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from map_reduce_go_spark.operators import multimodal, similarity
 from map_reduce_go_spark.operators.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
@@ -117,3 +118,30 @@ def test_simhash_close_for_similar_docs(spark, sf_dir):
         for a, b in (rng.sample(ids, 2) for _ in range(200))
     ]
     assert sum(close) / len(close) < sum(rand) / len(rand)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
+    """Same seed -> identical sample; per-language keep rate lands near
+    its configured fraction (binomial tolerance at fixture scale)."""
+    from map_reduce_go_spark.operators.pipeline import (
+        SAMPLE_FRACTIONS,
+        stratified_sample_by_lang,
+    )
+    from map_reduce_go_spark.sources.readers import load_table
+
+    s1 = {r["doc_id"] for r in stratified_sample_by_lang(spark, sf_dir).collect()}
+    s2 = {r["doc_id"] for r in stratified_sample_by_lang(spark, sf_dir).collect()}
+    assert s1 == s2
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sampled = {
+        r["lang"]: r["n"]
+        for r in stratified_sample_by_lang(spark, sf_dir)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, frac in SAMPLE_FRACTIONS.items():
+        got = sampled.get(lang, 0) / totals[lang]
+        assert abs(got - frac) < 0.25, (lang, got, frac)

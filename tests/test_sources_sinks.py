@@ -62,3 +62,12 @@ def test_sequential_oracle_conformance(spark, sf_dir):
     seq = mr.map_reduce(spark, corpus, mr.wc_map, mr.wc_reduce, n_reduce=1)
     dist = mr.map_reduce(spark, corpus, mr.wc_map, mr.wc_reduce, n_reduce=10)
     assert _rows(seq, ["key", "value"]) == _rows(dist, ["key", "value"])
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nation_orc")
+    nation = load_table(spark, sf_dir, "nation")
+    sinks.write_orc(nation, out)
+    back = sinks.read_orc(spark, out)
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    assert _rows(back, cols) == _rows(nation, cols)
