@@ -27,14 +27,19 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_revenue",
+    "q10_returned_item_revenue",
     "wordcount",
     "inverted_index",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "knn_bruteforce_cosine",
+    "ann_ivf_cosine",
     "text_quality_stats",
     "token_counts",
+    "quality_filter_chain",
+    "sequence_packing",
     "events_tumbling_window",
     "events_session_window",
     "window_running_customer_spend",

@@ -359,6 +359,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _EMB_SIM = 0.4  # near-dup cosine threshold for the synthetic fixtures
+N_EMB_BLOCKS = 8
 
 _EMB_COS = (
     "list_sum(list_transform(generate_series(1, 64), "
@@ -381,25 +382,68 @@ _EMB_COS = (
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs: embedding cosine >= threshold, exact
-    all-pairs — the correctness baseline for embedding dedup. Scoring is
-    zip_with/aggregate in codegen (no Python).
+    all-pairs, computed as a BLOCK-nested-loop GEMM: vectors are hashed
+    into B blocks, the B(B+1)/2 block pairs become one task each, and
+    each task runs a single numpy (ba×64)@(64×bb) matmul.
 
-    At 100 TB this quadratic join is replaced by the LSH-bucketed /
-    IVF-cell candidate generation of operators/similarity.py (same scoring
-    expression, candidates restricted to shared buckets); this exact form
-    remains the recall oracle at sampled scale.
+    Why this shape: a row-pair join materializes N²/2 rows through the
+    engine (and per-pair JVM scoring is either interpreted HOFs or a
+    64 KB-codegen blowup); blocking moves N²  work into O(B²) matmul
+    kernels while shuffling only B copies of each block — this is also
+    exactly the 100 TB layout (each block pair is an independent task;
+    B scales with the corpus; beyond that, the LSH/IVF candidate paths
+    in operators/similarity.py replace exhaustive pairing entirely).
     """
-    from map_reduce_go_spark.operators.similarity import cosine
-
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
-    sim = cosine(F.col("e_a"), F.col("e_b"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .where(sim >= _EMB_SIM)
-        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    blk = (
+        emb.withColumn("b", F.pmod(F.col("vec_id"), F.lit(N_EMB_BLOCKS)).cast("int"))
+        .groupBy("b")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vs"))
     )
+    pairs = (
+        blk.select(F.col("b").alias("ba"), F.col("vs").alias("va"))
+        .join(
+            blk.select(F.col("b").alias("bb"), F.col("vs").alias("vb")),
+            F.col("ba") <= F.col("bb"),
+        )
+        .repartition(N_EMB_BLOCKS * (N_EMB_BLOCKS + 1) // 2)
+    )
+    thr = _EMB_SIM
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        from map_reduce_go_spark.operators.similarity import _seq_dot
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ia = np.array([v["vec_id"] for v in row["va"]], dtype=np.int64)
+                ib = np.array([v["vec_id"] for v in row["vb"]], dtype=np.int64)
+                ma = np.vstack([v["embedding"] for v in row["va"]]).astype(np.float64)
+                mb = np.vstack([v["embedding"] for v in row["vb"]]).astype(np.float64)
+                # Dimension-sequential accumulation (see similarity._seq_dot):
+                # bit-identical to the oracle's list_sum fold, unlike BLAS
+                # matmul's pairwise summation.
+                dots = np.multiply.outer(ma[:, 0], mb[:, 0])
+                for i in range(1, ma.shape[1]):
+                    dots = dots + np.multiply.outer(ma[:, i], mb[:, i])
+                s = dots / np.multiply.outer(
+                    np.sqrt(_seq_dot(ma, ma)), np.sqrt(_seq_dot(mb, mb))
+                )
+                ii, jj = np.nonzero(s >= thr)
+                if row["ba"] == row["bb"]:
+                    keep = ia[ii] < ib[jj]
+                    va, vb_, sim = ia[ii][keep], ib[jj][keep], s[ii, jj][keep]
+                else:
+                    # Cross-block: each unordered pair appears once; order it.
+                    x, y, sim = ia[ii], ib[jj], s[ii, jj]
+                    va, vb_ = np.minimum(x, y), np.maximum(x, y)
+                yield pd.DataFrame(
+                    {"vec_a": va, "vec_b": vb_, "cos_sim": np.round(sim, 6)}
+                )
+
+    return pairs.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
 
 
 # --------------------------------------------------------------------------

@@ -1,24 +1,40 @@
 """Similarity search over the embeddings table (array<float>, 64-dim).
 
 - brute-force cosine top-k: the correctness baseline. Query set broadcast,
-  similarity computed JVM-side with higher-order array functions (zip_with +
-  aggregate — no Python in the loop), ranked per query with a bounded
-  window.
+  pairs scored by an Arrow-vectorized numpy kernel, ranked per query with
+  a bounded window.
 - LSH-bucketed ANN: random-hyperplane sign buckets; candidates only from
-  matching buckets. The 100 TB scale path — recall vs the brute-force
-  baseline is asserted in tests (engine-specific bucketing -> rows-only
-  driver check).
+  matching buckets.
+- IVF ANN: trained coarse-quantizer cells + nprobe search — the 100 TB
+  scale path. Recall vs brute force asserted in tests (engine-specific
+  index state -> rows-only driver check).
+
+Kernel architecture (learned the hard way; see dot64):
+- interpreted higher-order functions (zip_with/aggregate) are ~100× slower
+  than codegen in pair loops;
+- unrolling 64-dim math into JVM expressions works for ONE dot per
+  projection but breaches Janino's 64 KB method limit the moment several
+  combine (K-way cell scoring, dot+2 norms), silently falling back to the
+  interpreter — and even when it fits, Catalyst planning + Janino compile
+  of 385-node trees costs seconds per query;
+- so every batch numeric kernel here is an Arrow pandas_udf over numpy
+  float64 with DIMENSION-SEQUENTIAL accumulation (_seq_dot), which is
+  bit-identical to DuckDB's list_sum fold — vectorized speed AND exact
+  oracle parity.
 
 Scale notes:
 - brute force is O(N_queries × N_vectors): fine for a broadcast query set
   (the pattern: score a small probe set against the corpus). Full all-pairs
-  at 100 TB needs the LSH/IVF path.
-- hyperplanes are derived deterministically from md5, so the plan is
-  reproducible across runs and engines with no RNG state.
+  at 100 TB needs the LSH/IVF path (or the blocked GEMM of
+  operators/dedup.py::dedup_embedding_cosine for exhaustive pairing).
+- hyperplanes/centroids are derived deterministically (md5 seeds), so the
+  plan is reproducible across runs and engines with no RNG state.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,16 +45,72 @@ N_QUERIES = 5
 TOP_K = 3
 
 
+_DIM = 64
+
+
+def dot64(a: Column, b: Column) -> Column:
+    """Unrolled 64-term dot product: a[0]*b[0] + ... + a[63]*b[63].
+
+    Higher-order functions (zip_with/aggregate) are *interpreted* per
+    element — ~100× slower than codegen in the 2M-pair hot path. The
+    unrolled form is plain GetArrayItem arithmetic inside whole-stage
+    codegen, and its left-nested addition order is exactly DuckDB's
+    sequential list_sum, so results are bit-identical to the oracle.
+
+    Codegen budget: ONE dot64 (~6 KB bytecode) per projection is fine;
+    combining several in one expression tree breaches Janino's 64 KB
+    method limit and silently de-optimizes the whole stage to the
+    interpreter. Norms therefore live in their OWN projections (see
+    with_sq_norm) and K-way scoring goes to a vectorized pandas_udf."""
+    terms = a[0].cast("double") * b[0].cast("double")
+    for i in range(1, _DIM):
+        terms = terms + a[i].cast("double") * b[i].cast("double")
+    return terms
+
+
+def sq_norm64(a: Column) -> Column:
+    """Unrolled Σ a[i]² (see dot64 for the codegen-budget contract)."""
+    terms = a[0].cast("double") * a[0].cast("double")
+    for i in range(1, _DIM):
+        terms = terms + a[i].cast("double") * a[i].cast("double")
+    return terms
+
+
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float/double> columns, JVM-side."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    n1 = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    n2 = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return dot / (n1 * n2)
+    """Cosine similarity of two 64-dim array columns, pure JVM codegen.
+    Use for a single score per row; for pair-join scoring prefer
+    cosine_udf (one dot64 is ~6 KB of bytecode and seconds of Janino
+    compile — fine once, not three times per projection)."""
+    return dot64(a, b) / (F.sqrt(sq_norm64(a)) * F.sqrt(sq_norm64(b)))
+
+
+def _seq_dot(ma: "np.ndarray", mb: "np.ndarray") -> "np.ndarray":
+    """Row-wise dot with DIMENSION-SEQUENTIAL float64 accumulation:
+    vectorized across rows, ordered across dims — bit-identical to
+    DuckDB's sequential list_sum and to a left-nested JVM fold, so
+    oracle comparisons are exact, not merely close."""
+    acc = ma[:, 0] * mb[:, 0]
+    for i in range(1, _DIM):
+        acc = acc + ma[:, i] * mb[:, i]
+    return acc
+
+
+def cosine_udf(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine for pair-join hot paths: tiny plan
+    expression (no 64-term codegen tree to compile per query), numpy
+    float64 kernel per batch, dimension-sequential accumulation for
+    bit-exact oracle parity."""
+
+    @F.pandas_udf("double")
+    def _cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        ma = np.vstack(ea.to_numpy()).astype(np.float64)
+        mb = np.vstack(eb.to_numpy()).astype(np.float64)
+        sim = _seq_dot(ma, mb) / (
+            np.sqrt(_seq_dot(ma, ma)) * np.sqrt(_seq_dot(mb, mb))
+        )
+        return pd.Series(sim)
+
+    return _cos(a, b)
 
 
 # Explicit-double cosine for the oracle: DuckDB's list_cosine_similarity
@@ -78,7 +150,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for a probe set of queries.
 
     The query side is broadcast (BroadcastNestedLoopJoin over N_QUERIES
-    rows); scoring stays in codegen via zip_with/aggregate.
+    rows); scoring is the Arrow-vectorized cosine kernel (cosine_udf).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -90,7 +162,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_emb"), F.col("v_emb")).alias("raw_sim"),
+            cosine_udf(F.col("q_emb"), F.col("v_emb")).alias("raw_sim"),
         )
     )
     from pyspark.sql import Window
@@ -103,8 +175,17 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dot_literal(emb: Column, vec: list[float]) -> Column:
+    """Unrolled dot of an array column with a Python-side constant vector
+    (hyperplane / centroid): Σ emb[i] * lit(vec[i]) — pure codegen, and
+    the constant side never touches the plan as an array at all."""
+    terms = emb[0].cast("double") * F.lit(vec[0])
+    for i in range(1, _DIM):
+        terms = terms + emb[i].cast("double") * F.lit(vec[i])
+    return terms
+
+
 N_HYPERPLANES = 8
-_DIM = 64
 
 
 def _hyperplane(j: int) -> list[float]:
@@ -120,17 +201,24 @@ def _hyperplane(j: int) -> list[float]:
 
 
 def lsh_bucket(emb: Column) -> Column:
-    """Sign-pattern bucket id (0..2^N_HYPERPLANES-1) for an embedding."""
-    bucket = F.lit(0)
-    for j in range(N_HYPERPLANES):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(j)])
-        dot = F.aggregate(
-            F.zip_with(emb, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(0)
-    return bucket
+    """Sign-pattern bucket id (0..2^N_HYPERPLANES-1) for an embedding.
+
+    8 hyperplane dots = 8×64 terms — over the codegen budget as one JVM
+    expression (see dot64), so this is an Arrow-vectorized pandas_udf:
+    one (batch×64)@(64×8) matmul + sign-bit pack per Arrow batch.
+    Deterministic (fixed planes, float64)."""
+    planes = np.asarray(
+        [_hyperplane(j) for j in range(N_HYPERPLANES)], dtype=np.float64
+    )  # (8, 64)
+
+    @F.pandas_udf("int")
+    def _bucket(e: pd.Series) -> pd.Series:
+        m = np.vstack(e.to_numpy()).astype(np.float64)  # (B, 64)
+        signs = (m @ planes.T) > 0  # (B, 8)
+        weights = (1 << np.arange(N_HYPERPLANES)).astype(np.int64)
+        return pd.Series((signs @ weights).astype("int32"))
+
+    return _bucket(emb)
 
 
 @register("ann_lsh_cosine", oracle=None)
@@ -164,7 +252,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_emb"), F.col("v_emb")).alias("raw_sim"),
+            cosine_udf(F.col("q_emb"), F.col("v_emb")).alias("raw_sim"),
         )
     )
     from pyspark.sql import Window
@@ -188,23 +276,23 @@ NPROBE = 4
 def _nearest_cells(emb: Column, centroids: list[list[float]], n: int) -> Column:
     """Array of the n nearest centroid ids by cosine (descending).
 
-    Scores all K centroids in one codegen expression: build
-    array<struct<sim,cell>>, sort descending, slice. K is index metadata
-    (tiny), so this is a map-side constant-folded expression.
-    """
-    scored = F.array(
-        *[
-            F.named_struct(
-                F.lit("sim"),
-                cosine(emb, F.array(*[F.lit(x) for x in c])),
-                F.lit("cell"),
-                F.lit(i),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    ordered = F.reverse(F.array_sort(scored))
-    return F.transform(F.slice(ordered, 1, n), lambda s: s["cell"])
+    Ranking uses dot(emb, c) / ||c||: the row's own norm is a positive
+    common factor across all K cells, so dropping it cannot change the
+    ranking. K×64 dot terms breach the codegen budget as one JVM
+    expression (see dot64), so the scoring is one Arrow-batched
+    (batch×64)@(64×K) matmul in a pandas_udf — the same GEMM an IVF
+    index does natively. Ties break to the lower cell id (stable sort)."""
+    c = np.asarray(centroids, dtype=np.float64)  # (K, 64)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<int>")
+    def _cells(e: pd.Series) -> pd.Series:
+        m = np.vstack(e.to_numpy()).astype(np.float64)  # (B, 64)
+        scores = m @ cn.T  # (B, K)
+        idx = np.argsort(-scores, kind="stable", axis=1)[:, :n]
+        return pd.Series(list(idx.astype("int32")))
+
+    return _cells(emb)
 
 
 def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
@@ -224,19 +312,19 @@ def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
         .orderBy("vec_id")
         .collect()
     ]
-    assigned = emb.select(
-        _nearest_cells(F.col("embedding"), seeds, 1)[0].alias("cell"),
-        F.posexplode("embedding").alias("dim", "val"),
-    )
+    # One Lloyd step: assign each vector to its nearest seed, then take
+    # per-cell per-dim means as 64 native avg aggregates in ONE groupBy
+    # pass (codegen, map-side partials) — no posexplode blowup.
     means = (
-        assigned.groupBy("cell", "dim")
-        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        emb.select(
+            _nearest_cells(F.col("embedding"), seeds, 1)[0].alias("cell"),
+            "embedding",
+        )
         .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-        .select("cell", F.transform("dm", lambda s: s["m"]).alias("centroid"))
+        .agg(*[F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}") for i in range(_DIM)])
         .collect()
     )
-    refined = {r["cell"]: [float(x) for x in r["centroid"]] for r in means}
+    refined = {r["cell"]: [float(r[f"m{i}"]) for i in range(_DIM)] for r in means}
     # Cells that captured no vectors keep their seed.
     return [refined.get(i, seeds[i]) for i in range(K_CELLS)]
 
@@ -278,7 +366,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_emb"), F.col("v_emb")).alias("raw_sim"),
+            cosine_udf(F.col("q_emb"), F.col("v_emb")).alias("raw_sim"),
         )
     )
     from pyspark.sql import Window

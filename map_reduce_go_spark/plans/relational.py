@@ -934,3 +934,68 @@ def map_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_contains_key(F.col("m"), F.lit("PROMO")).alias("has_promo"),
         F.concat_ws(",", F.array_sort(F.map_keys(F.col("m")))).alias("sorted_keys"),
     )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      UNPIVOT (SELECT p_partkey,
+                      CAST(p_size AS DOUBLE) AS size,
+                      CAST(p_retailprice AS DOUBLE) AS retailprice
+               FROM part)
+      ON size, retailprice
+      INTO NAME metric VALUE val)
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt): one row per (part, metric). Spark plans
+    this as Expand — a map-side row generator, no shuffle."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "corr_quantity_price",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(({_dsum_sql('l_quantity * l_extendedprice')}
+                  - {_dsum_sql('l_quantity')} * {_dsum_sql('l_extendedprice')} / count(*))
+                 / (sqrt({_dsum_sql('l_quantity * l_quantity')}
+                         - {_dsum_sql('l_quantity')} * {_dsum_sql('l_quantity')} / count(*))
+                    * sqrt({_dsum_sql('l_extendedprice * l_extendedprice')}
+                           - {_dsum_sql('l_extendedprice')} * {_dsum_sql('l_extendedprice')} / count(*))),
+                 6) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group, derived from exact decimal sums
+    (Σxy, Σx, Σy, Σx², Σy²) so both engines do the identical double
+    arithmetic — the native corr() differs in summation order at ULP
+    scale. Still one aggregation pass (5 sums), map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = dsum("l_quantity")
+    sy = dsum("l_extendedprice")
+    sxy = dsum(F.col("l_quantity") * F.col("l_extendedprice"))
+    sxx = dsum(F.col("l_quantity") * F.col("l_quantity"))
+    syy = dsum(F.col("l_extendedprice") * F.col("l_extendedprice"))
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"), F.round(corr, 6).alias("corr_qty_price")
+    )
