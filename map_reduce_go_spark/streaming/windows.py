@@ -117,3 +117,18 @@ def run_to_memory(stream_df: DataFrame, query_name: str, complete: bool = True):
     )
     q.awaitTermination()
     return q
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact deduplication: drop records whose (event_id) was
+    already seen, keeping state only inside the watermark horizon —
+    the streaming form of the batch dedup_exact operator (ingestion
+    pipelines re-deliver; exactly-once downstream needs this gate).
+
+    State scale: one entry per distinct key within the watermark window,
+    evicted as event-time advances — bounded by arrival rate × horizon,
+    not by stream length. RocksDB state store on a real cluster.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    deduped = src.dropDuplicatesWithinWatermark(["event_id"]) if events.isStreaming else src.dropDuplicates(["event_id"])
+    return deduped.select("event_id", "ts", "user_id", "event_type", "value")

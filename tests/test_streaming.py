@@ -128,3 +128,29 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert (1704114000, "click", 1) in emitted
     assert (1704103200, "click", 1) in emitted  # from run 1, unchanged
     assert not any(r[0] == 1704103200 and r[2] != 1 for r in emitted)
+
+
+def test_stream_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
+    """Write the same event file twice (simulated redelivery); the
+    streaming dedup must emit each event_id exactly once and match the
+    batch distinct count."""
+    src = str(tmp_path / "dup_src")
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # redelivery
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    stream = windows.read_event_stream(spark, src)
+    q = (
+        windows.dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).toPandas()
+    assert len(got) == got["event_id"].nunique()
+    n_distinct = _batch_events(spark, src).select("event_id").distinct().count()
+    assert len(got) == n_distinct
