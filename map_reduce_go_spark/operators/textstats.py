@@ -187,3 +187,27 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
     )
+
+
+@register(
+    "token_positions",
+    oracle=r"""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS tok
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents) d,
+      unnest(generate_series(1, least(len(ws), 50))) AS t(i)
+    """,
+)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional tokenization (posexplode): (doc, position, token) for
+    the first 50 tokens — the layout for n-gram/window features over
+    token streams. Generator runs map-side; the 50-token cap bounds
+    output per doc (prompt-prefix analyses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
+    return (
+        docs.select("doc_id", F.posexplode(F.slice(toks, 1, 50)).alias("pos", "tok"))
+    )

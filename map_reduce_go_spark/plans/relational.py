@@ -999,3 +999,58 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         n.alias("n"), F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+@register(
+    "minmax_by_order_extremes",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           round(CAST(max(o_totalprice) AS DOUBLE), 6) AS max_price,
+           round(CAST(min(o_totalprice) AS DOUBLE), 6) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def minmax_by_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-extreme aggregates (max_by/min_by): which order carries the
+    group's extreme price — one pass, no self-join back to the table.
+    (Synthetic o_totalprice values are distinct within groups, so the
+    arg extremes are well-defined across engines.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.round(F.max("o_totalprice").cast("double"), 6).alias("max_price"),
+        F.round(F.min("o_totalprice").cast("double"), 6).alias("min_price"),
+    )
+
+
+@register(
+    "window_range_frame_30d",
+    oracle="""
+    SELECT o_custkey, epoch(o_orderdate) AS order_epoch,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6)))
+                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per customer, rolling 30-day spend — frame
+    bounds are VALUE offsets on event time (epoch seconds), not row
+    counts, so sparse/dense order histories behave identically. Bounded
+    partition key (custkey): scales as a plain windowed shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)")).over(w).cast("double").alias("spend_30d"),
+    )
