@@ -145,3 +145,103 @@ def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python-side -> rows-only driver check; determinism and shape are
     asserted in tests/test_llm_ops.py."""
     return extract_features(blobs_from_documents(spark, sf_dir), decode_mode="stub")
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("out_width", IntegerType(), True),
+        StructField("out_height", IntegerType(), True),
+        StructField("pixels", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def resize_images(
+    blobs: DataFrame, width: int = 8, height: int = 8, decode_mode: str = "stub"
+) -> DataFrame:
+    """Image resize plumbing: blob -> fixed (height×width) float grid.
+
+    Stub decode treats the byte stream as a 1-D 'image' and nearest-
+    neighbor samples it to width*height normalized values — deterministic,
+    so the dataflow (Arrow batches, fixed output shape, one row per image)
+    is testable; PIL's Image.resize plugs into the marked seam.
+    """
+    if decode_mode not in ("stub", "real"):
+        raise ValueError(f"unknown decode_mode {decode_mode!r}")
+    n_px = width * height
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "out_width": [], "out_height": [], "pixels": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if decode_mode == "real":
+                    raise NotImplementedError("real decode requires PIL")
+                data = np.frombuffer(blob, dtype=np.uint8)
+                if len(data) == 0:
+                    data = np.zeros(1, dtype=np.uint8)
+                idx = (np.arange(n_px) * len(data)) // n_px  # nearest-neighbor
+                rows["doc_id"].append(int(doc_id))
+                rows["out_width"].append(width)
+                rows["out_height"].append(height)
+                rows["pixels"].append((data[idx] / 255.0).astype(np.float32))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_offset", LongType(), True),
+        StructField("frame_sha", StringType(), True),
+    ]
+)
+
+N_FRAMES = 4
+
+
+def sample_frames(blobs: DataFrame, n_frames: int = N_FRAMES, decode_mode: str = "stub") -> DataFrame:
+    """Video frame sampling: one input row -> n_frames output rows
+    (uniform temporal stride). The 1->N expansion inside mapInPandas is
+    the real contract (schema, row fanout, per-frame digest); pyav frame
+    decode plugs into the marked seam.
+    """
+    if decode_mode not in ("stub", "real"):
+        raise ValueError(f"unknown decode_mode {decode_mode!r}")
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_sha": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if decode_mode == "real":
+                    raise NotImplementedError("real decode requires pyav/ffmpeg")
+                n = max(len(blob), 1)
+                for k in range(n_frames):
+                    off = (k * n) // n_frames
+                    chunk = bytes(blob[off : off + 64])
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(k)
+                    rows["frame_offset"].append(off)
+                    rows["frame_sha"].append(hashlib.sha256(chunk).hexdigest()[:16])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
+@register("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline over 'video' blobs: deterministic 1->N
+    frame fanout (Python-side stub codec -> rows-only driver check;
+    fanout arithmetic and determinism asserted in tests)."""
+    videos = blobs_from_documents(spark, sf_dir).where(F.col("modality") == "video")
+    return sample_frames(videos)

@@ -145,3 +145,28 @@ def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
     for lang, frac in SAMPLE_FRACTIONS.items():
         got = sampled.get(lang, 0) / totals[lang]
         assert abs(got - frac) < 0.25, (lang, got, frac)
+
+
+def test_multimodal_resize_shape_and_determinism(spark, sf_dir):
+    blobs = multimodal.blobs_from_documents(spark, sf_dir).limit(10)
+    out = multimodal.resize_images(blobs, width=4, height=4).orderBy("doc_id")
+    rows = out.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["out_width"] == 4 and r["out_height"] == 4
+        assert len(r["pixels"]) == 16
+        assert all(0.0 <= p <= 1.0 for p in r["pixels"])
+    assert [list(r["pixels"]) for r in rows] == [
+        list(r["pixels"]) for r in out.collect()
+    ]
+
+
+def test_multimodal_frame_sample_fanout(spark, sf_dir):
+    videos = multimodal.blobs_from_documents(spark, sf_dir).where(
+        F.col("modality") == "video"
+    )
+    n_videos = videos.count()
+    frames = multimodal.multimodal_frame_sample(spark, sf_dir)
+    assert frames.count() == n_videos * multimodal.N_FRAMES
+    per = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] == multimodal.N_FRAMES for r in per)
