@@ -175,16 +175,6 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dot_literal(emb: Column, vec: list[float]) -> Column:
-    """Unrolled dot of an array column with a Python-side constant vector
-    (hyperplane / centroid): Σ emb[i] * lit(vec[i]) — pure codegen, and
-    the constant side never touches the plan as an array at all."""
-    terms = emb[0].cast("double") * F.lit(vec[0])
-    for i in range(1, _DIM):
-        terms = terms + emb[i].cast("double") * F.lit(vec[i])
-    return terms
-
-
 N_HYPERPLANES = 8
 
 
