@@ -1,0 +1,58 @@
+"""Physical-plan audits: the properties that make plans survive a 100×
+scale-up, asserted on the actual executed-plan strings rather than hoped
+for. Complements test_scale_properties (bucketed-join shuffle
+elimination)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_go_spark.registry import all_queries
+
+# Queries whose fn() executes driver-side work at build time (iterative
+# label propagation, IVF codebook training) — excluded from the
+# planning-only sweep to keep it fast; their plans are exercised by their
+# own tests.
+_EXEC_AT_BUILD = {"dedup_clusters", "ann_ivf_cosine"}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    """Every q6 predicate reaches the parquet scan (PushedFilters) and the
+    scan reads only the needed columns (ReadSchema pruning)."""
+    plan = _plan(all_queries()["q6_forecast_revenue"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters")[1][:400]
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_returnflag" not in read_schema  # unused column pruned
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    """Region/nation must broadcast — never shuffle a fact table to join a
+    25-row dimension."""
+    plan = _plan(all_queries()["q5_region_revenue"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """The scan-heavy aggregate must combine map-side (partial_sum before
+    the exchange) — the combiner the reference engine lacks."""
+    plan = _plan(all_queries()["q1_pricing_summary"].fn(spark, sf_dir))
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_no_cartesian_product_in_any_query(spark, sf_dir):
+    """No registered query may plan a CartesianProduct: every non-equi
+    pairing must ride a broadcast (BroadcastNestedLoopJoin over a bounded
+    side), and every equi join must hash/sort-merge. A CartesianProduct
+    at 100 TB is a job that never finishes."""
+    bad = []
+    for name, spec in sorted(all_queries().items()):
+        if name in _EXEC_AT_BUILD:
+            continue
+        if "CartesianProduct" in _plan(spec.fn(spark, sf_dir)):
+            bad.append(name)
+    assert not bad, f"cartesian products in: {bad}"
