@@ -170,3 +170,37 @@ def test_multimodal_frame_sample_fanout(spark, sf_dir):
     assert frames.count() == n_videos * multimodal.N_FRAMES
     per = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
     assert all(r["n"] == multimodal.N_FRAMES for r in per)
+
+
+def test_blocked_gemm_pairs_equal_naive(spark, sf_dir):
+    """The blocked GEMM must produce exactly the pairs a naive O(N²)
+    python loop finds (same threshold, same ids) — guards the block-pair
+    bookkeeping (diagonal dedup, cross-block min/max ordering)."""
+    import numpy as np
+
+    from map_reduce_go_spark.operators.dedup import _EMB_SIM, dedup_embedding_cosine
+    from map_reduce_go_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    m = np.vstack([r["embedding"] for r in emb]).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    want = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = int(ids[i]), int(ids[j])
+            if s[i, j] >= _EMB_SIM - 1e-9:
+                want.add((min(a, b), max(a, b)))
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    # Tolerance band: pairs within 1e-9 of the threshold may differ by
+    # summation order; everything clearly above must match exactly.
+    assert got - want == set()
+    missing = want - got
+    for a, b in missing:
+        i, j = int(np.where(ids == a)[0][0]), int(np.where(ids == b)[0][0])
+        assert abs(s[i, j] - _EMB_SIM) < 1e-9, (a, b, s[i, j])
