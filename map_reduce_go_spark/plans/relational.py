@@ -576,8 +576,8 @@ def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(abs(l_discount - 0.05), 6) AS abs_disc,
-           ceil(l_quantity) AS ceil_qty,
-           floor(l_quantity / 7) AS floor_qty_bucket,
+           CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS floor_qty_bucket,
            round(sqrt(l_extendedprice), 6) AS sqrt_price,
            round(ln(l_extendedprice + 1), 6) AS ln_price,
            round(pow(1 - l_discount, 2), 6) AS sq_keep,
@@ -1030,7 +1030,7 @@ def minmax_by_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_range_frame_30d",
     oracle="""
-    SELECT o_custkey, epoch(o_orderdate) AS order_epoch,
+    SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6)))
                 OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
                       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)

@@ -29,11 +29,11 @@ def _canon_cell(v):
 
 def canonical_rows(df_pandas) -> list[tuple]:
     cols = sorted(df_pandas.columns)
-    rows = [
-        tuple(_canon_cell(row[c]) for c in cols)
-        for _, row in df_pandas[cols].iterrows()
-    ]
-    return sorted(rows)
+    if not len(df_pandas):
+        return []
+    # Per-column map + zip instead of iterrows (which builds a Series per
+    # row — ~20× slower on wide 60k-row results).
+    return sorted(zip(*[df_pandas[c].map(_canon_cell) for c in cols]))
 
 
 def compare(spark_df, duck_rel, name: str = "query") -> None:
