@@ -119,8 +119,9 @@ def minhash_signatures(
     """doc_id + N_PERM minhash columns.
 
     Shape: explode the (already per-doc-distinct) shingle arrays — no
-    pre-shuffle — compute all 8 md5s as CODEGEN column expressions on the
-    exploded rows, then one groupBy(doc_id) with 8 min aggregates. The
+    pre-shuffle — compute the permutation hashes as CODEGEN column
+    expressions on the exploded rows, then one groupBy(doc_id) with 8 min
+    aggregates. The
     min agg partials map-side, so the shuffle moves ~n_docs rows, not
     n_shingles. (The tempting zero-shuffle alternative — array_min over
     transform(shingles, md5) — runs the md5 INTERPRETED per element:
@@ -132,9 +133,17 @@ def minhash_signatures(
     """
     sa = shingle_arrays if shingle_arrays is not None else _shingle_arrays(docs)
     exploded = sa.select("doc_id", F.explode("shingles").alias("s"))
+    # 8 permutations from 2 md5 evaluations: each 32-hex digest yields four
+    # independent 32-bit (8-hex) hash slices. 4× less hashing per shingle —
+    # the dominant CPU of minhash at scale — and lexicographic min over
+    # lowercase hex is identical in both engines.
+    h1 = F.md5(F.col("s"))
+    h2 = F.md5(F.concat(F.lit("x|"), F.col("s")))
     return exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"sig{p}")
+            F.min(
+                F.substring(h1 if p < 4 else h2, 1 + 8 * (p % 4), 8)
+            ).alias(f"sig{p}")
             for p in range(N_PERM)
         ]
     )
@@ -177,7 +186,9 @@ def lsh_candidate_pairs(
 
 
 _ORACLE_SIGS = ",\n".join(
-    f"min(md5('{p}|' || s)) AS sig{p}" for p in range(N_PERM)
+    f"min(substr(md5({'s' if p < 4 else chr(39) + 'x|' + chr(39) + ' || s'}), "
+    f"{1 + 8 * (p % 4)}, 8)) AS sig{p}"
+    for p in range(N_PERM)
 )
 _ORACLE_BANDS = "\n    UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_id, sig{b * 2} || sig{b * 2 + 1} AS bv FROM sig"
