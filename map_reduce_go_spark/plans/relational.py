@@ -1054,3 +1054,83 @@ def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("o_orderdate").alias("order_epoch"),
         F.sum(F.col("o_totalprice").cast("decimal(24,6)")).over(w).cast("double").alias("spend_30d"),
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           first_value(o_orderkey) OVER w AS first_in_prio,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_in_prio,
+           nth_value(o_orderkey, 3) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_in_prio,
+           ntile(4) OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic value/distribution window functions: first/last/nth value,
+    ntile quartiles, percent_rank, cume_dist — one partition pass per
+    bounded key (order priority). last/nth use the full-partition frame
+    explicitly (the default frame stops at CURRENT ROW)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("first_in_prio"),
+        F.last("o_orderkey").over(wfull).alias("last_in_prio"),
+        F.nth_value("o_orderkey", 3).over(wfull).alias("third_in_prio"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "scalar_subquery_in_select",
+    oracle="""
+    SELECT n.n_name,
+           (SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+             AS n_customers,
+           (SELECT count(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+             AS n_suppliers
+    FROM nation n
+    """,
+)
+def scalar_subquery_in_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list — written as the
+    aggregates + outer joins Catalyst decorrelates them into (each
+    subquery = one grouped count, joined back; zero-match groups become
+    0 via coalesce, exactly the scalar subquery's semantics)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .join(s, n.n_nationkey == s.s_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("nc", F.lit(0)).alias("n_customers"),
+            F.coalesce("ns", F.lit(0)).alias("n_suppliers"),
+        )
+    )

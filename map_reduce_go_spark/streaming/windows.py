@@ -132,3 +132,40 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     deduped = src.dropDuplicatesWithinWatermark(["event_id"]) if events.isStreaming else src.dropDuplicates(["event_id"])
     return deduped.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+def click_purchase_interval_join(
+    events: DataFrame, lookback: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase paired with the same
+    user's clicks in the preceding `lookback` — the streaming form of the
+    batch range join (plans/temporal.py).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire buffered state: a click older than
+    (watermark + lookback) can never match a future purchase and is
+    evicted. Unbounded state otherwise — the interval bound IS the scale
+    contract for stream-stream joins.
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.col("purchase_ts").cast("long").alias("purchase_epoch"),
+        F.col("click_ts").cast("long").alias("click_epoch"),
+    )

@@ -154,3 +154,26 @@ def test_stream_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
     assert len(got) == got["event_id"].nunique()
     n_distinct = _batch_events(spark, src).select("event_id").distinct().count()
     assert len(got) == n_distinct
+
+
+def test_stream_stream_interval_join_equals_batch(spark, event_source):
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    stream = windows.read_event_stream(spark, event_source)
+    q = (
+        windows.click_purchase_interval_join(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {
+        tuple(r)
+        for r in windows.click_purchase_interval_join(
+            _batch_events(spark, event_source)
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
