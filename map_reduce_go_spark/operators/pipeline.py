@@ -203,3 +203,127 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED).select(
         "doc_id", "lang"
     )
+
+
+# Source mixture: per-source repetition factors (epoch weighting). Integer
+# multiplicities keep the op deterministic and oracle-exact.
+HIGH_VALUE_SOURCES = ("src0", "src1", "src2")  # 3x (the "books" tier)
+MID_VALUE_SOURCES = ("src3", "src4")  # 2x (the "curated web" tier)
+
+
+@register(
+    "data_mixture_upsample",
+    oracle=f"""
+    SELECT d.doc_id, d.source, CAST(t.i AS INTEGER) AS copy_idx
+    FROM documents d,
+         unnest(generate_series(1,
+            CASE WHEN d.source IN {HIGH_VALUE_SOURCES} THEN 3
+                 WHEN d.source IN {MID_VALUE_SOURCES} THEN 2
+                 ELSE 1 END)) AS t(i)
+    """,
+)
+def data_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix upsampling: each source repeated by its epoch weight
+    (high-value tier 3×, mid tier 2×, rest 1×) with an explicit copy
+    index — the deterministic form of mixture sampling. Pure map-side
+    explode: at 100 TB this multiplies rows without any shuffle; the
+    copy_idx feeds the shuffle-shard stage so copies land in different
+    shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = (
+        F.when(F.col("source").isin(*HIGH_VALUE_SOURCES), F.lit(3))
+        .when(F.col("source").isin(*MID_VALUE_SOURCES), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), weight)).alias("copy_idx"),
+    ).withColumn("copy_idx", F.col("copy_idx").cast("int"))
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONGNUM_RE = r"[0-9]{7,}"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS n_long_numbers,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email addresses and long digit
+    runs (phone/account-number proxy). One codegen projection over the
+    scan — the standard pre-training scrub is exactly this shape, just
+    with more patterns."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_LONGNUM_RE), 0)).alias("n_long_numbers"),
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _LONGNUM_RE, "<NUM>"
+        ).alias("redacted"),
+    )
+
+
+N_EVAL_DOCS = 5  # fixture stand-in for the benchmark/eval set
+
+
+@register(
+    "decontaminate_against_eval",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\\p{{L}}]+'), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id < {N_EVAL_DOCS})
+    SELECT d.doc_id,
+           CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(o.n_overlap, 0) >= 3 AS contaminated
+    FROM documents d
+    LEFT JOIN (
+      SELECT sh.doc_id, count(*) AS n_overlap
+      FROM sh JOIN eval_sh e ON sh.s = e.s
+      WHERE sh.doc_id >= {N_EVAL_DOCS}
+      GROUP BY sh.doc_id
+    ) o ON o.doc_id = d.doc_id
+    WHERE d.doc_id >= {N_EVAL_DOCS}
+    """,
+)
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 3 distinct
+    word-trigrams with the eval set (doc_id < N_EVAL_DOCS stands in for
+    the benchmark corpus). The eval n-gram set is tiny by construction ->
+    broadcast join against the training shingle stream; at 100 TB this is
+    a map-side semi-join (the canonical n-gram decontamination pass, run
+    with 13-grams in production)."""
+    from map_reduce_go_spark.operators.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    eval_sh = sh.where(F.col("doc_id") < N_EVAL_DOCS).select("s").distinct()
+    overlap = (
+        sh.where(F.col("doc_id") >= N_EVAL_DOCS)
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    train = docs.where(F.col("doc_id") >= N_EVAL_DOCS).select("doc_id")
+    return train.join(overlap, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) >= 3).alias("contaminated"),
+    )
