@@ -40,6 +40,7 @@ HEADLINE = [
     "token_counts",
     "quality_filter_chain",
     "sequence_packing",
+    "decontaminate_against_eval",
     "events_tumbling_window",
     "events_session_window",
     "window_running_customer_spend",
