@@ -1134,3 +1134,19 @@ def scalar_subquery_in_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ns", F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+@register("quantile_sketch_probe", oracle=None)
+def quantile_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch) per group — the
+    100 TB path for percentiles: mergeable fixed-size sketch per
+    partition, no sort, no full materialization (exact percentile_cont
+    needs a per-group sort). Sketch internals are engine-specific ->
+    rows-only driver check; accuracy vs exact quantiles is asserted in
+    tests/test_scale_properties.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+        ).alias("price_quantiles")
+    )

@@ -101,3 +101,28 @@ def test_generic_engine_matches_python_reference(spark, corpus, strategy):
     }
     want = _python_mapreduce(corpus, mr.wc_map, mr.wc_reduce)
     assert got == want
+
+
+def test_quantile_sketch_accuracy(spark, sf_dir, duck):
+    """Sketch quantiles must land within 1% (relative) of exact
+    percentile_cont at fixture scale."""
+    from map_reduce_go_spark.registry import all_queries
+
+    got = {
+        r["l_returnflag"]: list(r["price_quantiles"])
+        for r in all_queries()["quantile_sketch_probe"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        flag: [q50, q95, q99]
+        for flag, q50, q95, q99 in duck.sql(
+            """SELECT l_returnflag,
+                      quantile_cont(l_extendedprice, 0.5),
+                      quantile_cont(l_extendedprice, 0.95),
+                      quantile_cont(l_extendedprice, 0.99)
+               FROM lineitem GROUP BY l_returnflag"""
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for flag in got:
+        for g, e in zip(got[flag], exact[flag]):
+            assert abs(g - e) / max(abs(e), 1e-9) < 0.01, (flag, g, e)
