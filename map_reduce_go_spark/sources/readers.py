@@ -86,3 +86,20 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("contents"),
         F.col("doc_id"),
     )
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every fixture table as a temp view so callers can use
+    ``spark.sql(...)`` directly — the SQL entry point of the engine (the
+    same table names the DuckDB oracle sees, so any oracle SQL string in
+    the registry also runs verbatim on Spark)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run an ANSI SQL query against the fixture tables (views registered
+    on demand). Catalyst gets the same declarative plan a DataFrame
+    formulation would produce."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

@@ -71,3 +71,31 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     back = sinks.read_orc(spark, out)
     cols = ["n_nationkey", "n_name", "n_regionkey"]
     assert _rows(back, cols) == _rows(nation, cols)
+
+
+def test_sql_entry_point_matches_dataframe(spark, sf_dir):
+    """spark.sql over the registered views must equal the DataFrame
+    formulation of the same query (shared Catalyst plan space)."""
+    from map_reduce_go_spark.registry import all_queries
+    from map_reduce_go_spark.sources.readers import sql
+
+    df_result = {
+        tuple(r)
+        for r in all_queries()["q6_forecast_revenue"].fn(spark, sf_dir).collect()
+    }
+    sql_result = {
+        tuple(r)
+        for r in sql(
+            spark,
+            sf_dir,
+            """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6)))
+                      AS DOUBLE) AS revenue,
+                      count(*) AS n_items
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1997-01-01'
+                 AND l_discount BETWEEN 0.03 AND 0.07
+                 AND l_quantity < 24""",
+        ).collect()
+    }
+    assert df_result == sql_result
