@@ -169,3 +169,30 @@ def click_purchase_interval_join(
         F.col("purchase_ts").cast("long").alias("purchase_epoch"),
         F.col("click_ts").cast("long").alias("click_epoch"),
     )
+
+
+def write_stream_idempotent(stream_df: DataFrame, path: str, checkpoint: str):
+    """foreachBatch sink with idempotent micro-batch commits: each batch
+    overwrites ITS OWN batch_id partition (dynamic partition overwrite),
+    so a retried batch replaces rather than duplicates itself — the
+    streaming analog of the reference's atomic temp-file+rename commit
+    (reference src/mr/worker.go:83-99). The checkpoint prevents
+    reprocessing across restarts; the partition overwrite makes the
+    within-batch retry safe.
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
