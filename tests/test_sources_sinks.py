@@ -99,3 +99,34 @@ def test_sql_entry_point_matches_dataframe(spark, sf_dir):
         ).collect()
     }
     assert df_result == sql_result
+
+
+def test_json_malformed_records_permissive_and_failfast(spark, tmp_path):
+    """Operational contract for dirty inputs: PERMISSIVE captures bad rows
+    in _corrupt_record (pipeline continues), FAILFAST raises."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text('{"id": 1, "v": "ok"}\n{"id": broken\n{"id": 3, "v": "fine"}\n')
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    ).cache()
+    assert df.count() == 3
+    assert df.where(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert df.where(F.col("id").isNotNull()).count() == 2
+    df.unpersist()
+
+    strict = spark.read.schema(schema).option("mode", "FAILFAST").json(str(p))
+    with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        strict.count()
