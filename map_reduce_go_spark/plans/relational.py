@@ -1150,3 +1150,75 @@ def quantile_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
         ).alias("price_quantiles")
     )
+
+
+@register(
+    "histogram_price_buckets",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(CAST(min(o_totalprice) AS DOUBLE), 6) AS lo,
+           round(CAST(max(o_totalprice) AS DOUBLE), 6) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket: single-pass binned counts —
+    the profiling primitive for choosing partition bounds at scale (a
+    full sort-based histogram would shuffle everything; this is one
+    map-side-combinable aggregation). The oracle spells out the bucket
+    arithmetic (DuckDB has no width_bucket)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice").cast("double"), 6).alias("lo"),
+            F.round(F.max("o_totalprice").cast("double"), 6).alias("hi"),
+        )
+    )
+
+
+@register(
+    "date_arithmetic_functions",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d') AS due_date,
+           round(12.0 * (year(TIMESTAMP '1999-06-15') - year(o_orderdate))
+                 + (month(TIMESTAMP '1999-06-15') - month(o_orderdate))
+                 + (15 - day(o_orderdate)) / 31.0, 4) AS months_to_ref,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def date_arithmetic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic breadth: add_months, last_day, date_add,
+    months_between (computed with the explicit day-fraction formula both
+    engines agree on), week truncation."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate")
+    ref = F.lit("1999-06-15").cast("timestamp")
+    months_to_ref = F.round(
+        12.0 * (F.year(ref) - F.year(d))
+        + (F.month(ref) - F.month(d))
+        + (F.lit(15) - F.dayofmonth(d)) / 31.0,
+        4,
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3_months"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d, 45), "yyyy-MM-dd").alias("due_date"),
+        months_to_ref.alias("months_to_ref"),
+        F.date_format(F.date_trunc("week", d), "yyyy-MM-dd").alias("week_start"),
+    )
