@@ -55,38 +55,41 @@ _ORACLE_SHINGLES = r"""
 """
 
 
-def _shingle_arrays(docs: DataFrame) -> DataFrame:
-    """doc_id -> deduped word-trigram shingle array (+ its size).
+SHINGLE_K = 3  # word k-gram width (registered queries + oracle use 3)
 
-    Entirely map-side: tokenize, build trigrams, array_distinct — no
+
+def _shingle_arrays(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """doc_id -> deduped word-k-gram shingle array (+ its size).
+
+    Entirely map-side: tokenize, build k-grams, array_distinct — no
     shuffle. The token array is materialized into its own column BEFORE
-    the trigram transform: column expressions are trees, so referencing
+    the k-gram transform: column expressions are trees, so referencing
     the split expression directly inside the lambda would re-run the regex
-    split for every ws[i] access (~3 × n_shingles splits per doc).
+    split for every ws[i] access (~k × n_shingles splits per doc).
     """
     ws = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
     base = docs.select("doc_id", ws.alias("ws"))
     arr = F.col("ws")
-    trigrams = F.when(
-        F.size(arr) >= 3,
+    kgrams = F.when(
+        F.size(arr) >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(arr) - 3),
-            lambda i: F.concat_ws(" ", arr[i], arr[i + 1], arr[i + 2]),
+            F.sequence(F.lit(0), F.size(arr) - k),
+            lambda i: F.concat_ws(" ", *[arr[i + j] for j in range(k)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return base.select(
-        "doc_id", F.array_distinct(trigrams).alias("shingles")
+        "doc_id", F.array_distinct(kgrams).alias("shingles")
     ).withColumn("n", F.size("shingles"))
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """doc_id -> exploded distinct word-trigram shingles.
+def _shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """doc_id -> exploded distinct word-k-gram shingles.
 
     array_distinct happens per-doc BEFORE the explode, so the output is
     already (doc_id, s)-distinct with no shuffle — a full distinct()
     after explode would shuffle every shingle row for nothing.
     """
-    return _shingle_arrays(docs).select("doc_id", F.explode("shingles").alias("s"))
+    return _shingle_arrays(docs, k).select("doc_id", F.explode("shingles").alias("s"))
 
 
 @register(
@@ -114,9 +117,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, shingle_arrays: DataFrame | None = None
+    docs: DataFrame,
+    shingle_arrays: DataFrame | None = None,
+    n_perm: int = N_PERM,
 ) -> DataFrame:
-    """doc_id + N_PERM minhash columns.
+    """doc_id + n_perm minhash columns.
 
     Shape: explode the (already per-doc-distinct) shingle arrays — no
     pre-shuffle — compute the permutation hashes as CODEGEN column
@@ -133,28 +138,43 @@ def minhash_signatures(
     """
     sa = shingle_arrays if shingle_arrays is not None else _shingle_arrays(docs)
     exploded = sa.select("doc_id", F.explode("shingles").alias("s"))
-    # 8 permutations from 2 md5 evaluations: each 32-hex digest yields four
-    # independent 32-bit (8-hex) hash slices. 4× less hashing per shingle —
-    # the dominant CPU of minhash at scale — and lexicographic min over
-    # lowercase hex is identical in both engines.
-    h1 = F.md5(F.col("s"))
-    h2 = F.md5(F.concat(F.lit("x|"), F.col("s")))
+    # ceil(n_perm/4) md5 evaluations cover n_perm permutations: each 32-hex
+    # digest yields four independent 32-bit (8-hex) hash slices — 4× less
+    # hashing per shingle than one md5 per permutation (the dominant
+    # minhash CPU at scale), and lexicographic min over lowercase hex is
+    # identical in both engines. Digest 1 keeps the "x|" prefix the oracle
+    # SQL uses; further digests (n_perm > 8) are prefixed "<d>|".
+    def digest(d: int):
+        if d == 0:
+            return F.md5(F.col("s"))
+        prefix = "x|" if d == 1 else f"{d}|"
+        return F.md5(F.concat(F.lit(prefix), F.col("s")))
+
+    digests = [digest(d) for d in range((n_perm + 3) // 4)]
     return exploded.groupBy("doc_id").agg(
         *[
             F.min(
-                F.substring(h1 if p < 4 else h2, 1 + 8 * (p % 4), 8)
+                F.substring(digests[p // 4], 1 + 8 * (p % 4), 8)
             ).alias(f"sig{p}")
-            for p in range(N_PERM)
+            for p in range(n_perm)
         ]
     )
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, shingle_arrays: DataFrame | None = None
+    docs: DataFrame,
+    shingle_arrays: DataFrame | None = None,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs: equal minhash band in >=1 of N_BANDS."""
-    sig = minhash_signatures(docs, shingle_arrays)
-    r = N_PERM // N_BANDS
+    """(doc_a, doc_b) candidate pairs: equal minhash band in >=1 of
+    n_bands bands of r = n_perm/n_bands rows. The (n_perm, n_bands) pair
+    is the recall/precision knob: candidate threshold ≈
+    (1/n_bands)^(1/r)."""
+    if n_perm % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide n_perm={n_perm}")
+    sig = minhash_signatures(docs, shingle_arrays, n_perm=n_perm)
+    r = n_perm // n_bands
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -166,7 +186,7 @@ def lsh_candidate_pairs(
                             *[F.col(f"sig{b * r + i}") for i in range(r)]
                         ).alias("bv"),
                     )
-                    for b in range(N_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band"),

@@ -53,3 +53,21 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed warehouse table: co-locates rows by hash(bucket_cols) at
+    WRITE time so equi-joins/aggregations on those columns need no
+    shuffle at READ time (verified by tests/test_scale_properties.py's
+    no-Exchange assertion). The fixed-layout answer to the fact⋈fact
+    shuffle at 100 TB — pay the partitioning once, reuse it every query."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -204,3 +204,25 @@ def test_blocked_gemm_pairs_equal_naive(spark, sf_dir):
     for a, b in missing:
         i, j = int(np.where(ids == a)[0][0]), int(np.where(ids == b)[0][0])
         assert abs(s[i, j] - _EMB_SIM) < 1e-9, (a, b, s[i, j])
+
+
+def test_lsh_configurable_bands(spark, sf_dir):
+    """Non-default LSH config (16 perms, 8 bands of 2) must still cover
+    the exact high-similarity pairs — the knob changes the candidate
+    threshold, not correctness of the covered region."""
+    from map_reduce_go_spark.operators.dedup import lsh_candidate_pairs
+    from map_reduce_go_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(docs, n_perm=16, n_bands=8).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.5
+    }
+    if not exact:
+        pytest.skip("no high-similarity pairs at this SF")
+    assert len(exact & cand) / len(exact) >= 0.9
