@@ -61,6 +61,7 @@ def write_bucketed(
     n_buckets: int,
     bucket_cols: list[str],
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Bucketed warehouse table: co-locates rows by hash(bucket_cols) at
     WRITE time so equi-joins/aggregations on those columns need no
@@ -70,4 +71,6 @@ def write_bucketed(
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)  # external table (warehouse.dir is static)
     w.saveAsTable(table)

@@ -25,14 +25,16 @@ from map_reduce_go_spark.sources.readers import load_table
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    # warehouse.dir is a static conf — write external bucketed tables with
-    # explicit paths instead.
-    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
-        "path", str(tmp_path / "orders_b")
-    ).mode("overwrite").saveAsTable("orders_b")
-    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
-        "path", str(tmp_path / "lineitem_b")
-    ).mode("overwrite").saveAsTable("lineitem_b")
+    from map_reduce_go_spark.sources.sinks import write_bucketed
+
+    write_bucketed(
+        orders, "orders_b", 8, ["o_orderkey"], ["o_orderkey"],
+        path=str(tmp_path / "orders_b"),
+    )
+    write_bucketed(
+        lineitem, "lineitem_b", 8, ["l_orderkey"], ["l_orderkey"],
+        path=str(tmp_path / "lineitem_b"),
+    )
     # At fixture scale the planner would broadcast the small side (also
     # shuffle-free, but that proves nothing about bucketing) — hint a
     # sort-merge join, the strategy the 100 TB fact⋈fact join would use.
