@@ -1222,3 +1222,29 @@ def date_arithmetic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         months_to_ref.alias("months_to_ref"),
         F.date_format(F.date_trunc("week", d), "yyyy-MM-dd").alias("week_start"),
     )
+
+
+@register(
+    "explode_outer_probe",
+    oracle="""
+    SELECT d.doc_id, t.tok
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[^0-9]+'),
+                         x -> len(x) > 0) AS nums
+      FROM documents) d
+    LEFT JOIN LATERAL (SELECT unnest(d.nums) AS tok) t ON TRUE
+    """,
+)
+def explode_outer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: documents with NO digit runs still emit
+    one row (tok NULL) — plain explode would silently drop them, which at
+    pipeline scale means silently losing every document a feature
+    extractor found nothing in."""
+    docs = load_table(spark, sf_dir, "documents")
+    nums = F.filter(
+        F.split(F.col("text"), "[^0-9]+"), lambda x: F.length(x) > 0
+    )
+    return docs.select(
+        "doc_id", F.explode_outer(nums).alias("tok")
+    )

@@ -1,0 +1,13 @@
+#!/bin/bash
+# One-shot validation: full test suite, oracle verification at both scale
+# factors, and the headline bench. Exit nonzero on any failure.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+echo "== pytest =="
+python -m pytest tests/ -q
+echo "== oracle verify sf0.01 =="
+python scripts/verify_driver.py
+echo "== oracle verify sf0.1 =="
+python scripts/verify_driver.py /root/testdata/sf0.1
+echo "== bench sf0.1 =="
+python bench.py
