@@ -550,24 +550,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = _near_dup_edges(spark, sf_dir).localCheckpoint()
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Convergence via the label-sum invariant: min-propagation is monotone
+    # non-increasing per doc, so sum(cluster_id) unchanged <=> fixed point.
+    # One scalar aggregate per round over the checkpointed labels — cheaper
+    # than a join-and-count diff against the previous round.
+    prev_sum = None
     for _ in range(20):  # diameter bound; converges in 2-4 rounds here
         propagated = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "cluster_id")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(propagated)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
