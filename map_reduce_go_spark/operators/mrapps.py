@@ -81,9 +81,16 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference, so it sorts explicitly — we mirror that with sort_array).
     """
     corpus = corpus_from_documents(spark, sf_dir)
+    from map_reduce_go_spark.functions.text import tokenize
+
+    # Per-document dedup BEFORE the explode — the reference's map-side
+    # word set (src/mrapps/indexer.go:21-25) — so the distinct shuffle
+    # sees one row per (doc, word), not one per occurrence. The distinct()
+    # still runs to merge docs sharing a filename.
     postings = (
-        exploded_words(corpus, "contents", "word")
-        .select("word", "filename")
+        corpus.select(
+            "filename", F.explode(F.array_distinct(tokenize("contents"))).alias("word")
+        )
         .distinct()
     )
     return postings.groupBy("word").agg(
