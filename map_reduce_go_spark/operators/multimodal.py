@@ -92,6 +92,7 @@ FEATURES_SCHEMA = StructType(
         StructField("fake_width", IntegerType(), True),
         StructField("fake_height", IntegerType(), True),
         StructField("features", ArrayType(FloatType()), True),
+        StructField("bin_counts", ArrayType(IntegerType()), True),
     ]
 )
 
@@ -113,7 +114,8 @@ def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
 
         for pdf in it:
             rows = {k: [] for k in (
-                "doc_id", "modality", "byte_len", "fake_width", "fake_height", "features"
+                "doc_id", "modality", "byte_len", "fake_width", "fake_height",
+                "features", "bin_counts",
             )}
             for doc_id, blob, modality in zip(
                 pdf["doc_id"], pdf["blob"], pdf["modality"]
@@ -133,18 +135,55 @@ def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
                 rows["fake_width"].append(int(data[0]) + 1 if len(data) else 1)
                 rows["fake_height"].append(int(data[-1]) + 1 if len(data) else 1)
                 rows["features"].append((hist / total).astype(np.float32))
+                rows["bin_counts"].append(hist.astype(np.int32))
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
-@register("multimodal_feature_stub", oracle=None)
+def _bin_count_sql(j: int) -> str:
+    """DuckDB: count of blob bytes whose high nibble is ``j``. The fixture
+    corpus is pure ASCII (verified), so per-char ``ascii()`` over the text
+    equals per-byte access over the UTF-8 blob."""
+    return (
+        f"len(list_filter(range(1, length(text) + 1), "
+        f"i -> ascii(substring(text, i, 1)) // 16 = {j})) AS c{j}"
+    )
+
+
+@register(
+    "multimodal_feature_stub",
+    oracle=f"""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           length(text) AS byte_len,
+           CASE WHEN length(text) = 0 THEN 1
+                ELSE ascii(substring(text, 1, 1)) + 1 END AS fake_width,
+           CASE WHEN length(text) = 0 THEN 1
+                ELSE ascii(substring(text, length(text), 1)) + 1 END AS fake_height,
+           {", ".join(_bin_count_sql(j) for j in range(FEATURE_DIM))}
+    FROM documents
+    """,
+)
 def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode/feature-extract pipeline over binary blobs (schema,
     batching, and plumbing are real; the codec is a deterministic fake).
-    Python-side -> rows-only driver check; determinism and shape are
-    asserted in tests/test_llm_ops.py."""
-    return extract_features(blobs_from_documents(spark, sf_dir), decode_mode="stub")
+
+    The driver-facing projection is all-scalar: the 16 histogram bins ride
+    as integer columns c0..c15 (exact cross-engine comparison), while the
+    normalized float ``features`` array stays on the unregistered
+    :func:`extract_features` API — raw ArrayType output breaks the driver's
+    pandas canonicalizer and is the wrong shape for scalar-column sinks."""
+    feats = extract_features(blobs_from_documents(spark, sf_dir), decode_mode="stub")
+    return feats.select(
+        "doc_id",
+        "modality",
+        "byte_len",
+        "fake_width",
+        "fake_height",
+        *[F.col("bin_counts")[j].alias(f"c{j}") for j in range(FEATURE_DIM)],
+    )
 
 
 RESIZE_SCHEMA = StructType(
@@ -238,10 +277,24 @@ def sample_frames(blobs: DataFrame, n_frames: int = N_FRAMES, decode_mode: str =
     return blobs.mapInPandas(batches, schema=FRAMES_SCHEMA)
 
 
-@register("multimodal_frame_sample", oracle=None)
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS frame_idx,
+           (k * greatest(length(text), 1)) // {N_FRAMES} AS frame_offset,
+           left(sha256(substring(text,
+                CAST((k * greatest(length(text), 1)) // {N_FRAMES} AS BIGINT) + 1,
+                64)), 16) AS frame_sha
+    FROM documents, range(0, {N_FRAMES}) AS r(k)
+    WHERE CAST(doc_id % 3 AS INTEGER) = 2
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling pipeline over 'video' blobs: deterministic 1->N
-    frame fanout (Python-side stub codec -> rows-only driver check;
-    fanout arithmetic and determinism asserted in tests)."""
+    frame fanout. The stub codec's offset/digest arithmetic is pure
+    (uniform stride into the byte stream + sha256 of a 64-byte window),
+    so the oracle recomputes it in SQL — the fixture corpus is ASCII, so
+    char-indexed substring equals the Python byte slice."""
     videos = blobs_from_documents(spark, sf_dir).where(F.col("modality") == "video")
     return sample_frames(videos)

@@ -194,9 +194,11 @@ def lsh_bucket(emb: Column) -> Column:
     """Sign-pattern bucket id (0..2^N_HYPERPLANES-1) for an embedding.
 
     8 hyperplane dots = 8×64 terms — over the codegen budget as one JVM
-    expression (see dot64), so this is an Arrow-vectorized pandas_udf:
-    one (batch×64)@(64×8) matmul + sign-bit pack per Arrow batch.
-    Deterministic (fixed planes, float64)."""
+    expression (see dot64), so this is an Arrow-vectorized pandas_udf.
+    Each plane dot uses DIMENSION-SEQUENTIAL float64 accumulation (not
+    BLAS matmul, whose pairwise summation can flip the sign of a
+    near-zero dot) so the bucket ids are bit-identical to the oracle's
+    left-nested SQL sum. Deterministic (fixed md5-derived planes)."""
     planes = np.asarray(
         [_hyperplane(j) for j in range(N_HYPERPLANES)], dtype=np.float64
     )  # (8, 64)
@@ -204,18 +206,59 @@ def lsh_bucket(emb: Column) -> Column:
     @F.pandas_udf("int")
     def _bucket(e: pd.Series) -> pd.Series:
         m = np.vstack(e.to_numpy()).astype(np.float64)  # (B, 64)
-        signs = (m @ planes.T) > 0  # (B, 8)
-        weights = (1 << np.arange(N_HYPERPLANES)).astype(np.int64)
-        return pd.Series((signs @ weights).astype("int32"))
+        bucket = np.zeros(len(m), dtype=np.int64)
+        for j in range(N_HYPERPLANES):
+            acc = m[:, 0] * planes[j, 0]
+            for d in range(1, _DIM):
+                acc = acc + m[:, d] * planes[j, d]
+            bucket |= (acc > 0).astype(np.int64) << j
+        return pd.Series(bucket.astype("int32"))
 
     return _bucket(emb)
 
 
-@register("ann_lsh_cosine", oracle=None)
+def _lsh_bucket_sql(prefix: str = "") -> str:
+    """The bucket id as DuckDB SQL, term-for-term the same arithmetic as
+    the pandas kernel: left-nested Σ embedding[d]·plane[j][d] per plane
+    (sequential float64, identical rounding), then sign-bit packing. The
+    512 plane constants are inlined as shortest-round-trip literals, which
+    parse back to the exact same doubles."""
+    parts = []
+    for j in range(N_HYPERPLANES):
+        plane = _hyperplane(j)
+        dot = " + ".join(
+            f"CAST({prefix}embedding[{d + 1}] AS DOUBLE) * ({plane[d]!r})"
+            for d in range(_DIM)
+        )
+        parts.append(f"CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(parts)
+
+
+@register(
+    "ann_lsh_cosine",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, ({_lsh_bucket_sql()}) AS bucket FROM embeddings
+    )
+    SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             {_DOT} / ({_NORM_Q} * {_NORM_V}) AS raw_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_DOT} / ({_NORM_Q} * {_NORM_V}) DESC,
+                        v.vec_id) AS rank
+      FROM bucketed q
+      JOIN bucketed v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) t WHERE rank <= {TOP_K}
+    """,
+)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: score only vectors in the query's
-    bucket. Engine-specific bucketing -> rows-only driver check; recall vs
-    brute force is asserted in tests/test_llm_ops.py.
+    bucket. The hyperplanes are deterministic md5-derived constants and
+    the sign arithmetic is dimension-sequential float64 on both engines,
+    so the oracle recomputes the exact same buckets, candidates, and
+    top-k in SQL. Recall vs brute force is asserted in tests/test_llm_ops.py.
 
     At 100 TB the corpus is written bucketed/partitioned by `bucket` so a
     query touches one partition (partition pruning on the scan).

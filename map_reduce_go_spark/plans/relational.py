@@ -153,14 +153,34 @@ def count_distinct_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_probe", oracle=None)
+@register(
+    "approx_distinct_probe",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_tol
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def approx_distinct_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ count-distinct — the 100 TB path (no exact-distinct
-    shuffle expansion). Sketch values are engine-specific -> rows-only check;
-    accuracy vs exact is asserted in tests."""
+    shuffle expansion). The sketch estimate itself is engine-specific, so
+    the checked projection is the HLL accuracy CONTRACT: ``within_tol`` is
+    computed from the estimate vs the exact count at 3× the configured rsd
+    (0.01) and must come back TRUE for every group — the oracle asserts the
+    same groups, exact counts, and an unconditional TRUE. A broken sketch
+    (or a broken rsd plumbing) flips the hash."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.01)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.03 * F.countDistinct("o_custkey")
+        ).alias("within_tol"),
     )
 
 
@@ -609,21 +629,26 @@ def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            len(string_split(p_type, ' ')) AS n_words,
            list_contains(string_split(p_type, ' '), 'PROMO') AS is_promo,
-           list_sort(string_split(p_type, ' ')) AS sorted_words,
+           to_json(list_sort(string_split(p_type, ' '))) AS sorted_words_json,
            array_to_string(list_sort(string_split(p_type, ' ')), '-') AS joined
     FROM part
     """,
 )
 def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function parity: split/size/contains/sort/join (the reference's
-    only collection type is the reduce value list — SURVEY.md §1.2)."""
+    only collection type is the reduce value list — SURVEY.md §1.2).
+
+    The sorted array ships as its canonical JSON form (`to_json`) rather
+    than a raw ArrayType column: nested types don't survive the driver's
+    pandas canonicalizer (unhashable list), and at 100 TB the same rule
+    applies to any sink whose consumers expect scalar columns."""
     p = load_table(spark, sf_dir, "part")
     words = F.split(F.col("p_type"), " ")
     return p.select(
         "p_partkey",
         F.size(words).alias("n_words"),
         F.array_contains(words, "PROMO").alias("is_promo"),
-        F.sort_array(words).alias("sorted_words"),
+        F.to_json(F.sort_array(words)).alias("sorted_words_json"),
         F.concat_ws("-", F.sort_array(words)).alias("joined"),
     )
 

@@ -3,7 +3,7 @@ as the round driver does — entry() smoke at sf0.001, then every queries()
 entry vs its oracle_sql() in DuckDB at sf0.01 (row count + column names +
 order-insensitive canonical value compare).
 
-Usage: python scripts/verify_driver.py [sf_dir]
+Usage: python scripts/verify_driver.py [sf_dir] [--only name1,name2,...]
 """
 
 from __future__ import annotations
@@ -23,7 +23,12 @@ from tests.oracle_compare import canonical_rows  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(app_name="verify-driver")
 
     # t1 smoke: entry() at sf0.001
@@ -34,14 +39,14 @@ def main() -> int:
     assert rows >= 0
 
     con = duckdb.connect()
-    for t in entrymod.oracle_sql.__doc__ or "":
-        break
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only is not None:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name in sorted(qs):
         t0 = time.time()

@@ -77,15 +77,25 @@ def test_ivf_centroids_shape(spark, sf_dir):
 
 
 def test_multimodal_stub_deterministic_and_shaped(spark, sf_dir):
-    out = multimodal.multimodal_feature_stub(spark, sf_dir)
+    out = multimodal.extract_features(multimodal.blobs_from_documents(spark, sf_dir))
     rows = out.orderBy("doc_id").limit(20).collect()
     assert len(rows) == 20
     for r in rows:
         assert len(r["features"]) == multimodal.FEATURE_DIM
         assert abs(sum(r["features"]) - 1.0) < 1e-3  # normalized histogram
         assert r["modality"] in multimodal.MODALITIES
+        assert sum(r["bin_counts"]) == max(r["byte_len"], 0)
     again = out.orderBy("doc_id").limit(20).collect()
     assert [list(r["features"]) for r in rows] == [list(r["features"]) for r in again]
+
+
+def test_multimodal_feature_stub_registered_is_scalar(spark, sf_dir):
+    """The driver-facing projection must stay free of nested types (the
+    driver's pandas canonicalizer cannot hash lists)."""
+    out = multimodal.multimodal_feature_stub(spark, sf_dir)
+    assert not any("array" in t or "struct" in t for _, t in out.dtypes)
+    r = out.orderBy("doc_id").first()
+    assert sum(r[f"c{j}"] for j in range(multimodal.FEATURE_DIM)) == r["byte_len"]
 
 
 def test_multimodal_real_decode_raises(spark, sf_dir):
