@@ -23,7 +23,7 @@ no global single-partition operation anywhere:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_go_spark.registry import register
@@ -188,21 +188,56 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.3, "de": 0.3, "fr": 0.3, "zh": 0.2}
 SAMPLE_SEED = 42
+_SAMPLE_MOD = 1_000_000  # hash-bucket resolution: fractions exact to 1e-6
 
 
-@register("stratified_sample_by_lang", oracle=None)
+def _sample_hash_col() -> Column:
+    """Deterministic per-row Bernoulli draw in [0, _SAMPLE_MOD): the first
+    8 hex digits of md5("lang|doc_id|seed") mod the resolution. Content-
+    keyed hashing (not engine RNG) is the production form of corpus
+    sampling: re-runs, retries, and different engines all keep the exact
+    same rows, which makes the sample reproducible AND oracle-checkable."""
+    h = F.md5(
+        F.concat_ws(
+            "|", F.col("lang"), F.col("doc_id").cast("string"), F.lit(str(SAMPLE_SEED))
+        )
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _SAMPLE_MOD
+
+
+def _sample_hash_sql() -> str:
+    return (
+        "CAST('0x' || substring(md5(lang || '|' || CAST(doc_id AS VARCHAR) || "
+        f"'|{SAMPLE_SEED}'), 1, 8) AS BIGINT) % {_SAMPLE_MOD}"
+    )
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_sample_hash_sql()} < CASE lang
+        {" ".join(f"WHEN '{lang}' THEN {int(frac * _SAMPLE_MOD)}" for lang, frac in SAMPLE_FRACTIONS.items())}
+        ELSE 0 END
+    """,
+)
 def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified corpus sampling: per-language keep fractions (the
-    language-rebalancing step of a pre-training mix). Engine RNG is not
-    portable -> rows-only driver check; determinism-under-seed and
-    per-stratum proportions are asserted in tests/test_llm_ops.py.
+    language-rebalancing step of a pre-training mix), as a deterministic
+    hash-Bernoulli filter — md5("lang|doc_id|seed") mod 1e6 under the
+    stratum's threshold. Unlike engine RNG (sampleBy), the hash draw is
+    reproducible across runs, partitionings, and engines, so the oracle
+    replays it exactly.
 
-    sampleBy is a map-side Bernoulli filter over the scan — no shuffle,
-    arbitrarily parallel, and the same plan at any corpus size."""
+    Map-side filter over the scan — no shuffle, arbitrarily parallel, and
+    the same plan at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED).select(
-        "doc_id", "lang"
-    )
+    threshold = F.lit(0)
+    for lang, frac in SAMPLE_FRACTIONS.items():
+        threshold = F.when(
+            F.col("lang") == lang, int(frac * _SAMPLE_MOD)
+        ).otherwise(threshold)
+    return docs.where(_sample_hash_col() < threshold).select("doc_id", "lang")
 
 
 # Source mixture: per-source repetition factors (epoch weighting). Integer

@@ -1161,20 +1161,43 @@ def scalar_subquery_in_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quantile_sketch_probe", oracle=None)
+_Q_PROBE_PS = (0.5, 0.95, 0.99)
+_Q_PROBE_EPS = 0.001  # rank tolerance: 10× the GK sketch's 1/accuracy bound
+
+
+@register(
+    "quantile_sketch_probe",
+    oracle=f"""
+    SELECT l_returnflag,
+           {", ".join(
+               f"round(quantile_cont(CAST(l_extendedprice AS DOUBLE), {p}), 6)"
+               f" AS p{int(p * 100)}_exact, TRUE AS p{int(p * 100)}_within_tol"
+               for p in _Q_PROBE_PS
+           )}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def quantile_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles (Greenwald-Khanna sketch) per group — the
     100 TB path for percentiles: mergeable fixed-size sketch per
-    partition, no sort, no full materialization (exact percentile_cont
-    needs a per-group sort). Sketch internals are engine-specific ->
-    rows-only driver check; accuracy vs exact quantiles is asserted in
-    tests/test_scale_properties.py."""
+    partition, no sort, no full materialization. Sketch internals are
+    engine-specific, so the checked projection is the GK accuracy
+    CONTRACT: each approx value must land between the exact quantiles at
+    p ± eps (rank tolerance 10× the sketch's 1/accuracy bound); the
+    oracle asserts the same exact quantiles and unconditional TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile(
-            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
-        ).alias("price_quantiles")
-    )
+    price = F.col("l_extendedprice").cast("double")
+    aggs = []
+    for p in _Q_PROBE_PS:
+        approx = F.approx_percentile(price, F.lit(p), 10000)
+        lo = F.percentile(price, F.lit(max(p - _Q_PROBE_EPS, 0.0)))
+        hi = F.percentile(price, F.lit(min(p + _Q_PROBE_EPS, 1.0)))
+        aggs.append(F.round(F.percentile(price, F.lit(p)), 6).alias(f"p{int(p * 100)}_exact"))
+        aggs.append(
+            ((approx >= lo) & (approx <= hi)).alias(f"p{int(p * 100)}_within_tol")
+        )
+    return li.groupBy("l_returnflag").agg(*aggs)
 
 
 @register(
