@@ -391,7 +391,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _EMB_SIM = 0.4  # near-dup cosine threshold for the synthetic fixtures
-N_EMB_BLOCKS = 8
+_EMB_MIN_BLOCKS = 8  # floor so tests exercise the multi-block path
+# Target rows per block: 64 dims × 8 B ≈ 512 B/vector → ~50 MB per block,
+# so a block PAIR (the applyInPandas group) stays ~100 MB — executor-safe
+# at any corpus size because B grows with N instead of block size.
+_EMB_BLOCK_ROWS = 100_000
 
 _EMB_COS = (
     "list_sum(list_transform(generate_series(1, 64), "
@@ -415,67 +419,100 @@ _EMB_COS = (
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs: embedding cosine >= threshold, exact
     all-pairs, computed as a BLOCK-nested-loop GEMM: vectors are hashed
-    into B blocks, the B(B+1)/2 block pairs become one task each, and
-    each task runs a single numpy (ba×64)@(64×bb) matmul.
+    into B blocks, each of the B(B+1)/2 block pairs becomes one
+    applyInPandas group, and each group runs a single numpy
+    (na×64)·(64×nb) kernel.
 
     Why this shape: a row-pair join materializes N²/2 rows through the
     engine (and per-pair JVM scoring is either interpreted HOFs or a
-    64 KB-codegen blowup); blocking moves N²  work into O(B²) matmul
-    kernels while shuffling only B copies of each block — this is also
-    exactly the 100 TB layout (each block pair is an independent task;
-    B scales with the corpus; beyond that, the LSH/IVF candidate paths
-    in operators/similarity.py replace exhaustive pairing entirely).
+    64 KB-codegen blowup); blocking moves N² work into O(B²) vectorized
+    kernels while shuffling only ~B/2 copies of each row. B is derived
+    from the corpus size (ceil(N / _EMB_BLOCK_ROWS)) so a block pair is
+    always ~100 MB regardless of N, and rows ride the shuffle
+    INDIVIDUALLY — Arrow streams them into the Python worker per group,
+    so nothing ever approaches Spark's 2 GB single-row/value limits (the
+    previous collect_list-per-block form did, at ~4M vectors/block).
+    Beyond exhaustive pairing, the LSH/IVF candidate paths in
+    operators/similarity.py are the 100 TB replacement.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    blk = (
-        emb.withColumn("b", F.pmod(F.col("vec_id"), F.lit(N_EMB_BLOCKS)).cast("int"))
-        .groupBy("b")
-        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vs"))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # One metadata-cheap count to size the block grid — index-build step,
+    # same role as the IVF codebook training pass.
+    n_vecs = emb.count()
+    n_blocks = max(_EMB_MIN_BLOCKS, -(-n_vecs // _EMB_BLOCK_ROWS))
+
+    def tri(ba: Column, bb: Column) -> Column:
+        """Triangular index of block pair (ba <= bb) in [0, B(B+1)/2)."""
+        return ((ba * (2 * n_blocks - ba + 1)) / 2 + (bb - ba)).cast("long")
+
+    blk = emb.withColumn("b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+    # Side A: a row of block b joins every pair (b, bb) for bb >= b.
+    side_a = blk.select(
+        "vec_id",
+        "embedding",
+        F.col("b").alias("pair_ba"),
+        F.explode(F.sequence(F.col("b"), F.lit(n_blocks - 1))).alias("pair_bb"),
+        F.lit("a").alias("side"),
     )
-    pairs = (
-        blk.select(F.col("b").alias("ba"), F.col("vs").alias("va"))
-        .join(
-            blk.select(F.col("b").alias("bb"), F.col("vs").alias("vb")),
-            F.col("ba") <= F.col("bb"),
-        )
-        .repartition(N_EMB_BLOCKS * (N_EMB_BLOCKS + 1) // 2)
+    # Side B: a row of block b joins every pair (ba, b) for ba < b. The
+    # diagonal (ba == b) is served by side A alone — the kernel self-pairs
+    # it, halving the shuffled copies. when() without otherwise() yields
+    # NULL for b == 0, and explode() drops NULL/empty — no descending
+    # sequence(0, -1) surprise.
+    side_b = blk.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.when(
+                F.col("b") > 0, F.sequence(F.lit(0), F.col("b") - 1)
+            )
+        ).alias("pair_ba"),
+        F.col("b").alias("pair_bb"),
+        F.lit("b").alias("side"),
+    )
+    tagged = side_a.unionByName(side_b).withColumn(
+        "pair_id", tri(F.col("pair_ba"), F.col("pair_bb"))
     )
     thr = _EMB_SIM
 
-    def score(batches):
+    def score(pdf):
         import numpy as np
         import pandas as pd
 
         from map_reduce_go_spark.operators.similarity import _seq_dot
 
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                ia = np.array([v["vec_id"] for v in row["va"]], dtype=np.int64)
-                ib = np.array([v["vec_id"] for v in row["vb"]], dtype=np.int64)
-                ma = np.vstack([v["embedding"] for v in row["va"]]).astype(np.float64)
-                mb = np.vstack([v["embedding"] for v in row["vb"]]).astype(np.float64)
-                # Dimension-sequential accumulation (see similarity._seq_dot):
-                # bit-identical to the oracle's list_sum fold, unlike BLAS
-                # matmul's pairwise summation.
-                dots = np.multiply.outer(ma[:, 0], mb[:, 0])
-                for i in range(1, ma.shape[1]):
-                    dots = dots + np.multiply.outer(ma[:, i], mb[:, i])
-                s = dots / np.multiply.outer(
-                    np.sqrt(_seq_dot(ma, ma)), np.sqrt(_seq_dot(mb, mb))
-                )
-                ii, jj = np.nonzero(s >= thr)
-                if row["ba"] == row["bb"]:
-                    keep = ia[ii] < ib[jj]
-                    va, vb_, sim = ia[ii][keep], ib[jj][keep], s[ii, jj][keep]
-                else:
-                    # Cross-block: each unordered pair appears once; order it.
-                    x, y, sim = ia[ii], ib[jj], s[ii, jj]
-                    va, vb_ = np.minimum(x, y), np.maximum(x, y)
-                yield pd.DataFrame(
-                    {"vec_a": va, "vec_b": vb_, "cos_sim": np.round(sim, 6)}
-                )
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        diag = pdf["pair_ba"].iloc[0] == pdf["pair_bb"].iloc[0]
+        a_rows = pdf[pdf["side"] == "a"]
+        b_rows = a_rows if diag else pdf[pdf["side"] == "b"]
+        if not len(a_rows) or not len(b_rows):
+            return empty
+        ia = a_rows["vec_id"].to_numpy(dtype=np.int64)
+        ib = b_rows["vec_id"].to_numpy(dtype=np.int64)
+        ma = np.vstack(a_rows["embedding"].to_numpy()).astype(np.float64)
+        mb = np.vstack(b_rows["embedding"].to_numpy()).astype(np.float64)
+        # Dimension-sequential accumulation (see similarity._seq_dot):
+        # bit-identical to the oracle's list_sum fold, unlike BLAS
+        # matmul's pairwise summation.
+        dots = np.multiply.outer(ma[:, 0], mb[:, 0])
+        for i in range(1, ma.shape[1]):
+            dots = dots + np.multiply.outer(ma[:, i], mb[:, i])
+        s = dots / np.multiply.outer(
+            np.sqrt(_seq_dot(ma, ma)), np.sqrt(_seq_dot(mb, mb))
+        )
+        ii, jj = np.nonzero(s >= thr)
+        if diag:
+            keep = ia[ii] < ib[jj]
+            va, vb_, sim = ia[ii][keep], ib[jj][keep], s[ii, jj][keep]
+        else:
+            # Cross-block: blocks are disjoint; order each pair once.
+            x, y, sim = ia[ii], ib[jj], s[ii, jj]
+            va, vb_ = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb_, "cos_sim": np.round(sim, 6)})
 
-    return pairs.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
+    return tagged.groupBy("pair_id").applyInPandas(
+        score, "vec_a long, vec_b long, cos_sim double"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -555,7 +592,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One scalar aggregate per round over the checkpointed labels — cheaper
     # than a join-and-count diff against the previous round.
     prev_sum = None
-    for _ in range(20):  # diameter bound; converges in 2-4 rounds here
+    converged = False
+    max_rounds = 20  # diameter bound; converges in 2-4 rounds here
+    for _ in range(max_rounds):
         propagated = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "cluster_id")
@@ -568,8 +607,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # A silent exit here would return WRONG cluster ids for any graph
+        # with diameter > max_rounds — fail loudly instead; callers retry
+        # with a higher bound (rounds scale with cluster diameter, which
+        # stays small for near-dup graphs even at 100 TB).
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge within "
+            f"{max_rounds} rounds (label-sum still changing); raise the round "
+            f"bound for this graph"
+        )
     return labels
 
 

@@ -338,13 +338,19 @@ def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
     more Lloyd iterations; the per-dim mean is a posexplode + groupBy —
     a map-side-combinable agg over (cell, dim).
     """
+    # Seed from the K lowest vec_ids PRESENT (not `vec_id < K`): corpora
+    # with sparse/non-contiguous ids still yield K seeds, and a corpus
+    # smaller than K degrades to one cell per vector instead of indexing
+    # past the end of the seed list.
     seeds = [
         [float(x) for x in r["embedding"]]
-        for r in emb.where(F.col("vec_id") < K_CELLS)
-        .select("vec_id", "embedding")
+        for r in emb.select("vec_id", "embedding")
         .orderBy("vec_id")
+        .limit(K_CELLS)
         .collect()
     ]
+    if not seeds:
+        raise ValueError("ivf_train_centroids: empty embeddings corpus")
     # One Lloyd step: assign each vector to its nearest seed, then take
     # per-cell per-dim means as 64 native avg aggregates in ONE groupBy
     # pass (codegen, map-side partials) — no posexplode blowup.
@@ -358,8 +364,9 @@ def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
         .collect()
     )
     refined = {r["cell"]: [float(r[f"m{i}"]) for i in range(_DIM)] for r in means}
-    # Cells that captured no vectors keep their seed.
-    return [refined.get(i, seeds[i]) for i in range(K_CELLS)]
+    # Cells that captured no vectors keep their seed; with a corpus
+    # smaller than K_CELLS there are simply fewer cells.
+    return [refined.get(i, seeds[i]) for i in range(len(seeds))]
 
 
 @register("ann_ivf_cosine", oracle=None)

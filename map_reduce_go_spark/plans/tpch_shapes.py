@@ -22,7 +22,7 @@ is the full relational surface at Spark altitude.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_go_spark.plans.relational import _dsum_sql, dsum
@@ -63,6 +63,15 @@ def q4_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_ship_window(ship: Column) -> Column:
+    """Q7's ship-date window as half-open [1996-01-01, 1998-01-01):
+    identical row set to the oracle at ANY timestamp precision — a closed
+    upper bound at '1997-12-31 23:59:59' silently drops rows from the
+    final day's last second once sub-second components exist
+    (tests/test_plan_audit.py::test_q7_ship_window_half_open)."""
+    return (ship >= "1996-01-01") & (ship < "1998-01-01")
+
+
 @register(
     "q7_nation_trade_volume",
     oracle=f"""
@@ -77,7 +86,8 @@ def q4_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation sn ON s.s_nationkey = sn.n_nationkey
     WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
         OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
-      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY cust_nation, supp_nation, l_year
     """,
 )
@@ -88,7 +98,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair disjunction is applied after both are attached (Catalyst
     pushes each side's IN('A','B') half down to the dim scans)."""
     li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate").between("1996-01-01", "1997-12-31 23:59:59")
+        q7_ship_window(F.col("l_shipdate"))
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")

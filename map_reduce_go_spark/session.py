@@ -52,6 +52,10 @@ def get_spark(
         # Deterministic timestamp semantics: parquet naive timestamps are read
         # as UTC so Spark and the DuckDB oracle agree on date arithmetic.
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+        # default; read nanos as long (sources/readers.py truncates to
+        # micros). Session-level so no reader mutates a running session.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Quiet progress bars in test output.
         .config("spark.ui.showConsoleProgress", "false")

@@ -46,9 +46,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default. Read nanos as long and truncate to a micros timestamp —
-        # the same truncation DuckDB applies, so engine and oracle agree.
+        # events.ts is TIMESTAMP(NANOS) parquet: session.get_spark sets
+        # nanosAsLong so the scan yields bigint nanos; truncate to a micros
+        # timestamp — the same truncation DuckDB applies, so engine and
+        # oracle agree. The round driver hands us ITS OWN session (not built
+        # by get_spark), so the conf is also set here: without it the scan
+        # hard-fails, and it only changes how NANOS columns (which vanilla
+        # Spark cannot read at all) are surfaced.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":

@@ -80,3 +80,28 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     plan = _plan(j)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert j.count() > 0
+
+
+def test_q7_ship_window_half_open(spark):
+    """Regression (ADVICE r1/r2): the q7 ship-date bound must keep every
+    instant of 1997-12-31 and exclude 1998-01-01 exactly — a closed
+    '1997-12-31 23:59:59' upper bound diverges from the oracle's
+    half-open window once timestamps carry sub-second components."""
+    from datetime import datetime
+
+    from map_reduce_go_spark.plans.tpch_shapes import q7_ship_window
+
+    rows = [
+        (datetime(1995, 12, 31, 23, 59, 59, 999999), False),
+        (datetime(1996, 1, 1, 0, 0, 0), True),
+        (datetime(1997, 12, 31, 23, 59, 59, 500000), True),
+        (datetime(1997, 12, 31, 23, 59, 59, 999999), True),
+        (datetime(1998, 1, 1, 0, 0, 0), False),
+    ]
+    df = spark.createDataFrame([(ts,) for ts, _ in rows], ["l_shipdate"])
+    kept = {
+        r["l_shipdate"]
+        for r in df.where(q7_ship_window(F.col("l_shipdate"))).collect()
+    }
+    for ts, expect in rows:
+        assert (ts in kept) == expect, (ts, expect)
