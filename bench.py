@@ -44,6 +44,10 @@ HEADLINE = [
     "events_tumbling_window",
     "events_session_window",
     "window_running_customer_spend",
+    # Iterative path (connected components) and high-cardinality agg —
+    # regression visibility for the two remaining plan families.
+    "dedup_clusters",
+    "q18_large_volume_orders",
 ]
 
 

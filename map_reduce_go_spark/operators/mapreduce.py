@@ -109,9 +109,13 @@ def write_text_kv(df: DataFrame, path: str, n_partitions: int | None = None) -> 
     layout (mr-out-0..N-1); Spark's FileOutputCommitter provides the
     atomic-rename commit the reference hand-rolls (src/mr/worker.go:99,165).
     """
-    out = df.select(F.concat_ws(" ", F.col("key"), F.col("value")).alias("value"))
+    # Partition by KEY, mirroring the reference's ihash(key) % nReduce
+    # file assignment (src/mr/worker.go:75): all lines for one key land in
+    # one mr-out-N file. Partitioning by the concatenated line would split
+    # a key across files whenever values differ.
     if n_partitions is not None:
-        out = out.repartition(n_partitions, F.col("value"))
+        df = df.repartition(n_partitions, F.col("key"))
+    out = df.select(F.concat_ws(" ", F.col("key"), F.col("value")).alias("value"))
     out.write.mode("overwrite").text(path)
 
 

@@ -71,6 +71,26 @@ def test_text_sink_roundtrip(spark, corpus, tmp_path):
     assert lines == expected
 
 
+def test_text_sink_co_partitions_by_key(spark, tmp_path):
+    """E9 file-assignment fidelity: every line for one key lands in ONE
+    mr-out-N file — the reference's ihash(key) % nReduce contract
+    (src/mr/worker.go:75). Partitioning by the rendered line would split
+    keys with multiple distinct values across files."""
+    rows = [(f"k{i % 5}", f"v{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["key", "value"])
+    out = str(tmp_path / "mr-out-keyed")
+    mr.write_text_kv(df, out, n_partitions=4)
+    key_files: dict[str, set[str]] = {}
+    for fname in os.listdir(out):
+        if not fname.startswith("part-"):
+            continue
+        with open(os.path.join(out, fname)) as fh:
+            for line in fh:
+                key = line.split(" ", 1)[0]
+                key_files.setdefault(key, set()).add(fname)
+    assert key_files and all(len(fs) == 1 for fs in key_files.values()), key_files
+
+
 def test_map_parallelism_probe(spark):
     """A3/A4 analog: the scheduler really runs tasks in parallel."""
     assert spark.sparkContext.defaultParallelism >= 2
