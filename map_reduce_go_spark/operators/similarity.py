@@ -312,16 +312,24 @@ def _nearest_cells(emb: Column, centroids: list[list[float]], n: int) -> Column:
     Ranking uses dot(emb, c) / ||c||: the row's own norm is a positive
     common factor across all K cells, so dropping it cannot change the
     ranking. K×64 dot terms breach the codegen budget as one JVM
-    expression (see dot64), so the scoring is one Arrow-batched
-    (batch×64)@(64×K) matmul in a pandas_udf — the same GEMM an IVF
-    index does natively. Ties break to the lower cell id (stable sort)."""
+    expression (see dot64), so the scoring is an Arrow-batched pandas_udf.
+    Per cell, the dot is DIMENSION-SEQUENTIAL float64 and the norm is
+    divided out AFTER the fold — the exact association order of the
+    oracle's list_sum(...)/sqrt(list_sum(...)) SQL, so cell assignment is
+    bit-reproducible cross-engine (a BLAS matmul against pre-normalized
+    centroids is not). Ties break to the lower cell id (stable sort)."""
     c = np.asarray(centroids, dtype=np.float64)  # (K, 64)
-    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    norms = np.sqrt(np.array([_seq_dot(c[k : k + 1], c[k : k + 1])[0] for k in range(len(c))]))
 
     @F.pandas_udf("array<int>")
     def _cells(e: pd.Series) -> pd.Series:
         m = np.vstack(e.to_numpy()).astype(np.float64)  # (B, 64)
-        scores = m @ cn.T  # (B, K)
+        scores = np.empty((len(m), len(c)), dtype=np.float64)
+        for k in range(len(c)):
+            acc = m[:, 0] * c[k, 0]
+            for d in range(1, _DIM):
+                acc = acc + m[:, d] * c[k, d]
+            scores[:, k] = acc / norms[k]
         idx = np.argsort(-scores, kind="stable", axis=1)[:, :n]
         return pd.Series(list(idx.astype("int32")))
 
@@ -352,15 +360,25 @@ def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
     if not seeds:
         raise ValueError("ivf_train_centroids: empty embeddings corpus")
     # One Lloyd step: assign each vector to its nearest seed, then take
-    # per-cell per-dim means as 64 native avg aggregates in ONE groupBy
-    # pass (codegen, map-side partials) — no posexplode blowup.
+    # per-cell per-dim means as 64 native aggregates in ONE groupBy pass
+    # (codegen, map-side partials) — no posexplode blowup. Sums are
+    # decimal(18,8): EXACT, therefore independent of partial-agg order —
+    # the same mean to the bit on any partitioning, any engine (the
+    # embedding_centroids pattern), which is what lets the DuckDB oracle
+    # replay the whole index build.
+    cnt = F.count(F.lit(1))
     means = (
         emb.select(
             _nearest_cells(F.col("embedding"), seeds, 1)[0].alias("cell"),
             "embedding",
         )
         .groupBy("cell")
-        .agg(*[F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}") for i in range(_DIM)])
+        .agg(
+            *[
+                (F.sum(F.col("embedding")[i].cast("decimal(18,8)")).cast("double") / cnt).alias(f"m{i}")
+                for i in range(_DIM)
+            ]
+        )
         .collect()
     )
     refined = {r["cell"]: [float(r[f"m{i}"]) for i in range(_DIM)] for r in means}
@@ -369,13 +387,85 @@ def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
     return [refined.get(i, seeds[i]) for i in range(len(seeds))]
 
 
-@register("ann_ivf_cosine", oracle=None)
+def _ivf_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE IVF build + search: deterministic seeds
+    (K lowest vec_ids), one Lloyd step with exact decimal means, cell
+    assignment by sequential-fold dot/norm (identical association order to
+    the pandas kernel), NPROBE probing, and top-k cosine. Every float op
+    is order-matched, so the oracle reproduces the index bit-for-bit."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {_DIM}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    def score(e: str, c: str) -> str:
+        return f"{dot(e, c)} / sqrt({dot(c, c)})"
+
+    mean_cols = ", ".join(
+        f"CAST(SUM(CAST(embedding[{i + 1}] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m{i}"
+        for i in range(_DIM)
+    )
+    cent_list = ", ".join(
+        f"COALESCE(m.m{i}, CAST(s.embedding[{i + 1}] AS DOUBLE))" for i in range(_DIM)
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {K_CELLS}) t
+    ),
+    assign0 AS (
+      SELECT e.vec_id, e.embedding, s.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {score("e.embedding", "s.embedding")} DESC, s.cell) AS rk
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    means AS (
+      SELECT cell, {mean_cols}
+      FROM assign0 WHERE rk = 1 GROUP BY cell
+    ),
+    cents AS (
+      SELECT s.cell, list_value({cent_list}) AS c
+      FROM seeds s LEFT JOIN means m ON m.cell = s.cell
+    ),
+    corpus AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score("e.embedding", "c.c")} DESC, c.cell) AS rk
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rk = 1
+    ),
+    probe AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score("e.embedding", "c.c")} DESC, c.cell) AS rk
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE rk <= {NPROBE}
+    )
+    SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             {_DOT} / ({_NORM_Q} * {_NORM_V}) AS raw_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_DOT} / ({_NORM_Q} * {_NORM_V}) DESC,
+                        v.vec_id) AS rank
+      FROM probe q JOIN corpus v ON v.cell = q.cell AND v.vec_id <> q.vec_id
+    ) t WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_ivf_cosine", oracle=_ivf_oracle_sql())
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: corpus vectors assigned to their nearest centroid cell;
-    each query scores only vectors in its NPROBE nearest cells. The
-    engine-side index structure is engine-specific -> rows-only driver
-    check; sims on returned pairs + recall vs brute force are asserted in
-    tests/test_llm_ops.py.
+    each query scores only vectors in its NPROBE nearest cells. The whole
+    index build is deterministic and order-matched cross-engine (see
+    _ivf_oracle_sql), so the driver value-hashes it like any relational
+    query; sims on returned pairs + recall vs brute force are additionally
+    asserted in tests/test_llm_ops.py.
 
     At 100 TB: corpus written partitioned by `cell` (partition pruning
     turns a query into NPROBE partition scans); the query→cell fanout is a
