@@ -48,6 +48,8 @@ HEADLINE = [
     # regression visibility for the two remaining plan families.
     "dedup_clusters",
     "q18_large_volume_orders",
+    # Two-pass text stats (agg ⋈ agg + bounded window).
+    "tfidf_top_terms",
 ]
 
 

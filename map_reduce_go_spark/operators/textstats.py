@@ -211,3 +211,115 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", F.posexplode(F.slice(toks, 1, 50)).alias("pos", "tok"))
     )
+
+
+@register(
+    "top_bigrams",
+    oracle=r"""
+    SELECT bigram, count(*) AS cnt FROM (
+      SELECT unnest(list_transform(
+               generate_series(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM (
+        SELECT list_filter(string_split_regex(text, '[^\p{L}]+'),
+                           x -> len(x) > 0) AS ws
+        FROM documents) d
+    ) t
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequencies, top 20 — the n-gram statistics
+    primitive behind contamination screens and LM-style corpus profiling.
+
+    Bigrams are built map-side with zip_with over two slices of the token
+    array (no positional self-join: a posexplode + join-on-pos+1 would
+    shuffle every token twice); the only shuffle is the final partial+final
+    count, wordcount-shaped, so the plan scales like wc. Ranking is
+    integer-deterministic (count DESC, bigram ASC) — no float ordering to
+    diverge cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=rf"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '[^\p{{L}}]+'),
+                                x -> len(x) > 0)) AS word
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, word, tf, df,
+           round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+    FROM (
+      SELECT t.doc_id, t.word, t.tf, d.df, n.n_docs,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf DESC, d.df ASC, t.word) AS rk
+      FROM tf t JOIN df d USING (word) CROSS JOIN n
+    ) ranked
+    WHERE rk <= {TFIDF_TOP_K}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the classic
+    two-pass MapReduce showcase (term counts, then document frequencies)
+    as two wordcount-shaped aggregations plus a bounded per-doc window.
+
+    Ranking is integer-deterministic (tf DESC, rarer-term-first df ASC,
+    then word): within a document the float tfidf score is emitted for
+    consumers but never used to order rows, so cross-engine ULP noise in
+    ln() cannot reorder the top-k. The doc-count scalar joins in as a
+    broadcast literal row, not a collect()."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
+        ).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("word")
+    )
+    return (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )

@@ -97,6 +97,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_lsh_cosine",
     "ann_ivf_cosine",
     "approx_distinct_probe",
+    # New this round — no driver row yet.
+    "top_bigrams",
+    "tfidf_top_terms",
     # Greens whose implementation changed this round.
     "dedup_embedding_cosine",
     "dedup_clusters",
