@@ -324,12 +324,14 @@ def _nearest_cells(emb: Column, centroids: list[list[float]], n: int) -> Column:
     @F.pandas_udf("array<int>")
     def _cells(e: pd.Series) -> pd.Series:
         m = np.vstack(e.to_numpy()).astype(np.float64)  # (B, 64)
-        scores = np.empty((len(m), len(c)), dtype=np.float64)
-        for k in range(len(c)):
-            acc = m[:, 0] * c[k, 0]
-            for d in range(1, _DIM):
-                acc = acc + m[:, d] * c[k, d]
-            scores[:, k] = acc / norms[k]
+        # Outer-product accumulation over d: for every (row, cell) the
+        # adds happen in dimension order — the same left-nested fold as
+        # the per-cell loop / the oracle's list_sum — but vectorized
+        # across all K cells at once (64 BLAS-free steps, not K×64).
+        acc = np.multiply.outer(m[:, 0], c[:, 0])  # (B, K)
+        for d in range(1, _DIM):
+            acc = acc + np.multiply.outer(m[:, d], c[:, d])
+        scores = acc / norms  # row-wise broadcast over K
         idx = np.argsort(-scores, kind="stable", axis=1)[:, :n]
         return pd.Series(list(idx.astype("int32")))
 
