@@ -105,3 +105,16 @@ def test_q7_ship_window_half_open(spark):
     }
     for ts, expect in rows:
         assert (ts in kept) == expect, (ts, expect)
+
+
+def test_embedding_dedup_plan_streams_groups(spark, sf_dir):
+    """Regression (VERDICT r2 #3): the blocked GEMM must stream rows into
+    applyInPandas groups — a collect_list-per-block plan materializes a
+    whole block as ONE row and hits Spark's 2 GB single-value limit at
+    ~4M vectors/block."""
+    from map_reduce_go_spark.operators.dedup import dedup_embedding_cosine
+
+    plan = _plan(dedup_embedding_cosine(spark, sf_dir))
+    assert "collect_list" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning(pair_id") == 1
