@@ -232,6 +232,55 @@ def resize_images(
     return blobs.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
+_RESIZE_W = 8
+_RESIZE_H = 8
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle=f"""
+    SELECT doc_id,
+           {_RESIZE_W} AS out_width,
+           {_RESIZE_H} AS out_height,
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                ELSE list_sum(list_transform(
+                       generate_series(0, {_RESIZE_W * _RESIZE_H - 1}),
+                       k -> ascii(substring(text,
+                              CAST((k * length(text)) // {_RESIZE_W * _RESIZE_H} AS BIGINT) + 1,
+                              1))))
+           END AS BIGINT) AS px_sum,
+           round(CAST(CASE WHEN length(text) = 0 THEN 0
+                 ELSE list_sum(list_transform(
+                        generate_series(0, {_RESIZE_W * _RESIZE_H - 1}),
+                        k -> ascii(substring(text,
+                               CAST((k * length(text)) // {_RESIZE_W * _RESIZE_H} AS BIGINT) + 1,
+                               1))))
+           END AS BIGINT) / {_RESIZE_W * _RESIZE_H}.0 / 255.0, 6) AS px_mean
+    FROM documents
+    WHERE CAST(doc_id % 3 AS INTEGER) = 0
+    """,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered resize surface over 'image' blobs: the driver-facing
+    projection sums the 64 nearest-neighbor-sampled bytes (exact integers)
+    plus their normalized mean — the oracle replays the (k·len)//n_px
+    stride over the ASCII byte stream. The full pixel grid stays on the
+    unregistered :func:`resize_images` API (raw ArrayType output breaks
+    scalar-column consumers)."""
+    images = blobs_from_documents(spark, sf_dir).where(F.col("modality") == "image")
+    resized = resize_images(images, width=_RESIZE_W, height=_RESIZE_H)
+    n_px = _RESIZE_W * _RESIZE_H
+    px255 = F.transform(F.col("pixels"), lambda p: F.round(p * 255).cast("long"))
+    px_sum = F.aggregate(px255, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return resized.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        px_sum.alias("px_sum"),
+        F.round(px_sum / n_px / 255.0, 6).alias("px_mean"),
+    )
+
+
 FRAMES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

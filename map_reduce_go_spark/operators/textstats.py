@@ -323,3 +323,66 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=r"""
+    SELECT doc_id, n_words, total_trigrams, distinct_trigrams,
+           CASE WHEN total_trigrams > 0
+                THEN round(1 - CAST(distinct_trigrams AS DOUBLE)
+                               / CAST(total_trigrams AS DOUBLE), 6)
+                ELSE 0.0 END AS repetition_ratio
+    FROM (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             greatest(len(ws) - 2, 0) AS total_trigrams,
+             len(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS distinct_trigrams
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[^\p{L}]+'),
+                           x -> len(x) > 0) AS ws
+        FROM documents) d
+    ) t
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher/C4-style quality signal): the
+    fraction of word trigrams that are repeats of an earlier trigram in
+    the same document. High ratios flag boilerplate/spam for the quality
+    filter chain.
+
+    Entirely map-side codegen (token array -> trigram transform ->
+    array_distinct) — zero shuffle, so the plan is a pure scan projection
+    at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
+    base = docs.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    tris = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("ws", i + 1),
+                F.element_at("ws", i + 2),
+                F.element_at("ws", i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = base.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.greatest(n - 2, F.lit(0)).alias("total_trigrams"),
+        F.size(F.array_distinct(tris)).alias("distinct_trigrams"),
+    )
+    ratio = F.when(
+        F.col("total_trigrams") > 0,
+        F.round(
+            1 - F.col("distinct_trigrams") / F.col("total_trigrams").cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return stats.withColumn("repetition_ratio", ratio)

@@ -100,6 +100,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # New this round — no driver row yet.
     "top_bigrams",
     "tfidf_top_terms",
+    "doc_repetition_stats",
+    "multimodal_resize_stub",
     # Greens whose implementation changed this round.
     "dedup_embedding_cosine",
     "dedup_clusters",
