@@ -300,8 +300,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
         ).alias("word"),
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is cached and df derives FROM it (tf rows are unique per
+    # (doc, word), so counting them per word IS the document frequency):
+    # the corpus is scanned and tokenized ONCE; both join inputs read the
+    # (much smaller) cached aggregate. Exchange reuse alone doesn't fire
+    # here — the two branches prune different columns, so the subtrees
+    # don't canonicalize equal.
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).cache()
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     from pyspark.sql import Window
 
