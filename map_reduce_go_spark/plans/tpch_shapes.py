@@ -1,18 +1,26 @@
-"""Additional TPC-H-shaped queries (q4/q7/q10/q12/q13/q16/q17/q19/q22
-analogs), adapted to the driver fixture schema (no partsupp table; no
-comment/phone/shipmode/commitdate columns — each query keeps the classic
-plan SHAPE and swaps the missing column for an available one).
+"""Additional TPC-H-shaped queries (q4/q7/q8/q9/q10/q12/q13/q15/q16/q17/
+q19/q21/q22 analogs), adapted to the driver fixture schema (no partsupp
+table — which rules out q2/q11/q20 — and no comment/phone/shipmode/
+commitdate columns; each query keeps the classic plan SHAPE and swaps the
+missing column for an available one).
 
 Why these shapes matter at 100 TB (each stresses a distinct plan family):
 - q4: EXISTS -> left-semi join with a correlated date predicate.
 - q7: multi-dimension join with a cross-filtered nation pair.
+- q8: 7-table star join; the measure is a ratio of two conditional
+  aggregates computed in one pass.
+- q9: LIKE-pruned dim broadcast bounding a fact-join fanout.
 - q10: fact⋈fact⋈dim aggregation + top-k on the aggregate.
 - q12: fact⋈fact with CASE-conditional aggregation.
 - q13: outer join + two-level aggregation (distribution of counts).
+- q15: aggregate 'view' consumed twice (rows + its global max) with
+  exact-decimal equality so ties survive any partitioning.
 - q16: anti-join exclusion + count-distinct per group.
 - q17: per-key scalar aggregate subquery feeding a filter (decorrelated
   by Catalyst into an aggregate + join — no per-row subquery execution).
 - q19: disjunction of conjunctive blocks — pushed as one OR predicate.
+- q21: EXISTS + NOT EXISTS self-joins on the fact table (semi + anti),
+  co-shuffled on the same key as the fact join.
 - q22: global scalar subquery + NOT EXISTS anti join.
 
 The reference engine has none of these operators (SURVEY.md §2.5: joins,
@@ -355,4 +363,237 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dsum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           round({_dsum_sql("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END")}
+                 / {_dsum_sql('volume')}, 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'EUROPE'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — a 7-table star join where
+    the measure is a RATIO of two conditional aggregates over the same
+    rows (one pass, no self-join). Both sums are exact decimals, so the
+    share is bit-identical cross-engine before the final round.
+
+    Plan: facts join on keys; all four dims broadcast; the region filter
+    reaches the nation dim scan and prunes customers before the fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    national = dsum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(F.lit(0))
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(national / dsum("volume"), 6).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the fixtures ship no partsupp, so profit
+    is discounted revenue without the ps_supplycost subtraction): profit
+    per supplier nation per year over parts matched by a LIKE pattern.
+    The LIKE filter prunes the part dim BEFORE it broadcasts — a
+    substring predicate the optimizer cannot push into parquet stats but
+    applies at the dim scan, which is what bounds the fact-join fanout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(r.total_rev AS DOUBLE), 6) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue 'view' (a quarter's per-supplier
+    aggregate) consumed twice — once for the rows, once for its global
+    max — with equality ON THE EXACT DECIMAL (ties included), not a
+    rounded double: decimal sums are order-independent, so the max and
+    the equality agree on any partitioning and any engine."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+        ).alias("total_rev")
+    )
+    top = revenue.agg(F.max("total_rev").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 6).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_1'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates in the fixtures,
+    so 'late' is shipping >90 days after the order date): suppliers who
+    were the SOLE late supplier on a multi-supplier finished order —
+    EXISTS -> left-semi and NOT EXISTS -> left-anti self-joins on
+    lineitem, both on the orderkey with a supplier-inequality predicate.
+
+    At 100 TB the two self-joins co-shuffle on l_orderkey with the fact
+    join — one partitioning serves all three."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    with_other = late1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    late_others = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select(
+            F.col("l_orderkey").alias("l3_orderkey"),
+            F.col("l_suppkey").alias("l3_suppkey"),
+        )
+    )
+    sole_late = with_other.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey")),
+        "left_anti",
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    return (
+        sole_late.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
     )

@@ -102,6 +102,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "doc_repetition_stats",
     "multimodal_resize_stub",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
     # Greens whose implementation changed this round.
     "dedup_embedding_cosine",
     "dedup_clusters",
