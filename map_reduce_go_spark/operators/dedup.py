@@ -530,10 +530,9 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.unionByName(rev)
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_ORACLE_SHINGLES},
+# CTE chain shared by the cluster-family oracles: LSH candidates -> exact
+# Jaccard edges -> transitive closure (`reach`). Used WITH RECURSIVE.
+_ORACLE_CLUSTER_CTES = f"""{_ORACLE_SHINGLES},
     sig AS (SELECT doc_id, {_ORACLE_SIGS} FROM sh GROUP BY doc_id),
     bands AS ({_ORACLE_BANDS}),
     cand AS (
@@ -564,7 +563,13 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
-    )
+    )"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_CLUSTER_CTES}
     SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
     """,
 )
@@ -706,5 +711,133 @@ def dedup_pipeline_exact_then_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(
                 nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc), 6
             ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Canonical selection: keep the best document per near-dup cluster
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_CLUSTER_CTES},
+    labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT l.doc_id, l.cluster_id, d.n_chars,
+           CASE WHEN row_number() OVER (
+                  PARTITION BY l.cluster_id
+                  ORDER BY d.n_chars DESC, l.doc_id) = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each near-dup cluster
+    (transitive closure of LSH pairs, Jaccard >= 0.5) keep exactly one
+    document — the longest (n_chars DESC), ties to the lowest doc_id.
+    This is the policy layer production dedup actually ships: clustering
+    says WHICH docs are copies, this says which copy SURVIVES (keep the
+    richest, not an arbitrary hash-min).
+
+    Ranking is integer-deterministic (n_chars, doc_id — no floats), so the
+    oracle replays it exactly. At 100 TB the extra cost over
+    ``dedup_clusters`` is one broadcast-able join of (doc_id, n_chars)
+    plus a per-cluster window — clusters are tiny (near-dup groups), so
+    the window partitions are bounded and never skew.
+    """
+    from pyspark.sql import Window
+
+    labels = dedup_clusters(spark, sf_dir)
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        labels.join(meta, "doc_id")
+        .withColumn(
+            "keep", F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+        )
+        .select("doc_id", "cluster_id", "n_chars", "keep")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-document span duplication: exact word-5-gram overlap score
+# --------------------------------------------------------------------------
+
+SPAN_K = 5  # word n-gram width for span-level duplication
+
+_ORACLE_SPANS = r"""
+  w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS ws
+    FROM documents
+  ),
+  sp AS (
+    SELECT DISTINCT doc_id,
+           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s
+    FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+  )
+"""
+
+
+@register(
+    "cross_doc_span_dupes",
+    oracle=f"""
+    WITH {_ORACLE_SPANS},
+    freq AS (SELECT s, count(*) AS n_docs FROM sp GROUP BY s),
+    per_doc AS (
+      SELECT sp.doc_id,
+             count(*) AS n_spans,
+             CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_spans
+      FROM sp JOIN freq f ON f.s = sp.s
+      GROUP BY sp.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.shared_spans, 0) AS shared_spans,
+           round(CAST(COALESCE(p.shared_spans, 0) AS DOUBLE)
+                 / greatest(COALESCE(p.n_spans, 0), 1), 6) AS dup_ratio
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def cross_doc_span_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level cross-document duplication (the signal behind exact
+    substring dedup, "Deduplicating Training Data Makes Language Models
+    Better"): for each document, the fraction of its distinct word-5-gram
+    spans that also occur in at least one other document. High ratios mark
+    boilerplate and templated text that doc-level pairwise dedup misses.
+
+    Plan: per-doc-distinct spans are built map-side (the _shingle_arrays
+    shape at k=5 — no shuffle), span document-frequency is one
+    wordcount-shaped agg, and the join back to per-doc rows shuffles on
+    the span string. At 100 TB hot spans (stop-phrase boilerplate) skew
+    that join — AQE skew-split handles it, and the per-doc distinct
+    already collapses within-doc repeats before anything shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sp = _shingles(docs, k=SPAN_K)
+    freq = sp.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        sp.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("shared_spans"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("shared_spans", F.lit(0)).alias("shared_spans"),
+            F.round(
+                F.coalesce("shared_spans", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
         )
     )

@@ -389,12 +389,14 @@ def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
     return [refined.get(i, seeds[i]) for i in range(len(seeds))]
 
 
-def _ivf_oracle_sql() -> str:
-    """DuckDB replay of the ENTIRE IVF build + search: deterministic seeds
-    (K lowest vec_ids), one Lloyd step with exact decimal means, cell
-    assignment by sequential-fold dot/norm (identical association order to
-    the pandas kernel), NPROBE probing, and top-k cosine. Every float op
-    is order-matched, so the oracle reproduces the index bit-for-bit."""
+def _ivf_build_ctes() -> str:
+    """DuckDB replay of the IVF index BUILD as a CTE chain ending in
+    ``corpus(vec_id, embedding, cell)``: deterministic seeds (K lowest
+    vec_ids), one Lloyd step with exact decimal means, cell assignment by
+    sequential-fold dot/norm (identical association order to the pandas
+    kernel). Every float op is order-matched, so any oracle using these
+    CTEs sees the same index bit-for-bit. Shared by the IVF-search and
+    SemDedup oracles."""
 
     def dot(a: str, b: str) -> str:
         return (
@@ -412,8 +414,7 @@ def _ivf_oracle_sql() -> str:
     cent_list = ", ".join(
         f"COALESCE(m.m{i}, CAST(s.embedding[{i + 1}] AS DOUBLE))" for i in range(_DIM)
     )
-    return f"""
-    WITH seeds AS (
+    return f"""seeds AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
       FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {K_CELLS}) t
     ),
@@ -438,7 +439,24 @@ def _ivf_oracle_sql() -> str:
                  ORDER BY {score("e.embedding", "c.c")} DESC, c.cell) AS rk
         FROM embeddings e CROSS JOIN cents c
       ) WHERE rk = 1
-    ),
+    )"""
+
+
+def _ivf_oracle_sql() -> str:
+    """IVF search oracle: the shared index-build CTEs plus NPROBE probing
+    and top-k cosine ranking."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {_DIM}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    def score(e: str, c: str) -> str:
+        return f"{dot(e, c)} / sqrt({dot(c, c)})"
+
+    return f"""
+    WITH {_ivf_build_ctes()},
     probe AS (
       SELECT vec_id, embedding, cell FROM (
         SELECT e.vec_id, e.embedding, c.cell,
@@ -539,4 +557,80 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.alias("n_vectors"),
         comp(0).alias("centroid_d0"),
         comp(63).alias("centroid_d63"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDedup: semantic dedup by cluster-then-prune over the IVF cells
+# --------------------------------------------------------------------------
+
+SEMDEDUP_SIM = 0.4  # within-cell cosine prune threshold
+
+_CORPUS_COS = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+    WITH {_ivf_build_ctes()},
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_CORPUS_COS} >= {SEMDEDUP_SIM}
+    )
+    SELECT c.vec_id, c.cell,
+           CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS pruned
+    FROM corpus c LEFT JOIN pruned p ON p.vec_id = c.vec_id
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic pruning (Abbas et al. 2023): cluster the
+    corpus with the deterministic IVF coarse quantizer, then WITHIN each
+    cell mark a vector pruned if some lower-id vector in the same cell is
+    cosine-similar above the threshold. Keeps one representative per tight
+    semantic group without ever comparing across clusters.
+
+    This is the scale story for semantic dedup at 100 TB: the quadratic
+    surface is Σ cell_size² (bounded by the quantizer's K knob), not N² —
+    the same contraction LSH banding gives exact dedup. The cell self-join
+    shuffles on `cell` only; scoring is the Arrow cosine kernel; the
+    index build is the shared deterministic Lloyd pass, so the oracle
+    replays the entire pipeline bit-for-bit in SQL.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_train_centroids(emb)
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
+    ).cache()
+    a = corpus.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "cell"
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "cell"
+    )
+    pruned = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(cosine_udf(F.col("a_emb"), F.col("b_emb")) >= SEMDEDUP_SIM)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("p", F.lit(1))
+    )
+    return (
+        corpus.select("vec_id", "cell")
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("pruned"),
+        )
     )

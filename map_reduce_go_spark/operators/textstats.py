@@ -392,3 +392,67 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.lit(0.0))
     return stats.withColumn("repetition_ratio", ratio)
+
+
+BPE_TOP_PAIRS = 30
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+                                x -> len(x) > 0)) AS word
+      FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, c
+      FROM wc, unnest(generate_series(1, len(word) - 1)) AS t(i)
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 30
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent symbol-pair frequencies over the corpus — the statistic a
+    BPE tokenizer trainer computes to pick each merge (the top pair here
+    IS the first merge rule). Pair occurrences inside a word are weighted
+    by the word's corpus frequency.
+
+    Plan: one wordcount-shaped agg collapses the corpus to its vocabulary
+    (at 100 TB: billions of tokens -> millions of distinct words), then
+    pair explosion runs over the VOCABULARY, not the corpus — each word's
+    character pairs are built map-side (sequence + substr in codegen) and
+    the final pair agg is another map-side-combinable count. Ranking is
+    integer-deterministic (cnt DESC, pair ASC). This two-level shape is
+    exactly how distributed BPE training scales: corpus-size work happens
+    once, per-merge work is vocabulary-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split("text", WORD_BOUNDARY), lambda x: F.length(x) > 0)
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n = F.length("word")
+    # sequence(1, 0) in Spark yields a DESCENDING [1, 0] — guard short
+    # words explicitly (DuckDB's generate_series(1, 0) is simply empty).
+    positions = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(positions, lambda i: F.col("word").substr(i, F.lit(2)))
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )

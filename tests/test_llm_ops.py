@@ -236,3 +236,104 @@ def test_lsh_configurable_bands(spark, sf_dir):
     if not exact:
         pytest.skip("no high-similarity pairs at this SF")
     assert len(exact & cand) / len(exact) >= 0.9
+
+
+def test_keep_best_one_per_cluster(spark, sf_dir):
+    """dedup_keep_best keeps EXACTLY one doc per cluster, and the kept doc
+    is maximal by (n_chars, -doc_id) within its cluster."""
+    from map_reduce_go_spark.operators.dedup import dedup_keep_best
+
+    rows = dedup_keep_best(spark, sf_dir).collect()
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        kept = [r for r in members if r["keep"] == 1]
+        assert len(kept) == 1
+        best = max(members, key=lambda r: (r["n_chars"], -r["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
+
+
+def test_span_dupes_identical_docs_fully_shared(spark, sf_dir):
+    """Docs whose full text equals another doc's text must have
+    dup_ratio 1.0 (every span shared); all ratios lie in [0, 1] and
+    shared_spans <= n_spans."""
+    from map_reduce_go_spark.operators.dedup import cross_doc_span_dupes
+    from map_reduce_go_spark.sources.readers import load_table
+
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, sf_dir, "documents").collect()}
+    texts: dict = {}
+    for did, t in docs.items():
+        texts.setdefault(t, []).append(did)
+    dup_doc_ids = {d for ids in texts.values() if len(ids) > 1 for d in ids}
+
+    out = {r["doc_id"]: r for r in cross_doc_span_dupes(spark, sf_dir).collect()}
+    assert set(out) == set(docs)
+    for r in out.values():
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+        assert r["shared_spans"] <= r["n_spans"]
+    for did in dup_doc_ids:
+        if out[did]["n_spans"] > 0:
+            assert out[did]["dup_ratio"] == 1.0
+
+
+def test_semdedup_min_id_survives_per_cell(spark, sf_dir):
+    """semdedup_prune never prunes a cell's lowest vec_id (there is no
+    earlier vector to prune it against), and every pruned vector has an
+    earlier same-cell vector with cosine >= threshold (checked by
+    recomputing cosines with numpy on the collected corpus)."""
+    import numpy as np
+
+    from map_reduce_go_spark.operators.similarity import (
+        SEMDEDUP_SIM,
+        semdedup_prune,
+    )
+    from map_reduce_go_spark.sources.readers import load_table
+
+    rows = semdedup_prune(spark, sf_dir).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for members in by_cell.values():
+        members.sort(key=lambda r: r["vec_id"])
+        assert members[0]["pruned"] == 0
+        for i, r in enumerate(members):
+            sims = [cos(emb[m["vec_id"]], emb[r["vec_id"]]) for m in members[:i]]
+            has_near = any(s >= SEMDEDUP_SIM - 1e-9 for s in sims)
+            if r["pruned"] == 1:
+                assert has_near
+            elif sims and max(sims) < SEMDEDUP_SIM - 1e-6:
+                assert r["pruned"] == 0
+
+
+def test_bpe_pair_counts_match_python(spark, sf_dir):
+    """bpe_pair_counts equals a pure-Python recomputation of weighted
+    adjacent-char-pair frequencies (top-30, count DESC then pair ASC)."""
+    import re
+    from collections import Counter
+
+    from map_reduce_go_spark.operators.textstats import bpe_pair_counts
+    from map_reduce_go_spark.sources.readers import load_table
+
+    texts = [r["text"] for r in load_table(spark, sf_dir, "documents").collect()]
+    # Tokenize the same way the engine does: split on non-letter runs.
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(w for w in re.split(r"[^a-zA-Z]+", t) if w)
+    pairs: Counter = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += c
+    expected = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(spark, sf_dir).collect()]
+    assert got == expected
