@@ -50,6 +50,12 @@ HEADLINE = [
     "q18_large_volume_orders",
     # Two-pass text stats (agg ⋈ agg + bounded window).
     "tfidf_top_terms",
+    # Span-level cross-doc duplication (5-gram inverted-index join),
+    # SemDedup cell-pruning (IVF build + within-cell pair scoring), and
+    # vocabulary-weighted BPE pair stats (two-level agg).
+    "cross_doc_span_dupes",
+    "semdedup_prune",
+    "bpe_pair_counts",
 ]
 
 

@@ -591,7 +591,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     edges = _near_dup_edges(spark, sf_dir).localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Iterate ONLY over graph nodes (docs with at least one near-dup edge):
+    # singleton docs — the overwhelming majority of a deduped corpus —
+    # keep cluster_id = doc_id and never enter the loop, so each round
+    # shuffles the (tiny) node set, not the corpus. Edges are symmetric,
+    # so `src` alone covers every node.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
     # Convergence via the label-sum invariant: min-propagation is monotone
     # non-increasing per doc, so sum(cluster_id) unchanged <=> fixed point.
     # One scalar aggregate per round over the checkpointed labels — cheaper
@@ -625,7 +635,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{max_rounds} rounds (label-sum still changing); raise the round "
             f"bound for this graph"
         )
-    return labels
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

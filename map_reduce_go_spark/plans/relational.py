@@ -753,17 +753,28 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-shaped: large-volume orders (group + HAVING over a
-    fact⋈fact join). The HAVING predicate is a post-agg filter Catalyst
-    keeps after the partial/final aggregate split."""
+    fact⋈fact join).
+
+    The aggregate runs BEFORE the joins: o_orderkey is unique in orders,
+    so grouping lineitem by l_orderkey alone is equivalent to the
+    SQL-literal group over the joined row (c_name/o_orderdate are
+    functionally dependent on the key) — and the HAVING filter then
+    shrinks the join input from every line item to only the large orders.
+    At 100 TB this is the difference between shuffling the whole lineitem
+    table through two joins and joining a tiny survivor set (the
+    orders/customer joins typically flip to broadcast under AQE).
+    """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate")
+    big = (
+        li.groupBy("l_orderkey")
         .agg(dsum("l_quantity").alias("total_qty"), F.sum("l_quantity").alias("_raw"))
         .where(F.col("_raw") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_orderkey",

@@ -12,7 +12,12 @@ from map_reduce_go_spark.registry import all_queries
 # label propagation, IVF codebook training) — excluded from the
 # planning-only sweep to keep it fast; their plans are exercised by their
 # own tests.
-_EXEC_AT_BUILD = {"dedup_clusters", "ann_ivf_cosine"}
+_EXEC_AT_BUILD = {
+    "dedup_clusters",
+    "ann_ivf_cosine",
+    "dedup_keep_best",  # runs dedup_clusters' propagation loop
+    "semdedup_prune",  # trains the IVF codebook
+}
 
 
 def _plan(df) -> str:
