@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_go_spark.functions.text import WORD_BOUNDARY
 from map_reduce_go_spark.registry import register
-from map_reduce_go_spark.sources.readers import load_table
+from map_reduce_go_spark.sources.readers import fan_out, load_table
 
 N_PERM = 8  # minhash permutations
 N_BANDS = 4  # bands of r = N_PERM / N_BANDS rows
@@ -70,19 +70,22 @@ def _shingle_arrays(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     re-evaluates the filter(split(text)) token-array tree — k regex splits
     of the full document per shingle.
 
-    The `_pcb` column is a projection-collapse barrier: CollapseProject
-    refuses to merge through a nondeterministic projection, so the token
-    array is materialized once per row instead of being inlined into the
-    (interpreted) lambda and re-split once per shingle — measured 4× on
-    the sf0.1 corpus, on top of the 45× above.
+    The ``monotonically_increasing_id() >= 0`` conjunct (always true) is a
+    deliberate optimizer barrier: nondeterminism makes CollapseProject
+    keep the token array materialized in its own projection (instead of
+    inlining it into the interpreted lambda, one re-split per shingle) and
+    makes PushDownPredicate keep the explode-inferred filter
+    (``size(shingles) > 0``) ABOVE this projection — without it the filter
+    is pushed into the scan with the whole tokenize+k-gram tree
+    substituted in twice, tripling the build. Net effect measured at
+    sf0.1: one build per row instead of ~3 re-splits per shingle; the
+    whole-span-pipeline noop write drops 7s -> 0.6s.
     """
     ws = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
-    base = docs.select(
-        "doc_id", ws.alias("ws"), F.monotonically_increasing_id().alias("_pcb")
-    )
+    base = fan_out(docs).select("doc_id", ws.alias("ws"))
     arr = F.col("ws")
     kgrams = F.when(
-        F.size(arr) >= k,
+        (F.size(arr) >= k) & (F.monotonically_increasing_id() >= 0),
         F.transform(
             F.sequence(F.lit(1), F.size(arr) - k + 1),
             lambda i: F.array_join(F.slice(arr, i, k), " "),

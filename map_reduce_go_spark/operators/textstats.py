@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_go_spark.functions.text import WORD_BOUNDARY
 from map_reduce_go_spark.registry import register
-from map_reduce_go_spark.sources.readers import load_table
+from map_reduce_go_spark.sources.readers import fan_out, load_table
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
 # (Real pipelines plug a fastText model into the same plan shape.)
@@ -365,18 +365,15 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
-    # _pcb: projection-collapse barrier so the token array materializes
-    # once per row (see dedup._shingle_arrays).
-    base = docs.select(
-        "doc_id", ws.alias("ws"), F.monotonically_increasing_id().alias("_pcb")
-    )
+    # fan_out parallelizes the interpreted trigram build beyond the scan's
+    # split count; slice+array_join and the always-true nondeterministic
+    # conjunct are the same optimizer barriers as dedup._shingle_arrays
+    # (keep the token array materialized; keep inferred filters above the
+    # build).
+    base = fan_out(docs).select("doc_id", ws.alias("ws"))
     n = F.size("ws")
-    # slice+array_join, NOT per-index element_at: HOF lambdas run
-    # interpreted, and CollapseProject inlines ws so each element_at
-    # re-evaluates the token-array tree (~45x slower, see
-    # dedup._shingle_arrays).
     tris = F.when(
-        n >= 3,
+        (n >= 3) & (F.monotonically_increasing_id() >= 0),
         F.transform(
             F.sequence(F.lit(1), n - 2),
             lambda i: F.array_join(F.slice("ws", i, 3), " "),
