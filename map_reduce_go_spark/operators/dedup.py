@@ -886,3 +886,118 @@ def cross_doc_span_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# LSH quality probe: banding recall against exact Jaccard, per bucket
+# --------------------------------------------------------------------------
+
+_J_MIN_20 = 1  # exact-pair floor as the integer predicate 20*nc >= union
+
+
+@register(
+    "lsh_recall_probe",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    sig AS (SELECT doc_id, {_ORACLE_SIGS} FROM sh GROUP BY doc_id),
+    bands AS ({_ORACLE_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    exact AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS nc
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT e.doc_a, e.doc_b,
+             (10 * e.nc) // (sa.n + sb.n - e.nc) AS bucket,
+             CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+      FROM exact e
+      JOIN sizes sa ON sa.doc_id = e.doc_a
+      JOIN sizes sb ON sb.doc_id = e.doc_b
+      LEFT JOIN cand c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+      WHERE 20 * e.nc >= (sa.n + sb.n - e.nc)
+    )
+    SELECT bucket, count(*) AS n_pairs,
+           CAST(sum(caught) AS BIGINT) AS n_caught,
+           round(CAST(sum(caught) AS DOUBLE) / count(*), 6) AS recall
+    FROM scored GROUP BY bucket
+    """,
+)
+def lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall per exact-Jaccard decile: of the true near-dup
+    pairs (trigram Jaccard >= 0.05), what fraction does the (8-perm,
+    4-band) banding scheme surface as candidates? This is the query an
+    engineer runs before turning the LSH knob at 100 TB — recall should be
+    ~1.0 above the (1/b)^(1/r) = 0.5 threshold and decay below it.
+
+    Engine-portability: the Jaccard floor is the integer predicate
+    ``20*nc >= union`` and the decile is integer division
+    ``(10*nc) div union`` — no float threshold can straddle an engine
+    boundary. Plan: the exact-pair inverted-index join and the band
+    self-join each shuffle once; the probe LEFT-joins candidates onto
+    exact pairs (both tiny relative to the corpus), so the expensive
+    passes are exactly the two dedup passes being compared — the probe
+    itself adds broadcast-sized joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sa_arr = _shingle_arrays(docs).cache()
+    sh = sa_arr.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    exact = (
+        x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    cand = lsh_candidate_pairs(docs, shingle_arrays=sa_arr).withColumn(
+        "caught", F.lit(1)
+    )
+    union = F.col("na") + F.col("nb") - F.col("nc")
+    scored = (
+        exact.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(20 * F.col("nc") >= union)
+        .join(cand, ["doc_a", "doc_b"], "left")
+        .select(
+            F.expr("(10 * nc) div (na + nb - nc)").alias("bucket"),
+            F.coalesce("caught", F.lit(0)).alias("caught"),
+        )
+    )
+    return scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("caught").cast("long").alias("n_caught"),
+        F.round(F.sum("caught").cast("double") / F.count(F.lit(1)), 6).alias("recall"),
+    )
+
+
+@register(
+    "near_dup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_CLUSTER_CTES},
+    labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM csizes GROUP BY cluster_size
+    """,
+)
+def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup yield report: how many
+    singletons (unique docs), how many k-way duplicate groups. At 100 TB
+    this is the number that tells you what fraction of the corpus dedup
+    will delete. Two cheap aggregations over the connected-components
+    labels; all costs live in dedup_clusters itself."""
+    labels = dedup_clusters(spark, sf_dir)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )

@@ -362,3 +362,61 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
         (F.coalesce("n_overlap", F.lit(0)) >= 3).alias("contaminated"),
     )
+
+
+_SHARD_SQL = """
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND '9'
+                  THEN CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS INTEGER)
+                  ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87
+             END AS shard
+      FROM documents
+"""
+
+
+@register(
+    "shard_balance_audit",
+    oracle=f"""
+    WITH s AS ({_SHARD_SQL}),
+    agg AS (SELECT shard, count(*) AS n_docs FROM s GROUP BY shard),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   count(*) AS n_shards FROM agg)
+    SELECT a.shard, a.n_docs,
+           round(CAST(a.n_docs AS DOUBLE) / t.total, 6) AS share,
+           round(CAST(a.n_docs * t.n_shards AS DOUBLE) / t.total - 1, 6)
+             AS skew_vs_uniform
+    FROM agg a CROSS JOIN tot t
+    """,
+)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance report for the hash sharding scheme: per-shard doc
+    count, corpus share, and relative deviation from a uniform spread.
+    This is the audit that catches a bad shard key BEFORE a 100 TB write
+    fans out — a skewed shard becomes the straggler task of every
+    downstream job.
+
+    One groupBy on the shard id (16 groups, map-side partials) plus a
+    broadcast of the 1-row totals — cost is the scan, nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    shard = (
+        F.when(first_hex.between("0", "9"), first_hex.cast("int"))
+        .otherwise(F.ascii(first_hex) - 87)
+    )
+    agg = (
+        docs.select(shard.alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = agg.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_shards")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(
+            (F.col("n_docs") * F.col("n_shards")).cast("double") / F.col("total") - 1,
+            6,
+        ).alias("skew_vs_uniform"),
+    )

@@ -634,3 +634,54 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("pruned"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding hygiene audit: norms, zeros, non-finite values
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quality_audit",
+    oracle=f"""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           len(list_filter(embedding, x -> x = 0)) AS n_zero,
+           len(list_filter(embedding, x -> isnan(x) OR isinf(x))) AS n_nonfinite
+    FROM embeddings
+    """,
+)
+def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene: per-vector dimensionality, L2 norm, zero
+    count, and non-finite (NaN/Inf) count — the audit that runs before any
+    ANN index build at scale (a handful of NaN vectors silently poisons
+    IVF centroid training).
+
+    One Arrow-batched pandas UDF per row batch (vector math off the JVM,
+    per the module's UDF policy), returning a struct so all four signals
+    ride one transfer. Norm accumulates float64 DIMENSION-SEQUENTIALLY
+    (matching DuckDB's list_sum fold exactly — see _seq_dot); zero/finite
+    counts are integer-exact. Pure map-side: no shuffle at any scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    @F.pandas_udf("struct<dim:int,l2_norm:double,n_zero:int,n_nonfinite:int>")
+    def _audit(vecs: pd.Series) -> pd.DataFrame:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return pd.DataFrame(
+            {
+                "dim": np.full(m.shape[0], m.shape[1], dtype=np.int32),
+                "l2_norm": np.round(np.sqrt(acc), 6),
+                "n_zero": (m == 0.0).sum(axis=1).astype(np.int32),
+                "n_nonfinite": (~np.isfinite(m)).sum(axis=1).astype(np.int32),
+            }
+        )
+
+    return emb.select("vec_id", _audit("embedding").alias("a")).select(
+        "vec_id", "a.dim", "a.l2_norm", "a.n_zero", "a.n_nonfinite"
+    )

@@ -456,3 +456,129 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level token statistics: Zipf head coverage + per-doc commonness
+# --------------------------------------------------------------------------
+
+HEAD_TOP_N = 50
+
+_TOKS_ALL_SQL = r"""
+  toks AS (
+    SELECT doc_id, unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+                                      x -> len(x) > 0)) AS tok
+    FROM documents
+  )
+"""
+
+
+@register(
+    "corpus_head_coverage",
+    oracle=f"""
+    WITH {_TOKS_ALL_SQL},
+    cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
+    top AS (
+      SELECT tok, cnt FROM cnt ORDER BY cnt DESC, tok LIMIT {HEAD_TOP_N}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+           tok, cnt,
+           round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / (SELECT total FROM tot), 6) AS cum_share
+    FROM top
+    """,
+)
+def corpus_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head coverage: the top-50 corpus tokens with their cumulative
+    share of all token occurrences — the first thing to look at before
+    choosing stopword lists or frequency-pruned vocabularies.
+
+    Scale shape: token counts are one wordcount-shaped agg (map-side
+    partials absorb hot tokens); the global top-50 is a distributed
+    TakeOrdered, and ONLY those 50 rows enter the unpartitioned cumsum
+    window — never the full vocabulary, so the single-partition window is
+    bounded at 50 rows at any corpus size. The ordering key (cnt DESC,
+    tok) is integer+string deterministic, so rank and cum_share are
+    engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens()).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("total"))
+    top = cnt.orderBy(F.desc("cnt"), F.asc("tok")).limit(HEAD_TOP_N)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        top.crossJoin(total)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "tok",
+            "cnt",
+            F.round(
+                F.sum("cnt")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("total"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
+
+
+@register(
+    "token_commonness_score",
+    oracle=f"""
+    WITH {_TOKS_ALL_SQL},
+    cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    per_doc AS (
+      SELECT t.doc_id, count(*) AS n_tokens, CAST(sum(c.cnt) AS BIGINT) AS total_freq
+      FROM toks t JOIN cnt c ON c.tok = t.tok
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.total_freq, 0) AS total_freq,
+           round(CAST(COALESCE(p.total_freq, 0) AS DOUBLE)
+                 / greatest(COALESCE(p.n_tokens, 0), 1), 6) AS commonness
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def token_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM commonness score: mean corpus frequency of a document's
+    tokens. Low scores flag rare-vocabulary docs (OCR noise, code,
+    non-target languages); high scores flag stopword soup — both are
+    quality-filter signals that need corpus-global statistics, not just
+    the doc itself (the integer-arithmetic stand-in for model perplexity).
+
+    Two wordcount-shaped aggs and one join on the token string. The join
+    back is the hot-token-skew shape (every doc hits 'the'); partial
+    aggregation absorbs the skew on the count side, AQE skew-split on the
+    join side. All-integer until the final rounded ratio, so cross-engine
+    exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        toks.join(cnt, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("total_freq"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("total_freq", F.lit(0)).alias("total_freq"),
+            F.round(
+                F.coalesce("total_freq", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("commonness"),
+        )
+    )

@@ -1307,3 +1307,76 @@ def explode_outer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode_outer(nums).alias("tok")
     )
+
+
+# --------------------------------------------------------------------------
+# Column-level data profiling (ANALYZE-TABLE shape)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
+
+
+@register(
+    "table_profile_lineitem",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*) AS n_rows,
+               count({c}) AS n_nonnull,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    )
+    + """
+    UNION ALL
+    SELECT 'l_shipdate', count(*), count(l_shipdate),
+           count(DISTINCT l_shipdate),
+           strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+    FROM lineitem
+    """,
+)
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the fact table — row count, null count,
+    exact distinct count, min/max per column: the ANALYZE-TABLE /
+    data-quality audit every ingest pipeline runs before trusting a new
+    snapshot.
+
+    One scan, one agg node: all per-column aggregates (including the five
+    exact count-distincts, which Catalyst plans as a single Expand) run in
+    a single pass, then the 1-row wide result unpivots to long form via
+    stack — driver-side row count is 5 regardless of table size. At 100 TB
+    exact distinct per column is the expensive honest choice; swap
+    approx_count_distinct in where a 2% error is acceptable and the Expand
+    disappears.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS + ("l_shipdate",):
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+        if c == "l_shipdate":
+            aggs += [
+                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__min"),
+                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__max"),
+            ]
+        else:
+            aggs += [
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nonnull, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS + ("l_shipdate",)
+    )
+    return wide.selectExpr(
+        f"stack(5, {stack_args}) AS "
+        "(column_name, n_rows, n_nonnull, n_distinct, min_value, max_value)"
+    )

@@ -17,6 +17,8 @@ _EXEC_AT_BUILD = {
     "ann_ivf_cosine",
     "dedup_keep_best",  # runs dedup_clusters' propagation loop
     "semdedup_prune",  # trains the IVF codebook
+    "near_dup_cluster_sizes",  # runs dedup_clusters' propagation loop
+    "cross_doc_span_dupes",  # materializes the hashed span set
 }
 
 
