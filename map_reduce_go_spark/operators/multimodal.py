@@ -68,17 +68,16 @@ def blobs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar metadata over binary payloads: byte length + content digest.
-    Entirely JVM-side — blobs are never deserialized into Python."""
+    Entirely JVM-side — blobs are never deserialized into Python. The
+    digest is computed directly on the blob (the document's UTF-8 bytes,
+    which is exactly what the oracle's sha256(text) hashes), so the plan is
+    a single scan — no join back to documents."""
     blobs = blobs_from_documents(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return (
-        blobs.join(docs, "doc_id")
-        .select(
-            "doc_id",
-            "modality",
-            F.length("blob").alias("byte_len"),
-            F.sha2(F.col("text"), 256).alias("content_sha256"),
-        )
+    return blobs.select(
+        "doc_id",
+        "modality",
+        F.length("blob").alias("byte_len"),
+        F.sha2(F.col("blob"), 256).alias("content_sha256"),
     )
 
 

@@ -511,7 +511,7 @@ def corpus_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
     return (
-        top.crossJoin(total)
+        top.crossJoin(F.broadcast(total))
         .select(
             F.row_number().over(w).cast("long").alias("rank"),
             "tok",

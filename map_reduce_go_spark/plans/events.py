@@ -36,7 +36,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            F.unix_timestamp("w.start").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -67,7 +67,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            F.unix_timestamp("w.start").alias("window_start"),
             "event_type",
             "n_events",
         )
@@ -113,7 +113,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").cast("long").alias("session_start"),
+            F.unix_timestamp("w.start").alias("session_start"),
             "n_events",
         )
     )

@@ -67,8 +67,8 @@ def asof_join_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.where(F.col("tag") == 1).select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
-        F.col("ts").cast("long").alias("purchase_epoch"),
-        F.col("last_click_ts").cast("long").alias("last_click_epoch"),
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.unix_timestamp("last_click_ts").alias("last_click_epoch"),
     )
 
 

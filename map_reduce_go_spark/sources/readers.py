@@ -46,19 +46,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet: session.get_spark sets
-        # nanosAsLong so the scan yields bigint nanos; truncate to a micros
-        # timestamp — the same truncation DuckDB applies, so engine and
-        # oracle agree. The round driver hands us ITS OWN session (not built
-        # by get_spark), so the conf is also set here: without it the scan
-        # hard-fails, and it only changes how NANOS columns (which vanilla
-        # Spark cannot read at all) are surfaced.
+        # Fixture-drift compatibility shim. The driver has regenerated
+        # events.parquet with different ts physical types across rounds
+        # (TIMESTAMP(NANOS) through round 2, plain timestamp[us]
+        # isAdjustedToUTC=false — i.e. TIMESTAMP_NTZ — since round 3), so
+        # normalize every known encoding to a plain session-tz TIMESTAMP
+        # here, the single read choke point:
+        #   - NANOS: nanosAsLong surfaces bigint nanos (vanilla Spark can't
+        #     read NANOS at all); truncate to micros — the same truncation
+        #     DuckDB applies, so engine and oracle agree.
+        #   - TIMESTAMP_NTZ: cast to TIMESTAMP. The session timezone is
+        #     pinned UTC (session.py), so the wall-clock fields are
+        #     preserved bit-for-bit and epoch extraction matches DuckDB's.
+        # The conf is set here (not only in get_spark) because the round
+        # driver hands us its own session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

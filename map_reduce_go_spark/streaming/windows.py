@@ -61,7 +61,7 @@ def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            F.unix_timestamp("w.start").alias("window_start"),
             "event_type",
             "n_events",
         )
@@ -82,7 +82,7 @@ def sliding_avg_value(events: DataFrame, watermark: str = "10 minutes") -> DataF
             ).alias("avg_value"),
         )
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            F.unix_timestamp("w.start").alias("window_start"),
             "event_type",
             "n_events",
             "avg_value",
@@ -98,7 +98,7 @@ def session_counts(events: DataFrame, gap: str = "10 minutes", watermark: str = 
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").cast("long").alias("session_start"),
+            F.unix_timestamp("w.start").alias("session_start"),
             "n_events",
         )
     )
@@ -166,8 +166,8 @@ def click_purchase_interval_join(
     ).select(
         "purchase_id",
         F.col("p_user").alias("user_id"),
-        F.col("purchase_ts").cast("long").alias("purchase_epoch"),
-        F.col("click_ts").cast("long").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
     )
 
 

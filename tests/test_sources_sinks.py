@@ -101,6 +101,38 @@ def test_sql_entry_point_matches_dataframe(spark, sf_dir):
     assert df_result == sql_result
 
 
+def test_fixture_temporal_dtypes_normalized(spark):
+    """Fixture-drift guard. The driver has regenerated the parquet fixtures
+    with different temporal physical types across rounds (events.ts:
+    TIMESTAMP(NANOS) -> timestamp[us]/NTZ); load_table normalizes every
+    known encoding. If this test fails, the fixtures drifted AGAIN — extend
+    the shim in sources/readers.py:load_table rather than chasing opaque
+    AnalysisExceptions in the window/as-of queries."""
+    import os
+
+    sf_dirs = [
+        d.path
+        for d in os.scandir("/root/testdata")
+        if d.is_dir() and d.name.startswith("sf")
+    ]
+    assert sf_dirs, "no /root/testdata/sf* fixture dirs found"
+    for sf in sf_dirs:
+        dtypes = dict(load_table(spark, sf, "events").dtypes)
+        assert dtypes["ts"] == "timestamp", (
+            f"{sf}/events.parquet: ts surfaced as {dtypes['ts']!r}, expected "
+            "'timestamp' — fixture schema drifted; update load_table's shim"
+        )
+        # lineitem/orders dates are timestamp[us]/NTZ today and every query
+        # handles NTZ (comparisons + unix_timestamp, never .cast("long")) —
+        # guard against drift to something temporal-unreadable (e.g. the
+        # round-2 NANOS-as-bigint encoding).
+        ok = ("date", "timestamp", "timestamp_ntz")
+        li = dict(load_table(spark, sf, "lineitem").dtypes)
+        assert li["l_shipdate"] in ok, f"{sf}/lineitem l_shipdate: {li['l_shipdate']} — fixture drifted"
+        od = dict(load_table(spark, sf, "orders").dtypes)
+        assert od["o_orderdate"] in ok, f"{sf}/orders o_orderdate: {od['o_orderdate']}"
+
+
 def test_json_malformed_records_permissive_and_failfast(spark, tmp_path):
     """Operational contract for dirty inputs: PERMISSIVE captures bad rows
     in _corrupt_record (pipeline continues), FAILFAST raises."""
