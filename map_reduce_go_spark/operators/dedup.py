@@ -306,10 +306,13 @@ _SIMHASH_BITS = 16
 def _simhash_expr() -> Column:
     """16-bit SimHash over distinct words: bit j set iff the majority of
     word-hashes have hex digit j >= '8' (the top bit of that nibble).
-    String comparison on md5 hex is engine-portable."""
+    String comparison on md5 hex is engine-portable. Expects a
+    pre-computed ``wh`` (md5 hex of the word) column — hashing once in a
+    projection instead of inside each of the 16 vote aggregates keeps the
+    partial-agg input to one digest per word, not 16."""
     votes = [
         F.sum(
-            F.when(F.substring(F.md5(F.col("word")), j + 1, 1) >= "8", 1).otherwise(-1)
+            F.when(F.substring(F.col("wh"), j + 1, 1) >= "8", 1).otherwise(-1)
         )
         for j in range(_SIMHASH_BITS)
     ]
@@ -353,7 +356,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.filter(F.split("text", WORD_BOUNDARY), lambda x: F.length(x) > 0)
             )
         ).alias("word"),
-    )
+    ).select("doc_id", F.md5("word").alias("wh"))
     return words.groupBy("doc_id").agg(_simhash_expr().alias("simhash"))
 
 

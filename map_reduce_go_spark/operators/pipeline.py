@@ -420,3 +420,63 @@ def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_vs_uniform"),
     )
+
+
+@register(
+    "token_mixture_planner",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum({_WS_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   count(*) AS n_sources
+            FROM per_source)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+           round(CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens), 6)
+             AS uniform_weight
+    FROM per_source CROSS JOIN tot
+    """,
+)
+def token_mixture_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted mixture planning: per-source document and token
+    totals, each source's share of the corpus token budget, and the
+    sampling weight that would equalize token contribution across sources
+    (weight = uniform_target / current_share). Mixture decisions at scale
+    are made in TOKENS, not documents — a source of few huge docs
+    otherwise dominates a doc-count mixture (data_mixture_upsample applies
+    fixed per-tier weights; this op computes the weights).
+
+    One map-side token count fused into the scan, one groupBy on source
+    (bounded cardinality — partials absorb everything), and a broadcast of
+    the 1-row totals. All-integer until the two final rounded ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    per_source = (
+        docs.select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias(
+            "token_share"
+        ),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens")),
+            6,
+        ).alias("uniform_weight"),
+    )

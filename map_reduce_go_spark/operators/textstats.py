@@ -582,3 +582,72 @@ def token_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("commonness"),
         )
     )
+
+
+@register(
+    "bigram_lm_doc_score",
+    oracle=r"""
+    WITH bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bigram
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[^\p{L}]+'),
+                           x -> len(x) > 0) AS ws
+        FROM documents) d,
+        unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    c2 AS (SELECT w1, bigram, count(*) AS c2 FROM bg GROUP BY w1, bigram),
+    c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(sum(ln(CAST(c2.c2 AS DOUBLE) / c1.c1)) / count(*), 6)
+             AS avg_log_prob
+    FROM bg
+    JOIN c2 ON c2.bigram = bg.bigram
+    JOIN c1 ON c1.w1 = bg.w1
+    GROUP BY doc_id
+    """,
+)
+def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score: train an MLE bigram LM on the
+    corpus itself (P(w2|w1) = c(w1 w2) / c(w1·), with c(w1·) = bigram
+    instances starting with w1, so each conditional sums to 1 and every
+    doc bigram has nonzero probability), then score each document by its
+    mean log-probability. The cheap stand-in for model-perplexity quality
+    filtering: gibberish and boilerplate both sit far from the corpus
+    median.
+
+    One tokenize pass: bigram instances are built map-side (zip_with over
+    two array slices, same as top_bigrams); the (w1, bigram) count is the
+    wordcount shuffle, c1 derives FROM c2 (no second corpus scan), and
+    both model tables join back on bigram/w1 — hot-bigram skew is the
+    standard AQE skew-join surface. The float log only appears in the
+    final per-doc mean (rounded); every join and group key is a string or
+    integer, so cross-engine ordering cannot drift.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bigram")),
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.bigram"
+    )
+    c2 = bg.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c2")).cache()
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        bg.join(c2.select("bigram", "c2"), "bigram")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.log(F.col("c2").cast("double") / F.col("c1")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_log_prob"),
+        )
+    )

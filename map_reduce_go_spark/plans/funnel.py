@@ -1,0 +1,151 @@
+"""Event-funnel and cohort-retention analytics over the events table.
+
+Classic product-analytics operators the reference's MapReduce users build
+by hand (multi-stage keyed aggregation — the same dataflow shape as the
+wc/indexer apps, reference src/mrapps/wc.go, but with ordered-stage
+semantics). Both are expressed as pure keyed aggregations + co-partitioned
+joins, never per-user sorts:
+
+- **funnel**: stage k's earliest qualifying timestamp depends on stage
+  k-1's — three min-aggregations chained by user_id-equi-joins. Every
+  shuffle is on user_id, so after the first exchange the joins are
+  co-partitioned; no window sort over a user's whole history.
+- **retention**: cohort = hour of first signup; activity offset = whole
+  hours since the cohort hour. One user-keyed agg, one user-keyed join,
+  one (cohort, offset) count-distinct — all map-side-combinable.
+
+At 100 TB: user_id is the natural partition key for all of it; skewed
+power-users affect only the per-user min() partial aggregates (absorbed
+map-side), and the final retention matrix is tiny (cohorts × horizon).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_go_spark.registry import register
+from map_reduce_go_spark.sources.readers import load_table
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(floor(epoch(v.t_view)) AS BIGINT) AS view_epoch,
+           CAST(floor(epoch(c.t_click)) AS BIGINT) AS click_epoch,
+           CAST(floor(epoch(p.t_purchase)) AS BIGINT) AS purchase_epoch,
+           1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS stages_completed
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel per user: first view, first click at or
+    after that view, first purchase at or after that click (later stages
+    NULL when never reached).
+
+    Stage order matters — a click before the first view does not count —
+    which is what distinguishes a funnel from three independent mins. Each
+    stage is a filtered min-aggregation joined to the previous stage's
+    result on user_id; all four shuffles hash on user_id, so AQE plans the
+    chain co-partitioned. No per-user event sort anywhere.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("t_view").alias("view_epoch"),
+            F.unix_timestamp("t_click").alias("click_epoch"),
+            F.unix_timestamp("t_purchase").alias("purchase_epoch"),
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("stages_completed"),
+        )
+    )
+
+
+@register(
+    "cohort_hourly_retention",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS cohort_hour
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT CAST(epoch(s.cohort_hour) AS BIGINT) AS cohort_epoch,
+           CAST(floor(epoch(e.ts) / 3600) AS BIGINT)
+             - CAST(epoch(s.cohort_hour) / 3600 AS BIGINT) AS hour_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN s ON s.user_id = e.user_id
+    WHERE CAST(floor(epoch(e.ts) / 3600) AS BIGINT)
+          >= CAST(epoch(s.cohort_hour) / 3600 AS BIGINT)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_hourly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly cohort-retention matrix: users cohorted by the hour of their
+    first signup; n_active = distinct cohort members with ANY event in
+    cohort_hour + hour_offset (offset 0 = the signup hour itself; activity
+    in hour buckets before the cohort hour is excluded).
+
+    Shapes: one user-keyed min-agg (cohort), one user_id equi-join of the
+    full event stream against that (co-partitioned — the agg already
+    hashed on user_id), then an exact count-distinct per (cohort, offset)
+    cell. The distinct runs as Spark's two-phase partial aggregate; the
+    output matrix is cohorts × horizon — tiny at any input scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("hour", F.min("ts")).alias("cohort_hour"))
+    )
+    cohort_bucket = (F.unix_timestamp("cohort_hour") / 3600).cast("long")
+    event_bucket = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    return (
+        e.join(s, "user_id")
+        .where(event_bucket >= cohort_bucket)
+        .groupBy(
+            F.unix_timestamp("cohort_hour").alias("cohort_epoch"),
+            (event_bucket - cohort_bucket).alias("hour_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

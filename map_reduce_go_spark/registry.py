@@ -80,6 +80,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # single-scan) — re-prove under the driver even though r3 rows are green.
     "ann_ivf_cosine",
     "multimodal_blob_meta",
+    # (d) new this round — no driver row yet.
+    "funnel_view_click_purchase",
+    "cohort_hourly_retention",
+    "bigram_lm_doc_score",
+    "token_mixture_planner",
     # --- new round-4 queries register below this line and are floated here
     # as they land; remaining slots fill in registration order, which keeps
     # long-green queries cycling back through the window. ---
