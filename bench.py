@@ -56,6 +56,10 @@ HEADLINE = [
     "cross_doc_span_dupes",
     "semdedup_prune",
     "bpe_pair_counts",
+    # Ordered-stage funnel (chained user-keyed aggs) and corpus bigram LM
+    # (two-level n-gram model join) — the round-4 additions.
+    "funnel_view_click_purchase",
+    "bigram_lm_doc_score",
 ]
 
 
