@@ -114,6 +114,30 @@ def test_q7_ship_window_half_open(spark):
         assert (ts in kept) == expect, (ts, expect)
 
 
+def test_blob_meta_single_scan(spark, sf_dir):
+    """Regression (VERDICT r3 minor #4): multimodal_blob_meta digests the
+    blob directly — one documents scan, no join back to the table."""
+    plan = _plan(all_queries()["multimodal_blob_meta"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+    assert "Join" not in plan
+
+
+def test_corpus_head_coverage_broadcasts_total(spark, sf_dir):
+    """Regression (VERDICT r3 minor #5): the 1-row grand-total side of the
+    head-coverage cross join must broadcast, matching the module-wide
+    pattern for scalar denominators."""
+    plan = _plan(all_queries()["corpus_head_coverage"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_funnel_aggregates_partially(spark, sf_dir):
+    """The funnel's per-stage mins must combine map-side before each
+    user_id exchange (partial_min) — at 100 TB the partial agg is what
+    absorbs power-user skew."""
+    plan = _plan(all_queries()["funnel_view_click_purchase"].fn(spark, sf_dir))
+    assert "partial_min" in plan
+
+
 def test_embedding_dedup_plan_streams_groups(spark, sf_dir):
     """Regression (VERDICT r2 #3): the blocked GEMM must stream rows into
     applyInPandas groups — a collect_list-per-block plan materializes a
