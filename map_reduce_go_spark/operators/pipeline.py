@@ -480,3 +480,74 @@ def token_mixture_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("uniform_weight"),
     )
+
+
+@register(
+    "eval_contamination_report",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\\p{{L}}]+'), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    hits AS (
+      SELECT e.doc_id,
+             count(DISTINCT t.doc_id) AS n_train_docs,
+             count(DISTINCT e.s) AS n_shared_shingles
+      FROM sh e JOIN sh t ON t.s = e.s
+      WHERE e.doc_id < {N_EVAL_DOCS} AND t.doc_id >= {N_EVAL_DOCS}
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id AS eval_doc_id,
+           CAST(coalesce(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+           CAST(coalesce(h.n_shared_shingles, 0) AS BIGINT) AS n_shared_shingles
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id < {N_EVAL_DOCS}
+    """,
+)
+def eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-side view of decontamination: for each eval document, how
+    many training documents share at least one word-trigram with it and
+    how many of its distinct trigrams leak. decontaminate_against_eval
+    decides which TRAINING docs to drop; this report tells the eval owner
+    which BENCHMARK items are compromised and how badly — both directions
+    run off the same shingle inverted index.
+
+    Shape: the trigram self-join restricted to (eval, train) pairs — the
+    eval side is a tiny fraction of the corpus, so at 100 TB the eval
+    shingle set broadcasts and the train side streams through it
+    map-side; the exact count-distincts aggregate over the (small) hit
+    set only. All-integer output.
+    """
+    from map_reduce_go_spark.operators.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    ev = sh.where(F.col("doc_id") < N_EVAL_DOCS).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    tr = sh.where(F.col("doc_id") >= N_EVAL_DOCS).select(
+        F.col("doc_id").alias("train_doc_id"), "s"
+    )
+    hits = (
+        ev.join(tr, "s")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.count_distinct("train_doc_id").alias("n_train_docs"),
+            F.count_distinct("s").alias("n_shared_shingles"),
+        )
+    )
+    return (
+        docs.where(F.col("doc_id") < N_EVAL_DOCS)
+        .select(F.col("doc_id").alias("eval_doc_id"))
+        .join(hits, "eval_doc_id", "left")
+        .select(
+            "eval_doc_id",
+            F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+        )
+    )

@@ -651,3 +651,81 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_log_prob"),
         )
     )
+
+
+PMI_MIN_COUNT = 5
+
+
+@register(
+    "pmi_collocations",
+    oracle=rf"""
+    WITH bg AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2
+      FROM (
+        SELECT list_filter(string_split_regex(text, '[^\p{{L}}]+'),
+                           x -> len(x) > 0) AS ws
+        FROM documents) d,
+        unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY w1, w2),
+    first_m AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_first FROM c2 GROUP BY w1),
+    second_m AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_second FROM c2 GROUP BY w2),
+    tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM c2)
+    SELECT c2.w1, c2.w2, c2.n_pair,
+           round(ln(CAST(c2.n_pair AS DOUBLE) * t.n_total
+                    / (f.n_first * s.n_second)), 6) AS pmi
+    FROM c2
+    JOIN first_m f ON f.w1 = c2.w1
+    JOIN second_m s ON s.w2 = c2.w2
+    CROSS JOIN tot t
+    WHERE c2.n_pair >= {PMI_MIN_COUNT}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for adjacent word pairs seen at least
+    PMI_MIN_COUNT times: PMI = ln(P(w1,w2) / (P(w1)P(w2))) over the
+    bigram event space (marginals = first/second-position counts derived
+    FROM the bigram table, so one tokenize pass feeds everything). High
+    PMI finds collocations/multi-word terms; strongly negative PMI flags
+    unnatural word salad — both corpus-profiling signals next to the
+    bigram-LM doc score.
+
+    Shapes: map-side bigram build (zip_with), one wordcount shuffle for
+    n_pair, two bounded-cardinality groupBys over the (already small)
+    pair table for the marginals, and a broadcast 1-row total. The float
+    ln() appears only in the emitted rounded value — row membership
+    (n_pair >= threshold) and all join keys are integers/strings, so
+    cross-engine ULP noise cannot change the result set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")).cache()
+    first_m = c2.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
+    second_m = c2.groupBy("w2").agg(F.sum("n_pair").alias("n_second"))
+    tot = c2.agg(F.sum("n_pair").alias("n_total"))
+    return (
+        c2.where(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(first_m, "w1")
+        .join(second_m, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * F.col("n_total")
+                    / (F.col("n_first") * F.col("n_second"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

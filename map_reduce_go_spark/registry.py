@@ -85,6 +85,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cohort_hourly_retention",
     "bigram_lm_doc_score",
     "token_mixture_planner",
+    "pmi_collocations",
+    "eval_contamination_report",
     # --- new round-4 queries register below this line and are floated here
     # as they land; remaining slots fill in registration order, which keeps
     # long-green queries cycling back through the window. ---
