@@ -66,7 +66,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     result on user_id; all four shuffles hash on user_id, so AQE plans the
     chain co-partitioned. No per-user event sort anywhere.
     """
-    e = load_table(spark, sf_dir, "events")
+    return funnel_over(load_table(spark, sf_dir, "events"))
+
+
+def funnel_over(e: DataFrame) -> DataFrame:
+    """The funnel transformation over any events-shaped DataFrame
+    (user_id, ts, event_type) — split out so property tests can drive it
+    with generated logs (hypothesis conformance vs a sequential
+    evaluator, the reference's mrsequential comparison philosophy)."""
     v = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")

@@ -34,7 +34,14 @@ SHIFT_COLS = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
-QUERIES = ["q1_pricing_summary", "q3_top_revenue_orders", "wordcount", "dedup_minhash_lsh"]
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "wordcount",
+    "dedup_minhash_lsh",
+    "funnel_view_click_purchase",
+    "bigram_lm_doc_score",
+]
 
 
 def replicate(spark, k: int, out_dir: str) -> None:
