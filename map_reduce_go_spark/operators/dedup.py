@@ -1004,3 +1004,102 @@ def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+
+
+# Stop-shingle suppression: drop shingles whose document frequency exceeds
+# this cap BEFORE signatures/banding. Boilerplate shingles (headers, license
+# blocks, navigation chrome) put thousands of docs into one band bucket —
+# the Σ bucket² candidate cost then explodes quadratically in the hottest
+# bucket. The cap bounds any shingle's pair contribution at DF²/2.
+# Production sets it as a corpus fraction or a top-k hot-shingle list; the
+# fixture value is absolute so the filter demonstrably fires at sf0.01
+# (max fixture DF is 7 — a fraction threshold would never trigger).
+LSH_STOP_DF = 5
+
+
+@register(
+    "dedup_minhash_lsh_stopfiltered",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    kept AS (
+      SELECT sh.doc_id, sh.s
+      FROM sh JOIN dfreq ON dfreq.s = sh.s
+      WHERE dfreq.df <= {LSH_STOP_DF}
+    ),
+    sig AS (SELECT doc_id, {_ORACLE_SIGS} FROM kept GROUP BY doc_id),
+    bands AS ({_ORACLE_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS nc
+      FROM cand c
+      JOIN kept x ON x.doc_id = c.doc_a
+      JOIN kept y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b,
+           round(CAST(m.nc AS DOUBLE) / (sa.n + sb.n - m.nc), 6) AS jaccard
+    FROM common m
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    """,
+)
+def dedup_minhash_lsh_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with stop-shingle suppression — the 100 TB guard the
+    plain pipeline's docs promise: shingles with document frequency >
+    LSH_STOP_DF are dropped before signatures, banding, and Jaccard, so
+    no boilerplate phrase can put more than DF docs into one band bucket.
+    The trade is explicit: pairs whose ONLY evidence was ultra-common
+    shingles lose recall — exactly the pairs exact dedup (which runs
+    first in dedup_pipeline_exact_then_lsh) already caught.
+
+    Extra cost over the plain pipeline: one wordcount-shaped DF count and
+    one join of the shingle stream against it (hot keys absorbed by
+    map-side partials), then one groupBy(doc_id) rebuilding the filtered
+    arrays. All keyed shuffles — nothing quadratic anywhere before the
+    (now bounded) band self-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        sh.join(dfreq.where(F.col("df") <= LSH_STOP_DF), "s")
+        .select("doc_id", "s")
+    )
+    # Rebuild per-doc arrays from the surviving shingles: sort_array keeps
+    # the array deterministic under any partitioning; rows are already
+    # (doc_id, s)-distinct so collect_list is set-valued.
+    arrays = (
+        kept.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("shingles"))
+        .withColumn("n", F.size("shingles"))
+        .cache()
+    )
+    cand = lsh_candidate_pairs(docs, shingle_arrays=arrays)
+    a = arrays.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = arrays.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    nc = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -87,6 +87,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_mixture_planner",
     "pmi_collocations",
     "eval_contamination_report",
+    "dedup_minhash_lsh_stopfiltered",
     # --- new round-4 queries register below this line and are floated here
     # as they land; remaining slots fill in registration order, which keeps
     # long-green queries cycling back through the window. ---

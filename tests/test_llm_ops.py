@@ -337,3 +337,27 @@ def test_bpe_pair_counts_match_python(spark, sf_dir):
     expected = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
     got = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(spark, sf_dir).collect()]
     assert got == expected
+
+
+def test_lsh_stop_filter_fires_and_bounds_pair_mass(spark, sf_dir):
+    """The stop-shingle cap must be NON-VACUOUS on the fixtures (some
+    shingle exceeds it — otherwise the variant silently degenerates to
+    the plain pipeline and proves nothing) and after filtering no
+    surviving shingle can contribute more than LSH_STOP_DF²/2 candidate
+    pairs."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_go_spark.operators.dedup import LSH_STOP_DF, _shingles
+    from map_reduce_go_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dfreq = (
+        _shingles(docs)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .cache()
+    )
+    assert dfreq.where(F.col("df") > LSH_STOP_DF).count() > 0
+    kept_max = dfreq.where(F.col("df") <= LSH_STOP_DF).agg(F.max("df")).collect()[0][0]
+    assert kept_max <= LSH_STOP_DF
+    dfreq.unpersist()
