@@ -220,3 +220,78 @@ def test_foreachbatch_sink_idempotent_and_restart_safe(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == n_first
+
+
+def test_stateful_running_totals_tws(spark, event_source):
+    """The Spark 4 StatefulProcessor (transformWithStateInPandas) variant
+    must produce the same final per-key totals as the batch aggregate —
+    and as the applyInPandasWithState variant it supersedes. Needs the
+    RocksDB state store provider, and skips where the protobuf runtime
+    TWS's state protocol requires isn't installed (this container)."""
+    if not stateful.tws_runtime_available():
+        pytest.skip("transformWithStateInPandas needs google.protobuf (not in container)")
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        stream = windows.read_event_stream(spark, event_source)
+        q = (
+            stateful.running_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table(name).toPandas()
+        final = emitted.groupby("event_type").last()
+        batch = (
+            _batch_events(spark, event_source)
+            .groupBy("event_type")
+            .count()
+            .toPandas()
+            .set_index("event_type")
+        )
+        for et, row in batch.iterrows():
+            assert final.loc[et, "n_events"] == row["count"]
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+
+def test_tws_processor_logic_with_fake_state():
+    """The StatefulProcessor's handleInputRows is plain pandas logic —
+    provable without the TWS runtime (which needs protobuf): drive it
+    with a fake ValueState across two 'micro-batches' and check the
+    running totals accumulate."""
+    import pandas as pd
+
+    from map_reduce_go_spark.streaming.stateful import _RunningTotalsProcessor
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    p = _RunningTotalsProcessor()
+    p._state = FakeState()
+    b1 = [pd.DataFrame({"value": [1.0, 2.0]}), pd.DataFrame({"value": [3.0]})]
+    (out1,) = list(p.handleInputRows(("click",), iter(b1), None))
+    assert out1["n_events"].iloc[0] == 3 and out1["total_value"].iloc[0] == 6.0
+    b2 = [pd.DataFrame({"value": [4.0]})]
+    (out2,) = list(p.handleInputRows(("click",), iter(b2), None))
+    assert out2["n_events"].iloc[0] == 4 and out2["total_value"].iloc[0] == 10.0
