@@ -1,8 +1,9 @@
 """Additional TPC-H-shaped queries (q4/q7/q8/q9/q10/q12/q13/q15/q16/q17/
-q19/q21/q22 analogs), adapted to the driver fixture schema (no partsupp
-table — which rules out q2/q11/q20 — and no comment/phone/shipmode/
-commitdate columns; each query keeps the classic plan SHAPE and swaps the
-missing column for an available one).
+q19/q21/q22 analogs), adapted to the driver fixture schema (no
+comment/phone/shipmode/commitdate columns; each query keeps the classic
+plan SHAPE and swaps the missing column for an available one). The
+partsupp-dependent shapes q2/q11/q20 live in plans/tpch_partsupp.py over
+a deterministically derived partsupp, completing the expressible sweep.
 
 Why these shapes matter at 100 TB (each stresses a distinct plan family):
 - q4: EXISTS -> left-semi join with a correlated date predicate.

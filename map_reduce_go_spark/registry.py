@@ -88,6 +88,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pmi_collocations",
     "eval_contamination_report",
     "dedup_minhash_lsh_stopfiltered",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_excess_stock_suppliers",
     # --- new round-4 queries register below this line and are floated here
     # as they land; remaining slots fill in registration order, which keeps
     # long-green queries cycling back through the window. ---
