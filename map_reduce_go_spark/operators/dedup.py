@@ -1103,3 +1103,126 @@ def dedup_minhash_lsh_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("jaccard"),
         )
     )
+
+
+# "New arrivals" = the top NEW_BATCH_FRAC tail of doc_ids — the fixture
+# stand-in for an ingestion batch arriving against an existing corpus.
+NEW_BATCH_FRAC = 0.8
+NEAR_MATCH_SIM = 0.5
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH cut AS (
+      SELECT CAST(floor(count(*) * {NEW_BATCH_FRAC}) AS BIGINT) AS cut
+      FROM documents
+    ),
+    exact AS (
+      SELECT n.doc_id AS new_doc_id, min(o.doc_id) AS match_doc_id,
+             'exact' AS match_type, 1.0 AS jaccard
+      FROM documents n
+      JOIN documents o ON md5(o.text) = md5(n.text)
+      CROSS JOIN cut
+      WHERE n.doc_id >= cut.cut AND o.doc_id < cut.cut
+      GROUP BY n.doc_id
+    ),
+    {_ORACLE_SHINGLES},
+    sig AS (SELECT doc_id, {_ORACLE_SIGS} FROM sh GROUP BY doc_id),
+    bands AS ({_ORACLE_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+      CROSS JOIN cut
+      WHERE a.doc_id < cut.cut AND b.doc_id >= cut.cut
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    near AS (
+      SELECT m.doc_b AS new_doc_id, m.doc_a AS match_doc_id,
+             'near' AS match_type,
+             round(CAST(m.nc AS DOUBLE) / (sa.n + sb.n - m.nc), 6) AS jaccard
+      FROM (
+        SELECT c.doc_a, c.doc_b, count(*) AS nc
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY c.doc_a, c.doc_b
+      ) m
+      JOIN sizes sa ON sa.doc_id = m.doc_a
+      JOIN sizes sb ON sb.doc_id = m.doc_b
+      WHERE CAST(m.nc AS DOUBLE) / (sa.n + sb.n - m.nc) >= {NEAR_MATCH_SIM}
+    )
+    SELECT * FROM exact UNION ALL SELECT * FROM near
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: match a batch of NEW documents (the
+    top doc_id tail, standing in for today's crawl) against the EXISTING
+    corpus — exact matches by content digest (canonical keeper = lowest
+    old doc_id) and near matches via LSH candidates restricted to
+    (old, new) pairs at Jaccard >= NEAR_MATCH_SIM. Within-batch (new, new)
+    duplication is excluded: that's the batch's own dedup pass, a
+    different concern.
+
+    The production shape at 100 TB: the old corpus's signatures/bands are
+    a MATERIALIZED index (written once, partitioned by band bucket); each
+    arriving batch computes its own bands map-side and probes the index —
+    candidate cost scales with the BATCH, not the corpus. Here both sides
+    derive from one cached shingle pass; the (old, new) cut keeps the
+    band join's output the probe-sized set the materialized form would
+    produce.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.floor(F.count(F.lit(1)) * NEW_BATCH_FRAC).cast("long").alias("cut")
+    )
+    d = docs.crossJoin(F.broadcast(cut))
+    old_docs = d.where(F.col("doc_id") < F.col("cut"))
+    new_docs = d.where(F.col("doc_id") >= F.col("cut"))
+    exact = (
+        new_docs.select(F.md5("text").alias("h"), F.col("doc_id").alias("new_doc_id"))
+        .join(
+            old_docs.select(F.md5("text").alias("h"), F.col("doc_id").alias("old_id")),
+            "h",
+        )
+        .groupBy("new_doc_id")
+        .agg(F.min("old_id").alias("match_doc_id"))
+        .select(
+            "new_doc_id",
+            "match_doc_id",
+            F.lit("exact").alias("match_type"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    sa = _shingle_arrays(docs).cache()
+    cand = (
+        lsh_candidate_pairs(docs, shingle_arrays=sa)
+        .crossJoin(F.broadcast(cut))
+        .where((F.col("doc_a") < F.col("cut")) & (F.col("doc_b") >= F.col("cut")))
+        .select("doc_a", "doc_b")
+    )
+    a = sa.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = sa.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    nc = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc)
+    near = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(jacc >= NEAR_MATCH_SIM)
+        .select(
+            F.col("doc_b").alias("new_doc_id"),
+            F.col("doc_a").alias("match_doc_id"),
+            F.lit("near").alias("match_type"),
+            F.round(jacc, 6).alias("jaccard"),
+        )
+    )
+    return exact.unionByName(near)

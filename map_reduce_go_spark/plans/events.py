@@ -157,3 +157,73 @@ def events_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFra
             "sum_value",
         )
     )
+
+
+SESSION_GAP_SEC = 600
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_SEC} SECOND
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT event_id, user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM marked
+    )
+    SELECT event_id, user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(floor(epoch(min(ts) OVER (PARTITION BY user_id, session_no)))
+                AS BIGINT) AS session_start
+    FROM numbered
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT sessionization: every event labeled with its session
+    ordinal and session start — the joinable form of session windows
+    (events_session_window only emits per-session aggregates; this emits
+    the session id you attach to each event for downstream attribution).
+
+    Classic gaps-and-islands: a lag() marks session boundaries, a running
+    sum numbers them, a second window keyed by (user, session_no) carries
+    the session start onto each row. All three windows partition by
+    user_id (+ the bounded session_no) and sort each user's events once —
+    the shuffle is one exchange on user_id, reused by every window stage.
+    Ordering key (ts, event_id) is unique, so row numbering is
+    deterministic cross-engine.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Full-precision gap test (ts carries microseconds): comparing the
+    # timestamps directly matches the oracle's INTERVAL comparison exactly;
+    # unix_timestamp() would truncate to seconds and disagree on
+    # sub-second boundaries.
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.col("ts")
+            >= F.lag("ts").over(w) + F.expr(f"INTERVAL {SESSION_GAP_SEC} SECOND")
+        ),
+        1,
+    ).otherwise(0)
+    numbered = e.select("event_id", "user_id", "ts").withColumn(
+        "session_no",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_no")
+    return numbered.select(
+        "event_id",
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        F.unix_timestamp(F.min("ts").over(ws)).alias("session_start"),
+    )

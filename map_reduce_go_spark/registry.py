@@ -91,6 +91,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_excess_stock_suppliers",
+    "events_sessionize",
+    "dedup_incremental_batch",
     # --- new round-4 queries register below this line and are floated here
     # as they land; remaining slots fill in registration order, which keeps
     # long-green queries cycling back through the window. ---
