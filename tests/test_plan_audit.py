@@ -149,3 +149,28 @@ def test_embedding_dedup_plan_streams_groups(spark, sf_dir):
     assert "collect_list" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning(pair_id") == 1
+
+
+def test_derived_partsupp_invariants(spark, sf_dir):
+    """The q2/q11/q20 partsupp derivation must yield exactly N_PS_SUPP
+    distinct suppliers per part (consecutive residues mod n_supp), keys in
+    range, and quantities/costs in their documented bounds — the contract
+    the three query oracles replay."""
+    from map_reduce_go_spark.plans.tpch_partsupp import N_PS_SUPP, derive_partsupp
+    from map_reduce_go_spark.sources.readers import load_table
+
+    ps = derive_partsupp(spark, sf_dir).cache()
+    n_parts = load_table(spark, sf_dir, "part").count()
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    assert ps.count() == n_parts * N_PS_SUPP
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == n_parts * N_PS_SUPP
+    bad = ps.where(
+        (F.col("ps_suppkey") < 0)
+        | (F.col("ps_suppkey") >= n_supp)
+        | (F.col("ps_availqty") < 1)
+        | (F.col("ps_availqty") > 9999)
+        | (F.col("ps_cents") < 100)
+        | (F.col("ps_cents") >= 100100)
+    ).count()
+    assert bad == 0
+    ps.unpersist()
