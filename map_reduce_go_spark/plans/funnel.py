@@ -156,3 +156,58 @@ def cohort_hourly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    outflow AS (
+      SELECT prev_type, CAST(sum(n) AS BIGINT) AS total FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, p.n,
+           round(CAST(p.n AS DOUBLE) / o.total, 6) AS prob
+    FROM pairs p JOIN outflow o ON o.prev_type = p.prev_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each (previous event type → next event type) adjacency, the count
+    and the conditional probability. The behavioral-profiling primitive —
+    anomalous flows (error→purchase spikes, view→view loops) fall straight
+    out of the matrix.
+
+    One window per user (the same single user_id exchange sessionization
+    uses — ordering key (ts, event_id) is unique so the lag is
+    deterministic), then a wordcount-shaped pair count whose output is at
+    most |event_types|² rows; the row-normalizing outflow join is over
+    that tiny matrix, not the event stream. Probability is the only float
+    and only in the emitted rounded value.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    outflow = pairs.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return pairs.join(outflow, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("prob"),
+    )

@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q20_excess_stock_suppliers",
     "events_sessionize",
     "dedup_incremental_batch",
+    "event_transition_matrix",
     # --- new round-4 queries register below this line and are floated here
     # as they land; remaining slots fill in registration order, which keeps
     # long-green queries cycling back through the window. ---
