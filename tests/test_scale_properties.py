@@ -130,3 +130,44 @@ def test_quantile_sketch_accuracy(spark, sf_dir, duck):
         for p in ("p50", "p95", "p99"):
             assert r[f"{p}_within_tol"] is True, (flag, p)
             assert abs(r[f"{p}_exact"] - exact[flag][p]) < 1e-5, (flag, p)
+
+
+def test_results_survive_broadcast_disabled(spark, sf_dir):
+    """Plans must degrade gracefully when nothing qualifies for auto
+    broadcast (the 100 TB reality for every non-dim join): disabling the
+    threshold must change join strategy, never results. Explicit
+    F.broadcast hints on constant-size dims (region/nation, 1-row totals)
+    legitimately still apply."""
+    from map_reduce_go_spark.registry import all_queries
+
+    names = ("q5_region_revenue", "funnel_view_click_purchase", "q2_min_cost_supplier")
+    qs = all_queries()
+    base = {n: sorted(map(tuple, qs[n].fn(spark, sf_dir).collect())) for n in names}
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for n in names:
+            got = sorted(map(tuple, qs[n].fn(spark, sf_dir).collect()))
+            assert got == base[n], f"{n} changed results without auto-broadcast"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_results_invariant_to_shuffle_partition_count(spark, sf_dir):
+    """Changing spark.sql.shuffle.partitions (5 vs the session's 32) must
+    not change any result — the determinism contract that lets the same
+    code run at any cluster size. Covers the order-sensitive shapes:
+    top-k, bounded windows, two-level aggs."""
+    from map_reduce_go_spark.registry import all_queries
+
+    names = ("q3_top_revenue_orders", "corpus_head_coverage", "tfidf_top_terms")
+    qs = all_queries()
+    base = {n: sorted(map(tuple, qs[n].fn(spark, sf_dir).collect())) for n in names}
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        for n in names:
+            got = sorted(map(tuple, qs[n].fn(spark, sf_dir).collect()))
+            assert got == base[n], f"{n} changed results at 5 shuffle partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
