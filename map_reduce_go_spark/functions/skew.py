@@ -1,0 +1,53 @@
+"""Skew mitigation for hot join keys: salting.
+
+AQE's skew-join splitting (on by default, session.py) handles most skew by
+splitting oversized shuffle partitions at runtime. Salting is the explicit
+fallback for the pathological case AQE can't fix — a SINGLE key so hot that
+splitting its partition still leaves one task per split reading the same
+build-side rows: append a salt to the probe side's key (spreading the hot
+key over N_SALT shuffle partitions) and replicate the build side once per
+salt value so every (key, salt) pair still finds its matches.
+
+Cost model: the build side is replicated n_salt×, so this is for
+(huge skewed probe) ⋈ (modest build) — exactly the shape where one hot key
+otherwise serializes the join into a single straggler task at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 16
+
+_SALT_COL = "__salt"
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Equi-join `probe` ⋈ `build` on `on`, spreading each probe row over
+    n_salt shuffle partitions.
+
+    The probe-side salt is DETERMINISTIC (xxhash64 of the whole row, mod
+    n_salt) rather than rand(): re-executed tasks (retries, speculation,
+    AQE re-plans) must salt each row identically or rows migrate between
+    partitions across attempts. The build side explodes one copy per salt
+    value; the join adds the salt column to the key so matching is exact.
+
+    Result is row-identical to ``probe.join(build, on, how)`` — asserted
+    in tests/test_skew.py over a pathological distribution.
+    """
+    if _SALT_COL in probe.columns or _SALT_COL in build.columns:
+        raise ValueError(f"{_SALT_COL} column name collides with input")
+    probe_s = probe.withColumn(
+        _SALT_COL, F.pmod(F.xxhash64(*probe.columns), F.lit(n_salt)).cast("int")
+    )
+    build_s = build.withColumn(
+        _SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return probe_s.join(build_s, [*on, _SALT_COL], how).drop(_SALT_COL)

@@ -37,3 +37,43 @@ def test_salted_aggregation_equals_direct(spark):
     )
     got = {r["k"]: (r["n"], r["s"]) for r in salted.collect()}
     assert got == direct
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be row-identical to the plain equi-join on a
+    pathological distribution (one key holding 80% of the probe side),
+    and its shuffle must hash on (key, salt) so the hot key spreads over
+    N_SALT partitions instead of serializing into one task."""
+    from map_reduce_go_spark.functions.skew import salted_join
+
+    probe = spark.range(100_000).select(
+        F.when(F.col("id") % 5 < 4, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 500).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("pid"),
+    )
+    build = spark.range(600).select(
+        F.when(F.col("id") == 0, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id").cast("string"))
+        ).alias("k"),
+        (F.col("id") * 10).alias("bval"),
+    )
+    plain = probe.join(build, ["k"]).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pid").alias("sp"), F.sum("bval").alias("sb")
+    )
+    salted = salted_join(probe, build, ["k"]).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pid").alias("sp"), F.sum("bval").alias("sb")
+    )
+    want = {r["k"]: (r["n"], r["sp"], r["sb"]) for r in plain.collect()}
+    got = {r["k"]: (r["n"], r["sp"], r["sb"]) for r in salted.collect()}
+    assert got == want
+
+    # The salted exchange must carry the salt in its partitioning key.
+    sj = salted_join(probe, build, ["k"])
+    plan = sj._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+    # Left-outer parity: unmatched probe rows survive exactly once.
+    lo_plain = probe.join(build, ["k"], "left").count()
+    lo_salted = salted_join(probe, build, ["k"], "left").count()
+    assert lo_plain == lo_salted
