@@ -24,7 +24,12 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 
@@ -72,10 +77,36 @@ class SyntheticEventsReader(DataSourceReader):
             yield _row(rid, self.n_users)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Unbounded streaming form (the rate-source analog): each micro-batch
+    is the next ``rowsPerBatch`` row indices. The offset is just the row
+    index, so replay (``readBetweenOffsets``, exactly-once recovery after
+    a checkpoint restart) regenerates the identical rows — determinism IS
+    the recovery story; there is no state beyond the offset."""
+
+    def __init__(self, options):
+        self.rows_per_batch = max(1, int(options.get("rowsPerBatch", 100)))
+        self.n_users = max(1, int(options.get("users", 50)))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        s = int(start["offset"])
+        e = s + self.rows_per_batch
+        return iter([_row(r, self.n_users) for r in range(s, e)]), {"offset": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_row(r, self.n_users) for r in range(int(start["offset"]), int(end["offset"]))]
+        )
+
+
 class SyntheticEventsDataSource(DataSource):
-    """`synthetic_events` batch source. Options: rows (default 1000),
-    partitions (default 4 — the parallelism contract), users (default 50,
-    the user_id cardinality)."""
+    """`synthetic_events` batch + streaming source. Batch options: rows
+    (default 1000), partitions (default 4 — the parallelism contract),
+    users (default 50, the user_id cardinality). Streaming options:
+    rowsPerBatch (default 100), users."""
 
     @classmethod
     def name(cls) -> str:
@@ -86,3 +117,6 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SyntheticEventsStreamReader(self.options)

@@ -66,3 +66,30 @@ def test_source_feeds_engine_operators(registered):
     assert out.where(F.col("view_epoch").isNull()).count() == 0
     types = {r["event_type"] for r in df.select("event_type").distinct().collect()}
     assert types == set(EVENT_TYPES)
+
+
+def test_stream_reader_one_batch(registered, tmp_path):
+    """The streaming form must emit exactly the first rowsPerBatch rows of
+    the deterministic sequence in its first micro-batch."""
+    import uuid
+
+    name = f"syn_{uuid.uuid4().hex[:8]}"
+    stream = (
+        registered.readStream.format("synthetic_events")
+        .option("rowsPerBatch", 64)
+        .option("users", 50)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, registered.table(name).collect()))
+    want = sorted(_row(r, 50) for r in range(64))
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert got == want
