@@ -44,6 +44,15 @@ def salted_join(
     """
     if _SALT_COL in probe.columns or _SALT_COL in build.columns:
         raise ValueError(f"{_SALT_COL} column name collides with input")
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        # The build side is replicated n_salt×: right/full-outer would emit
+        # every UNMATCHED build row once per salt copy. Swap the sides (the
+        # skewed side must be the probe) or use the plain join.
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched build rows "
+            "would be duplicated n_salt times; make the skewed side the probe"
+        )
     probe_s = probe.withColumn(
         _SALT_COL, F.pmod(F.xxhash64(*probe.columns), F.lit(n_salt)).cast("int")
     )

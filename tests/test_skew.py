@@ -77,3 +77,17 @@ def test_salted_join_equals_plain_join(spark):
     lo_plain = probe.join(build, ["k"], "left").count()
     lo_salted = salted_join(probe, build, ["k"], "left").count()
     assert lo_plain == lo_salted
+
+
+def test_salted_join_rejects_build_side_outer(spark):
+    """right/full outer must be refused: unmatched build rows would appear
+    once per salt replica."""
+    import pytest
+
+    from map_reduce_go_spark.functions.skew import salted_join
+
+    a = spark.range(10).select(F.col("id").alias("k"))
+    b = spark.range(10).select(F.col("id").alias("k"))
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="does not support"):
+            salted_join(a, b, ["k"], how=how)
