@@ -162,3 +162,36 @@ def test_json_malformed_records_permissive_and_failfast(spark, tmp_path):
     strict = spark.read.schema(schema).option("mode", "FAILFAST").json(str(p))
     with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
         strict.count()
+
+
+def test_range_partitioned_global_sort_export(spark, sf_dir, tmp_path):
+    """The curriculum-export pattern: repartitionByRange + sortWithin
+    Partitions gives a GLOBALLY ordered multi-file dataset (every row in
+    file i sorts before every row in file i+1, rows within a file sorted)
+    without a single-partition global sort — the way you write a corpus
+    in quality/length order at 100 TB."""
+    import glob
+
+    out = str(tmp_path / "by_len")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    (
+        docs.repartitionByRange(8, F.col("n_chars"), F.col("doc_id"))
+        .sortWithinPartitions("n_chars", "doc_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) > 1
+    prev_max = None
+    total = 0
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        if len(pdf) == 0:
+            continue
+        total += len(pdf)
+        keys = list(zip(pdf["n_chars"], pdf["doc_id"]))
+        assert keys == sorted(keys), f"{f} not internally sorted"
+        if prev_max is not None:
+            assert keys[0] >= prev_max, f"{f} overlaps previous file's range"
+        prev_max = keys[-1]
+    assert total == docs.count()
