@@ -109,6 +109,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     p = load_table(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    # Prune partsupp to the selected parts BEFORE the supplier joins and
+    # the min aggregate: the per-part regional minimum doesn't depend on
+    # other parts, so this is result-identical while shrinking every
+    # downstream operator by the part filter's selectivity (the oracle
+    # computes the unpruned form — results provably equal).
+    ps = ps.join(
+        F.broadcast(p.select("p_partkey")), ps.ps_partkey == F.col("p_partkey")
+    ).drop("p_partkey")
     regional = (
         ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
