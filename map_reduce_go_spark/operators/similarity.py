@@ -6,8 +6,8 @@
 - LSH-bucketed ANN: random-hyperplane sign buckets; candidates only from
   matching buckets.
 - IVF ANN: trained coarse-quantizer cells + nprobe search — the 100 TB
-  scale path. Recall vs brute force asserted in tests (engine-specific
-  index state -> rows-only driver check).
+  scale path. Recall vs brute force is a first-class oracle-backed query
+  (ann_ivf_recall_probe) and is additionally asserted in tests.
 
 Kernel architecture (learned the hard way; see dot64):
 - interpreted higher-order functions (zip_with/aggregate) are ~100× slower
@@ -131,9 +131,7 @@ _NORM_V = (
 )
 
 
-@register(
-    "knn_bruteforce_cosine",
-    oracle=f"""
+_BF_ORACLE = f"""
     SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank FROM (
       SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
              {_DOT} / ({_NORM_Q} * {_NORM_V}) AS raw_sim,
@@ -144,8 +142,10 @@ _NORM_V = (
       FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES}
     ) t WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+
+@register("knn_bruteforce_cosine", oracle=_BF_ORACLE)
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for a probe set of queries.
 
@@ -695,4 +695,56 @@ def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return emb.select("vec_id", _audit("embedding").alias("a")).select(
         "vec_id", "a.dim", "a.l2_norm", "a.n_zero", "a.n_nonfinite"
+    )
+
+
+@register(
+    "ann_ivf_recall_probe",
+    oracle=f"""
+    WITH bf AS ({_BF_ORACLE}),
+    ivf AS (SELECT * FROM ({_ivf_oracle_sql()}) t)
+    SELECT bf.query_id,
+           count(*) AS n_true,
+           CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS recall
+    FROM bf
+    LEFT JOIN ivf ON ivf.query_id = bf.query_id
+                 AND ivf.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def ann_ivf_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured IVF recall vs the exact brute-force baseline, per query:
+    of the true top-k neighbors, how many the NPROBE-cell search returned.
+    The acceptance metric every ANN index ships with — first-class and
+    oracle-replayed (both the exact ranking and the whole deterministic
+    index build run in SQL on the DuckDB side), not just a pytest
+    assertion. All counts integer; recall is the only float and only in
+    the emitted rounded value.
+
+    Cost note: runs both the baseline and the index search — a PROBE (the
+    thing you run when tuning K_CELLS/NPROBE on a sample), not a per-query
+    production path.
+    """
+    bf = knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias(
+                "recall"
+            ),
+        )
     )

@@ -94,6 +94,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_sessionize",
     "dedup_incremental_batch",
     "event_transition_matrix",
+    "ann_ivf_recall_probe",
     # --- new round-4 queries register below this line and are floated here
     # as they land; remaining slots fill in registration order, which keeps
     # long-green queries cycling back through the window. ---

@@ -15,6 +15,7 @@ from map_reduce_go_spark.registry import all_queries
 _EXEC_AT_BUILD = {
     "dedup_clusters",
     "ann_ivf_cosine",
+    "ann_ivf_recall_probe",  # trains the IVF codebook
     "dedup_keep_best",  # runs dedup_clusters' propagation loop
     "semdedup_prune",  # trains the IVF codebook
     "near_dup_cluster_sizes",  # runs dedup_clusters' propagation loop
