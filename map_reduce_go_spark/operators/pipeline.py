@@ -551,3 +551,45 @@ def eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
         )
     )
+
+
+# Weighted-sampling knobs: keep probability = min(n_chars, _W_CAP)/_W_CAP
+# × 0.5, expressed ENTIRELY in integers (threshold = min(n_chars, cap) ×
+# _W_SCALE out of _SAMPLE_MOD) so row membership is bit-deterministic in
+# both engines — no float probability ever compares against the hash draw.
+_W_CAP = 400
+_W_SCALE = _SAMPLE_MOD // (2 * _W_CAP)  # cap × scale = 0.5 × _SAMPLE_MOD
+
+
+@register(
+    "length_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           CAST(least(n_chars, {_W_CAP}) * {_W_SCALE} AS BIGINT) AS keep_threshold
+    FROM documents
+    WHERE CAST('0x' || substring(md5('len|' || CAST(doc_id AS VARCHAR) || '|{SAMPLE_SEED}'), 1, 8)
+               AS BIGINT) % {_SAMPLE_MOD}
+          < least(n_chars, {_W_CAP}) * {_W_SCALE}
+    """,
+)
+def length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus sampling: each document kept with probability
+    proportional to its (capped) length — the importance-sampling
+    primitive behind quality-weighted mixtures (production swaps in any
+    integer-scaled quality score; the fixture's n_chars column is the
+    stand-in). The draw is the same content-keyed hash-Bernoulli as
+    stratified_sample_by_lang (different hash domain, so the two samples
+    are independent), and the keep threshold is pure integer arithmetic —
+    no float probability ever meets the hash, so the sample is
+    bit-reproducible across runs, partitionings, and engines.
+
+    Map-side filter fused into the scan; no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat_ws("|", F.lit("len"), F.col("doc_id").cast("string"), F.lit(str(SAMPLE_SEED)))
+    )
+    draw = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _SAMPLE_MOD
+    threshold = F.least(F.col("n_chars"), F.lit(_W_CAP)) * _W_SCALE
+    return docs.where(draw < threshold).select(
+        "doc_id", "n_chars", threshold.cast("long").alias("keep_threshold")
+    )

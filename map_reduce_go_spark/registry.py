@@ -95,6 +95,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_batch",
     "event_transition_matrix",
     "ann_ivf_recall_probe",
+    "length_weighted_sample",
     # --- new round-4 queries register below this line and are floated here
     # as they land; remaining slots fill in registration order, which keeps
     # long-green queries cycling back through the window. ---
