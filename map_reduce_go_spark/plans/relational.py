@@ -1380,3 +1380,36 @@ def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack(5, {stack_args}) AS "
         "(column_name, n_rows, n_nonnull, n_distinct, min_value, max_value)"
     )
+
+
+@register(
+    "scalar_bitwise_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT) AS and_mask,
+           CAST(l_orderkey | 4096 AS BIGINT) AS or_flag,
+           CAST(xor(l_orderkey, l_linenumber) AS BIGINT) AS xor_key,
+           CAST(l_linenumber << 4 AS BIGINT) AS shl,
+           CAST(l_orderkey >> 2 AS BIGINT) AS shr,
+           CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS INTEGER) AS popcount
+    FROM lineitem
+    """,
+)
+def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function parity: and/or/xor masks, shifts, popcount — the
+    family behind bitmap indexes, bloom/bitset membership, and flag-packed
+    columns. Pure codegen projections over the scan; integer-exact in both
+    engines by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ok.bitwiseAND(F.lit(255)).alias("and_mask"),
+        ok.bitwiseOR(F.lit(4096)).alias("or_flag"),
+        ok.bitwiseXOR(ln).alias("xor_key"),
+        F.shiftleft(ln, 4).cast("long").alias("shl"),
+        F.shiftright(ok, 2).alias("shr"),
+        F.bit_count(ok).alias("popcount"),
+    )

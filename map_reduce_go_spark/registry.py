@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "event_transition_matrix",
     "ann_ivf_recall_probe",
     "length_weighted_sample",
+    "scalar_bitwise_functions",
     # --- new round-4 queries register below this line and are floated here
     # as they land; remaining slots fill in registration order, which keeps
     # long-green queries cycling back through the window. ---
