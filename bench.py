@@ -95,6 +95,10 @@ def main() -> None:
         "value": round(sum(results.values()), 3),
         "unit": "sec",
         "queries": results,
+        # value sums only COMPLETED queries — completed/attempted make a
+        # partial run visible so an errored round can't read as a speedup.
+        "completed": len(results),
+        "attempted": len(HEADLINE),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -33,11 +33,18 @@ def salted_join(
     """Equi-join `probe` ⋈ `build` on `on`, spreading each probe row over
     n_salt shuffle partitions.
 
-    The probe-side salt is DETERMINISTIC (xxhash64 of the whole row, mod
-    n_salt) rather than rand(): re-executed tasks (retries, speculation,
-    AQE re-plans) must salt each row identically or rows migrate between
-    partitions across attempts. The build side explodes one copy per salt
-    value; the join adds the salt column to the key so matching is exact.
+    The probe-side salt is DETERMINISTIC — xxhash64 of the whole row plus
+    the input partition id, mod n_salt — rather than rand(): re-executed
+    tasks (retries, speculation, AQE re-plans) must salt each row
+    identically or rows migrate between partitions across attempts, and
+    both components are stable per attempt (same input split -> same
+    partition id, same bytes -> same hash). The partition-id term is what
+    spreads IDENTICAL duplicate rows (the row hash alone would send every
+    copy of a projected-down hot row to one salt — exactly the straggler
+    the function exists to prevent); duplicates within one input split
+    still share a salt, which bounds residual skew at the split size. The
+    build side explodes one copy per salt value; the join adds the salt
+    column to the key so matching is exact.
 
     Result is row-identical to ``probe.join(build, on, how)`` — asserted
     in tests/test_skew.py over a pathological distribution.
@@ -54,7 +61,10 @@ def salted_join(
             "would be duplicated n_salt times; make the skewed side the probe"
         )
     probe_s = probe.withColumn(
-        _SALT_COL, F.pmod(F.xxhash64(*probe.columns), F.lit(n_salt)).cast("int")
+        _SALT_COL,
+        F.pmod(
+            F.xxhash64(*probe.columns) + F.spark_partition_id(), F.lit(n_salt)
+        ).cast("int"),
     )
     build_s = build.withColumn(
         _SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

@@ -219,6 +219,34 @@ def lsh_candidate_pairs(
     )
 
 
+def _jaccard_over_candidates(
+    cand: DataFrame, arrays: DataFrame, min_sim: float | None = None
+) -> DataFrame:
+    """Score (doc_a, doc_b) candidate pairs with exact shingle Jaccard:
+    both sides' (already per-doc-distinct) shingle arrays join in, the
+    intersection size is codegen'd array_intersect, and the optional
+    ``min_sim`` filter applies to the RAW similarity (the rounded value is
+    only for emission). One definition for every LSH pipeline variant so
+    the formula and its 6-dp oracle-parity rounding can never drift
+    between them."""
+    a = arrays.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = arrays.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    nc = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc)
+    scored = cand.join(a, "doc_a").join(b, "doc_b")
+    if min_sim is not None:
+        scored = scored.where(jacc >= min_sim)
+    return scored.select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+
+
 _ORACLE_SIGS = ",\n".join(
     f"min(substr(md5({'s' if p < 4 else chr(39) + 'x|' + chr(39) + ' || s'}), "
     f"{1 + 8 * (p % 4)}, 8)) AS sig{p}"
@@ -276,28 +304,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard arrays — cached so the tokenize/trigram work runs once.
     sa = _shingle_arrays(docs).cache()
     cand = lsh_candidate_pairs(docs, shingle_arrays=sa)
-    a = sa.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n").alias("n_a"),
-    )
-    b = sa.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n").alias("n_b"),
-    )
-    nc = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc), 6
-            ).alias("jaccard"),
-        )
-    )
+    return _jaccard_over_candidates(cand, sa)
 
 
 _SIMHASH_BITS = 16
@@ -725,28 +732,7 @@ def dedup_pipeline_exact_then_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     survivors = docs.join(keep, "doc_id", "left_semi")
     sa = _shingle_arrays(survivors).cache()
     cand = lsh_candidate_pairs(survivors, shingle_arrays=sa)
-    a = sa.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n").alias("n_a"),
-    )
-    b = sa.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n").alias("n_b"),
-    )
-    nc = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc), 6
-            ).alias("jaccard"),
-        )
-    )
+    return _jaccard_over_candidates(cand, sa)
 
 
 # --------------------------------------------------------------------------
@@ -1081,33 +1067,14 @@ def dedup_minhash_lsh_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFram
         .cache()
     )
     cand = lsh_candidate_pairs(docs, shingle_arrays=arrays)
-    a = arrays.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n").alias("n_a"),
-    )
-    b = arrays.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n").alias("n_b"),
-    )
-    nc = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc), 6
-            ).alias("jaccard"),
-        )
-    )
+    return _jaccard_over_candidates(cand, arrays)
 
 
-# "New arrivals" = the top NEW_BATCH_FRAC tail of doc_ids — the fixture
-# stand-in for an ingestion batch arriving against an existing corpus.
-NEW_BATCH_FRAC = 0.8
+# Cut point between "existing corpus" and "new arrivals": docs with
+# doc_id >= floor(n_docs × NEW_BATCH_CUT) are the arriving batch (i.e. the
+# batch is the top 1 - NEW_BATCH_CUT fraction of ids — RAISING the cut
+# SHRINKS the batch). Fixture stand-in for an ingestion batch.
+NEW_BATCH_CUT = 0.8
 NEAR_MATCH_SIM = 0.5
 
 
@@ -1115,7 +1082,7 @@ NEAR_MATCH_SIM = 0.5
     "dedup_incremental_batch",
     oracle=f"""
     WITH cut AS (
-      SELECT CAST(floor(count(*) * {NEW_BATCH_FRAC}) AS BIGINT) AS cut
+      SELECT CAST(floor(count(*) * {NEW_BATCH_CUT}) AS BIGINT) AS cut
       FROM documents
     ),
     exact AS (
@@ -1175,7 +1142,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     cut = docs.agg(
-        F.floor(F.count(F.lit(1)) * NEW_BATCH_FRAC).cast("long").alias("cut")
+        F.floor(F.count(F.lit(1)) * NEW_BATCH_CUT).cast("long").alias("cut")
     )
     d = docs.crossJoin(F.broadcast(cut))
     old_docs = d.where(F.col("doc_id") < F.col("cut"))
@@ -1202,27 +1169,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_a") < F.col("cut")) & (F.col("doc_b") >= F.col("cut")))
         .select("doc_a", "doc_b")
     )
-    a = sa.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n").alias("n_a"),
-    )
-    b = sa.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n").alias("n_b"),
-    )
-    nc = F.size(F.array_intersect("sh_a", "sh_b"))
-    jacc = nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc)
-    near = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .where(jacc >= NEAR_MATCH_SIM)
-        .select(
-            F.col("doc_b").alias("new_doc_id"),
-            F.col("doc_a").alias("match_doc_id"),
-            F.lit("near").alias("match_type"),
-            F.round(jacc, 6).alias("jaccard"),
-        )
+    near = _jaccard_over_candidates(cand, sa, min_sim=NEAR_MATCH_SIM).select(
+        F.col("doc_b").alias("new_doc_id"),
+        F.col("doc_a").alias("match_doc_id"),
+        F.lit("near").alias("match_type"),
+        "jaccard",
     )
     return exact.unionByName(near)

@@ -27,6 +27,21 @@ def _tokens() -> Column:
     return F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
 
 
+def _adjacent_pairs(toks: Column, combine, empty_type: str) -> Column:
+    """Adjacent-token pairs via zip_with over two slices of the token
+    array, guarded for SHORT DOCUMENTS: with fewer than two tokens the
+    slice length (size-1) would be negative, which is a runtime
+    INVALID_PARAMETER_VALUE crash in Spark (DuckDB's generate_series just
+    yields nothing) — so sub-2-token docs produce an explicit empty array
+    instead. `combine(a, b)` builds each pair element; `empty_type` is the
+    result array type for the empty branch."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1), combine),
+    ).otherwise(F.array().cast(empty_type))
+
+
 def _hits(langwords: tuple[str, ...]) -> Column:
     return F.size(F.filter(_tokens(), lambda t: t.isin(*langwords)))
 
@@ -241,12 +256,8 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-deterministic (count DESC, bigram ASC) — no float ordering to
     diverge cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
+    bigrams = _adjacent_pairs(
+        _tokens(), lambda a, b: F.concat_ws(" ", a, b), "array<string>"
     )
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
@@ -626,12 +637,10 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer, so cross-engine ordering cannot drift.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
-    n = F.size(toks)
-    pairs = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+    pairs = _adjacent_pairs(
+        _tokens(),
         lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bigram")),
+        "array<struct<w1:string,bigram:string>>",
     )
     bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.bigram"
@@ -698,12 +707,10 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine ULP noise cannot change the result set.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n = F.size(toks)
-    pairs = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+    pairs = _adjacent_pairs(
+        _tokens(),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        "array<struct<w1:string,w2:string>>",
     )
     bg = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")).cache()

@@ -6,7 +6,7 @@ shapes were missing from the sweep (plans/tpch_shapes.py covers the other
 deterministically from part × supplier with pure integer arithmetic that
 both engines replay identically:
 
-    ps_suppkey   = (p_partkey * 4 + i) % n_supp          for i in 0..3
+    ps_suppkey   = (p_partkey * N_PS_SUPP + i) % n_supp  for i in 0..N_PS_SUPP-1
     ps_availqty  = (p_partkey*31 + ps_suppkey*17) % 9999 + 1
     ps_cents     = (p_partkey*13 + ps_suppkey*7) % 100000 + 100
     ps_supplycost = ps_cents / 100.0   (one IEEE division — bit-identical)
@@ -36,16 +36,18 @@ from map_reduce_go_spark.sources.readers import load_table
 
 N_PS_SUPP = 4  # suppliers per part
 
-_PS_SQL = """
+# Every occurrence of the supplier count/multiplier derives from N_PS_SUPP
+# so the Spark derivation and the oracle CTE can never drift apart.
+_PS_SQL = f"""
     ns AS (SELECT count(*) AS n_supp FROM supplier),
     ps AS (
       SELECT p.p_partkey AS ps_partkey,
-             CAST((p.p_partkey * 4 + t.i) % ns.n_supp AS BIGINT) AS ps_suppkey,
-             CAST((p.p_partkey * 31 + ((p.p_partkey * 4 + t.i) % ns.n_supp) * 17) % 9999 + 1
+             CAST((p.p_partkey * {N_PS_SUPP} + t.i) % ns.n_supp AS BIGINT) AS ps_suppkey,
+             CAST((p.p_partkey * 31 + ((p.p_partkey * {N_PS_SUPP} + t.i) % ns.n_supp) * 17) % 9999 + 1
                   AS BIGINT) AS ps_availqty,
-             CAST((p.p_partkey * 13 + ((p.p_partkey * 4 + t.i) % ns.n_supp) * 7) % 100000 + 100
+             CAST((p.p_partkey * 13 + ((p.p_partkey * {N_PS_SUPP} + t.i) % ns.n_supp) * 7) % 100000 + 100
                   AS BIGINT) AS ps_cents
-      FROM part p CROSS JOIN ns, unnest([0, 1, 2, 3]) AS t(i)
+      FROM part p CROSS JOIN ns, unnest([{", ".join(str(i) for i in range(N_PS_SUPP))}]) AS t(i)
     )
 """
 
@@ -60,7 +62,7 @@ def derive_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     i = F.explode(F.array(*[F.lit(x) for x in range(N_PS_SUPP)])).alias("i")
     base = part.crossJoin(F.broadcast(ns)).select("p_partkey", "n_supp", i)
-    suppkey = (F.col("p_partkey") * 4 + F.col("i")) % F.col("n_supp")
+    suppkey = (F.col("p_partkey") * N_PS_SUPP + F.col("i")) % F.col("n_supp")
     return base.select(
         F.col("p_partkey").alias("ps_partkey"),
         suppkey.cast("long").alias("ps_suppkey"),

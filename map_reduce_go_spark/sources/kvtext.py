@@ -45,6 +45,11 @@ class KVTextWriter(DataSourceWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("kv_text writer requires option 'path'")
+        # One id per WRITE JOB (constructed driver-side, pickled to every
+        # task): final filenames carry it so a second append to the same
+        # directory gets fresh part files instead of os.replace silently
+        # clobbering a previous job's part-NNNNN output.
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> KVTextCommit:
         from pyspark import TaskContext
@@ -63,7 +68,9 @@ class KVTextWriter(DataSourceWriter):
         for m in messages:
             if m is None:
                 continue
-            final = os.path.join(self.path, f"part-{m.partition_id:05d}.txt")
+            final = os.path.join(
+                self.path, f"part-{m.partition_id:05d}-{self.job_id}.txt"
+            )
             os.replace(m.tmp_path, final)  # the atomic boundary
 
     def abort(self, messages) -> None:

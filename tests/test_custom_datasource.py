@@ -119,5 +119,18 @@ def test_kv_text_writer_roundtrip_and_atomicity(registered, tmp_path):
         with open(p, encoding="utf-8") as f:
             lines += [ln.rstrip("\n") for ln in f]
     assert sorted(lines) == ["alpha 3", "beta 1", "delta 2", "gamma 7"]
-    # Every file named by its partition id, reference mr-out-N style.
-    assert [os.path.basename(p) for p in parts] == ["part-00000.txt", "part-00001.txt"]
+    # Files named by partition id + a per-job id (reference mr-out-N style,
+    # made append-safe across jobs).
+    names = [os.path.basename(p) for p in parts]
+    assert names[0].startswith("part-00000-") and names[1].startswith("part-00001-")
+
+    # A second append job must ADD part files, never clobber the first
+    # job's output (regression: partition-id-only names + os.replace
+    # silently overwrote earlier jobs).
+    df2 = registered.createDataFrame([("epsilon", 9)], ["key", "value"]).repartition(1)
+    df2.write.format("kv_text").mode("append").option("path", out).save()
+    all_lines = []
+    for p in sorted(glob.glob(f"{out}/part-*.txt")):
+        with open(p, encoding="utf-8") as f:
+            all_lines += [ln.rstrip("\n") for ln in f]
+    assert sorted(all_lines) == ["alpha 3", "beta 1", "delta 2", "epsilon 9", "gamma 7"]

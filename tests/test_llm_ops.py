@@ -361,3 +361,31 @@ def test_lsh_stop_filter_fires_and_bounds_pair_mass(spark, sf_dir):
     kept_max = dfreq.where(F.col("df") <= LSH_STOP_DF).agg(F.max("df")).collect()[0][0]
     assert kept_max <= LSH_STOP_DF
     dfreq.unpersist()
+
+
+def test_adjacent_pairs_survive_short_docs(spark):
+    """Regression: documents with <2 letter tokens (digits-only, empty,
+    single word) made the bigram slice length negative — a runtime crash
+    in Spark where the DuckDB oracle silently yields no rows. The guarded
+    builder must yield zero pairs for such docs and normal pairs
+    otherwise."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_go_spark.operators.textstats import _adjacent_pairs, _tokens
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "12345 !!!"), (3, ""), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    pairs = _adjacent_pairs(
+        _tokens(), lambda a, b: F.concat_ws(" ", a, b), "array<string>"
+    )
+    out = df.select("doc_id", F.explode_outer(pairs).alias("bigram")).collect()
+    got = {(r["doc_id"], r["bigram"]) for r in out}
+    assert got == {
+        (1, "alpha beta"),
+        (1, "beta gamma"),
+        (2, None),
+        (3, None),
+        (4, None),
+    }

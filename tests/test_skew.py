@@ -91,3 +91,27 @@ def test_salted_join_rejects_build_side_outer(spark):
     for how in ("right", "full", "outer", "full_outer"):
         with pytest.raises(ValueError, match="does not support"):
             salted_join(a, b, ["k"], how=how)
+
+
+def test_salted_join_spreads_identical_duplicate_rows(spark):
+    """Regression: whole-row hashing alone sends every copy of an
+    IDENTICAL hot row to one salt partition. With the partition-id term,
+    duplicates spanning input splits must land on multiple salts (and
+    join results stay exact)."""
+    from map_reduce_go_spark.functions.skew import _SALT_COL, salted_join
+
+    probe = (
+        spark.range(40_000)
+        .repartition(16)
+        .select(F.lit("hot").alias("k"))
+    )
+    build = spark.createDataFrame([("hot", 1)], ["k", "bval"])
+    joined = salted_join(probe, build, ["k"])
+    assert joined.count() == 40_000
+    # Inspect the salt distribution directly.
+    probe_s = probe.withColumn(
+        _SALT_COL,
+        F.pmod(F.xxhash64(*probe.columns) + F.spark_partition_id(), F.lit(16)).cast("int"),
+    )
+    n_salts = probe_s.select(_SALT_COL).distinct().count()
+    assert n_salts > 1, "identical duplicate rows all collapsed onto one salt"
