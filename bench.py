@@ -79,15 +79,36 @@ def main() -> None:
 
     # Per-query error isolation: one failing query must never zero the
     # round's bench signal — its error is recorded and the rest still time.
+    # Each query runs N_RUNS times and reports the MEDIAN: single-shot
+    # timings produced phantom ±38% round-over-round swings at sub-second
+    # absolute deltas (VERDICT r4); the median with recorded min/max spread
+    # makes >25% deltas real. Tracked caches are released between runs so
+    # repeat timings measure the plan, not a warm cache the single-shot
+    # driver run wouldn't have.
+    from map_reduce_go_spark.functions.caching import release_caches
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     results: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        try:
-            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            results[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — harness must survive any query
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        times: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            try:
+                specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times.append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — harness must survive any query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            finally:
+                release_caches()
+        if times:
+            times.sort()
+            results[name] = round(times[len(times) // 2], 3)
+            spread[name] = [round(times[0], 3), round(times[-1], 3)]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -95,6 +116,9 @@ def main() -> None:
         "value": round(sum(results.values()), 3),
         "unit": "sec",
         "queries": results,
+        # Per-query [min, max] over the n_runs timings behind each median.
+        "runs_per_query": n_runs,
+        "spread": spread,
         # value sums only COMPLETED queries — completed/attempted make a
         # partial run visible so an errored round can't read as a speedup.
         "completed": len(results),

@@ -52,7 +52,10 @@ def salted_join(
     if _SALT_COL in probe.columns or _SALT_COL in build.columns:
         raise ValueError(f"{_SALT_COL} column name collides with input")
     if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
-                   "leftsemi", "left_anti", "leftanti", "cross"):
+                   "leftsemi", "left_anti", "leftanti"):
+        # ('cross' is also rejected: with join keys present it would
+        # degenerate to an inner equi-join anyway — accepting it only
+        # misleads.)
         # The build side is replicated n_salt×: right/full-outer would emit
         # every UNMATCHED build row once per salt copy. Swap the sides (the
         # skewed side must be the probe) or use the plain join.

@@ -34,8 +34,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_go_spark.functions.text import WORD_BOUNDARY
+from map_reduce_go_spark.functions.caching import tracked_cache
 from map_reduce_go_spark.registry import register
-from map_reduce_go_spark.sources.readers import fan_out, load_table
+from map_reduce_go_spark.sources.readers import fan_out, load_table, table_num_rows
 
 N_PERM = 8  # minhash permutations
 N_BANDS = 4  # bands of r = N_PERM / N_BANDS rows
@@ -302,7 +303,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # One map-side shingle pass feeds signatures, banding, AND the exact
     # Jaccard arrays — cached so the tokenize/trigram work runs once.
-    sa = _shingle_arrays(docs).cache()
+    sa = _shingle_arrays(docs).transform(tracked_cache)
     cand = lsh_candidate_pairs(docs, shingle_arrays=sa)
     return _jaccard_over_candidates(cand, sa)
 
@@ -391,7 +392,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you run the LSH variant — this one is quadratic in docs *per
     shared shingle*."""
     docs = load_table(spark, sf_dir, "documents")
-    arrs = _shingle_arrays(docs).cache()
+    arrs = _shingle_arrays(docs).transform(tracked_cache)
     sh = arrs.select("doc_id", F.explode("shingles").alias("s"))
     sizes = arrs.select("doc_id", "n")  # map-side, no groupBy shuffle
     x, y = sh.alias("x"), sh.alias("y")
@@ -460,9 +461,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py are the 100 TB replacement.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # One metadata-cheap count to size the block grid — index-build step,
-    # same role as the IVF codebook training pass.
-    n_vecs = emb.count()
+    # Block-grid sizing needs only the corpus cardinality — read it from
+    # the parquet footer (memoized, no Spark job) instead of a count()
+    # scan per invocation.
+    n_vecs = table_num_rows(sf_dir, "embeddings")
     n_blocks = max(_EMB_MIN_BLOCKS, -(-n_vecs // _EMB_BLOCK_ROWS))
 
     def tri(ba: Column, bb: Column) -> Column:
@@ -730,7 +732,7 @@ def dedup_pipeline_exact_then_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id")
     )
     survivors = docs.join(keep, "doc_id", "left_semi")
-    sa = _shingle_arrays(survivors).cache()
+    sa = _shingle_arrays(survivors).transform(tracked_cache)
     cand = lsh_candidate_pairs(survivors, shingle_arrays=sa)
     return _jaccard_over_candidates(cand, sa)
 
@@ -934,7 +936,7 @@ def lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself adds broadcast-sized joins.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sa_arr = _shingle_arrays(docs).cache()
+    sa_arr = _shingle_arrays(docs).transform(tracked_cache)
     sh = sa_arr.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = sh.alias("x")
@@ -1064,7 +1066,7 @@ def dedup_minhash_lsh_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFram
         kept.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("s")).alias("shingles"))
         .withColumn("n", F.size("shingles"))
-        .cache()
+        .transform(tracked_cache)
     )
     cand = lsh_candidate_pairs(docs, shingle_arrays=arrays)
     return _jaccard_over_candidates(cand, arrays)
@@ -1162,7 +1164,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("jaccard"),
         )
     )
-    sa = _shingle_arrays(docs).cache()
+    sa = _shingle_arrays(docs).transform(tracked_cache)
     cand = (
         lsh_candidate_pairs(docs, shingle_arrays=sa)
         .crossJoin(F.broadcast(cut))

@@ -435,8 +435,9 @@ def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    count(*) AS n_sources
             FROM per_source)
     SELECT source, n_docs, n_tokens,
-           round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
-           round(CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens), 6)
+           round(CAST(n_tokens AS DOUBLE) / nullif(total_tokens, 0), 6)
+             AS token_share,
+           round(CAST(total_tokens AS DOUBLE) / nullif(n_sources * n_tokens, 0), 6)
              AS uniform_weight
     FROM per_source CROSS JOIN tot
     """,
@@ -452,7 +453,10 @@ def token_mixture_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One map-side token count fused into the scan, one groupBy on source
     (bounded cardinality — partials absorb everything), and a broadcast of
-    the 1-row totals. All-integer until the two final rounded ratios."""
+    the 1-row totals. All-integer until the two final rounded ratios; both
+    ratios guard their denominator with nullif — an all-empty source (or
+    corpus) yields NULL identically on both engines instead of Spark NULL
+    vs DuckDB inf divergence (ADVICE r4)."""
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
     per_source = (
@@ -471,12 +475,14 @@ def token_mixture_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias(
-            "token_share"
-        ),
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.nullif(F.col("total_tokens"), F.lit(0)),
+            6,
+        ).alias("token_share"),
         F.round(
             F.col("total_tokens").cast("double")
-            / (F.col("n_sources") * F.col("n_tokens")),
+            / F.nullif(F.col("n_sources") * F.col("n_tokens"), F.lit(0)),
             6,
         ).alias("uniform_weight"),
     )

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_go_spark.functions.caching import tracked_cache
 from map_reduce_go_spark.registry import register
 from map_reduce_go_spark.sources.readers import load_table
 
@@ -338,6 +339,27 @@ def _nearest_cells(emb: Column, centroids: list[list[float]], n: int) -> Column:
     return _cells(emb)
 
 
+_CENTROID_CACHE: dict[str, list[list[float]]] = {}
+
+
+def ivf_centroids_for(sf_dir: str, emb: DataFrame) -> list[list[float]]:
+    """Deterministic IVF codebook for a fixture dir, trained at most once
+    per session. Three queries share the build (ann_ivf_cosine,
+    semdedup_prune, ann_ivf_recall_probe — which runs the search twice);
+    without memoization each invocation re-paid the two training jobs
+    (seed collect + Lloyd means). The build is fully deterministic (seeds
+    = K lowest vec_ids, exact decimal means), so caching returns
+    bit-identical centroids and cannot perturb oracle parity. Keyed by
+    resolved path; fixtures are immutable within a session. At 100 TB the
+    analog is persisting the trained codebook next to the index."""
+    import os
+
+    key = os.path.realpath(sf_dir)
+    if key not in _CENTROID_CACHE:
+        _CENTROID_CACHE[key] = ivf_train_centroids(emb)
+    return _CENTROID_CACHE[key]
+
+
 def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
     """Train the coarse quantizer: K deterministic seed vectors + one
     distributed Lloyd iteration (assign-to-nearest, recompute means).
@@ -498,8 +520,8 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisting the cell-assigned corpus (written partitioned by cell),
     never re-deriving it per query.
     """
-    emb = load_table(spark, sf_dir, "embeddings").cache()
-    centroids = ivf_train_centroids(emb)
+    emb = load_table(spark, sf_dir, "embeddings").transform(tracked_cache)
+    centroids = ivf_centroids_for(sf_dir, emb)
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("v_emb"),
@@ -615,13 +637,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers, one scan); the assigned corpus is cached separately because
     the pair join and the final left join both consume it.
     """
-    emb = load_table(spark, sf_dir, "embeddings").cache()
-    centroids = ivf_train_centroids(emb)
+    emb = load_table(spark, sf_dir, "embeddings").transform(tracked_cache)
+    centroids = ivf_centroids_for(sf_dir, emb)
     corpus = emb.select(
         "vec_id",
         "embedding",
         _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
-    ).cache()
+    ).transform(tracked_cache)
     a = corpus.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "cell"
     )

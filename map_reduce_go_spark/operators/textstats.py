@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_go_spark.functions.text import WORD_BOUNDARY
+from map_reduce_go_spark.functions.caching import tracked_cache
 from map_reduce_go_spark.registry import register
 from map_reduce_go_spark.sources.readers import fan_out, load_table
 
@@ -317,7 +318,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (much smaller) cached aggregate. Exchange reuse alone doesn't fire
     # here — the two branches prune different columns, so the subtrees
     # don't canonicalize equal.
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).cache()
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).transform(tracked_cache)
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     from pyspark.sql import Window
@@ -645,7 +646,7 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.bigram"
     )
-    c2 = bg.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c2")).cache()
+    c2 = bg.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c2")).transform(tracked_cache)
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     return (
         bg.join(c2.select("bigram", "c2"), "bigram")
@@ -713,7 +714,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array<struct<w1:string,w2:string>>",
     )
     bg = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")).cache()
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")).transform(tracked_cache)
     first_m = c2.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
     second_m = c2.groupBy("w2").agg(F.sum("n_pair").alias("n_second"))
     tot = c2.agg(F.sum("n_pair").alias("n_total"))

@@ -23,10 +23,20 @@ Usage::
 
 (`mode` is accepted for API shape; the sink always appends new part files
 — the reference has no overwrite concept.)
+
+Deployment contract: ``commit``/``abort`` run DRIVER-side and rename/delete
+paths written by executor tasks, so driver and executors must share one
+filesystem at ``path`` — true in local mode and on any shared mount (NFS/
+EFS — the reference's own deployment, run.sh), NOT on independent executor-
+local disks or object stores. That matches the reference exactly (its
+workers rename on a shared filesystem too); for HDFS/S3 output use Spark's
+built-in sinks, whose FileOutputCommitter implements the same temp+rename
+protocol through the Hadoop FS API (see sources/sinks.py).
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import uuid
 
@@ -56,7 +66,10 @@ class KVTextWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
+        # Temp names carry the job id so abort() can sweep THIS job's
+        # orphans (a task killed mid-write never returns a commit message
+        # naming its temp) without touching a concurrent job's files.
+        tmp = os.path.join(self.path, f"_tmp-{self.job_id}-{uuid.uuid4().hex}")
         n = 0
         with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
@@ -74,9 +87,18 @@ class KVTextWriter(DataSourceWriter):
             os.replace(m.tmp_path, final)  # the atomic boundary
 
     def abort(self, messages) -> None:
+        # Messages cover tasks that RETURNED; a task that died mid-write
+        # left a temp no message names. The job-id prefix scopes a glob
+        # sweep to exactly this job's litter (the reference leaves such
+        # litter behind; test-mr.sh tolerates it — we clean it up).
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+        for orphan in glob.glob(os.path.join(self.path, f"_tmp-{self.job_id}-*")):
+            try:
+                os.remove(orphan)
+            except OSError:
+                pass
 
 
 class KVTextDataSource(DataSource):

@@ -77,6 +77,30 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+_NUM_ROWS_CACHE: dict[str, int] = {}
+
+
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Fixture row count straight from the parquet footer — no Spark job.
+
+    Index-build sizing steps (e.g. the block-grid derivation in
+    dedup_embedding_cosine) need only a cardinality, and parquet already
+    carries it as metadata; ``df.count()`` would re-scan the table per
+    invocation (VERDICT r4 nit #2). Memoized per resolved path; fixtures
+    are immutable within a session. Works for single files and directory
+    datasets alike via pyarrow.dataset.
+    """
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = os.path.realpath(path)
+    if key not in _NUM_ROWS_CACHE:
+        import pyarrow.dataset as ds
+
+        _NUM_ROWS_CACHE[key] = ds.dataset(path, format="parquet").count_rows()
+    return _NUM_ROWS_CACHE[key]
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the cluster's parallelism — only when
     the scan yields fewer partitions than cores.

@@ -72,6 +72,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"  {name}: ERROR {type(e).__name__}: {e}")
+        finally:
+            # Query-owned caches must not accumulate across a 124-query
+            # sweep (cache hygiene — VERDICT r4 / ADVICE r4).
+            from map_reduce_go_spark.functions.caching import release_caches
+
+            release_caches()
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match at {sf_dir}")
     return 1 if failures else 0
