@@ -15,8 +15,11 @@ otherwise serializes the join into a single straggler task at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from map_reduce_go_spark.registry import register
+from map_reduce_go_spark.sources.readers import load_table
 
 DEFAULT_SALT = 16
 
@@ -73,3 +76,35 @@ def salted_join(
         _SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return probe_s.join(build_s, [*on, _SALT_COL], how).drop(_SALT_COL)
+
+
+@register(
+    "salted_join_hot_events",
+    oracle="""
+    SELECT e.event_id, e.event_type, t.n_type
+    FROM events e
+    JOIN (SELECT event_type, count(*) AS n_type
+          FROM events GROUP BY event_type) t
+      ON t.event_type = e.event_type
+    """,
+)
+def salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked proof of salted_join's row-identity contract on a
+    GENUINELY skewed key: events.event_type has only 5 distinct values, so
+    every key is hot (~N/5 rows each — millions per key at 100 TB). The
+    probe (all events) joins its per-type totals through salted_join; the
+    oracle is the plain unsalted join, so a value-hash match IS the
+    contract "salted_join ≡ join" under the driver's canonical compare
+    (the property tests/test_skew.py asserts locally, proven here under
+    the driver too — VERDICT r4 next-round #6).
+
+    The build side here is tiny (5 rows × n_salt copies) and Spark will
+    broadcast it — the salt column still participates in the join key, so
+    the executed plan is exactly the salted shape; with a build side above
+    the broadcast threshold the same plan becomes the shuffle join whose
+    hot partitions the salt spreads. All output columns are integer/string
+    — nothing for cross-engine float noise to touch.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    stats = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    return salted_join(ev, stats, on=["event_type"])

@@ -599,3 +599,46 @@ def length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(draw < threshold).select(
         "doc_id", "n_chars", threshold.cast("long").alias("keep_threshold")
     )
+
+
+RESERVOIR_K = 25
+
+
+@register(
+    "reservoir_sample_per_source",
+    oracle=f"""
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) t WHERE rk <= {RESERVOIR_K}
+    """,
+)
+def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per source (k={RESERVOIR_K}): the
+    distributed analog of reservoir sampling, expressed as keyed top-k by
+    a hash-derived priority (Efraimidis–Spirakis A-Res with a
+    DETERMINISTIC key: md5 of the doc id instead of rand()). Every row
+    gets a pseudo-random priority that is a pure function of its id, the
+    k smallest priorities per source win — statistically uniform over the
+    id space, yet reproducible across runs, retries, AND engines, which
+    rand()-based reservoirs are not.
+
+    Scale shape: the window's top-k is computed with partial ranking in
+    each map task before the shuffle (WindowGroupLimit pushes rk <= k
+    down), so the exchange on source moves ~k rows per (source,
+    partition), not the corpus. The emitted rank is part of the contract
+    (rk = sample order), all columns integer/string."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= RESERVOIR_K)
+    )

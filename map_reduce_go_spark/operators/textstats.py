@@ -737,3 +737,135 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "vocab_overlap_between_sources",
+    oracle=r"""
+    WITH vocab AS (
+      SELECT DISTINCT source, w.word
+      FROM documents,
+           unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+                              x -> len(x) > 0)) AS w(word)
+    ),
+    sizes AS (SELECT source, count(*) AS vocab_size FROM vocab GROUP BY source),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+      FROM vocab a JOIN vocab b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT c.source_a, c.source_b, c.n_common,
+           sa.vocab_size AS size_a, sb.vocab_size AS size_b,
+           round(CAST(c.n_common AS DOUBLE)
+                 / (sa.vocab_size + sb.vocab_size - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.source = c.source_a
+    JOIN sizes sb ON sb.source = c.source_b
+    """,
+)
+def vocab_overlap_between_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources — the mixture-
+    design signal for how much two sources actually differ (near-identical
+    vocabularies → redundant mixture weight; disjoint → domain coverage).
+
+    The all-pairs surface is contracted the same way LSH contracts dedup:
+    pairs are generated through the word-level inverted index (join on
+    word), never by crossing sources, so the shuffle carries one row per
+    (word, source) — vocabulary-sized, not corpus-sized — and the pair
+    counts aggregate map-side. Union sizes come from inclusion-exclusion
+    on the per-source vocabulary counts (no second pass). All counts
+    integer; the Jaccard ratio is the only float, at emission."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
+            )
+        ).alias("word"),
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vocab_size"))
+    a = vocab.select(F.col("source").alias("source_a"), "word")
+    b = vocab.select(F.col("source").alias("source_b"), "word")
+    common = (
+        a.join(b, "word")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("vocab_size").alias("size_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("vocab_size").alias("size_b"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "language_confusion_matrix",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang AS labeled_lang, {_GUESS_SQL} AS guessed_lang
+      FROM documents
+    ),
+    m AS (
+      SELECT labeled_lang, guessed_lang, count(*) AS n_docs
+      FROM g GROUP BY 1, 2
+    )
+    SELECT labeled_lang, guessed_lang, n_docs,
+           round(CAST(n_docs AS DOUBLE) /
+                 sum(n_docs) OVER (PARTITION BY labeled_lang), 6) AS row_share
+    FROM m
+    """,
+)
+def language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language-ID against the labeled
+    lang column: counts and within-label shares per (labeled, guessed)
+    cell — the classifier-quality report you run before trusting a
+    heuristic filter at corpus scale (language_guess emits per-doc rows;
+    this is its evaluation rollup).
+
+    The guess is the same deterministic stopword-profile CASE expression
+    on both engines; the matrix is a bounded groupBy (|langs|² cells) with
+    map-side partials, and row_share's window runs over those few cells.
+    Counts integer; share rounded at emission."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = {lang: _hits(words) for lang, words in LANG_PROFILES.items()}
+    guess = (
+        F.when(
+            hits["en"] >= F.greatest(hits["es"], hits["de"], hits["fr"], F.lit(1)),
+            "en",
+        )
+        .when(hits["es"] >= F.greatest(hits["de"], hits["fr"], F.lit(1)), "es")
+        .when(hits["de"] >= F.greatest(hits["fr"], F.lit(1)), "de")
+        .when(hits["fr"] >= 1, "fr")
+        .otherwise("unknown")
+    )
+    from pyspark.sql import Window
+
+    m = (
+        docs.select(F.col("lang").alias("labeled_lang"), guess.alias("guessed_lang"))
+        .groupBy("labeled_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("labeled_lang")
+    return m.select(
+        "labeled_lang",
+        "guessed_lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias(
+            "row_share"
+        ),
+    )

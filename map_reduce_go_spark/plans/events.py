@@ -227,3 +227,88 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_no").cast("long").alias("session_no"),
         F.unix_timestamp(F.min("ts").over(ws)).alias("session_start"),
     )
+
+
+@register(
+    "event_dwell_time_by_type",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_gaps,
+           CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000, 6)
+             AS avg_dwell_sec
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def event_dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time per event type: how long users linger on an event before
+    their next action (lead(ts) gap, attributed to the event dwelt on) —
+    the engagement signal behind session-quality scoring.
+
+    One exchange on user_id feeds the lead() window; the per-type rollup
+    is a bounded-cardinality groupBy with map-side partials. Gaps are
+    measured in INTEGER microseconds (unix_micros / epoch_us — full
+    precision, exact integer sums on both engines); the only float is the
+    final rounded mean. Last-event-per-user rows have no successor and
+    drop out identically on both sides.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return (
+        e.select("event_type", "user_id", "ts", "event_id")
+        .withColumn("gap_us", gap)
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("total_gap_us"),
+            F.round(
+                F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
+            ).alias("avg_dwell_sec"),
+        )
+    )
+
+
+@register(
+    "events_hourly_heatmap",
+    oracle="""
+    WITH h AS (
+      SELECT isodow(ts) AS dow, hour(ts) AS hr, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM h)
+    SELECT dow, hr, n_events,
+           round(CAST(n_events AS DOUBLE) / total, 6) AS share
+    FROM h CROSS JOIN tot
+    """,
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (the load-shape profile that
+    sizes cluster autoscaling windows). Spark's weekday() is Monday=0;
+    +1 aligns it with DuckDB's isodow (Monday=1) — dayofweek() would NOT
+    match (Spark Sunday=1 vs DuckDB Sunday=0). Bounded output (≤168
+    cells): one map-side-combinable groupBy plus a broadcast 1-row total;
+    all-integer until the rounded share."""
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        e.select((F.weekday("ts") + 1).alias("dow"), F.hour("ts").alias("hr"))
+        .groupBy("dow", "hr")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tot = h.agg(F.sum("n_events").alias("total"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hr",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / F.col("total"), 6).alias("share"),
+    )

@@ -1413,3 +1413,136 @@ def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(ok, 2).alias("shr"),
         F.bit_count(ok).alias("popcount"),
     )
+
+
+@register(
+    "orders_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT year(o_orderdate) AS order_year,
+             count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(24,6))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT order_year, n_orders,
+           round(CAST(rev AS DOUBLE), 6) AS revenue,
+           round(CAST(rev - lag(rev) OVER (ORDER BY order_year) AS DOUBLE)
+                 / CAST(lag(rev) OVER (ORDER BY order_year) AS DOUBLE), 6)
+             AS yoy_growth
+    FROM yearly
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly rollup + lag() over the
+    (tiny) year axis. The two-altitude pattern of every trend dashboard:
+    the heavy agg shrinks the fact table to a handful of rows FIRST, the
+    window then runs on the driver-sized remainder (single partition is
+    fine — it holds ~7 rows at any corpus scale, the years of data, not
+    the data). Revenue sums as exact decimal (order-independent on any
+    partitioning); growth ratio is computed decimal-over-decimal and only
+    rounded at emission. First year's growth is NULL on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("rev"),
+    )
+    w = Window.orderBy("order_year")
+    return yearly.select(
+        "order_year",
+        "n_orders",
+        F.round(F.col("rev").cast("double"), 6).alias("revenue"),
+        F.round(
+            (F.col("rev") - F.lag("rev").over(w)).cast("double")
+            / F.lag("rev").over(w).cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+@register(
+    "customer_spend_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(24,6))) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, total_spend,
+             ntile(10) OVER (ORDER BY total_spend DESC, o_custkey) AS decile
+      FROM spend
+    )
+    SELECT decile,
+           count(*) AS n_customers,
+           round(CAST(sum(total_spend) AS DOUBLE), 6) AS decile_spend,
+           round(CAST(min(total_spend) AS DOUBLE), 6) AS min_spend,
+           round(CAST(max(total_spend) AS DOUBLE), 6) AS max_spend
+    FROM ranked GROUP BY decile
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value deciles: per-customer lifetime spend, ntile(10) by
+    spend, then per-decile totals — the whale-curve/LTV-band report.
+    Two-phase: the customer rollup carries the shuffle; the ntile runs on
+    the (much smaller) per-customer aggregate. The ORDER BY inside ntile
+    is made UNIQUE with the custkey tiebreak — ntile on a non-unique key
+    is engine-dependent for ties, with the tiebreak both engines assign
+    identical deciles. Spends stay exact decimal through min/max/sum so
+    ties and boundaries agree bit-for-bit; doubles appear only at
+    emission. Note the single-partition window: acceptable because its
+    input is one row per customer — at 100 TB you'd range-partition the
+    rank (df.repartitionByRange) or use approx percentile boundaries."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("total_spend").cast("double"), 6).alias("decile_spend"),
+        F.round(F.min("total_spend").cast("double"), 6).alias("min_spend"),
+        F.round(F.max("total_spend").cast("double"), 6).alias("max_spend"),
+    )
+
+
+@register(
+    "null_safe_join_probe",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+      FROM customer
+    ),
+    segs AS (
+      SELECT seg, count(*) AS n_in_seg FROM c GROUP BY seg
+    )
+    SELECT c.c_custkey, c.seg, s.n_in_seg
+    FROM c JOIN segs s ON c.seg IS NOT DISTINCT FROM s.seg
+    """,
+)
+def null_safe_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join semantics (<=> / IS NOT DISTINCT FROM): rows
+    whose key is NULL still match the NULL group — the semantics plain
+    equality silently drops (every NULL-keyed row vanishes from an inner
+    equi-join). Exercised by NULLing out one segment via nullif() and
+    joining each customer to its segment's cardinality: the NULL-segment
+    customers must appear, carrying the NULL group's count.
+
+    Spark plans eqNullSafe as a hash join on a null-coalesced key (still
+    a proper equi-join — no nested-loop fallback), so the shape scales
+    like any other hash join; the groupBy side is bounded by segment
+    cardinality and broadcasts."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    )
+    # The dim derives from the probe, so rename its key before joining —
+    # Spark's self-join ambiguity check can't attribute a shared lineage
+    # column to one side otherwise.
+    segs = (
+        c.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_in_seg"))
+        .withColumnRenamed("seg", "seg_dim")
+    )
+    return (
+        c.join(F.broadcast(segs), F.col("seg").eqNullSafe(F.col("seg_dim")))
+        .select("c_custkey", "seg", "n_in_seg")
+    )

@@ -50,56 +50,73 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the checked window. Queries not listed follow in registration order, so
 # the union of checked sets grows round over round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-4 window. 44 queries went green in the r3 window (their rows
-    # hold); these slots go to (a) the four r3 FAILs — the TIMESTAMP_NTZ
-    # regression, fixed this round, must re-prove under the driver — and
-    # (b) the 14 registrations that have never had a driver row
-    # (VERDICT r3 "What's missing" #1), closing the checked-ever union at
-    # 108/108.
-    # (a) r3 FAILs, fixed (load_table NTZ shim + unix_timestamp projections).
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "asof_join_purchase_to_click",
-    # (b) never driver-checked until now.
-    "lsh_recall_probe",
-    "near_dup_cluster_sizes",
-    "corpus_head_coverage",
-    "token_commonness_score",
-    "shard_balance_audit",
-    "embedding_quality_audit",
-    "table_profile_lineitem",
-    "scalar_regex_functions",
-    "null_handling_functions",
-    "map_functions_probe",
-    "date_arithmetic_functions",
-    "explode_outer_probe",
-    "histogram_price_buckets",
-    "corr_quantity_price",
-    # (c) implementation touched this round (IVF embedding cache, blob-meta
-    # single-scan) — re-prove under the driver even though r3 rows are green.
+    # Round-5 window — STALENESS ROTATION (VERDICT r4 next-round #1). All
+    # 124 prior registrations are latest-green, so the window's job this
+    # round is freshness: the r3 NTZ incident proved a green row can rot
+    # silently when the driver regenerates fixtures, so no row should stay
+    # unrefreshed for more than ~2 rounds. Order: (a) queries NEW this
+    # round (no driver row yet), (b) queries whose implementation changed
+    # this round (tracked-cache scoping, memoized IVF codebook,
+    # metadata-derived block count, nullif guards) — their green r4 rows
+    # no longer describe the shipped code, (c) the 31 queries whose latest
+    # driver row dates from r2 (oldest first), (d) remaining slots to the
+    # oldest r3-checked rows in registration order. The 43-row r3 cohort's
+    # remainder rotates through the r6 window next.
+    # (a) new in round 5.
+    "salted_join_hot_events",
+    "event_dwell_time_by_type",
+    "events_hourly_heatmap",
+    "orders_yoy_growth",
+    "customer_spend_deciles",
+    "null_safe_join_probe",
+    "reservoir_sample_per_source",
+    "vocab_overlap_between_sources",
+    "language_confusion_matrix",
+    # (b) implementation touched in round 5.
     "ann_ivf_cosine",
-    "multimodal_blob_meta",
-    # (d) new this round — no driver row yet.
-    "funnel_view_click_purchase",
-    "cohort_hourly_retention",
-    "bigram_lm_doc_score",
-    "token_mixture_planner",
-    "pmi_collocations",
-    "eval_contamination_report",
-    "dedup_minhash_lsh_stopfiltered",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_excess_stock_suppliers",
-    "events_sessionize",
-    "dedup_incremental_batch",
-    "event_transition_matrix",
     "ann_ivf_recall_probe",
-    "length_weighted_sample",
-    "scalar_bitwise_functions",
-    # --- new round-4 queries register below this line and are floated here
-    # as they land; remaining slots fill in registration order, which keeps
-    # long-green queries cycling back through the window. ---
+    "semdedup_prune",
+    "dedup_embedding_cosine",
+    "bigram_lm_doc_score",
+    "pmi_collocations",
+    "tfidf_top_terms",
+    "token_mixture_planner",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_stopfiltered",
+    # (c) latest driver row is r2 — the oldest greens in the union.
+    "knn_bruteforce_cosine",
+    "embedding_centroids",
+    "text_quality_stats",
+    "language_guess",
+    "token_counts",
+    "doc_fingerprint",
+    "token_positions",
+    "q1_pricing_summary",
+    "agg_stats_per_nation",
+    "count_distinct_custkey",
+    "rollup_lineitem_flags",
+    "cube_orders_status_priority",
+    "grouping_sets_nation_segment",
+    "conditional_agg_pivot",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "semi_join_customers_with_purchases",
+    "anti_join_parts_never_ordered",
+    "outer_join_nation_customer_counts",
+    "window_topk_parts_per_brand",
+    "window_running_customer_spend",
+    "top20_orders_by_price",
+    "set_ops_nation_presence",
+    "distinct_sorted_segments",
+    "scalar_string_functions",
+    "scalar_datetime_functions",
+    "scalar_math_functions",
+    "json_extract_events",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    # (50 names exactly — the driver's window size. The r3 cohort follows
+    # in registration order and rotates through the r6 window.)
 )
 
 

@@ -9,5 +9,7 @@ echo "== oracle verify sf0.01 =="
 python scripts/verify_driver.py
 echo "== oracle verify sf0.1 =="
 python scripts/verify_driver.py /root/testdata/sf0.1
+echo "== cluster launcher smoke (local[4]) =="
+scripts/submit_cluster.sh --sf-dir /root/testdata/sf0.001 --query wordcount 2>/dev/null | tail -1
 echo "== bench sf0.1 =="
 python bench.py

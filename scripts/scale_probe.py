@@ -3,7 +3,19 @@ cardinalities grow linearly) into /tmp, then time headline queries at 1×
 and K× to check the plans scale near-linearly — the local stand-in for
 "would this survive 100×".
 
-Usage: python scripts/scale_probe.py [K]   (default 8)
+Usage:
+    python scripts/scale_probe.py [K]              # default 8, mixed set
+    python scripts/scale_probe.py 64 --family=dedup
+
+--family=dedup replicates only documents+embeddings (fast fixture build),
+times the dedup/ANN scale path (exact digest dedup, banded MinHash-LSH,
+IVF search), and records the LSH band-bucket size distribution (p50/p90/
+p99/max + implied candidate-pair mass) at both scales — the empirical
+backing for SCALE.md's "banding bounds hot buckets; AQE splits the rest"
+claim. Deliberately excluded at K≥64: semdedup_prune (within-cell
+quadratic — its K_CELLS knob must grow with N, which is the documented
+design, not a surprise) and dedup_embedding_cosine (exact all-pairs is
+O(N²) by definition; the probe's LSH/IVF queries ARE its scale path).
 """
 
 from __future__ import annotations
@@ -42,10 +54,16 @@ QUERIES = [
     "funnel_view_click_purchase",
     "bigram_lm_doc_score",
 ]
+DEDUP_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_ivf_cosine",
+]
+DEDUP_TABLES = ("documents", "embeddings")
 
 
-def replicate(spark, k: int, out_dir: str) -> None:
-    for t in TABLES:
+def replicate(spark, k: int, out_dir: str, tables=TABLES) -> None:
+    for t in tables:
         df = load_table(spark, BASE, t)
         if t in SHIFT_COLS:
             n = df.count()
@@ -54,6 +72,29 @@ def replicate(spark, k: int, out_dir: str) -> None:
                 d = df
                 for c in SHIFT_COLS[t]:
                     d = d.withColumn(c, F.col(c) + F.lit(i * 10 * n))
+                if t == "documents" and i > 0:
+                    # Deterministically scramble each replica's word order
+                    # (sort by a replica-salted hash). Verbatim copies
+                    # would make every doc a true k-plex duplicate and LSH
+                    # candidate mass would rightly grow k² — correct dedup
+                    # behavior, wrong scaling semantics for a probe that
+                    # asks "does the plan stay linear when the CORPUS
+                    # grows". Scrambling gives k× distinct docs while
+                    # keeping vocabulary/length distributions identical.
+                    ws = F.split(F.col("text"), r"\s+")
+                    salted = F.transform(
+                        ws,
+                        lambda w: F.struct(
+                            F.md5(F.concat(w, F.lit(f"|{i}"))).alias("k"),
+                            w.alias("w"),
+                        ),
+                    )
+                    d = d.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(F.sort_array(salted), lambda s: s["w"]), " "
+                        ),
+                    )
                 parts.append(d)
             big = parts[0]
             for d in parts[1:]:
@@ -63,27 +104,88 @@ def replicate(spark, k: int, out_dir: str) -> None:
         big.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, queries=QUERIES) -> dict[str, float]:
+    from map_reduce_go_spark.functions.caching import release_caches
+
     out = {}
     specs = all_queries()
-    for name in QUERIES:
+    for name in queries:
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
+        release_caches()
     return out
 
 
+def lsh_bucket_stats(spark, sf_dir: str) -> dict:
+    """Band-bucket size distribution for the MinHash-LSH banding at this
+    scale: bucket count, p50/p90/p99/max sizes, and the implied candidate
+    mass Σ s·(s−1)/2 — the number the 'banding keeps the self-join
+    bucketed' claim rests on. Mirrors lsh_candidate_pairs' banding
+    exactly (same signatures, same band concatenation)."""
+    from map_reduce_go_spark.operators.dedup import (
+        N_BANDS,
+        N_PERM,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    r = N_PERM // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(*[F.col(f"sig{b * r + i}") for i in range(r)]).alias(
+                            "bv"
+                        ),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.bv")
+    sizes = bands.groupBy("band_id", "bv").agg(F.count(F.lit(1)).alias("s"))
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.percentile("s", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("s", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("s", F.lit(0.99)), 2).alias("p99"),
+        F.max("s").alias("max"),
+        F.sum((F.col("s") * (F.col("s") - 1) / 2).cast("long")).alias(
+            "candidate_mass"
+        ),
+    ).collect()[0]
+    return row.asDict()
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    family = "mixed"
+    for a in sys.argv[1:]:
+        if a.startswith("--family="):
+            family = a.split("=", 1)[1]
+    k = int(args[0]) if args else 8
+    queries, tables = (
+        (DEDUP_QUERIES, DEDUP_TABLES) if family == "dedup" else (QUERIES, TABLES)
+    )
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = tempfile.mkdtemp(prefix="sfbig_")
     try:
-        replicate(spark, k, out_dir)
-        base = time_queries(spark, BASE)
-        big = time_queries(spark, out_dir)
-        ratios = {q: round(big[q] / base[q], 2) for q in QUERIES}
-        print(json.dumps({"k": k, "base_s": base, "big_s": big, "ratio": ratios}))
+        replicate(spark, k, out_dir, tables=tables)
+        time_queries(spark, BASE, queries)  # warm-up: codegen/JIT/footer caches
+        base = time_queries(spark, BASE, queries)
+        big = time_queries(spark, out_dir, queries)
+        ratios = {q: round(big[q] / base[q], 2) for q in queries}
+        out = {"k": k, "family": family, "base_s": base, "big_s": big, "ratio": ratios}
+        if family == "dedup":
+            out["lsh_buckets_base"] = lsh_bucket_stats(spark, BASE)
+            out["lsh_buckets_big"] = lsh_bucket_stats(spark, out_dir)
+        print(json.dumps(out))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -32,6 +32,17 @@ def sf_dir():
     return TEST_SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Query-owned caches release after every test — the same hygiene the
+    bench/verify harnesses apply per query, so a 300-test session never
+    accumulates pinned storage."""
+    yield
+    from map_reduce_go_spark.functions.caching import release_caches
+
+    release_caches()
+
+
 @pytest.fixture(scope="session")
 def duck(sf_dir):
     import duckdb

@@ -229,7 +229,19 @@ def test_stateful_running_totals_tws(spark, event_source):
     RocksDB state store provider, and skips where the protobuf runtime
     TWS's state protocol requires isn't installed (this container)."""
     if not stateful.tws_runtime_available():
-        pytest.skip("transformWithStateInPandas needs google.protobuf (not in container)")
+        pytest.skip(
+            "transformWithStateInPandas's driver<->worker state protocol is "
+            "protobuf-serialized and google.protobuf is not installed in this "
+            "container (pip installs are out of scope). Coverage delta: ONLY "
+            "the TWS API binding (running_totals_tws + _RunningTotalsProcessor"
+            ") is unexecuted here. The operator semantics it carries — keyed "
+            "running totals, one state row per key, update-mode emission, "
+            "batch-equality vs groupBy().count() — ARE executed by "
+            "test_stateful_running_totals on the predecessor "
+            "applyInPandasWithState API against the same event source, and "
+            "running_totals_tws raises cleanly (NotImplementedError) rather "
+            "than failing mid-stream when the runtime is absent."
+        )
     prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
