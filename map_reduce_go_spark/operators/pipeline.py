@@ -642,3 +642,70 @@ def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= RESERVOIR_K)
     )
+
+
+# Per-stratum deterministic sampling rates, expressed as a 4-hex-digit
+# md5-prefix threshold (rate = threshold / 0x10000): BUILDING keeps ~25%,
+# every other segment ~10%. Hex-string comparison is portable — md5 of
+# the same key string is byte-identical across engines.
+_STRATA_RATES: tuple[tuple[str, str], ...] = (
+    ("BUILDING", "4000"),  # 0x4000 / 0x10000 = 25%
+    ("*", "199a"),  # 0x199a / 0x10000 ≈ 10%
+)
+
+
+@register(
+    "stratified_sample_mktsegment",
+    oracle="""
+    WITH tagged AS (
+      SELECT c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+             substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4)
+               < (CASE WHEN c_mktsegment = 'BUILDING' THEN '4000' ELSE '199a' END)
+               AS keep
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_total,
+           CAST(count(*) FILTER (keep) AS BIGINT) AS n_sampled,
+           round(CAST(count(*) FILTER (keep) AS DOUBLE) / count(*), 6) AS achieved_rate,
+           round(CAST(sum(bal) FILTER (keep) AS DOUBLE), 2) AS sampled_acctbal
+    FROM tagged GROUP BY c_mktsegment
+    """,
+)
+def stratified_sample_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-segment keep rates applied
+    via an md5-prefix threshold on the row key — the retry-stable,
+    engine-portable alternative to df.sampleBy (whose RNG stream is
+    Spark-internal and could never be replayed by an oracle, and whose
+    draw changes under task re-execution). Each stratum's rate is a hex
+    threshold on the first 16 bits of md5(key): BUILDING keeps ~25%,
+    the rest ~10% — the oversample-the-rare-stratum shape every training
+    mixture uses. One pass, no sampling shuffle: the keep decision is a
+    map-side predicate, and the report aggregates total vs sampled per
+    stratum in the same bounded groupBy (conditional aggregates, not a
+    second scan). Balances sum as exact decimal. Scale: hash-threshold
+    sampling is embarrassingly parallel and reproducible across retries,
+    cluster sizes, and engines — exactly how you cut a 100 TB corpus to
+    a fixed-rate mixture without coordinating state."""
+    c = load_table(spark, sf_dir, "customer")
+    default_thr = dict(_STRATA_RATES)["*"]
+    building_thr = dict(_STRATA_RATES)["BUILDING"]
+    keep = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4) < F.when(
+        F.col("c_mktsegment") == "BUILDING", F.lit(building_thr)
+    ).otherwise(F.lit(default_thr))
+    tagged = c.select(
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        keep.alias("keep"),
+    )
+    return tagged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("keep")).alias("n_sampled"),
+        F.round(
+            F.count_if(F.col("keep")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("achieved_rate"),
+        F.round(
+            F.sum(F.when(F.col("keep"), F.col("bal"))).cast("double"), 2
+        ).alias("sampled_acctbal"),
+    )

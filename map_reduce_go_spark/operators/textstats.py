@@ -869,3 +869,167 @@ def language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share"
         ),
     )
+
+
+@register(
+    "char_entropy_quality",
+    oracle=r"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS distinct_chars,
+             list_reduce(
+               list_transform(list(CAST(c AS DOUBLE) ORDER BY ch), x -> x * log2(x)),
+               (a, b) -> a + b
+             ) AS clogc
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, distinct_chars,
+           round(log2(CAST(n_chars AS DOUBLE)) - clogc / n_chars, 4) AS char_entropy
+    FROM perdoc
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the cheap quality
+    signal that separates natural text (~4 bits/char) from boilerplate,
+    base64 blobs, and repeated-character junk in a pretraining corpus.
+
+    H = log2(n) − Σ c·log2(c) / n over the per-character counts, an
+    algebraic form whose only float reduction is the Σ c·log2(c) fold.
+    ORACLE-DETERMINISM: float addition is not associative, so the fold
+    runs over the counts SORTED BY CHARACTER on both engines (array_sort
+    + F.aggregate here; list(... ORDER BY ch) + list_reduce in DuckDB) —
+    an init of 0.0 on the Spark side is IEEE-exact, so both engines
+    execute the identical addition sequence and the 4 dp round only has
+    to absorb last-ulp log2 differences, not reorder drift. Scale: one
+    char-explode pass (the per-char analog of the tokenize pass), a
+    (doc, char) partial-agg shuffle bounded by charset×docs, then a
+    per-doc fold over ≤charset-size arrays — no collects, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    perdoc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("ch", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["c"].cast("double") * F.log2(x["c"].cast("double")),
+        ).alias("clogc"),
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_chars",
+        "distinct_chars",
+        F.round(
+            F.log2(F.col("n_chars").cast("double"))
+            - F.col("clogc") / F.col("n_chars"),
+            4,
+        ).alias("char_entropy"),
+    )
+
+
+# Word-graph BFS: node universe = endpoints of the TOP_EDGES most frequent
+# bigrams (count DESC, bigram ASC tiebreak — integer-deterministic), seed =
+# the single most frequent token. Both knobs keep the graph a fixed-size
+# head slice at any corpus scale.
+REACH_TOP_EDGES = 300
+REACH_MAX_HOPS = 3
+
+
+@register(
+    "word_graph_reachability",
+    oracle=rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '[^\p{{L}}]+'),
+                                 x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT ws[i] AS src, ws[i + 1] AS dst, count(*) AS cnt
+      FROM toks, LATERAL unnest(range(1, len(ws))) t(i)
+      GROUP BY ws[i], ws[i + 1]
+    ),
+    edges AS (
+      SELECT src, dst FROM bigrams
+      ORDER BY cnt DESC, src, dst LIMIT {REACH_TOP_EDGES}
+    ),
+    seed AS (
+      SELECT tok FROM (
+        SELECT unnest(ws) AS tok FROM toks
+      ) GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 1
+    ),
+    reach(node, hop) AS (
+      SELECT tok, 0 FROM seed
+      UNION ALL
+      SELECT e.dst, r.hop + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hop < {REACH_MAX_HOPS}
+    )
+    SELECT node, CAST(min(hop) AS INTEGER) AS min_hops
+    FROM reach GROUP BY node
+    """,
+)
+def word_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE breadth-first search over the corpus word graph:
+    nodes are words, edges the 300 most frequent bigrams,
+    and the query walks WITH RECURSIVE from the most frequent token,
+    reporting each reachable word's minimum hop count (max 3 hops).
+    This exercises Spark 4's recursive CTE — iterative dataflow declared
+    in SQL, the declarative analog of the hand-rolled loop in
+    dedup_clusters' label propagation — against DuckDB's recursive CTE
+    on an identical deterministic graph (integer tiebreaks everywhere:
+    edge head by (count, bigram), seed by (count, token)).
+
+    Scale: the recursion runs over the head GRAPH (the bounded edge
+    table), not the corpus — the corpus-sized work is the one bigram
+    count feeding edge selection, which is the same wordcount-shaped
+    aggregation as top_bigrams. Each recursive step is a join of the
+    frontier against the bounded edge table; UNION ALL + final min-agg
+    keeps steps cheap (no per-step DISTINCT shuffle), with path blowup
+    bounded by the hop cap over the fixed-size edge head."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = _adjacent_pairs(
+        _tokens(), lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+        "array<struct<src:string,dst:string>>",
+    )
+    edges = (
+        docs.select(F.explode(bigrams).alias("e"))
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("src"), F.asc("dst"))
+        .limit(REACH_TOP_EDGES)
+        .select("src", "dst")
+    )
+    seed = (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(1)
+        .select("tok")
+    )
+    edges.createOrReplaceTempView("v_reach_edges")
+    seed.createOrReplaceTempView("v_reach_seed")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach(node, hop) AS (
+          SELECT tok, 0 FROM v_reach_seed
+          UNION ALL
+          SELECT e.dst, r.hop + 1
+          FROM reach r JOIN v_reach_edges e ON e.src = r.node
+          WHERE r.hop < {REACH_MAX_HOPS}
+        )
+        SELECT node, CAST(min(hop) AS INT) AS min_hops
+        FROM reach GROUP BY node
+        """
+    )

@@ -1546,3 +1546,261 @@ def null_safe_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(segs), F.col("seg").eqNullSafe(F.col("seg_dim")))
         .select("c_custkey", "seg", "n_in_seg")
     )
+
+
+@register(
+    "listagg_supplier_roster",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_suppliers,
+           string_agg(s_name, ',' ORDER BY s_name) AS roster
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal > 9000
+    GROUP BY n_name
+    """,
+)
+def listagg_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP): per-nation
+    roster of high-balance suppliers as one comma-joined, alphabetically
+    ordered string. The reference's reduce hook concatenates grouped
+    values the same way (indexer app, reference src/mrapps/indexer.go:33-38
+    joins sorted document lists with commas); here it is the declarative
+    aggregate. Determinism: LISTAGG output order is only defined under
+    WITHIN GROUP (ORDER BY ...) — without it both engines are free to
+    emit any permutation, so the ordered form is the only oracle-safe
+    form. Scale: group-bounded (one row per nation); the string payload
+    is the filtered supplier subset, not the corpus — the WHERE prunes
+    before the shuffle."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.filter(F.col("s_acctbal") > 9000)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)").alias(
+                "roster"
+            ),
+        )
+    )
+
+
+@register(
+    "robust_central_tendency",
+    oracle="""
+    WITH price AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS px,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    quantiles AS (
+      SELECT l_returnflag,
+             count(*) AS n_rows,
+             round(percentile_cont(0.25) WITHIN GROUP (ORDER BY px), 4) AS p25,
+             round(percentile_cont(0.50) WITHIN GROUP (ORDER BY px), 4) AS p50,
+             round(percentile_cont(0.75) WITHIN GROUP (ORDER BY px), 4) AS p75,
+             round(percentile_disc(0.90) WITHIN GROUP (ORDER BY px), 4) AS p90_disc
+      FROM price GROUP BY l_returnflag
+    ),
+    mode_pick AS (
+      SELECT l_returnflag, qty,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY count(*) DESC, qty
+             ) AS rk
+      FROM price GROUP BY l_returnflag, qty
+    )
+    SELECT q.l_returnflag, q.n_rows, q.p25, q.p50, q.p75, q.p90_disc,
+           m.qty AS mode_qty
+    FROM quantiles q JOIN mode_pick m
+      ON q.l_returnflag = m.l_returnflag AND m.rk = 1
+    """,
+)
+def robust_central_tendency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics per group: interpolated quartiles
+    (percentile_cont), a discontinuous percentile (percentile_disc), and
+    a DETERMINISTIC mode (of the integer quantity). Raw mode() is
+    oracle-unsafe in both engines — ties break arbitrarily — so the mode
+    is computed as the (count DESC, value ASC) row_number()=1 pick,
+    which is total-ordered.
+    Prices are cast to double BEFORE the percentile so both engines run
+    identical IEEE interpolation on identical inputs; results round to
+    4 dp to absorb any last-ulp difference in the interpolation formula.
+    Scale: exact percentiles sort within each group — fine for bounded
+    group counts like this; an unbounded-cardinality version would use
+    approx_percentile (documented trade, SCALE.md)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("px"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    quantiles = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY px)"), 4).alias("p25"),
+        F.round(F.expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY px)"), 4).alias("p50"),
+        F.round(F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY px)"), 4).alias("p75"),
+        F.round(F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY px)"), 4).alias("p90_disc"),
+    )
+    counts = li.groupBy("l_returnflag", "qty").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("qty"))
+    mode_pick = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("l_returnflag").alias("rf"), F.col("qty").alias("mode_qty"))
+    )
+    return quantiles.join(
+        F.broadcast(mode_pick), F.col("l_returnflag") == F.col("rf")
+    ).select("l_returnflag", "n_rows", "p25", "p50", "p75", "p90_disc", "mode_qty")
+
+
+@register(
+    "unpivot_lineitem_charges",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc,
+             round(CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, amount
+    FROM wide UNPIVOT (amount FOR metric IN (sum_qty, sum_price, sum_disc, sum_tax))
+    """,
+)
+def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping (UNPIVOT / melt): the per-flag charge
+    rollup pivoted into (flag, metric, amount) rows — the inverse of the
+    conditional-agg pivot query and the standard shape for feeding a
+    generic metrics sink. Sums stay exact decimal until a single rounded
+    double emission so the unpivoted values hash identically. Scale:
+    unpivot is a row-local generator (4 output rows per input row, no
+    shuffle); the only shuffle is the upstream bounded groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dsum4(c: str) -> Column:
+        return F.round(
+            F.sum(F.col(c).cast("decimal(18,4)")).cast("double"), 4
+        )
+
+    wide = li.groupBy("l_returnflag").agg(
+        dsum4("l_quantity").alias("sum_qty"),
+        dsum4("l_extendedprice").alias("sum_price"),
+        dsum4("l_discount").alias("sum_disc"),
+        dsum4("l_tax").alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc", "sum_tax"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    )
+
+
+@register(
+    "lateral_top3_customers_per_nation",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, round(CAST(c_acctbal AS DOUBLE), 2) AS c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 3
+    ) t
+    """,
+)
+def lateral_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: the
+    top-3 customers by account balance for every nation. The lateral
+    form expresses per-group top-k as a correlated derived table —
+    Catalyst decorrelates it into a window/rank plan over one
+    equi-join rather than 25 separate scans, so the declared
+    "subquery per row" never executes per row. The inner ORDER BY
+    carries a custkey tiebreak: balances collide across a large
+    customer table and an untied LIMIT is engine-arbitrary. Scale:
+    decorrelation makes this the same bounded-partition window shape as
+    window_topk_parts_per_brand."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM v_lat_nation n,
+        LATERAL (
+          SELECT c_name, round(CAST(c_acctbal AS DOUBLE), 2) AS c_acctbal
+          FROM v_lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3
+        ) t
+        """
+    )
+
+
+def _morton16(x_col: str, y_col: str) -> Column:
+    """Interleave the low 8 bits of two integer columns into a 16-bit
+    Morton (Z-order) code: bit i of x lands at position 2i, bit i of y at
+    2i+1. Built as an 8-term bitwise OR-fold of shift/mask expressions —
+    pure JVM codegen, no UDF."""
+    z: Column | None = None
+    for i in range(8):
+        xbit = F.shiftleft(F.shiftrightunsigned(F.col(x_col), i).bitwiseAND(F.lit(1)), 2 * i)
+        ybit = F.shiftleft(
+            F.shiftrightunsigned(F.col(y_col), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        term = xbit.bitwiseOR(ybit)
+        z = term if z is None else z.bitwiseOR(term)
+    return z
+
+
+def _morton16_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "morton_zorder_layout_audit",
+    oracle=f"""
+    WITH coded AS (
+      SELECT ({_morton16_sql('(l_partkey % 256)', '(l_suppkey % 256)')}) AS z,
+             l_partkey, l_suppkey
+      FROM lineitem
+    )
+    SELECT (z >> 10) AS z_bucket,
+           count(*) AS n_rows,
+           min(l_partkey % 256) AS min_px, max(l_partkey % 256) AS max_px,
+           min(l_suppkey % 256) AS min_sy, max(l_suppkey % 256) AS max_sy
+    FROM coded GROUP BY (z >> 10)
+    """,
+)
+def morton_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: interleave the low 8 bits of
+    (partkey, suppkey) into a 16-bit z-code, bucket rows by the top 6
+    z-bits, and report each bucket's row count plus its bounding box in
+    the original 2-D key space. This is the layout computation behind
+    multi-dimensional clustering (Delta/Iceberg OPTIMIZE ZORDER BY):
+    sorting by z keeps both dimensions' ranges tight per file, so
+    min/max file statistics prune scans on EITHER predicate column —
+    the audit's bounding boxes are exactly those pruning stats. The
+    bit-interleave is an 8-term shift/mask OR-fold, all whole-stage
+    codegen; the only shuffle is the 64-bucket rollup. Scale: this is
+    the map-side compute you would run before a repartitionByRange(z)
+    write of a 100 TB table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("sy"),
+    )
+    coded = li.withColumn("z", _morton16("px", "sy"))
+    return coded.groupBy(F.shiftrightunsigned(F.col("z"), 10).alias("z_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("px").alias("min_px"),
+        F.max("px").alias("max_px"),
+        F.min("sy").alias("min_sy"),
+        F.max("sy").alias("max_sy"),
+    )

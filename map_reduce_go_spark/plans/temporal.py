@@ -120,3 +120,87 @@ def range_join_error_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("error_id", "user_id")
         .agg(F.count(F.lit(1)).alias("clicks_in_window"))
     )
+
+
+HIGH_VALUE_CUTOFF = 450_000
+
+
+@register(
+    "order_month_gapfill",
+    oracle=f"""
+    WITH span AS (
+      SELECT date_trunc('month', min(o_orderdate)) AS mn,
+             date_trunc('month', max(o_orderdate)) AS mx
+      FROM orders
+    ),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month FROM span
+    ),
+    hv AS (
+      SELECT c_nationkey, date_trunc('month', o_orderdate) AS month,
+             count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > {HIGH_VALUE_CUTOFF}
+      GROUP BY c_nationkey, date_trunc('month', o_orderdate)
+    )
+    SELECT n.n_name, s.month,
+           CAST(coalesce(hv.n_orders, 0) AS BIGINT) AS n_orders,
+           round(CAST(coalesce(hv.rev, 0) AS DOUBLE), 2) AS revenue
+    FROM nation n CROSS JOIN spine s
+    LEFT JOIN hv ON hv.c_nationkey = n.n_nationkey AND hv.month = s.month
+    """,
+)
+def order_month_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: a dense nation x month matrix of high-value
+    order activity, with months that saw no qualifying orders present as
+    explicit zero rows. Dashboards, trend models, and anomaly detectors
+    all need the dense grid — a plain GROUP BY silently drops empty
+    cells. The month spine is generated from the data's own min/max
+    (sequence() + explode — Spark's generate_series), cross-joined with
+    the bounded nation dim, then LEFT-joined against the sparse
+    aggregate; the fact-table work is one filtered groupBy. Revenue
+    stays exact decimal through the aggregate; COALESCE zero-fills
+    before the single double emission. Scale: the spine is
+    dims x months (thousands of rows — broadcast side), the sparse agg
+    shuffles only qualifying orders, and the gap-fill join is a
+    broadcast hash join; nothing here scans the fact table twice."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    span = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("mn"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("mx"),
+    )
+    spine = span.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 month)")).alias("month")
+    )
+    hv = (
+        o.filter(F.col("o_totalprice") > HIGH_VALUE_CUTOFF)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_nationkey", F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+        .withColumnRenamed("month", "hv_month")
+    )
+    grid = n.crossJoin(F.broadcast(spine))
+    return (
+        grid.join(
+            hv,
+            (F.col("c_nationkey") == F.col("n_nationkey"))
+            & (F.col("hv_month") == F.col("month")),
+            "left",
+        )
+        .select(
+            "n_name",
+            "month",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("rev"), F.lit(0)).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )

@@ -58,11 +58,22 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # round (no driver row yet), (b) queries whose implementation changed
     # this round (tracked-cache scoping, memoized IVF codebook,
     # metadata-derived block count, nullif guards) — their green r4 rows
-    # no longer describe the shipped code, (c) the 31 queries whose latest
-    # driver row dates from r2 (oldest first), (d) remaining slots to the
-    # oldest r3-checked rows in registration order. The 43-row r3 cohort's
-    # remainder rotates through the r6 window next.
+    # no longer describe the shipped code, (c) the oldest r2-checked rows
+    # (oldest first) up to the 50-slot budget. New queries outrank stale
+    # greens: a never-checked query has no driver row at all, a stale
+    # green has at worst a 2-round-old one. The 10 r2 rows that no longer
+    # fit, then the r3 cohort, rotate through the r6 window next.
     # (a) new in round 5.
+    "editdist_qgram_join",
+    "char_entropy_quality",
+    "word_graph_reachability",
+    "stratified_sample_mktsegment",
+    "order_month_gapfill",
+    "robust_central_tendency",
+    "listagg_supplier_roster",
+    "unpivot_lineitem_charges",
+    "lateral_top3_customers_per_nation",
+    "morton_zorder_layout_audit",
     "salted_join_hot_events",
     "event_dwell_time_by_type",
     "events_hourly_heatmap",
@@ -105,18 +116,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "outer_join_nation_customer_counts",
     "window_topk_parts_per_brand",
     "window_running_customer_spend",
-    "top20_orders_by_price",
-    "set_ops_nation_presence",
-    "distinct_sorted_segments",
-    "scalar_string_functions",
-    "scalar_datetime_functions",
-    "scalar_math_functions",
-    "json_extract_events",
-    "q6_forecast_revenue",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    # (50 names exactly — the driver's window size. The r3 cohort follows
-    # in registration order and rotates through the r6 window.)
+    # (50 names exactly — the driver's window size. The remaining 10
+    # r2-cohort rows (top20_orders_by_price .. q18_large_volume_orders)
+    # plus the r3 cohort follow in registration order and rotate through
+    # the r6 window.)
 )
 
 
