@@ -60,6 +60,11 @@ HEADLINE = [
     # (two-level n-gram model join) — the round-4 additions.
     "funnel_view_click_purchase",
     "bigram_lm_doc_score",
+    # Round-5 additions: deletion-neighborhood edit-distance join
+    # (FastSS variant blocking + levenshtein verify) and per-doc char
+    # entropy (char-explode + sorted fold) — the scale-sensitive new plans.
+    "editdist_deletion_join",
+    "char_entropy_quality",
 ]
 
 

@@ -709,3 +709,62 @@ def stratified_sample_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("keep"), F.col("bal"))).cast("double"), 2
         ).alias("sampled_acctbal"),
     )
+
+
+@register(
+    "zscore_doclen_by_source",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    ),
+    derived AS (
+      SELECT source, n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             sqrt(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS std
+      FROM stats
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round((d.n_chars - s.mean) / s.std, 4) AS len_zscore
+    FROM documents d JOIN derived s ON d.source = s.source
+    """,
+)
+def zscore_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization (z-score): each document's length
+    standardized against ITS SOURCE's mean/std — the per-domain
+    normalization every mixed-corpus quality filter needs (a length that
+    is ordinary for web text is an outlier for reference text). The
+    population std derives from exact integer power sums (one bounded
+    groupBy, order-independent), so both engines feed identical scalars
+    into the identical sqrt/divide expression — no float accumulation
+    anywhere. The stats table is group-cardinality-sized and broadcasts
+    back onto the corpus: one scan for stats, one map-side join to
+    score, the canonical two-pass normalize at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ln = F.col("n_chars")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ln).alias("s1"),
+        F.sum(ln * ln).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    std = F.sqrt(F.col("s2").cast("double") / n - mean * mean)
+    derived = stats.select(
+        F.col("source").alias("src_dim"), mean.alias("mean"), std.alias("std")
+    )
+    return (
+        docs.join(F.broadcast(derived), F.col("source") == F.col("src_dim"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round((F.col("n_chars") - F.col("mean")) / F.col("std"), 4).alias(
+                "len_zscore"
+            ),
+        )
+    )

@@ -946,6 +946,46 @@ REACH_TOP_EDGES = 300
 REACH_MAX_HOPS = 3
 
 
+def _top_bigram_edges(docs: DataFrame) -> DataFrame:
+    """The corpus word graph's edge list: the REACH_TOP_EDGES most
+    frequent bigrams as directed (src, dst) edges, integer-deterministic
+    head selection (count DESC, src ASC, dst ASC). Shared by the graph
+    queries (reachability / triangles / PageRank) so they all walk the
+    identical graph; the corpus-sized work is one wordcount-shaped
+    bigram aggregation."""
+    bigrams = _adjacent_pairs(
+        _tokens(), lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+        "array<struct<src:string,dst:string>>",
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("e"))
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("src"), F.asc("dst"))
+        .limit(REACH_TOP_EDGES)
+        .select("src", "dst")
+    )
+
+
+# The oracle-side rendering of the same graph (DuckDB CTE chain).
+_WORD_EDGES_SQL = rf"""
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '[^\p{{L}}]+'),
+                                 x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    bigram_cnt AS (
+      SELECT ws[i] AS src, ws[i + 1] AS dst, count(*) AS cnt
+      FROM toks, LATERAL unnest(range(1, len(ws))) t(i)
+      GROUP BY ws[i], ws[i + 1]
+    ),
+    edges AS (
+      SELECT src, dst FROM bigram_cnt
+      ORDER BY cnt DESC, src, dst LIMIT {REACH_TOP_EDGES}
+    )
+"""
+
+
 @register(
     "word_graph_reachability",
     oracle=rf"""
@@ -998,18 +1038,7 @@ def word_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps steps cheap (no per-step DISTINCT shuffle), with path blowup
     bounded by the hop cap over the fixed-size edge head."""
     docs = load_table(spark, sf_dir, "documents")
-    bigrams = _adjacent_pairs(
-        _tokens(), lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
-        "array<struct<src:string,dst:string>>",
-    )
-    edges = (
-        docs.select(F.explode(bigrams).alias("e"))
-        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("src"), F.asc("dst"))
-        .limit(REACH_TOP_EDGES)
-        .select("src", "dst")
-    )
+    edges = _top_bigram_edges(docs)
     seed = (
         docs.select(F.explode(_tokens()).alias("tok"))
         .groupBy("tok")
@@ -1033,3 +1062,150 @@ def word_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY node
         """
     )
+
+
+@register(
+    "word_graph_triangles",
+    oracle=f"""
+    WITH {_WORD_EDGES_SQL},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM edges WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    members AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY node
+    """,
+)
+def word_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the corpus word graph — the local
+    clustering signal (triangles = tightly co-occurring word cliques).
+    The scalable formulation is the point: triangles are enumerated by
+    the canonical ordered-edge two-join (undirected edges stored once as
+    u<v, then e(a,b)⋈e(b,c)⋈e(a,c)), which counts each triangle exactly
+    once and never materializes 2-paths outside the join — the standard
+    distributed triangle-count shape, where degree-ordering bounds the
+    skew of the intermediate. Corpus-sized work is the one shared bigram
+    aggregation behind `_top_bigram_edges`; the joins run on the bounded
+    edge head."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _top_bigram_edges(docs)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least(F.col("src"), F.col("dst")).alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .distinct()
+        .transform(tracked_cache)
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+PAGERANK_ITERS = 5
+PAGERANK_SCALE = 1_000_000_000  # ranks carried as parts-per-billion ints
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration PageRank oracle: r0..r{PAGERANK_ITERS} as a
+    generated CTE chain, each step the identical integer-arithmetic
+    update the Spark loop performs."""
+    damp_base = PAGERANK_SCALE * 15 // 100
+    ctes = [
+        f"""nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST({PAGERANK_SCALE} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for k in range(PAGERANK_ITERS):
+        ctes.append(
+            f"""r{k + 1} AS (
+      SELECT n.node,
+             CAST({damp_base} + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.r // d.deg) AS s
+        FROM edges e
+        JOIN r{k} r ON e.src = r.node
+        JOIN outdeg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+        )
+    return (
+        f"WITH {_WORD_EDGES_SQL},\n    "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, r AS rank_ppb FROM r{PAGERANK_ITERS}"
+    )
+
+
+@register("word_graph_pagerank", oracle=_pagerank_oracle())
+def word_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the corpus word graph, in EXACT
+    INTEGER ARITHMETIC: ranks are parts-per-billion bigints, each step
+    r'(w) = 0.15·SCALE + ⌊85·Σ ⌊r(v)/outdeg(v)⌋ / 100⌋ over in-edges.
+    Float PageRank is oracle-hostile (the Σ is an order-dependent IEEE
+    reduction); the integer formulation makes every engine compute the
+    bit-identical fixpoint trajectory, which is also the retry-stable
+    form you want on a real cluster (task re-execution can't flip a
+    rank). The iterative dataflow mirrors dedup_clusters' loop: a
+    driver-side Python loop over a bounded graph, each step one
+    join + keyed aggregation; the corpus-sized work is the single
+    shared bigram count. DuckDB replays the identical trajectory via an
+    unrolled CTE chain. Dangling-node mass is dropped (the classic
+    simplified variant) — identical on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _top_bigram_edges(docs).transform(tracked_cache)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(tracked_cache)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    damp_base = PAGERANK_SCALE * 15 // 100
+    ranks = nodes.withColumn("r", F.lit(PAGERANK_SCALE).cast("bigint"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("in_node"),
+                F.expr("r DIV deg").alias("contrib"),
+            )
+        )
+        sums = contrib.groupBy("in_node").agg(F.sum("contrib").alias("s"))
+        ranks = (
+            nodes.join(sums, nodes["node"] == sums["in_node"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(damp_base)
+                    + F.expr("(85 * coalesce(s, 0L)) DIV 100")
+                ).cast("bigint").alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_ppb"))

@@ -9,7 +9,7 @@ epoch seconds so the DuckDB oracle compares timezone-free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_go_spark.plans.relational import _dsum_sql, dsum
@@ -311,4 +311,105 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hr",
         "n_events",
         F.round(F.col("n_events").cast("double") / F.col("total"), 6).alias("share"),
+    )
+
+
+@register(
+    "union_by_name_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT * FROM (
+        SELECT event_id, event_type, value
+        FROM events WHERE event_id % 2 = 0
+      )
+      UNION ALL BY NAME (
+        SELECT event_id, event_type, user_id
+        FROM events WHERE event_id % 2 = 1
+      )
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (value IS NULL) AS BIGINT) AS n_missing_value,
+           CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS n_missing_user,
+           CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+    FROM unioned GROUP BY event_type
+    """,
+)
+def union_by_name_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (unionByName with allowMissingColumns /
+    UNION ALL BY NAME): two generations of the event log — an old feed
+    without user_id and a new feed without value — combined by COLUMN
+    NAME into the superset schema, absent columns null-filled. This is
+    the everyday lakehouse shape: a pipeline reads months of files whose
+    schema grew over time and must align by name, never by position (a
+    positional UNION would silently pair value with user_id). The
+    rollup reports per-type null provenance so the evolution is
+    auditable. Scale: name-alignment is a compile-time projection —
+    zero runtime cost over a plain union; the only shuffle is the
+    bounded per-type rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    old_gen = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    new_gen = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "user_id"
+    )
+    unioned = old_gen.unionByName(new_gen, allowMissingColumns=True)
+    return unioned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("value").isNull()).alias("n_missing_value"),
+        F.count_if(F.col("user_id").isNull()).alias("n_missing_user"),
+        F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "forward_fill_event_values",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           (v IS NULL) AS was_gap,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM masked
+    """,
+)
+def forward_fill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill / last-observation-carried-forward (LOCF): gaps in a
+    per-user time series (one in five readings deterministically masked
+    to NULL) filled with the most recent non-null value — the standard
+    repair for sparse sensor/telemetry streams before feature
+    extraction. Expressed as last_value ... IGNORE NULLS over a
+    running-rows frame: IGNORE NULLS is the whole operator (the plain
+    frame would re-null the gaps), and the (ts, event_id) ordering is
+    made unique so fill provenance is engine-independent. A user's
+    leading gaps stay NULL — LOCF has nothing to carry. Scale: one
+    window pass partitioned by user_id — bounded per-user state, the
+    same shape as sessionization; no shuffle beyond the user
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
     )

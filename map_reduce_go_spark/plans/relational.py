@@ -1804,3 +1804,159 @@ def morton_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sy").alias("min_sy"),
         F.max("sy").alias("max_sy"),
     )
+
+
+# Dirty-string corpus for the try_cast probe: one deterministic value per
+# lineitem row, cycled by key. Covers clean ints, trash, blanks, padded
+# ints, decimals, scientific notation, an invalid and a valid date, a
+# negative, and a bigint-overflowing digit string.
+_DIRTY_VALS: tuple[str, ...] = (
+    "123", "12x", "", " 42 ", "3.14",
+    "1e3", "2021-02-29", "2021-03-01", "-7", "9999999999999999999",
+)
+
+
+@register(
+    "try_cast_dirty_data",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT list_extract(
+               [{", ".join(f"'{v}'" for v in _DIRTY_VALS)}],
+               CAST((l_orderkey * 7 + l_linenumber) % {len(_DIRTY_VALS)} AS INTEGER) + 1
+             ) AS raw
+      FROM lineitem
+    ),
+    casted AS (
+      SELECT raw,
+             CASE WHEN regexp_matches(raw, '^\\s*[+-]?[0-9]+\\s*$')
+                  THEN TRY_CAST(raw AS BIGINT) END AS as_int,
+             TRY_CAST(raw AS DOUBLE) AS as_double,
+             TRY_CAST(raw AS DATE) AS as_date
+      FROM dirty
+    )
+    SELECT raw,
+           count(*) AS n_rows,
+           CAST(count(as_int) AS BIGINT) AS n_int_ok,
+           CAST(count(as_double) AS BIGINT) AS n_double_ok,
+           CAST(count(as_date) AS BIGINT) AS n_date_ok,
+           CAST(coalesce(sum(as_int), 0) AS BIGINT) AS int_sum,
+           round(CAST(coalesce(sum(as_double), 0) AS DOUBLE), 4) AS double_sum
+    FROM casted GROUP BY raw
+    """,
+)
+def try_cast_dirty_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant ingestion casts (try_cast): a dirty string column
+    — clean ints, garbage, blanks, padded numbers, decimals, scientific
+    notation, invalid dates, overflow — cast to BIGINT/DOUBLE/DATE with
+    per-value success counts and sums. try_cast is the NULL-on-failure
+    ingestion primitive (ANSI cast would abort the job on the first bad
+    row 90 TB into a scan). SEMANTIC NOTE, encoded in the oracle: Spark's
+    try_cast string→integral is ANSI-strict (only integer literals;
+    '3.14'/'1e3' → NULL) while DuckDB's TRY_CAST rounds decimals and
+    parses 0x — the oracle guards its int cast with the integer-literal
+    regex to assert Spark's documented semantics rather than accidentally
+    matching on lax ones. Overflow ('99…9' > int64) is NULL in both.
+    All-integer counts and an exact bigint sum; the double sum is
+    per-group n×constant, rounded. Scale: casts are map-side codegen;
+    the rollup is bounded by the value-set cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.array(*[F.lit(v) for v in _DIRTY_VALS])
+    raw = F.element_at(
+        arr,
+        (
+            F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber"), len(_DIRTY_VALS))
+        ).cast("int")
+        + 1,
+    )
+    casted = li.select(raw.alias("raw")).select(
+        "raw",
+        F.expr("try_cast(raw AS BIGINT)").alias("as_int"),
+        F.expr("try_cast(raw AS DOUBLE)").alias("as_double"),
+        F.expr("try_cast(raw AS DATE)").alias("as_date"),
+    )
+    return casted.groupBy("raw").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("as_int").alias("n_int_ok"),
+        F.count("as_double").alias("n_double_ok"),
+        F.count("as_date").alias("n_date_ok"),
+        F.coalesce(F.sum("as_int"), F.lit(0)).cast("bigint").alias("int_sum"),
+        F.round(F.coalesce(F.sum("as_double"), F.lit(0.0)), 4).alias("double_sum"),
+    )
+
+
+@register(
+    "moment_stats_quantity",
+    oracle="""
+    WITH qv AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+    ),
+    sums AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(q) AS BIGINT) AS s1,
+             CAST(sum(q * q) AS BIGINT) AS s2,
+             CAST(sum(q * q * q) AS BIGINT) AS s3,
+             CAST(sum(q * q * q * q) AS BIGINT) AS s4
+      FROM qv GROUP BY l_returnflag
+    ),
+    derived AS (
+      SELECT l_returnflag, n, s1,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM sums
+    )
+    SELECT l_returnflag, n,
+           round(mean, 6) AS mean_qty,
+           round(m2, 6) AS var_pop,
+           round((r3 - 3 * mean * r2 + 2 * mean * mean * mean)
+                 / (sqrt(m2) * m2), 6) AS skewness_pop,
+           round((r4 - 4 * mean * r3 + 6 * mean * mean * r2
+                  - 3 * mean * mean * mean * mean) / (m2 * m2) - 3, 6) AS kurtosis_pop
+    FROM derived
+    """,
+)
+def moment_stats_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics (variance / skewness / excess kurtosis)
+    computed FROM EXACT INTEGER POWER SUMS — the oracle-deterministic
+    alternative to the engines' built-in skewness()/kurtosis(), whose
+    sample-vs-population conventions and float accumulation orders
+    differ across engines. Quantities are small integers, so Σq..Σq⁴
+    fit bigints exactly (order-independent); every downstream float op
+    is the identical IEEE expression on identical scalars, with
+    sqrt(m2)·m2 replacing pow(m2, 1.5) because sqrt is correctly-rounded
+    by IEEE-754 while pow is not. This one-pass raw-moment shape is also
+    the distributed-friendly form: a single map-side-combined aggregate,
+    no second pass for centered moments. Scale: wordcount-shaped."""
+    q = F.col("l_quantity").cast("bigint")
+    sums = load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mean * mean
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(mean, 6).alias("mean_qty"),
+        F.round(m2, 6).alias("var_pop"),
+        F.round(
+            (r3 - F.lit(3) * mean * r2 + F.lit(2) * mean * mean * mean)
+            / (F.sqrt(m2) * m2),
+            6,
+        ).alias("skewness_pop"),
+        F.round(
+            (r4 - F.lit(4) * mean * r3 + F.lit(6) * mean * mean * r2
+             - F.lit(3) * mean * mean * mean * mean) / (m2 * m2) - F.lit(3),
+            6,
+        ).alias("kurtosis_pop"),
+    )

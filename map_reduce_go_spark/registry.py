@@ -64,7 +64,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # green has at worst a 2-round-old one. The 10 r2 rows that no longer
     # fit, then the r3 cohort, rotate through the r6 window next.
     # (a) new in round 5.
-    "editdist_qgram_join",
+    "dedup_minhash_containment",
+    "moment_stats_quantity",
+    "forward_fill_event_values",
+    "zscore_doclen_by_source",
+    "word_graph_triangles",
+    "word_graph_pagerank",
+    "union_by_name_schema_evolution",
+    "try_cast_dirty_data",
+    "editdist_deletion_join",
     "char_entropy_quality",
     "word_graph_reachability",
     "stratified_sample_mktsegment",
@@ -108,18 +116,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_lineitem_flags",
     "cube_orders_status_priority",
     "grouping_sets_nation_segment",
-    "conditional_agg_pivot",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "semi_join_customers_with_purchases",
-    "anti_join_parts_never_ordered",
-    "outer_join_nation_customer_counts",
-    "window_topk_parts_per_brand",
-    "window_running_customer_spend",
-    # (50 names exactly — the driver's window size. The remaining 10
-    # r2-cohort rows (top20_orders_by_price .. q18_large_volume_orders)
-    # plus the r3 cohort follow in registration order and rotate through
-    # the r6 window.)
+    # (50 names exactly — the driver's window size. The 18 r2-cohort
+    # rows that no longer fit, then the r3 cohort, follow in registration
+    # order and rotate through the r6 window.)
 )
 
 

@@ -63,42 +63,71 @@ DEDUP_TABLES = ("documents", "embeddings")
 
 
 def replicate(spark, k: int, out_dir: str, tables=TABLES) -> None:
+    """Build the k-times corpus in ONE pass per table: each row explodes
+    into k replicas (a lateral sequence, map-side), keys shift by
+    replica*10*n so join/group cardinalities grow linearly, and document
+    text is scrambled per (replica, doc) so the corpus grows in DISTINCT
+    documents. (A k-branch union of full scans re-read and re-planned the
+    source k times — at k=64 the fixture build alone dominated the probe's
+    wall-clock budget.)
+
+    The scramble salt includes doc_id: a replica-only salt would sort
+    EVERY doc's words into the same canonical hash order, making any two
+    docs with overlapping vocabulary collide heavily in shingle space —
+    LSH candidate mass then grows quadratically and the probe measures a
+    fixture artifact, not the plan (observed: 1 GiB task allocations +
+    spill-to-disk-full at 64x). Per-doc permutations keep cross-doc
+    shingle overlap at natural levels; replica 0 keeps original text."""
     for t in tables:
         df = load_table(spark, BASE, t)
         if t in SHIFT_COLS:
             n = df.count()
-            parts = []
-            for i in range(k):
-                d = df
-                for c in SHIFT_COLS[t]:
-                    d = d.withColumn(c, F.col(c) + F.lit(i * 10 * n))
-                if t == "documents" and i > 0:
-                    # Deterministically scramble each replica's word order
-                    # (sort by a replica-salted hash). Verbatim copies
-                    # would make every doc a true k-plex duplicate and LSH
-                    # candidate mass would rightly grow k² — correct dedup
-                    # behavior, wrong scaling semantics for a probe that
-                    # asks "does the plan stay linear when the CORPUS
-                    # grows". Scrambling gives k× distinct docs while
-                    # keeping vocabulary/length distributions identical.
-                    ws = F.split(F.col("text"), r"\s+")
-                    salted = F.transform(
-                        ws,
-                        lambda w: F.struct(
-                            F.md5(F.concat(w, F.lit(f"|{i}"))).alias("k"),
-                            w.alias("w"),
-                        ),
-                    )
-                    d = d.withColumn(
-                        "text",
-                        F.array_join(
-                            F.transform(F.sort_array(salted), lambda s: s["w"]), " "
-                        ),
-                    )
-                parts.append(d)
-            big = parts[0]
-            for d in parts[1:]:
-                big = big.unionByName(d)
+            d = df.select(
+                "*",
+                F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__rep"),
+            )
+            for c in SHIFT_COLS[t]:
+                d = d.withColumn(c, F.col(c) + F.col("__rep") * (10 * n))
+            if t == "documents":
+                ws = F.split(F.col("text"), r"\s+")
+                # The sort key salts with (replica, doc, POSITION). The
+                # position matters: without it, repeated words share one
+                # key and sort into adjacent runs, so every scrambled doc
+                # emits degenerate "w w w" trigram shingles that the whole
+                # corpus shares — LSH buckets then hold ~all docs and the
+                # band self-join explodes quadratically (observed as a
+                # 55 GB spill at 64x). Per-position keys scatter repeats.
+                salted = F.transform(
+                    ws,
+                    lambda w, i: F.struct(
+                        F.md5(
+                            F.concat(
+                                w,
+                                F.lit("|"),
+                                F.col("__rep").cast("string"),
+                                F.lit("|"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("|"),
+                                i.cast("string"),
+                            )
+                        ).alias("k"),
+                        w.alias("w"),
+                    ),
+                )
+                scrambled = F.array_join(
+                    F.transform(F.sort_array(salted), lambda s: s["w"]), " "
+                )
+                d = d.withColumn(
+                    "text",
+                    F.when(F.col("__rep") == 0, F.col("text")).otherwise(scrambled),
+                )
+            # The explode build is map-side, so it inherits the SOURCE
+            # file's partitioning — at sf0.1 that is one file, and a
+            # 1-partition 64x fixture serializes every downstream scan
+            # into a single task (observed: one straggler task, GC
+            # thrash). Repartition to k so the written fixture has the
+            # same parallelism the k-branch union used to produce.
+            big = d.drop("__rep").repartition(k)
         else:
             big = df  # dims stay fixed, like real scale-up
         big.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
