@@ -1209,3 +1209,69 @@ def word_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.col("r").alias("rank_ppb"))
+
+
+@register(
+    "winsorized_doclen_stats",
+    oracle="""
+    WITH cuts AS (
+      SELECT source,
+             percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS p05,
+             percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95
+      FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(min(c.p05) AS BIGINT) AS p05,
+           CAST(min(c.p95) AS BIGINT) AS p95,
+           round(CAST(sum(greatest(c.p05, least(c.p95, d.n_chars))) AS DOUBLE)
+                 / count(*), 6) AS winsorized_mean,
+           CAST(sum(CASE WHEN d.n_chars < c.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+           CAST(sum(CASE WHEN d.n_chars > c.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high
+    FROM documents d JOIN cuts c ON c.source = d.source
+    GROUP BY d.source
+    """,
+)
+def winsorized_doclen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clamped-tail) document-length statistics per source —
+    the outlier-robust mean a mixture planner trusts when a source has a
+    few megadocs or empty stubs that would wreck the plain average.
+
+    Two passes, both keyed on source: (1) exact p05/p95 via
+    percentile_disc — *discrete* percentiles, so the cuts are actual
+    observed integer lengths and every downstream comparison is
+    integer-exact in both engines; (2) re-aggregate with each length
+    clamped into [p05, p95]. The per-source cuts table is
+    source-cardinality-sized, so the join back is a broadcast at any
+    corpus scale, and the clamped sum stays integer until the single
+    rounded division. The clamp counters report how much tail each source
+    actually has — the signal that decides winsorize-vs-drop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = docs.groupBy("source").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("p05"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("p95"),
+    )
+    clamped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("n_chars")))
+    return (
+        docs.join(F.broadcast(cuts), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("p05").alias("p05"),
+            F.min("p95").alias("p95"),
+            F.round(
+                F.sum(clamped).cast("double") / F.count(F.lit(1)), 6
+            ).alias("winsorized_mean"),
+            F.sum(F.when(F.col("n_chars") < F.col("p05"), 1).otherwise(0)).alias(
+                "n_clamped_low"
+            ),
+            F.sum(F.when(F.col("n_chars") > F.col("p95"), 1).otherwise(0)).alias(
+                "n_clamped_high"
+            ),
+        )
+    )

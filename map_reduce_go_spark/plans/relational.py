@@ -1960,3 +1960,46 @@ def moment_stats_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kurtosis_pop"),
     )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: the parts not dominated on (cheaper
+    price, larger size) — the multi-criteria shortlist query (cheapest
+    part at every size level). A part is dominated iff some other part is
+    no worse on both axes and strictly better on one; ties on both axes
+    keep both rows.
+
+    The declarative engine gets to replace the textbook O(N²) NOT-EXISTS
+    self-join (which the oracle states verbatim) with an O(N log N) plan:
+    collapse to one row per distinct price carrying the group's max size,
+    take a strictly-preceding-rows prefix max over the price order, and
+    join that single number back — a survivor must beat the best size
+    among all strictly-cheaper parts AND the best size at its own price.
+    Both windows ride Spark's range-partitioned sort exchange; the
+    distinct-price rollup is a few thousand rows at any corpus size, so
+    the prefix-max window never sees the fact table. At 100 TB the
+    difference is a sort versus a cartesian product.
+    """
+    part = load_table(spark, sf_dir, "part")
+    by_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    pricemap = by_price.withColumn("prefix_max", F.max("gmax").over(w))
+    joined = part.join(F.broadcast(pricemap), "p_retailprice")
+    dominated = (
+        (F.col("prefix_max").isNotNull() & (F.col("prefix_max") >= F.col("p_size")))
+        | (F.col("gmax") > F.col("p_size"))
+    )
+    return joined.where(~dominated).select("p_partkey", "p_retailprice", "p_size")

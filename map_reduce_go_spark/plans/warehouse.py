@@ -1,0 +1,384 @@
+"""Warehouse-maintenance operators: CDC compaction, SCD2 history, data
+quality, layout planning, and optimizer statistics.
+
+The reference engine's users run MapReduce jobs to *maintain* tables, not
+just query them (the same keyed-aggregation dataflow as the wc/indexer
+apps, reference src/mrapps/wc.go, pointed at table upkeep). This module
+gives that surface first-class Spark plans:
+
+- **latest-wins compaction** (`upsert_latest_snapshot`): the read side of
+  a MERGE/upsert stream — one ``max(struct(...))`` hash aggregate, never
+  a per-key window sort, so it map-side-combines and survives any key
+  cardinality.
+- **SCD Type-2 history build** (`scd2_user_type_history`): change-point
+  gaps-and-islands per user — windows partition on user_id, the natural
+  event key, so state stays per-user-bounded.
+- **referential-integrity audit** (`dq_referential_integrity`): the FK /
+  null / range expectation checks a pipeline gate runs before publishing
+  a table — expressed as anti-joins so Catalyst broadcasts the dim side.
+- **compaction planning** (`compaction_planner`): the small-files report
+  that decides target file counts per partition — pure metadata-sized
+  aggregation over per-group byte totals.
+- **equi-depth histogram** (`equidepth_histogram_price`): the optimizer
+  statistic ANALYZE collects; global ntile rides Spark's range-partitioned
+  sort exchange, the same machinery as any total order.
+
+All arithmetic that crosses the oracle boundary is integer (epochs,
+counts, parts-per-million rates) — no float ever decides row membership
+or ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_go_spark.registry import register
+from map_reduce_go_spark.sources.readers import load_table
+
+
+@register(
+    "upsert_latest_snapshot",
+    oracle="""
+    SELECT user_id, n_events, last_epoch, last_event_id, last_event_type, last_value
+    FROM (
+      SELECT user_id,
+             count(*) OVER (PARTITION BY user_id) AS n_events,
+             CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch,
+             event_id AS last_event_id,
+             event_type AS last_event_type,
+             value AS last_value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+)
+def upsert_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC compaction: one current-state row per user — the
+    read side of a MERGE/upsert stream, and the compaction job that keeps
+    an event-sourced table queryable.
+
+    The plan is a single hash aggregate: ``max(struct(ts, event_id,
+    payload...))`` picks the lexicographically-latest event per key and
+    carries its payload along — no per-key window sort, no row_number.
+    Partial maxes combine map-side, so the shuffle moves one candidate row
+    per (partition, user) regardless of how hot a user's history is; at
+    100 TB this is the shape that keeps a power-user key from serializing
+    a whole partition through a sort. event_id (unique) breaks ts ties,
+    so the survivor is deterministic. The oracle states the same semantics
+    in the conventional row_number form.
+    """
+    e = load_table(spark, sf_dir, "events")
+    latest = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), latest)
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_timestamp("last.ts").alias("last_epoch"),
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "scd2_user_type_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM ordered
+    ),
+    versions AS (
+      SELECT user_id, version, event_type,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from_epoch,
+             count(*) AS n_events
+      FROM islands
+      GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type, valid_from_epoch,
+           lead(valid_from_epoch) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_epoch,
+           CASE WHEN lead(valid_from_epoch) OVER (PARTITION BY user_id ORDER BY version)
+                IS NULL THEN 1 ELSE 0 END AS is_current,
+           n_events
+    FROM versions
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an event stream: collapse each
+    user's history into versioned rows — one row per *run* of consecutive
+    equal event_type, with [valid_from, valid_to) half-open validity and
+    an is_current flag on the open row. This is the classic
+    slowly-changing-dimension maintenance job a warehouse runs over CDC
+    input.
+
+    Gaps-and-islands: a change flag (lag ≠ current) prefix-summed into a
+    version number, then one hash aggregate per (user, version). Both
+    windows partition on user_id and the final lead() runs over the
+    already-collapsed versions (a few rows per user), so per-key state is
+    bounded by a user's *distinct runs*, not their raw event count.
+    event_id breaks ts ties — the island assignment is deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    islands = e.withColumn(
+        "version", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    versions = islands.groupBy("user_id", "version", "event_type").agg(
+        F.unix_timestamp(F.min("ts")).alias("valid_from_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from_epoch").over(wv)
+    return versions.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from_epoch",
+        valid_to.alias("valid_to_epoch"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+        "n_events",
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS check_name,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          ) AS n_violations
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'orders.o_totalprice > 0',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders WHERE NOT (o_totalprice > 0))
+    UNION ALL
+    SELECT 'lineitem.l_quantity IS NOT NULL',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite: the publish gate a pipeline runs
+    before promoting a table — foreign-key orphan counts across the star
+    schema plus null/range constraint checks, one report row per check.
+
+    Each FK check is a LEFT ANTI join counted: Catalyst broadcasts the
+    key side when it's small (nation always; orders/customer at test
+    scale) and AQE falls back to shuffled SMJ when it isn't — exactly the
+    plan you want either way at 100 TB, since an anti-join needs only the
+    *keys* of the referenced table, never its payload. The scalar counts
+    union into a metadata-sized report; nothing wide ever shuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def fk(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        orphans = child.join(
+            parent.select(pkey), on=child[ckey] == parent[pkey], how="left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_violations")))
+            .select(F.lit(name).alias("check_name"), "n_rows", "n_violations")
+        )
+
+    def predicate(name: str, table: DataFrame, bad) -> DataFrame:
+        return table.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(bad, 1).otherwise(0)).alias("n_violations"),
+        ).select(F.lit(name).alias("check_name"), "n_rows", "n_violations")
+
+    checks = [
+        fk("lineitem.l_orderkey -> orders", li, "l_orderkey", orders, "o_orderkey"),
+        fk("orders.o_custkey -> customer", orders, "o_custkey", cust, "c_custkey"),
+        fk("customer.c_nationkey -> nation", cust, "c_nationkey", nation, "n_nationkey"),
+        fk("supplier.s_nationkey -> nation", supp, "s_nationkey", nation, "n_nationkey"),
+        predicate("orders.o_totalprice > 0", orders, ~(F.col("o_totalprice") > 0)),
+        predicate("lineitem.l_quantity IS NOT NULL", li, F.col("l_quantity").isNull()),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+# Target bytes per output file for the compaction report. 1 MiB at test
+# scale so the fixture produces a non-trivial file count; production uses
+# 128 MiB–1 GiB (SCALE.md) — the arithmetic is identical.
+_COMPACT_TARGET_BYTES = 1 << 20
+
+
+@register(
+    "compaction_planner",
+    oracle=f"""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           greatest(CAST(1 AS BIGINT),
+                    CAST(ceil(sum(n_chars) / {float(_COMPACT_TARGET_BYTES)}) AS BIGINT)
+           ) AS target_files,
+           CAST(floor(count(*) / greatest(CAST(1 AS BIGINT),
+                    CAST(ceil(sum(n_chars) / {float(_COMPACT_TARGET_BYTES)}) AS BIGINT)
+           )) AS BIGINT) AS docs_per_file
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction report: per (source, lang) partition, the
+    number of output files needed to hit the target file size, and the
+    resulting docs-per-file — the planning step of the table-maintenance
+    job that rewrites a fragmented 100 TB corpus.
+
+    One map-side-combinable aggregate over (count, byte-sum); the report
+    is partition-cardinality-sized. The file count feeds
+    ``repartitionByRange(target_files, ...)`` on the rewrite side — this
+    query is the *decision*, priced at one scan of two integer columns
+    (column pruning keeps text out of the read entirely).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    target = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.sum("n_chars") / F.lit(float(_COMPACT_TARGET_BYTES))).cast("long"),
+    )
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        target.alias("target_files"),
+        (F.count(F.lit(1)) / target).cast("long").alias("docs_per_file"),
+    )
+
+
+# Incremental-maintenance cutoff: mid-fixture (events span 2024-01-01 ..
+# 2024-01-30), so both the pre-aggregated state and the delta are
+# non-trivial. Production swaps in "yesterday's watermark".
+_INCR_CUTOFF = "2024-01-15 00:00:00"
+
+
+@register(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: merge a pre-aggregated *state* (all
+    events before the cutoff) with a freshly-aggregated *delta* (events at
+    or after it) and prove the merge equals a full recompute — the oracle
+    IS the full recompute, so the driver's value-hash check is exactly the
+    incremental-correctness property.
+
+    Every aggregate here is mergeable (count→sum, sum→sum, min→min,
+    max→max), which is the entire contract of incremental pipelines: at
+    100 TB you never re-scan history, you fold yesterday's partial-agg
+    parquet into today's delta — the same partial/final split Spark's own
+    two-phase HashAggregate uses, lifted to cross-job granularity. The sum
+    rides decimal(24,6) through both phases so the merged total is exact
+    regardless of how the rows were split.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(24,6)")).alias("sval"),
+            F.min("ts").alias("tmin"),
+            F.max("ts").alias("tmax"),
+        )
+
+    state = partial(e.where(F.col("ts") < cutoff))
+    delta = partial(e.where(F.col("ts") >= cutoff))
+    merged = state.unionAll(delta).groupBy("event_type").agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum("sval").cast("double").alias("sum_value"),
+        F.unix_timestamp(F.min("tmin")).alias("first_epoch"),
+        F.unix_timestamp(F.max("tmax")).alias("last_epoch"),
+    )
+    return merged
+
+
+_HIST_BUCKETS = 8
+
+
+@register(
+    "equidepth_histogram_price",
+    oracle=f"""
+    SELECT bucket,
+           count(*) AS n_orders,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM (
+      SELECT o_totalprice,
+             ntile({_HIST_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    ) t
+    GROUP BY bucket
+    """,
+)
+def equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of o_totalprice — the column statistic ANALYZE
+    collects for selectivity estimation: 8 buckets of (near-)equal row
+    count with their value bounds.
+
+    ntile over a global order is the one operator here that genuinely
+    needs a total sort; Spark plans it as a range-partitioned sort
+    exchange (sampled range boundaries, no single-reducer bottleneck), the
+    same machinery as any ORDER BY at scale. o_orderkey breaks price ties
+    so bucket membership — and therefore the bucket bounds — is
+    deterministic in both engines. Output is 8 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(_HIST_BUCKETS).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -16,3 +16,5 @@ import map_reduce_go_spark.plans.tpch_partsupp  # noqa: F401
 import map_reduce_go_spark.plans.tpch_shapes  # noqa: F401
 import map_reduce_go_spark.operators.pipeline  # noqa: F401
 import map_reduce_go_spark.functions.skew  # noqa: F401
+import map_reduce_go_spark.plans.warehouse  # noqa: F401
+import map_reduce_go_spark.operators.sketches  # noqa: F401

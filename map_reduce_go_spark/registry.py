@@ -64,6 +64,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # green has at worst a 2-round-old one. The 10 r2 rows that no longer
     # fit, then the r3 cohort, rotate through the r6 window next.
     # (a) new in round 5.
+    "incremental_agg_merge",
+    "pareto_frontier_parts",
+    "winsorized_doclen_stats",
+    "upsert_latest_snapshot",
+    "scd2_user_type_history",
+    "dq_referential_integrity",
+    "compaction_planner",
+    "equidepth_histogram_price",
+    "cms_heavy_hitters",
+    "bloom_join_prune_probe",
     "dedup_minhash_containment",
     "moment_stats_quantity",
     "forward_fill_event_values",
@@ -106,19 +116,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_bruteforce_cosine",
     "embedding_centroids",
     "text_quality_stats",
-    "language_guess",
-    "token_counts",
-    "doc_fingerprint",
-    "token_positions",
-    "q1_pricing_summary",
-    "agg_stats_per_nation",
-    "count_distinct_custkey",
-    "rollup_lineitem_flags",
-    "cube_orders_status_priority",
-    "grouping_sets_nation_segment",
-    # (50 names exactly — the driver's window size. The 18 r2-cohort
-    # rows that no longer fit, then the r3 cohort, follow in registration
-    # order and rotate through the r6 window.)
+    # (50 names exactly — the driver's window size. The remaining
+    # r2-cohort rows (token_positions, q1_pricing_summary, ... — displaced
+    # by the 7 warehouse/sketch queries added late in round 5), then the
+    # r3 cohort, follow in registration order and rotate through the r6
+    # window.)
 )
 
 
