@@ -770,3 +770,301 @@ def ann_ivf_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# --------------------------------------------------------------------------
+
+# 64 dims → M_SUB subspaces × SUB_DIM dims, K_CODES centroids each: codes
+# are M_SUB small ints per vector (4 bytes here vs 256 bytes of float32 —
+# the 64× compression that lets a 100 TB embedding corpus live in RAM as
+# codes). K=8/M=4 keeps the oracle's replayed build tractable; production
+# uses K=256/M=8+ with more Lloyd rounds — same dataflow.
+M_SUB = 4
+SUB_DIM = 16
+K_CODES = 8
+
+_PQ_CODEBOOK_CACHE: dict[str, list[list[list[float]]]] = {}
+
+
+def _seq_l2(ma: "np.ndarray", mb: "np.ndarray") -> "np.ndarray":
+    """Row-wise squared L2 with DIMENSION-SEQUENTIAL float64 accumulation
+    over SUB_DIM dims — the PQ twin of _seq_dot, bit-identical to the
+    oracle's list_sum fold of (a[i]-b[i])*(a[i]-b[i])."""
+    d0 = ma[:, 0] - mb[:, 0]
+    acc = d0 * d0
+    for i in range(1, SUB_DIM):
+        di = ma[:, i] - mb[:, i]
+        acc = acc + di * di
+    return acc
+
+
+def _pq_subvecs(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, v): each embedding split into M_SUB SUB_DIM-slices."""
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("embedding", s * SUB_DIM + 1, SUB_DIM).alias("v"),
+                    )
+                    for s in range(M_SUB)
+                ]
+            )
+        ).alias("sv"),
+    ).select("vec_id", "sv.sub", "sv.v")
+
+
+def _pq_assign_codes(subv: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, sub, code): nearest-codeword id per subvector, squared-L2,
+    ties to the lower code — one Arrow kernel over (sub, v)."""
+    mats = [np.asarray(b, dtype=np.float64) for b in books]  # M_SUB × (K, SUB_DIM)
+
+    @F.pandas_udf("int")
+    def _code(sub: pd.Series, v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy()).astype(np.float64)  # (B, SUB_DIM)
+        subs = sub.to_numpy()
+        out = np.zeros(len(m), dtype=np.int32)
+        for s in range(M_SUB):
+            mask = subs == s
+            if not mask.any():
+                continue
+            ms = m[mask]
+            # (B_s, K) distances, dimension-sequential accumulation per
+            # codeword, then stable argmin (ties to lower code).
+            dists = np.stack(
+                [_seq_l2(ms, np.broadcast_to(c, ms.shape)) for c in mats[s]], axis=1
+            )
+            out[mask] = np.argmin(dists, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return subv.select("vec_id", "sub", _code("sub", "v").alias("code"))
+
+
+def pq_codebooks_for(sf_dir: str, emb: DataFrame) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks (M_SUB × K_CODES × SUB_DIM), trained at
+    most once per fixture dir (the ivf_centroids_for policy: the build is
+    seed-deterministic with exact decimal means, so memoization returns
+    bit-identical codebooks; the 100 TB analog persists them beside the
+    codes).
+
+    Build = the IVF recipe per subspace, run as ONE Spark job across all
+    subspaces: seeds are the K_CODES lowest vec_ids' subvectors, one Lloyd
+    step assigns every subvector to its nearest seed (squared L2,
+    sequential fold), and per-(sub, cell) means are SUB_DIM exact
+    decimal(18,8) aggregates — order-independent, so the oracle replays
+    the identical codebook from SQL. Only index metadata is ever
+    collected: 8 seed rows, then M_SUB×K_CODES mean rows (512 floats).
+    """
+    import os
+
+    key = os.path.realpath(sf_dir)
+    if key in _PQ_CODEBOOK_CACHE:
+        return _PQ_CODEBOOK_CACHE[key]
+
+    seed_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(K_CODES).collect()
+    )
+    if not seed_rows:
+        raise ValueError("pq_codebooks_for: empty embeddings corpus")
+    seeds = [
+        [
+            [float(x) for x in r["embedding"][s * SUB_DIM : (s + 1) * SUB_DIM]]
+            for r in seed_rows
+        ]
+        for s in range(M_SUB)
+    ]
+
+    subv = _pq_subvecs(emb)
+    assigned = _pq_assign_codes(subv, seeds).withColumnRenamed("code", "cell")
+    cnt = F.count(F.lit(1))
+    means = (
+        subv.join(assigned, ["vec_id", "sub"])
+        .groupBy("sub", "cell")
+        .agg(
+            *[
+                (F.sum(F.col("v")[i].cast("decimal(18,8)")).cast("double") / cnt).alias(
+                    f"m{i}"
+                )
+                for i in range(SUB_DIM)
+            ]
+        )
+        .collect()
+    )
+    refined = {
+        (r["sub"], r["cell"]): [float(r[f"m{i}"]) for i in range(SUB_DIM)] for r in means
+    }
+    books = [
+        [refined.get((s, k), seeds[s][k]) for k in range(len(seeds[s]))]
+        for s in range(M_SUB)
+    ]
+    _PQ_CODEBOOK_CACHE[key] = books
+    return books
+
+
+def _pq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {SUB_DIM}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB replay of the FULL PQ pipeline: subvector split, seed
+    selection, one Lloyd step with exact decimal means, corpus encoding,
+    per-query ADC tables, exact-decimal ADC sums, top-k ranking. Every
+    float fold is order-matched to the pandas kernels."""
+    mean_cols = ", ".join(
+        f"CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m{i}"
+        for i in range(SUB_DIM)
+    )
+    cent_list = ", ".join(
+        f"COALESCE(m.m{i}, CAST(s.v[{i + 1}] AS DOUBLE))" for i in range(SUB_DIM)
+    )
+    return f"""
+    WITH subs AS (SELECT unnest(generate_series(0, {M_SUB - 1})) AS sub),
+    subv AS (
+      SELECT e.vec_id, s.sub,
+             e.embedding[(s.sub * {SUB_DIM} + 1):((s.sub + 1) * {SUB_DIM})] AS v
+      FROM embeddings e CROSS JOIN subs s
+    ),
+    seeds AS (
+      SELECT t.sub, t.v,
+             row_number() OVER (PARTITION BY t.sub ORDER BY t.vec_id) - 1 AS cell
+      FROM subv t
+      WHERE t.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {K_CODES})
+    ),
+    assign0 AS (
+      SELECT t.vec_id, t.sub, t.v, s.cell,
+             row_number() OVER (PARTITION BY t.vec_id, t.sub
+               ORDER BY {_pq_l2_sql("t.v", "s.v")} ASC, s.cell) AS rk
+      FROM subv t JOIN seeds s ON s.sub = t.sub
+    ),
+    means AS (
+      SELECT sub, cell, {mean_cols}
+      FROM assign0 WHERE rk = 1 GROUP BY sub, cell
+    ),
+    cents AS (
+      SELECT s.sub, s.cell, list_value({cent_list}) AS c
+      FROM seeds s LEFT JOIN means m ON m.sub = s.sub AND m.cell = s.cell
+    ),
+    codes AS (
+      SELECT vec_id, sub, cell AS code FROM (
+        SELECT t.vec_id, t.sub, c.cell,
+               row_number() OVER (PARTITION BY t.vec_id, t.sub
+                 ORDER BY {_pq_l2_sql("t.v", "c.c")} ASC, c.cell) AS rk
+        FROM subv t JOIN cents c ON c.sub = t.sub
+      ) WHERE rk = 1
+    ),
+    qtab AS (
+      SELECT q.vec_id AS query_id, c.sub, c.cell,
+             CAST({_pq_l2_sql("q.v", "c.c")} AS DECIMAL(24,10)) AS d
+      FROM subv q JOIN cents c ON c.sub = q.sub
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT t.query_id, k.vec_id AS neighbor_id, SUM(t.d) AS dist
+      FROM qtab t JOIN codes k ON k.sub = t.sub AND k.code = t.cell
+      WHERE k.vec_id <> t.query_id
+      GROUP BY t.query_id, k.vec_id
+    )
+    SELECT query_id, neighbor_id, round(CAST(dist AS DOUBLE), 6) AS pq_dist, rank
+    FROM (
+      SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id) AS rank
+      FROM adc
+    ) t WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_pq_adc_topk", oracle=_pq_oracle_sql())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed nearest neighbors via asymmetric distance
+    computation: every corpus vector is stored as M_SUB={m} codes into
+    per-subspace K={k}-codeword codebooks (trained by the deterministic
+    seed+one-Lloyd-step recipe of the IVF build, per subspace); each query
+    precomputes an M_SUB×K table of exact subspace distances to the
+    codewords; the approximate distance to ANY corpus vector is then M_SUB
+    table lookups summed — no original vector is ever touched at search
+    time.
+
+    This is the memory-side scale path that complements IVF's
+    candidate-pruning: codes are {m} small ints per vector (vs {dim}
+    floats), so the searchable index is ~64× smaller than the corpus and
+    the ADC scan is a broadcast-hash-join of the (queries × {m}×{k})-row
+    lookup table against the codes table — a map-side scan at any corpus
+    size, shuffling only the (query, neighbor) partial sums. Production
+    composes it with IVF (scan only probed cells' codes).
+
+    Determinism end-to-end: codebooks from exact decimal means, subspace
+    distances by dimension-sequential folds, and the ADC *sum* carried in
+    decimal(24,10) — exact, order-independent, and never half-way-rounded
+    (no binary double lands exactly on a 10^-11 tie) — so ranks and
+    distances replay bit-for-bit in the oracle's full SQL rebuild.
+    """
+    emb = tracked_cache(load_table(spark, sf_dir, "embeddings"))
+    books = pq_codebooks_for(sf_dir, emb)
+
+    subv = _pq_subvecs(emb)
+    codes = _pq_assign_codes(subv, books)
+
+    # Codebooks as a tiny DataFrame for the per-query ADC tables:
+    # (sub, cell, c) — M_SUB×K_CODES rows of index metadata.
+    cent_rows = [
+        (s, k, [float(x) for x in books[s][k]])
+        for s in range(M_SUB)
+        for k in range(len(books[s]))
+    ]
+    cents = spark.createDataFrame(cent_rows, "sub int, cell int, c array<double>")
+
+    @F.pandas_udf("double")
+    def _l2(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy()).astype(np.float64)
+        mb = np.vstack(b.to_numpy()).astype(np.float64)
+        return pd.Series(_seq_l2(ma, mb))
+
+    qtab = (
+        subv.where(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cents), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "cell",
+            _l2(F.col("v").cast("array<double>"), "c")
+            .cast("decimal(24,10)")
+            .alias("d"),
+        )
+    )
+
+    adc = (
+        codes.join(
+            F.broadcast(qtab), (codes["sub"] == qtab["sub"]) & (codes["code"] == qtab["cell"])
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("dist").cast("double"), 6).alias("pq_dist"),
+            "rank",
+        )
+    )
+
+
+ann_pq_adc_topk.__doc__ = ann_pq_adc_topk.__doc__.format(
+    m=M_SUB, k=K_CODES, dim=_DIM
+)

@@ -202,3 +202,71 @@ def test_winsorized_mean_bounds_and_counts(spark, duck, sf_dir):
                 FROM documents WHERE source = '{r.source}'"""
         ).fetchone()
         assert (r.n_clamped_low, r.n_clamped_high) == (lo, hi)
+
+
+def test_pq_adc_matches_numpy_pipeline(spark, sf_dir):
+    """Independent recomputation: rebuild the whole PQ pipeline (seed
+    selection, one Lloyd step, encoding, ADC tables, top-k) in plain
+    numpy from the parquet and require identical ranks and near-identical
+    distances — proves the distributed build computes the algorithm it
+    claims, not merely something self-consistent."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from map_reduce_go_spark.operators.similarity import (
+        K_CODES,
+        M_SUB,
+        N_QUERIES,
+        SUB_DIM,
+        TOP_K,
+        ann_pq_adc_topk,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    tbl = tbl.sort_values("vec_id").reset_index(drop=True)
+    ids = tbl["vec_id"].to_numpy()
+    X = np.vstack(tbl["embedding"].to_numpy()).astype(np.float64)
+
+    got = {}
+    for r in ann_pq_adc_topk(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.pq_dist))
+
+    # numpy rebuild
+    books = []
+    for s in range(M_SUB):
+        sl = slice(s * SUB_DIM, (s + 1) * SUB_DIM)
+        seeds = X[:K_CODES, sl]
+        d = ((X[:, None, sl] - seeds[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        cents = np.array(
+            [
+                X[assign == k, sl].mean(axis=0) if (assign == k).any() else seeds[k]
+                for k in range(K_CODES)
+            ]
+        )
+        books.append(cents)
+    codes = np.stack(
+        [
+            ((X[:, None, s * SUB_DIM : (s + 1) * SUB_DIM] - books[s][None, :, :]) ** 2)
+            .sum(axis=2)
+            .argmin(axis=1)
+            for s in range(M_SUB)
+        ],
+        axis=1,
+    )  # (N, M_SUB)
+    for qi in range(N_QUERIES):
+        qpos = int(np.where(ids == qi)[0][0])
+        tabs = [
+            ((X[qpos, s * SUB_DIM : (s + 1) * SUB_DIM] - books[s]) ** 2).sum(axis=1)
+            for s in range(M_SUB)
+        ]
+        dist = np.zeros(len(X))
+        for s in range(M_SUB):
+            dist += tabs[s][codes[:, s]]
+        order = sorted(
+            (float(dist[i]), int(ids[i])) for i in range(len(X)) if ids[i] != qi
+        )[:TOP_K]
+        expect = [(rk + 1, nid, d) for rk, (d, nid) in enumerate(order)]
+        assert [g[:2] for g in sorted(got[qi])] == [e[:2] for e in expect]
+        for (_, _, gd), (_, _, ed) in zip(sorted(got[qi]), expect):
+            assert abs(gd - ed) < 1e-6
