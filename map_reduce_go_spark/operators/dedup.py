@@ -1276,9 +1276,16 @@ def editdist_deletion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at k+1 (returns -1 above the bound) — measured 43% faster than the
     # full-matrix form on the sf0.1 candidate set, and the early exit only
     # widens at 100 TB where candidates are longer strings.
+    # shuffle_hash, not the planner's pick: AQE sees a "small" build side
+    # and broadcasts, but a self-join whose output is ~4× its input wants
+    # both sides hash-partitioned on the digest so the 1M-pair verify
+    # parallelizes across all cores (measured 2× the whole query vs the
+    # auto-chosen broadcast at sf0.1). At 100 TB the side is far past any
+    # broadcast threshold and this is the only plan anyway — the hint
+    # makes the local plan and the cluster plan the same plan.
     pairs = (
         left.join(
-            right,
+            right.hint("shuffle_hash"),
             (F.col("v_a") == F.col("v_b")) & (F.col("key_a") < F.col("key_b")),
         )
         .filter(F.levenshtein(F.col("name_a"), F.col("name_b"), EDIT_MAX_DIST) >= 0)

@@ -57,6 +57,30 @@ def _h_sql(salt: str, key_expr: str, mod: int) -> str:
     )
 
 
+def cms_cells_over(words: DataFrame) -> DataFrame:
+    """The CMS build as a pure transformation over any (word)-DataFrame —
+    batch OR streaming: explode each word into its d (row, col) cells and
+    count per cell. As a streaming aggregation the state is the sketch
+    itself (d×w rows, never more), which is exactly why CMS is the
+    streaming-maintainable answer to frequency tracking — the same
+    transformation runs under readStream with no watermark and bounded
+    state (tested stream==batch in tests/test_streaming.py)."""
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row_id"),
+                _h(f"cms{r}", F.col("word"), _CMS_W).alias("col_id"),
+            )
+            for r in range(_CMS_D)
+        ]
+    )
+    return (
+        words.select(F.explode(cell_structs).alias("rc"))
+        .groupBy("rc.row_id", "rc.col_id")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+
 _CMS_WORDS = r"""
   SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word
   FROM documents

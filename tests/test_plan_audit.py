@@ -20,6 +20,7 @@ _EXEC_AT_BUILD = {
     "semdedup_prune",  # trains the IVF codebook
     "near_dup_cluster_sizes",  # runs dedup_clusters' propagation loop
     "cross_doc_span_dupes",  # materializes the hashed span set
+    "ann_pq_adc_topk",  # trains the PQ codebooks
 }
 
 
@@ -175,3 +176,43 @@ def test_derived_partsupp_invariants(spark, sf_dir):
     ).count()
     assert bad == 0
     ps.unpersist()
+
+
+def test_upsert_snapshot_is_agg_not_window(spark, sf_dir):
+    """Latest-wins compaction must plan as a two-phase hash aggregate
+    (partial max(struct) before the exchange) with NO window sort — the
+    property that keeps a hot user's history from serializing through a
+    per-key sort at 100 TB."""
+    plan = _plan(all_queries()["upsert_latest_snapshot"].fn(spark, sf_dir))
+    assert "partial_max" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1  # one shuffle, on user_id
+
+
+def test_compaction_planner_prunes_text(spark, sf_dir):
+    """The planning report reads only (source, lang, n_chars) — the text
+    column must never enter the scan (at 100 TB that's the difference
+    between scanning 3 integer/dict columns and the whole corpus)."""
+    plan = _plan(all_queries()["compaction_planner"].fn(spark, sf_dir))
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "text" not in read_schema
+    assert "n_chars" in read_schema
+
+
+def test_pareto_frontier_avoids_quadratic_join(spark, sf_dir):
+    """The skyline must plan as rollup + prefix-max window + broadcast
+    join-back — never the O(N²) self-join the oracle states (no
+    CartesianProduct, no nested-loop over the fact table)."""
+    plan = _plan(all_queries()["pareto_frontier_parts"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    """The Bloom probe must broadcast the set-bit positions to the fact
+    side (map-side pruning) — the orders scan joins a broadcast, it is
+    never shuffled to meet the filter."""
+    plan = _plan(all_queries()["bloom_join_prune_probe"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
