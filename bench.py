@@ -65,6 +65,13 @@ HEADLINE = [
     # entropy (char-explode + sorted fold) — the scale-sensitive new plans.
     "editdist_deletion_join",
     "char_entropy_quality",
+    # Late round-5 additions: PQ build + ADC lookup-table join,
+    # high-cardinality argmax compaction, the CMS sketch build, and the
+    # full-history SCD2 window chain — one per new family.
+    "ann_pq_adc_topk",
+    "upsert_latest_snapshot",
+    "cms_heavy_hitters",
+    "scd2_user_type_history",
 ]
 
 

@@ -307,3 +307,40 @@ def test_tws_processor_logic_with_fake_state():
     b2 = [pd.DataFrame({"value": [4.0]})]
     (out2,) = list(p.handleInputRows(("click",), iter(b2), None))
     assert out2["n_events"].iloc[0] == 4 and out2["total_value"].iloc[0] == 10.0
+
+
+def test_streaming_cms_sketch_equals_batch(spark, sf_dir, tmp_path):
+    """The count-min sketch is streaming-maintainable: the same
+    cms_cells_over transformation under readStream (complete mode, no
+    watermark — state is the d×w sketch itself, never the vocabulary)
+    must produce exactly the batch sketch. This is the sketch's whole
+    scale story: a frequency tracker whose streaming state is 2048 rows
+    regardless of corpus size."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_go_spark.functions.text import tokenize
+    from map_reduce_go_spark.operators.sketches import cms_cells_over
+
+    src = str(tmp_path / "docs_src")
+    load_table(spark, sf_dir, "documents").select("text").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def words_of(df):
+        return df.select(F.explode(tokenize("text")).alias("word")).where(
+            F.col("word") != ""
+        )
+
+    stream = spark.readStream.schema("text string").parquet(src)
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    windows.run_to_memory(cms_cells_over(words_of(stream)), name, complete=True)
+    got = {(r.row_id, r.col_id): r.cell for r in spark.table(name).collect()}
+
+    batch = spark.read.schema("text string").parquet(src)
+    want = {
+        (r.row_id, r.col_id): r.cell for r in cms_cells_over(words_of(batch)).collect()
+    }
+    assert got == want
+    assert len(got) <= 4 * 512  # state bounded by the sketch dimensions
