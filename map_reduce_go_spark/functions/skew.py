@@ -108,3 +108,62 @@ def salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     stats = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
     return salted_join(ev, stats, on=["event_type"])
+
+
+@register(
+    "join_key_skew_audit",
+    oracle="""
+    WITH hist AS (
+      SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey
+    )
+    SELECT count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           min(cnt) AS min_cnt,
+           max(cnt) AS max_cnt,
+           CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cnt) AS BIGINT) AS p50_cnt,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS BIGINT) AS p99_cnt,
+           min(key) FILTER (WHERE cnt = (SELECT max(cnt) FROM hist)) AS hot_key,
+           CAST(floor(1000000 * max(cnt) / CAST(sum(cnt) AS DOUBLE)) AS BIGINT)
+             AS hot_share_ppm
+    FROM hist
+    """,
+)
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-join diagnosis that decides whether a key needs
+    salted_join: the orders.o_custkey frequency histogram collapsed to
+    its skew signature — key count, min/p50/p99/max per-key multiplicity,
+    the hottest key, and its share of all rows in integer ppm.
+
+    Two aggregations, both map-side-combinable: facts → per-key counts
+    (the only fact-sized shuffle, and it moves (key, partial count)
+    pairs), then the count HISTOGRAM → one summary row. The audit's input
+    is the key histogram — orders of magnitude smaller than the fact
+    table — which is what makes running it before every big join cheap
+    enough to automate; hot_share_ppm over ~1/parallelism is the signal
+    that a plain hash join will straggle and salting (functions/skew.py)
+    or AQE skew-split should take over.
+    """
+    from map_reduce_go_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return hist.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cnt)")
+        .cast("long")
+        .alias("p50_cnt"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)")
+        .cast("long")
+        .alias("p99_cnt"),
+        F.min_by(
+            "key", F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("key").alias("k"))
+        ).alias("hot_key"),
+        F.floor(
+            F.lit(1000000) * F.max("cnt") / F.sum("cnt").cast("double")
+        ).cast("long").alias("hot_share_ppm"),
+    )

@@ -1275,3 +1275,70 @@ def winsorized_doclen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ols_tokens_vs_chars_by_source",
+    oracle=r"""
+    WITH feats AS (
+      SELECT source,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
+      FROM documents
+    ),
+    sums AS (
+      SELECT source,
+             count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM feats GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums
+    """,
+)
+def ols_tokens_vs_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source least-squares fit of whitespace-token count against
+    character count — the chars-per-token calibration a budget planner
+    uses to convert byte counts into token estimates, with r² saying how
+    much to trust it per source.
+
+    Everything up to the final divisions is EXACT integer power sums
+    (Σx, Σy, Σx², Σy², Σxy as BIGINTs — one map-side-combinable aggregate
+    per source, the moment_stats_quantity discipline), so slope,
+    intercept, and r² are single double expressions over identical
+    integers in both engines — no float accumulation order anywhere. One
+    scan, one source-keyed shuffle of six integers; at 100 TB the
+    regression costs exactly what the count does.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("long")
+    y = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).cast("long")
+    sums = docs.select("source", x.alias("x"), y.alias("y")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy  # n²·cov, exact integer
+    var_n = (n * sxx - sx * sx).cast("double")  # n²·var(x), exact until cast
+    slope = cov_n / var_n
+    return sums.select(
+        "source",
+        n.alias("n_docs"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n.cast("double"), 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_n * (n * syy - sy * sy)), 6).alias("r2"),
+    )

@@ -64,6 +64,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # green has at worst a 2-round-old one. The 10 r2 rows that no longer
     # fit, then the r3 cohort, rotate through the r6 window next.
     # (a) new in round 5.
+    "ols_tokens_vs_chars_by_source",
+    "join_key_skew_audit",
     "ann_pq_adc_topk",
     "incremental_agg_merge",
     "pareto_frontier_parts",
@@ -114,8 +116,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_stopfiltered",
     # (c) latest driver row is r2 — the oldest greens in the union.
-    "knn_bruteforce_cosine",
-    "embedding_centroids",
     # (50 names exactly — the driver's window size. The remaining
     # r2-cohort rows (token_positions, q1_pricing_summary, ... — displaced
     # by the 7 warehouse/sketch queries added late in round 5), then the

@@ -270,3 +270,45 @@ def test_pq_adc_matches_numpy_pipeline(spark, sf_dir):
         assert [g[:2] for g in sorted(got[qi])] == [e[:2] for e in expect]
         for (_, _, gd), (_, _, ed) in zip(sorted(got[qi]), expect):
             assert abs(gd - ed) < 1e-6
+
+
+def test_ols_matches_numpy_polyfit(spark, duck, sf_dir):
+    """The integer-power-sum regression must agree with numpy's lstsq fit
+    per source (to float tolerance) — the independent-recompute check."""
+    import numpy as np
+
+    from map_reduce_go_spark.operators.textstats import ols_tokens_vs_chars_by_source
+
+    feats = duck.sql(
+        r"""SELECT source, n_chars,
+               len(regexp_extract_all(text, '\S+')) AS toks
+            FROM documents"""
+    ).df()
+    for r in ols_tokens_vs_chars_by_source(spark, sf_dir).collect():
+        g = feats[feats.source == r.source]
+        slope, intercept = np.polyfit(g.n_chars.to_numpy(), g.toks.to_numpy(), 1)
+        assert abs(r.slope - slope) < 1e-4
+        assert abs(r.intercept - intercept) < 1e-2
+        cc = np.corrcoef(g.n_chars.to_numpy(), g.toks.to_numpy())[0, 1]
+        assert abs(r.r2 - cc * cc) < 1e-4
+
+
+def test_skew_audit_matches_histogram(spark, duck, sf_dir):
+    """The skew signature must reproduce the histogram's true extremes and
+    the hot key's true share."""
+    from map_reduce_go_spark.functions.skew import join_key_skew_audit
+
+    r = join_key_skew_audit(spark, sf_dir).collect()[0]
+    n_keys, n_rows, mx = duck.sql(
+        "SELECT count(*), CAST(sum(cnt) AS BIGINT), max(cnt) FROM "
+        "(SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) t"
+    ).fetchone()
+    assert (r.n_keys, r.n_rows, r.max_cnt) == (n_keys, n_rows, mx)
+    assert r.min_cnt <= r.p50_cnt <= r.p99_cnt <= r.max_cnt
+    hot_truth = duck.sql(
+        "SELECT min(o_custkey) FROM (SELECT o_custkey, count(*) AS cnt FROM orders "
+        "GROUP BY o_custkey) t WHERE cnt = (SELECT max(cnt) FROM "
+        "(SELECT count(*) AS cnt FROM orders GROUP BY o_custkey) u)"
+    ).fetchone()[0]
+    assert r.hot_key == hot_truth
+    assert r.hot_share_ppm == 1000000 * r.max_cnt // r.n_rows
