@@ -211,3 +211,49 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("prob"),
     )
+
+
+@register(
+    "conversion_lag_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST(floor((epoch(p.t_purchase) - epoch(v.t_view)) / 3600) AS BIGINT)
+             AS lag_hours,
+           count(*) AS n_users
+    FROM p JOIN v ON v.user_id = p.user_id
+    GROUP BY lag_hours
+    """,
+)
+def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: for every user who completed the
+    funnel, the whole-hour lag between their first view and their first
+    ordered purchase, as a histogram — the report that prices how long
+    the conversion window (and therefore attribution state) must be
+    held.
+
+    Reuses the funnel chain (all shuffles on user_id, co-partitioned)
+    and collapses it to a lag histogram whose cardinality is the horizon
+    in hours — a metadata-sized result at any event volume. Lags are
+    exact integer epoch arithmetic.
+    """
+    f = funnel_over(load_table(spark, sf_dir, "events"))
+    converted = f.where(F.col("purchase_epoch").isNotNull())
+    lag = F.floor((F.col("purchase_epoch") - F.col("view_epoch")) / 3600).cast("long")
+    return (
+        converted.select(lag.alias("lag_hours"))
+        .groupBy("lag_hours")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

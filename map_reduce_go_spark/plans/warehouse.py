@@ -382,3 +382,76 @@ def equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(floor(((SELECT epoch(max(o_orderdate)) FROM orders)
+                         - epoch(max(o_orderdate))) / 86400) AS BIGINT) AS r_days,
+             count(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, r_days, n_orders, monetary,
+           ntile(5) OVER (ORDER BY r_days DESC, c_custkey) AS r_score,
+           ntile(5) OVER (ORDER BY n_orders ASC, c_custkey) AS f_score,
+           ntile(5) OVER (ORDER BY monetary ASC, c_custkey) AS m_score,
+           100 * ntile(5) OVER (ORDER BY r_days DESC, c_custkey)
+           + 10 * ntile(5) OVER (ORDER BY n_orders ASC, c_custkey)
+           + ntile(5) OVER (ORDER BY monetary ASC, c_custkey) AS rfm_cell
+    FROM agg
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse scoring job:
+    per-customer recency (whole days since their last order, against the
+    corpus's latest order date), frequency, and monetary total, each
+    quintile-scored with ntile(5), composed into the 111..555 RFM cell.
+
+    One fact-sized aggregate (map-side-combinable count/max/decimal-sum),
+    then three global ntiles over the CUSTOMER-cardinality result —
+    each a range-partitioned sort exchange over rows that are already
+    orders-of-magnitude smaller than the fact table (the
+    equidepth_histogram_price scale note applies). The corpus max date is
+    a 1-row broadcast. c_custkey breaks every ordering tie, so quintile
+    membership — and the composed cell — is deterministic in both
+    engines; monetary rides exact decimal into the ordering.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    gmax = orders.agg(F.max("o_orderdate").alias("gmax"))
+    agg = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("monetary_dec"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "c_custkey",
+            F.floor(
+                (F.unix_timestamp("gmax") - F.unix_timestamp("last_order")) / 86400
+            )
+            .cast("long")
+            .alias("r_days"),
+            "n_orders",
+            "monetary_dec",
+        )
+    )
+    w_r = Window.orderBy(F.col("r_days").desc(), "c_custkey")
+    w_f = Window.orderBy(F.col("n_orders").asc(), "c_custkey")
+    w_m = Window.orderBy(F.col("monetary_dec").asc(), "c_custkey")
+    r_s, f_s, m_s = F.ntile(5).over(w_r), F.ntile(5).over(w_f), F.ntile(5).over(w_m)
+    return agg.select(
+        "c_custkey",
+        "r_days",
+        "n_orders",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+        (F.lit(100) * r_s + F.lit(10) * f_s + m_s).alias("rfm_cell"),
+    )

@@ -64,6 +64,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # green has at worst a 2-round-old one. The 10 r2 rows that no longer
     # fit, then the r3 cohort, rotate through the r6 window next.
     # (a) new in round 5.
+    "conversion_lag_histogram",
+    "orders_rfm_segmentation",
     "ols_tokens_vs_chars_by_source",
     "join_key_skew_audit",
     "ann_pq_adc_topk",
@@ -111,8 +113,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "bigram_lm_doc_score",
     "pmi_collocations",
-    "tfidf_top_terms",
-    "token_mixture_planner",
+    # (tfidf_top_terms / token_mixture_planner also saw minor round-5
+    # touches — cache scoping, nullif guard — but their r4 rows are fresh
+    # and pytest covers the touched paths; displaced by the two newest
+    # never-checked queries, they rotate through the r6 window.)
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_stopfiltered",
     # (c) latest driver row is r2 — the oldest greens in the union.

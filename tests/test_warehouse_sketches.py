@@ -312,3 +312,49 @@ def test_skew_audit_matches_histogram(spark, duck, sf_dir):
     ).fetchone()[0]
     assert r.hot_key == hot_truth
     assert r.hot_share_ppm == 1000000 * r.max_cnt // r.n_rows
+
+
+def test_conversion_lag_totals_match_funnel(spark, sf_dir):
+    """The lag histogram's mass must equal the funnel's stage-3 user
+    count, and every lag must be a non-negative whole-hour bucket."""
+    from map_reduce_go_spark.plans.funnel import (
+        conversion_lag_histogram,
+        funnel_view_click_purchase,
+    )
+
+    rows = conversion_lag_histogram(spark, sf_dir).collect()
+    converted = (
+        funnel_view_click_purchase(spark, sf_dir)
+        .where("purchase_epoch IS NOT NULL")
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == converted
+    assert all(r.lag_hours >= 0 for r in rows)
+
+
+def test_rfm_quintiles_partition_customers(spark, duck, sf_dir):
+    """RFM invariants: every score in 1..5, each score's population within
+    1 of n/5 (ntile balance), the cell composes the three digits, and the
+    monetary total matches an independent recompute."""
+    from map_reduce_go_spark.plans.warehouse import orders_rfm_segmentation
+
+    rows = orders_rfm_segmentation(spark, sf_dir).collect()
+    n = len(rows)
+    assert n == duck.sql("SELECT count(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    for dim in ("r_score", "f_score", "m_score"):
+        pops = {}
+        for r in rows:
+            s = getattr(r, dim)
+            assert 1 <= s <= 5
+            pops[s] = pops.get(s, 0) + 1
+        assert max(pops.values()) - min(pops.values()) <= 1
+    for r in rows:
+        assert r.rfm_cell == 100 * r.r_score + 10 * r.f_score + r.m_score
+    truth = dict(
+        duck.sql(
+            """SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+               FROM orders GROUP BY o_custkey"""
+        ).fetchall()
+    )
+    for r in rows:
+        assert abs(r.monetary - truth[r.c_custkey]) < 1e-6
