@@ -216,3 +216,13 @@ def test_bloom_probe_broadcasts_filter(spark, sf_dir):
     never shuffled to meet the filter."""
     plan = _plan(all_queries()["bloom_join_prune_probe"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_editdist_join_is_shuffled_hash(spark, sf_dir):
+    """Regression for the round-5 hint: the variant candidate self-join
+    must plan as ShuffledHashJoin on the xxhash64 digests — AQE's
+    broadcast pick serializes the ~1M-pair verify (measured 2× the whole
+    query), and broadcast is unavailable at cluster scale anyway."""
+    plan = _plan(all_queries()["editdist_deletion_join"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "levenshtein" in plan and "Some(1)" in plan  # banded form, k=1
