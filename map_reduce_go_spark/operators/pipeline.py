@@ -768,3 +768,118 @@ def zscore_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pipeline_stage_attrition",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text FROM documents
+      WHERE {_WS_TOKENS_SQL} >= {MIN_TOKENS}
+        AND CAST({_DIGITS_SQL} AS DOUBLE) / greatest(length(text), 1)
+              < {MAX_DIGIT_RATIO}
+        AND length(text) > 0
+    ),
+    d AS (
+      SELECT q.doc_id FROM q
+      JOIN (SELECT md5(text) AS h, min(doc_id) AS keep FROM q GROUP BY md5(text)) m
+        ON md5(q.text) = m.h AND q.doc_id = m.keep
+    ),
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\\p{{L}}]+'), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < {N_EVAL_DOCS}),
+    cont AS (
+      SELECT sh.doc_id FROM sh JOIN ev ON ev.s = sh.s
+      WHERE sh.doc_id >= {N_EVAL_DOCS}
+      GROUP BY sh.doc_id HAVING count(*) >= 3
+    ),
+    dc AS (
+      SELECT d.doc_id FROM d
+      WHERE d.doc_id >= {N_EVAL_DOCS}
+        AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = d.doc_id)
+    ),
+    tr AS (
+      SELECT doc_id FROM dc
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{_SPLIT_AT}'
+    )
+    SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+           (SELECT count(*) FROM documents) AS docs_kept
+    UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM q)
+    UNION ALL SELECT 3, 'dedup_exact', (SELECT count(*) FROM d)
+    UNION ALL SELECT 4, 'decontaminated', (SELECT count(*) FROM dc)
+    UNION ALL SELECT 5, 'train_split', (SELECT count(*) FROM tr)
+    """,
+)
+def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE declarative plan, reported
+    as per-stage attrition: raw → quality filter → exact dedup →
+    benchmark decontamination → train split, with the surviving document
+    count after each stage. This is the end-to-end composition a user of
+    the reference engine chains five MapReduce jobs (and four
+    materialized intermediates) to get; here Catalyst sees the whole
+    lineage, fuses the filter into every scan, and the intermediates are
+    never written anywhere.
+
+    Stage semantics reuse the registered operators exactly (same
+    predicates as quality_filter_chain, same md5 grouping as dedup_exact,
+    same trigram overlap as decontaminate_against_eval, same hash split
+    as train_test_split), so each stage's count is independently
+    cross-checked by that operator's own oracle. Every stage boundary is
+    keys-only (doc_id) after its decision — text never rides a shuffle
+    past the stage that needed it.
+    """
+    from map_reduce_go_spark.operators.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    digit_ratio = digits.cast("double") / F.greatest(F.length("text"), F.lit(1))
+    q = docs.where(
+        (n_tokens >= MIN_TOKENS)
+        & (digit_ratio < MAX_DIGIT_RATIO)
+        & (F.length("text") > 0)
+    ).select("doc_id", "text")
+
+    keep = q.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep"))
+    d = q.join(
+        keep, (F.md5(q["text"]) == keep["h"]) & (q["doc_id"] == keep["keep"])
+    ).select("doc_id")
+
+    sh = _shingles(docs)
+    ev = sh.where(F.col("doc_id") < N_EVAL_DOCS).select("s").distinct()
+    cont = (
+        sh.where(F.col("doc_id") >= N_EVAL_DOCS)
+        .join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= 3)
+        .select("doc_id")
+    )
+    dc = d.where(F.col("doc_id") >= N_EVAL_DOCS).join(cont, "doc_id", "left_anti")
+
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    tr = dc.where(first_hex < _SPLIT_AT)
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("docs_kept")).select(
+            F.lit(no).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "docs_kept",
+        )
+
+    out = stage(1, "raw", docs)
+    for no, name, df in (
+        (2, "quality", q),
+        (3, "dedup_exact", d),
+        (4, "decontaminated", dc),
+        (5, "train_split", tr),
+    ):
+        out = out.unionAll(stage(no, name, df))
+    return out

@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # green has at worst a 2-round-old one. The 10 r2 rows that no longer
     # fit, then the r3 cohort, rotate through the r6 window next.
     # (a) new in round 5.
+    "pipeline_stage_attrition",
     "conversion_lag_histogram",
     "orders_rfm_segmentation",
     "ols_tokens_vs_chars_by_source",
@@ -112,7 +113,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "semdedup_prune",
     "dedup_embedding_cosine",
     "bigram_lm_doc_score",
-    "pmi_collocations",
     # (tfidf_top_terms / token_mixture_planner also saw minor round-5
     # touches — cache scoping, nullif guard — but their r4 rows are fresh
     # and pytest covers the touched paths; displaced by the two newest

@@ -196,3 +196,45 @@ def write_stream_idempotent(stream_df: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def purchase_click_outer_join(
+    events: DataFrame, lookback: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, paired with
+    its preceding-`lookback` clicks when they exist and emitted with NULL
+    click columns when none do — the attribution join that must not drop
+    unattributed conversions.
+
+    Outer stream-stream joins are the hard case: a purchase can only be
+    emitted with NULLs once the watermark proves no matching click can
+    still arrive, so results trail the watermark rather than the batch —
+    but the FINAL result set equals the batch left join exactly (asserted
+    in tests/test_streaming.py with availableNow, which drains the source
+    and advances the watermark to the end). Same state-expiry contract as
+    the inner form: the interval bound plus the watermark bounds buffered
+    rows on both sides.
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+    )

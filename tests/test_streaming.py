@@ -344,3 +344,55 @@ def test_streaming_cms_sketch_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) <= 4 * 512  # state bounded by the sketch dimensions
+
+
+def test_stream_stream_outer_interval_join_equals_batch(spark, event_source, tmp_path):
+    """LEFT OUTER stream-stream interval join: unmatched purchases must
+    surface with NULL click columns once the watermark closes, and the
+    drained result must equal the batch left join — including the NULL
+    rows, which is the part append-mode inner joins never exercise.
+
+    Outer-join NULLs only emit once the global watermark passes the
+    purchase, so the source carries a FLUSH SENTINEL (one click + one
+    purchase, far past the real data) that drags the watermark beyond
+    every genuine event — the standard drain pattern for outer
+    stream-stream joins; without it the last watermark-window of
+    purchases would stay buffered at availableNow shutdown."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "events_flush_src")
+    base = spark.read.schema(windows.EVENTS_SCHEMA).parquet(event_source)
+    base.write.mode("overwrite").parquet(src)
+    far = base.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "click", 0.0, "{}"),
+            (-2, far, -1, "purchase", 0.0, "{}"),
+        ],
+        windows.EVENTS_SCHEMA,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    sentinel.write.mode("append").parquet(src)
+
+    name = f"soj_{uuid.uuid4().hex[:8]}"
+    stream = windows.read_event_stream(spark, src)
+    q = (
+        windows.purchase_click_outer_join(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(name).collect() if r.user_id != -1}
+    want = {
+        tuple(r)
+        for r in windows.purchase_click_outer_join(
+            spark.read.schema(windows.EVENTS_SCHEMA).parquet(src)
+        ).collect()
+        if r.user_id != -1
+    }
+    assert got == want
+    null_rows = {t for t in want if t[3] is None}
+    assert null_rows, "fixture must contain unattributed purchases"
+    assert null_rows <= got
