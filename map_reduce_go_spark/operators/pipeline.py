@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from map_reduce_go_spark.functions.caching import tracked_cache
 from map_reduce_go_spark.registry import register
 from map_reduce_go_spark.sources.readers import load_table
 
@@ -848,9 +849,16 @@ def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text")
 
     keep = q.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep"))
-    d = q.join(
-        keep, (F.md5(q["text"]) == keep["h"]) & (q["doc_id"] == keep["keep"])
-    ).select("doc_id")
+    # The stage outputs that later stages re-read are doc_id-only — cache
+    # them (tracked, released by the harness after the action) so the five
+    # union branches don't each recompute the full upstream chain. The
+    # cached sets are keys, never text: at 100 TB they are ~1% of corpus
+    # bytes.
+    d = tracked_cache(
+        q.join(
+            keep, (F.md5(q["text"]) == keep["h"]) & (q["doc_id"] == keep["keep"])
+        ).select("doc_id")
+    )
 
     sh = _shingles(docs)
     ev = sh.where(F.col("doc_id") < N_EVAL_DOCS).select("s").distinct()
@@ -862,7 +870,9 @@ def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_overlap") >= 3)
         .select("doc_id")
     )
-    dc = d.where(F.col("doc_id") >= N_EVAL_DOCS).join(cont, "doc_id", "left_anti")
+    dc = tracked_cache(
+        d.where(F.col("doc_id") >= N_EVAL_DOCS).join(cont, "doc_id", "left_anti")
+    )
 
     first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     tr = dc.where(first_hex < _SPLIT_AT)
