@@ -69,7 +69,14 @@ def upsert_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the survivor is deterministic. The oracle states the same semantics
     in the conventional row_number form.
     """
-    e = load_table(spark, sf_dir, "events")
+    return upsert_over(load_table(spark, sf_dir, "events"))
+
+
+def upsert_over(e: DataFrame) -> DataFrame:
+    """The latest-wins transformation over any events-shaped DataFrame —
+    split out so property tests can drive it with generated logs
+    (hypothesis conformance vs a sequential evaluator, the reference's
+    mrsequential comparison philosophy)."""
     latest = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last")
     return (
         e.groupBy("user_id")
@@ -131,7 +138,12 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by a user's *distinct runs*, not their raw event count.
     event_id breaks ts ties — the island assignment is deterministic.
     """
-    e = load_table(spark, sf_dir, "events")
+    return scd2_over(load_table(spark, sf_dir, "events"))
+
+
+def scd2_over(e: DataFrame) -> DataFrame:
+    """The SCD2 transformation over any events-shaped DataFrame — split
+    out for hypothesis conformance against a sequential evaluator."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     chg = F.when(
         F.lag("event_type").over(w).isNull()

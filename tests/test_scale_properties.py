@@ -171,3 +171,113 @@ def test_results_invariant_to_shuffle_partition_count(spark, sf_dir):
             assert got == base[n], f"{n} changed results at 5 shuffle partitions"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+@st.composite
+def event_logs(draw):
+    """Small random event logs: 1-3 users, unique event ids, second-
+    granularity timestamps WITH deliberate collisions (same user, same
+    ts) so the event_id tie-break is actually exercised."""
+    n = draw(st.integers(min_value=1, max_value=18))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,  # event_id, unique
+                draw(st.integers(min_value=0, max_value=5)),  # ts offset (collisions!)
+                draw(st.integers(min_value=1, max_value=3)),  # user_id
+                draw(st.sampled_from(["a", "b", "c"])),  # event_type
+                float(draw(st.integers(min_value=0, max_value=9))),  # value
+            )
+        )
+    return rows
+
+
+def _seq_scd2(rows):
+    """Sequential SCD2 evaluator: per user, walk events in (ts, event_id)
+    order and open a new version at every type change."""
+    out = {}
+    by_user = {}
+    for eid, ts, uid, typ, val in rows:
+        by_user.setdefault(uid, []).append((ts, eid, typ))
+    for uid, evs in by_user.items():
+        evs.sort()
+        versions = []
+        for ts, eid, typ in evs:
+            if not versions or versions[-1]["type"] != typ:
+                versions.append({"type": typ, "from": ts, "n": 1})
+            else:
+                versions[-1]["n"] += 1
+        for i, v in enumerate(versions):
+            nxt = versions[i + 1]["from"] if i + 1 < len(versions) else None
+            out[(uid, i + 1)] = (v["type"], v["from"], nxt, 1 if nxt is None else 0, v["n"])
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=event_logs())
+def test_scd2_matches_sequential_evaluator(spark, rows):
+    from datetime import datetime, timezone
+
+    from map_reduce_go_spark.plans.warehouse import scd2_over
+
+    base = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp())
+    df = spark.createDataFrame(
+        [
+            (eid, datetime.fromtimestamp(base + ts, tz=timezone.utc), uid, typ, val, "{}")
+            for eid, ts, uid, typ, val in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r.user_id, r.version): (
+            r.event_type,
+            r.valid_from_epoch - base,
+            None if r.valid_to_epoch is None else r.valid_to_epoch - base,
+            r.is_current,
+            r.n_events,
+        )
+        for r in scd2_over(df).collect()
+    }
+    assert got == _seq_scd2(rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=event_logs())
+def test_upsert_matches_sequential_evaluator(spark, rows):
+    from datetime import datetime, timezone
+
+    from map_reduce_go_spark.plans.warehouse import upsert_over
+
+    base = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp())
+    df = spark.createDataFrame(
+        [
+            (eid, datetime.fromtimestamp(base + ts, tz=timezone.utc), uid, typ, val, "{}")
+            for eid, ts, uid, typ, val in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        r.user_id: (r.n_events, r.last_epoch - base, r.last_event_id)
+        for r in upsert_over(df).collect()
+    }
+    want = {}
+    for eid, ts, uid, typ, val in rows:
+        cur = want.get(uid)
+        if cur is None or (ts, eid) > (cur[1], cur[2]):
+            want[uid] = [0, ts, eid]
+        else:
+            want[uid] = cur
+    counts = {}
+    for eid, ts, uid, typ, val in rows:
+        counts[uid] = counts.get(uid, 0) + 1
+    want = {u: (counts[u], v[1], v[2]) for u, v in want.items()}
+    assert got == want
