@@ -60,9 +60,25 @@ DEDUP_QUERIES = [
     "ann_ivf_cosine",
 ]
 DEDUP_TABLES = ("documents", "embeddings")
+# Round-5 family: the new heavy plans — FastSS edit-distance join (fanout
+# join + banded verify), CMS build, and the two event-table maintenance
+# shapes. Customer names get a 4-hex replica salt (distinct suffixes keep
+# cross-replica name distances >= 2 almost surely, so true-pair density
+# stays ~linear — a bare numeric suffix would make every cross-replica
+# pair distance 1 and measure a fixture artifact, the replicate() lesson
+# again). user_id shifts too, so event keys grow linearly instead of
+# growing k-times-deeper per-user histories.
+R5_QUERIES = [
+    "editdist_deletion_join",
+    "cms_heavy_hitters",
+    "upsert_latest_snapshot",
+    "scd2_user_type_history",
+]
+R5_TABLES = ("customer", "documents", "events")
+R5_EXTRA_SHIFTS = {"customer": ["c_custkey"], "events": ["event_id", "user_id"]}
 
 
-def replicate(spark, k: int, out_dir: str, tables=TABLES) -> None:
+def replicate(spark, k: int, out_dir: str, tables=TABLES, extra_shifts=None) -> None:
     """Build the k-times corpus in ONE pass per table: each row explodes
     into k replicas (a lateral sequence, map-side), keys shift by
     replica*10*n so join/group cardinalities grow linearly, and document
@@ -78,16 +94,29 @@ def replicate(spark, k: int, out_dir: str, tables=TABLES) -> None:
     fixture artifact, not the plan (observed: 1 GiB task allocations +
     spill-to-disk-full at 64x). Per-doc permutations keep cross-doc
     shingle overlap at natural levels; replica 0 keeps original text."""
+    shifts = dict(SHIFT_COLS)
+    for t2, cols in (extra_shifts or {}).items():
+        shifts[t2] = sorted(set(shifts.get(t2, [])) | set(cols))
     for t in tables:
         df = load_table(spark, BASE, t)
-        if t in SHIFT_COLS:
+        if t in shifts:
             n = df.count()
             d = df.select(
                 "*",
                 F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__rep"),
             )
-            for c in SHIFT_COLS[t]:
+            for c in shifts[t]:
                 d = d.withColumn(c, F.col(c) + F.col("__rep") * (10 * n))
+            if t == "customer":
+                suffix = F.substring(
+                    F.md5(F.col("__rep").cast("string")), 1, 4
+                )
+                d = d.withColumn(
+                    "c_name",
+                    F.when(F.col("__rep") == 0, F.col("c_name")).otherwise(
+                        F.concat(F.col("c_name"), F.lit("~"), suffix)
+                    ),
+                )
             if t == "documents":
                 ws = F.split(F.col("text"), r"\s+")
                 # The sort key salts with (replica, doc, POSITION). The
@@ -198,14 +227,15 @@ def main() -> None:
         if a.startswith("--family="):
             family = a.split("=", 1)[1]
     k = int(args[0]) if args else 8
-    queries, tables = (
-        (DEDUP_QUERIES, DEDUP_TABLES) if family == "dedup" else (QUERIES, TABLES)
-    )
+    queries, tables, extra = {
+        "dedup": (DEDUP_QUERIES, DEDUP_TABLES, None),
+        "round5": (R5_QUERIES, R5_TABLES, R5_EXTRA_SHIFTS),
+    }.get(family, (QUERIES, TABLES, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = tempfile.mkdtemp(prefix="sfbig_")
     try:
-        replicate(spark, k, out_dir, tables=tables)
+        replicate(spark, k, out_dir, tables=tables, extra_shifts=extra)
         time_queries(spark, BASE, queries)  # warm-up: codegen/JIT/footer caches
         base = time_queries(spark, BASE, queries)
         big = time_queries(spark, out_dir, queries)
