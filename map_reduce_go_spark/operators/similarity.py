@@ -1068,3 +1068,199 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_pq_adc_topk.__doc__ = ann_pq_adc_topk.__doc__.format(
     m=M_SUB, k=K_CODES, dim=_DIM
 )
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ composition: prune candidates by cell, score by ADC
+# --------------------------------------------------------------------------
+
+
+def _pq_build_ctes(prefix: str = "p") -> str:
+    """The PQ codebook/encoding build as prefixed CTEs (so they can
+    coexist with the IVF build's CTE names in one oracle): ends in
+    ``{prefix}codes(vec_id, sub, code)`` and ``{prefix}cents(sub, cell,
+    c)``. Same arithmetic as _pq_oracle_sql's build — order-matched
+    folds, exact decimal means."""
+    mean_cols = ", ".join(
+        f"CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m{i}"
+        for i in range(SUB_DIM)
+    )
+    cent_list = ", ".join(
+        f"COALESCE(m.m{i}, CAST(s.v[{i + 1}] AS DOUBLE))" for i in range(SUB_DIM)
+    )
+    P = prefix
+    return f"""{P}subs AS (SELECT unnest(generate_series(0, {M_SUB - 1})) AS sub),
+    {P}subv AS (
+      SELECT e.vec_id, s.sub,
+             e.embedding[(s.sub * {SUB_DIM} + 1):((s.sub + 1) * {SUB_DIM})] AS v
+      FROM embeddings e CROSS JOIN {P}subs s
+    ),
+    {P}seeds AS (
+      SELECT t.sub, t.v,
+             row_number() OVER (PARTITION BY t.sub ORDER BY t.vec_id) - 1 AS cell
+      FROM {P}subv t
+      WHERE t.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {K_CODES})
+    ),
+    {P}assign0 AS (
+      SELECT t.vec_id, t.sub, t.v, s.cell,
+             row_number() OVER (PARTITION BY t.vec_id, t.sub
+               ORDER BY {_pq_l2_sql("t.v", "s.v")} ASC, s.cell) AS rk
+      FROM {P}subv t JOIN {P}seeds s ON s.sub = t.sub
+    ),
+    {P}means AS (
+      SELECT sub, cell, {mean_cols}
+      FROM {P}assign0 WHERE rk = 1 GROUP BY sub, cell
+    ),
+    {P}cents AS (
+      SELECT s.sub, s.cell, list_value({cent_list}) AS c
+      FROM {P}seeds s LEFT JOIN {P}means m ON m.sub = s.sub AND m.cell = s.cell
+    ),
+    {P}codes AS (
+      SELECT vec_id, sub, cell AS code FROM (
+        SELECT t.vec_id, t.sub, c.cell,
+               row_number() OVER (PARTITION BY t.vec_id, t.sub
+                 ORDER BY {_pq_l2_sql("t.v", "c.c")} ASC, c.cell) AS rk
+        FROM {P}subv t JOIN {P}cents c ON c.sub = t.sub
+      ) WHERE rk = 1
+    )"""
+
+
+def _ivf_pq_oracle_sql() -> str:
+    """Oracle for the IVF+PQ composition: the IVF build CTEs give the
+    probed-cell candidate set, the PQ build CTEs give codes + per-query
+    ADC tables, and the final ranking is the exact-decimal ADC sum over
+    candidates only."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {_DIM}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    def score(e: str, c: str) -> str:
+        return f"{dot(e, c)} / sqrt({dot(c, c)})"
+
+    return f"""
+    WITH {_ivf_build_ctes()},
+    probe AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score("e.embedding", "c.c")} DESC, c.cell) AS rk
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE rk <= {NPROBE}
+    ),
+    cand AS (
+      SELECT p.vec_id AS query_id, v.vec_id AS neighbor_id
+      FROM probe p JOIN corpus v ON v.cell = p.cell AND v.vec_id <> p.vec_id
+    ),
+    {_pq_build_ctes("p")},
+    qtab AS (
+      SELECT q.vec_id AS query_id, c.sub, c.cell,
+             CAST({_pq_l2_sql("q.v", "c.c")} AS DECIMAL(24,10)) AS d
+      FROM psubv q JOIN pcents c ON c.sub = q.sub
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT t.query_id, k.vec_id AS neighbor_id, SUM(t.d) AS dist
+      FROM qtab t
+      JOIN pcodes k ON k.sub = t.sub AND k.code = t.cell
+      JOIN cand c ON c.query_id = t.query_id AND c.neighbor_id = k.vec_id
+      GROUP BY t.query_id, k.vec_id
+    )
+    SELECT query_id, neighbor_id, round(CAST(dist AS DOUBLE), 6) AS pq_dist, rank
+    FROM (
+      SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id) AS rank
+      FROM adc
+    ) t WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_ivf_pq_topk", oracle=_ivf_pq_oracle_sql())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition — IVF candidate pruning × PQ-ADC
+    scoring: each query considers only the vectors in its NPROBE nearest
+    IVF cells, and scores those candidates entirely in PQ code space
+    (M_SUB table lookups per candidate, exact-decimal sums). This is the
+    FAISS IVF-PQ shape: the cell index prunes ~(1 - NPROBE/K) of the
+    corpus before any distance work, and the surviving candidates are
+    scored against 4-byte codes instead of 256-byte vectors.
+
+    At 100 TB: codes live partitioned by IVF cell, so a query reads
+    NPROBE partitions of 4-byte codes — the scan is ~64× smaller than
+    the raw corpus AND ~K/NPROBE-fold pruned, multiplicative savings the
+    two indexes earn independently (which is why the composition, not
+    either half, is the production default). Both builds are the
+    deterministic recipes of their standalone operators, so the oracle
+    replays cell assignment, codebooks, codes, and ranking bit-for-bit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").transform(tracked_cache)
+    centroids = ivf_centroids_for(sf_dir, emb)
+    books = pq_codebooks_for(sf_dir, emb)
+
+    cells = emb.select(
+        "vec_id", _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell")
+    )
+    probes = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(_nearest_cells(F.col("embedding"), centroids, NPROBE)).alias("cell"),
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+    subv = _pq_subvecs(emb)
+    codes = _pq_assign_codes(subv, books)
+    cent_rows = [
+        (s, k, [float(x) for x in books[s][k]])
+        for s in range(M_SUB)
+        for k in range(len(books[s]))
+    ]
+    cents = spark.createDataFrame(cent_rows, "sub int, cell int, c array<double>")
+
+    @F.pandas_udf("double")
+    def _l2(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy()).astype(np.float64)
+        mb = np.vstack(b.to_numpy()).astype(np.float64)
+        return pd.Series(_seq_l2(ma, mb))
+
+    qtab = (
+        subv.where(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cents), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "cell",
+            _l2(F.col("v").cast("array<double>"), "c").cast("decimal(24,10)").alias("d"),
+        )
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(qtab),
+            (codes["sub"] == qtab["sub"])
+            & (codes["code"] == qtab["cell"])
+            & (cand["query_id"] == qtab["query_id"]),
+        )
+        .groupBy(cand["query_id"], "vec_id")
+        .agg(F.sum("d").alias("dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("dist").cast("double"), 6).alias("pq_dist"),
+            "rank",
+        )
+    )

@@ -195,3 +195,23 @@ def test_range_partitioned_global_sort_export(spark, sf_dir, tmp_path):
             assert keys[0] >= prev_max, f"{f} overlaps previous file's range"
         prev_max = keys[-1]
     assert total == docs.count()
+
+
+def test_binaryfile_source_reads_blobs(spark, tmp_path):
+    """The binaryFile source — the scan multimodal ingestion starts from
+    (operators/multimodal.py consumes exactly this shape): whole files as
+    (path, modificationTime, length, content) rows, with pathGlobFilter
+    pruning non-matching modalities at the listing, before any read."""
+    blobs = {"a.jpg": b"\xff\xd8JPEGDATA", "b.jpg": b"\xff\xd8MORE", "skip.txt": b"nope"}
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(str(tmp_path))
+    )
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.jpg"}
+    for name, r in rows.items():
+        assert bytes(r.content) == blobs[name]
+        assert r.length == len(blobs[name])

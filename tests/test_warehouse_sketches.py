@@ -358,3 +358,44 @@ def test_rfm_quintiles_partition_customers(spark, duck, sf_dir):
     )
     for r in rows:
         assert abs(r.monetary - truth[r.c_custkey]) < 1e-6
+
+
+def test_ivf_pq_composition_consistent_with_parents(spark, sf_dir):
+    """The IVF+PQ composition must (a) only return candidates the IVF
+    index would admit (cell-pruned), and (b) assign every returned pair
+    exactly the ADC distance the standalone PQ operator computes — the
+    composition changes the CANDIDATE SET, never the scoring."""
+    from map_reduce_go_spark.operators.similarity import (
+        NPROBE,
+        ann_ivf_pq_topk,
+        ann_pq_adc_topk,
+        ivf_centroids_for,
+        _nearest_cells,
+    )
+    from map_reduce_go_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    got = ann_ivf_pq_topk(spark, sf_dir).collect()
+    assert got
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_centroids_for(sf_dir, emb)
+    cells = {
+        r.vec_id: r.cells
+        for r in emb.select(
+            "vec_id", _nearest_cells(F.col("embedding"), centroids, NPROBE).alias("cells")
+        ).collect()
+    }
+    for r in got:
+        # neighbor's home cell (first of its nearest list) must be among
+        # the query's probed cells
+        assert cells[r.neighbor_id][0] in list(cells[r.query_id])
+
+    pq = {
+        (r.query_id, r.neighbor_id): r.pq_dist
+        for r in ann_pq_adc_topk(spark, sf_dir).collect()
+    }
+    shared = [(r, pq[(r.query_id, r.neighbor_id)]) for r in got
+              if (r.query_id, r.neighbor_id) in pq]
+    for r, d in shared:
+        assert abs(r.pq_dist - d) < 1e-9
