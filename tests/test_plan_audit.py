@@ -21,6 +21,7 @@ _EXEC_AT_BUILD = {
     "near_dup_cluster_sizes",  # runs dedup_clusters' propagation loop
     "cross_doc_span_dupes",  # materializes the hashed span set
     "ann_pq_adc_topk",  # trains the PQ codebooks
+    "ann_ivf_pq_topk",  # trains both the IVF and PQ indexes
 }
 
 
@@ -226,3 +227,16 @@ def test_editdist_join_is_shuffled_hash(spark, sf_dir):
     plan = _plan(all_queries()["editdist_deletion_join"].fn(spark, sf_dir))
     assert "ShuffledHashJoin" in plan
     assert "levenshtein" in plan and "Some(1)" in plan  # banded form, k=1
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """AQE must coalesce the 32 configured shuffle partitions down to a
+    handful when the shuffled data is tiny — the runtime re-plan that
+    keeps small intermediate stages from paying 32 task launches. We
+    assert on the EXECUTED adaptive plan after an action."""
+    from map_reduce_go_spark.sources.readers import load_table
+
+    df = load_table(spark, sf_dir, "nation").groupBy("n_regionkey").count()
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan, plan[:1500]
