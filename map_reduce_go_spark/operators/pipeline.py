@@ -893,3 +893,62 @@ def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionAll(stage(no, name, df))
     return out
+
+
+@register(
+    "token_mixture_temperature",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum({_WS_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    sc AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS sqrt_scaled
+      FROM tok
+    )
+    SELECT source, n_tokens, sqrt_scaled,
+           round(CAST(sqrt_scaled AS DOUBLE)
+                 / (SELECT CAST(sum(sqrt_scaled) AS DOUBLE) FROM sc), 6)
+             AS temp_weight
+    FROM sc
+    """,
+)
+def token_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (T=2): each source sampled
+    proportionally to sqrt(its token count) — the standard
+    tail-upweighting between proportional (T=1) and uniform (T=∞)
+    mixing for multi-source pretraining corpora.
+
+    Cross-engine float discipline: sqrt is the ONE transcendental that
+    IEEE 754 requires correctly rounded, so sqrt(tokens) is bit-identical
+    everywhere; it is then immediately quantized to an integer
+    (floor(·×10⁶)) so the normalizing SUM is exact integer arithmetic —
+    no float accumulation whose order could differ between engines. (A
+    general-T version needs pow(), which libms round differently; T=2 is
+    the deterministic member of the family, and the quantization recipe
+    extends to any T once weights come from a single-rounding op.)
+    One token-counting aggregate, then a source-cardinality broadcast —
+    costs what a count costs at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    tok = docs.groupBy("source").agg(F.sum(toks).cast("long").alias("n_tokens"))
+    sc = tok.select(
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000)
+        .cast("long")
+        .alias("sqrt_scaled"),
+    )
+    total = sc.agg(F.sum("sqrt_scaled").cast("double").alias("tot"))
+    return sc.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        "sqrt_scaled",
+        F.round(F.col("sqrt_scaled").cast("double") / F.col("tot"), 6).alias(
+            "temp_weight"
+        ),
+    )

@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # fit, then the r3 cohort, rotate through the r6 window next.
     # (a) new in round 5.
     "pipeline_stage_attrition",
+    "token_mixture_temperature",
     "ann_ivf_pq_topk",
     "conversion_lag_histogram",
     "orders_rfm_segmentation",
@@ -118,7 +119,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # touches — cache scoping, nullif guard — but their r4 rows are fresh
     # and pytest covers the touched paths; displaced by the two newest
     # never-checked queries, they rotate through the r6 window.)
-    "dedup_minhash_lsh",
     # (c) latest driver row is r2 — the oldest greens in the union.
     # (50 names exactly — the driver's window size. The remaining
     # r2-cohort rows (token_positions, q1_pricing_summary, ... — displaced
