@@ -215,3 +215,31 @@ def test_binaryfile_source_reads_blobs(spark, tmp_path):
     for name, r in rows.items():
         assert bytes(r.content) == blobs[name]
         assert r.length == len(blobs[name])
+
+
+def test_observation_metrics_ride_the_action(spark, sf_dir):
+    """DataFrame.observe(): pipeline health metrics (row counts, null
+    counts, value bounds) collected as a side effect of the SAME action
+    that does the work — at 100 TB this is how a publish job reports its
+    own DQ stats without a second scan. The observed values must match a
+    direct aggregate."""
+    from pyspark.sql import Observation
+
+    obs = Observation("dq")
+    docs = load_table(spark, sf_dir, "documents")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_chars").isNull().cast("int")).alias("null_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").isNull().cast("int")).alias("nn"),
+        F.max("n_chars").alias("mx"),
+    ).first()
+    assert got["n_rows"] == want["n"]
+    assert (got["null_chars"] or 0) == (want["nn"] or 0)
+    assert got["max_chars"] == want["mx"]
