@@ -1374,3 +1374,130 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jaccard, 6).alias("jaccard"),
         )
     )
+
+
+# Prefix-filtering set-similarity join (PPJoin-style). Word-SET Jaccard at
+# this threshold; prefix length L = n - ceil(T*n) + 1 under the global
+# (rarity, token) canonical order guarantees any pair with J >= T shares
+# at least one prefix token — certified recall with a candidate set built
+# from each document's RAREST tokens only.
+SETSIM_T = 0.5
+
+# Token domain = word-3-gram shingles (the corpus's high-cardinality set
+# representation); a raw word-set domain degenerates on small
+# vocabularies (every doc shares most words, prefix buckets go corpus-
+# sized). Shares the shingle definition with the MinHash/ngram family.
+
+
+@register(
+    "setsim_prefix_filter_join",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    toks AS (SELECT doc_id, s AS token FROM sh),
+    freq AS (SELECT token, count(*) AS f FROM toks GROUP BY token),
+    ordered AS (
+      SELECT t.doc_id, t.token,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY f.f, t.token) AS rn,
+             count(*) OVER (PARTITION BY t.doc_id) AS n
+      FROM toks t JOIN freq f ON f.token = t.token
+    ),
+    prefix AS (
+      SELECT doc_id, token FROM ordered
+      WHERE rn <= n - CAST(ceil({SETSIM_T} * n) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b ON a.token = b.token AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS nc
+      FROM cand c
+      JOIN toks x ON x.doc_id = c.doc_a
+      JOIN toks y ON y.doc_id = c.doc_b AND y.token = x.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b,
+           round(CAST(m.nc AS DOUBLE) / (sa.n + sb.n - m.nc), 6) AS jaccard
+    FROM common m
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    WHERE CAST(m.nc AS DOUBLE) / (sa.n + sb.n - m.nc) >= {SETSIM_T}
+    """,
+)
+def setsim_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (the PPJoin family): find
+    all document pairs with word-set Jaccard >= {t}, generating
+    candidates only from each document's L = n - ceil(T*n) + 1 RAREST
+    tokens under a global (frequency, token) canonical order. Any pair at
+    or above the threshold must share a prefix token — certified 100%
+    recall, like the deletion-neighborhood join and unlike LSH's
+    probabilistic banding — yet the join touches none of the common
+    tokens that make a naive inverted-index self-join quadratic on
+    stopwords.
+
+    The third member of the candidate-generation triad (LSH banding:
+    probabilistic, tunable; deletion variants: edit distance, short
+    strings; prefix filtering: set overlap, certified): at 100 TB the
+    prefix join's buckets are RARE-token buckets — small by
+    construction — and the frequency table that defines rarity is
+    vocabulary-sized broadcast state. Verification is exact set
+    intersection on the candidates only; all counts integer, one rounded
+    division at emission.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _shingles(docs).withColumnRenamed("s", "token")
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    from pyspark.sql import Window
+
+    w_rn = Window.partitionBy("doc_id").orderBy("f", "token")
+    w_n = Window.partitionBy("doc_id")
+    ordered = (
+        toks.join(F.broadcast(freq), "token")
+        .withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")).cast("long") + 1
+    prefix = ordered.where(F.col("rn") <= prefix_len).select("doc_id", "token")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    arrs = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("token")).alias("ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("ts").alias("ts_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("ts").alias("ts_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return joined.where(jac >= SETSIM_T).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+setsim_prefix_filter_join.__doc__ = setsim_prefix_filter_join.__doc__.format(
+    t=SETSIM_T
+)

@@ -200,3 +200,45 @@ def test_containment_dominates_jaccard(spark, sf_dir):
         assert r.containment >= r.jaccard - 1e-9
         assert r.containment >= CONTAINMENT_MIN - 1e-9
         assert r.doc_a < r.doc_b
+
+
+def test_setsim_prefix_filter_matches_bruteforce(spark, duck, sf_dir):
+    """Prefix-filtering recall certificate: the candidate scheme must
+    lose NO pair with shingle-set Jaccard >= T — proven against the
+    O(N^2) inverted-index brute force on an independent engine."""
+    from map_reduce_go_spark.operators.dedup import (
+        SETSIM_T,
+        setsim_prefix_filter_join,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in setsim_prefix_filter_join(spark, sf_dir).collect()
+    }
+    brute = {
+        (a, b): round(j, 6)
+        for a, b, j in duck.sql(
+            rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '[^\p{{L}}]+'),
+                                 x -> len(x) > 0) AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+              FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS nc
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, CAST(nc AS DOUBLE) / (sa.n + sb.n - nc)
+            FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= {SETSIM_T}
+            """
+        ).fetchall()
+    }
+    assert got == brute
