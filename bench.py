@@ -72,6 +72,10 @@ HEADLINE = [
     "upsert_latest_snapshot",
     "cms_heavy_hitters",
     "scd2_user_type_history",
+    # The composed end-to-end pipeline (5-stage lineage, cached key sets)
+    # and the certified-recall prefix-filter similarity join.
+    "pipeline_stage_attrition",
+    "setsim_prefix_filter_join",
 ]
 
 

@@ -1446,16 +1446,23 @@ def setsim_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     division at emission.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _shingles(docs).withColumnRenamed("s", "token")
+    # One shingle build feeds BOTH sides: the deduped per-doc arrays (with
+    # their sizes) are the verification operand directly — no collect_set
+    # re-aggregation — and their explode is the prefix-candidate stream.
+    # Cached (tracked, harness-released) because candidates and both
+    # verification joins re-read it.
+    sa = tracked_cache(
+        _shingle_arrays(docs)
+        .select("doc_id", F.col("shingles").alias("ts"), F.col("n"))
+        .where(F.col("n") > 0)
+    )
+    toks = sa.select("doc_id", "n", F.explode("ts").alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
     from pyspark.sql import Window
 
     w_rn = Window.partitionBy("doc_id").orderBy("f", "token")
-    w_n = Window.partitionBy("doc_id")
-    ordered = (
-        toks.join(F.broadcast(freq), "token")
-        .withColumn("rn", F.row_number().over(w_rn))
-        .withColumn("n", F.count(F.lit(1)).over(w_n))
+    ordered = toks.join(F.broadcast(freq), "token").withColumn(
+        "rn", F.row_number().over(w_rn)
     )
     prefix_len = F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")).cast("long") + 1
     prefix = ordered.where(F.col("rn") <= prefix_len).select("doc_id", "token")
@@ -1469,10 +1476,7 @@ def setsim_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    arrs = toks.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("token")).alias("ts"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    arrs = sa
     joined = (
         cand.join(
             arrs.select(
