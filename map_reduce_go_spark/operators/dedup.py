@@ -1505,3 +1505,142 @@ def setsim_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 setsim_prefix_filter_join.__doc__ = setsim_prefix_filter_join.__doc__.format(
     t=SETSIM_T
 )
+
+
+# LSH tuning sweep: all divisor bandings of the 8 permutations. The
+# approximate S-curve midpoint (1/b)^(1/r) is emitted ONLY for r in
+# {1, 2, 4} where it reduces to exact constants and sqrt chains — sqrt is
+# IEEE-correctly-rounded, pow() is not (libm-dependent), so the sweep's
+# thresholds stay bit-identical cross-engine.
+_TUNE_CONFIGS = (2, 4, 8)  # n_bands values over N_PERM=8 signatures
+NEAR_TUNE_SIM = 0.5
+
+
+def _tune_band_sql(n_bands: int) -> str:
+    r = N_PERM // n_bands
+    rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {bv} AS bv FROM sig".format(
+            b=b, bv=" || ".join(f"sig{b * r + i}" for i in range(r))
+        )
+        for b in range(n_bands)
+    )
+    return rows
+
+
+def _tune_threshold_sql(n_bands: int) -> str:
+    return {2: "sqrt(sqrt(0.5))", 4: "sqrt(0.25)", 8: "0.125"}[n_bands]
+
+
+@register(
+    "lsh_band_tuning_report",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    sig AS (SELECT doc_id, {_ORACLE_SIGS} FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS nc
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    jacc AS (
+      SELECT m.a, m.b, CAST(m.nc AS DOUBLE) / (sa.n + sb.n - m.nc) AS j
+      FROM common m JOIN sizes sa ON sa.doc_id = m.a
+                    JOIN sizes sb ON sb.doc_id = m.b
+    ),
+    {", ".join(
+        f'''bands{nb} AS ({_tune_band_sql(nb)}),
+    cand{nb} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands{nb} a JOIN bands{nb} b
+        ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )''' for nb in _TUNE_CONFIGS)}
+    {" UNION ALL ".join(
+        f'''SELECT {nb} AS n_bands, {N_PERM // nb} AS rows_per_band,
+           round({_tune_threshold_sql(nb)}, 6) AS approx_threshold,
+           (SELECT count(*) FROM cand{nb}) AS n_candidates,
+           (SELECT count(*) FROM cand{nb} c JOIN jacc j
+             ON j.a = c.doc_a AND j.b = c.doc_b WHERE j.j >= {NEAR_TUNE_SIM})
+             AS n_true_pairs,
+           CAST(floor(1000000.0
+             * (SELECT count(*) FROM cand{nb} c JOIN jacc j
+                 ON j.a = c.doc_a AND j.b = c.doc_b WHERE j.j >= {NEAR_TUNE_SIM})
+             / greatest((SELECT count(*) FROM cand{nb}), 1)) AS BIGINT)
+             AS precision_ppm''' for nb in _TUNE_CONFIGS)}
+    """,
+)
+def lsh_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-tuning sweep for the MinHash-LSH banding knob: every divisor
+    banding of the 8 permutations — (2 bands × 4 rows), (4×2), (8×1) —
+    with its approximate S-curve midpoint (1/b)^(1/r), the candidate-pair
+    count it generates on THIS corpus, and the measured precision against
+    exact Jaccard ≥ {t}. This is the report you run before committing a
+    banding at 100 TB: the theoretical threshold says where recall falls,
+    the measured candidate count prices the verify stage, and precision
+    says how much of that price is waste.
+
+    Thresholds use only exact constants and sqrt chains (sqrt is the one
+    correctly-rounded transcendental; a general (1/b)^(1/r) needs pow,
+    which libms round differently — the r ∈ {{1,2,4}} sweep is the
+    deterministic family). One shingle build + one signature pass feed
+    all three bandings; candidates per banding are the usual bucketed
+    self-joins, and verification reuses the exact-Jaccard join only on
+    candidate pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sa = _shingle_arrays(docs).transform(tracked_cache)
+    thresholds = {
+        2: F.sqrt(F.sqrt(F.lit(0.5))),
+        4: F.sqrt(F.lit(0.25)),
+        8: F.lit(0.125),
+    }
+    parts = []
+    for nb in _TUNE_CONFIGS:
+        cand = lsh_candidate_pairs(docs, sa, n_perm=N_PERM, n_bands=nb)
+        verified = (
+            cand.join(
+                sa.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("shingles").alias("ts_a"),
+                    F.col("n").alias("n_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sa.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("shingles").alias("ts_b"),
+                    F.col("n").alias("n_b"),
+                ),
+                "doc_b",
+            )
+        )
+        inter = F.size(F.array_intersect("ts_a", "ts_b"))
+        jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_true = verified.where(jac >= NEAR_TUNE_SIM).agg(
+            F.count(F.lit(1)).alias("n_true_pairs")
+        )
+        row = n_cand.crossJoin(n_true).select(
+            F.lit(nb).alias("n_bands"),
+            F.lit(N_PERM // nb).alias("rows_per_band"),
+            F.round(thresholds[nb], 6).alias("approx_threshold"),
+            "n_candidates",
+            "n_true_pairs",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("n_true_pairs")
+                / F.greatest(F.col("n_candidates"), F.lit(1))
+            )
+            .cast("long")
+            .alias("precision_ppm"),
+        )
+        parts.append(row)
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionAll(pdf)
+    return out
+
+
+lsh_band_tuning_report.__doc__ = lsh_band_tuning_report.__doc__.format(
+    t=NEAR_TUNE_SIM
+)

@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) new in round 5.
     "pipeline_stage_attrition",
     "setsim_prefix_filter_join",
+    "lsh_band_tuning_report",
     "token_mixture_temperature",
     "ann_ivf_pq_topk",
     "conversion_lag_histogram",
@@ -114,7 +115,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivf_cosine",
     "ann_ivf_recall_probe",
     "semdedup_prune",
-    "dedup_embedding_cosine",
     # (tfidf_top_terms / token_mixture_planner also saw minor round-5
     # touches — cache scoping, nullif guard — but their r4 rows are fresh
     # and pytest covers the touched paths; displaced by the two newest

@@ -389,3 +389,34 @@ def test_adjacent_pairs_survive_short_docs(spark):
         (3, None),
         (4, None),
     }
+
+
+def test_multimodal_partitioned_write_prunes_by_modality(spark, sf_dir, tmp_path):
+    """The SCALE.md multimodal layout claim, executed: blobs written
+    partitioned by modality must (a) land in modality=... directories,
+    (b) read back losslessly, and (c) prune to ONE modality's files at
+    the scan when filtered — decode jobs for one modality never list the
+    others' bytes."""
+    import glob
+
+    from map_reduce_go_spark.operators.multimodal import blobs_from_documents
+
+    out = str(tmp_path / "blobs_by_modality")
+    blobs = blobs_from_documents(spark, sf_dir)
+    blobs.write.mode("overwrite").partitionBy("modality").parquet(out)
+
+    dirs = {p.rsplit("/", 1)[-1] for p in glob.glob(f"{out}/modality=*")}
+    assert dirs, "no partition directories written"
+
+    back = spark.read.parquet(out)
+    assert back.count() == blobs.count()
+
+    one = sorted(dirs)[0].split("=", 1)[1]
+    filtered = back.where(F.col("modality") == one)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(modality" in plan or "modality#" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    got = filtered.count()
+    want = blobs.where(F.col("modality") == one).count()
+    assert got == want > 0
