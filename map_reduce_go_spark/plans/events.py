@@ -413,3 +413,66 @@ def forward_fill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("was_gap"),
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "dq_hourly_volume_anomalies",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+             count(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT count(*) AS n_hours,
+             CAST(sum(n_events) AS BIGINT) AS s1,
+             CAST(sum(n_events * n_events) AS BIGINT) AS s2
+      FROM hourly
+    )
+    SELECT h.hour_epoch, h.n_events,
+           round((h.n_events - CAST(s.s1 AS DOUBLE) / s.n_hours)
+                 / nullif(sqrt(CAST(s.s2 AS DOUBLE) / s.n_hours
+                               - (CAST(s.s1 AS DOUBLE) / s.n_hours)
+                                 * (CAST(s.s1 AS DOUBLE) / s.n_hours)), 0),
+                 6) AS zscore,
+           CASE WHEN abs((h.n_events - CAST(s.s1 AS DOUBLE) / s.n_hours)
+                 / nullif(sqrt(CAST(s.s2 AS DOUBLE) / s.n_hours
+                               - (CAST(s.s1 AS DOUBLE) / s.n_hours)
+                                 * (CAST(s.s1 AS DOUBLE) / s.n_hours)), 0)) > 3
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM hourly h CROSS JOIN stats s
+    """,
+)
+def dq_hourly_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly detection: every hour's event count z-scored
+    against the corpus's hourly distribution, with a |z| > 3 flag — the
+    pipeline-health monitor that catches a dead producer (volume crater)
+    or a replay storm (spike) before they poison downstream statistics.
+
+    The moments come from exact integer power sums over the (tiny) hourly
+    rollup — the zscore_doclen_by_source discipline — so mean, stddev,
+    and every z are single double expressions over identical integers in
+    both engines; nullif guards the constant-volume corpus. Two
+    aggregations (events → hours, hours → one stats row broadcast back);
+    the fact-sized shuffle moves (hour, partial count) pairs only. At
+    100 TB this runs per ingest batch for pennies — the hourly rollup is
+    already thousands of times smaller than the stream.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    std = F.sqrt(F.col("s2").cast("double") / F.col("n_hours") - mean * mean)
+    z = (F.col("n_events") - mean) / F.nullif(std, F.lit(0.0))
+    return hourly.crossJoin(F.broadcast(stats)).select(
+        "hour_epoch",
+        "n_events",
+        F.round(z, 6).alias("zscore"),
+        F.when(F.abs(z) > 3, 1).otherwise(0).alias("is_anomaly"),
+    )

@@ -67,6 +67,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_stage_attrition",
     "setsim_prefix_filter_join",
     "lsh_band_tuning_report",
+    "purchase_click_attribution_outer",
+    "dq_hourly_volume_anomalies",
     "token_mixture_temperature",
     "ann_ivf_pq_topk",
     "conversion_lag_histogram",
@@ -113,8 +115,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "language_confusion_matrix",
     # (b) implementation touched in round 5.
     "ann_ivf_cosine",
-    "ann_ivf_recall_probe",
-    "semdedup_prune",
     # (tfidf_top_terms / token_mixture_planner also saw minor round-5
     # touches — cache scoping, nullif guard — but their r4 rows are fresh
     # and pytest covers the touched paths; displaced by the two newest
