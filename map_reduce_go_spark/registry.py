@@ -50,20 +50,22 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the checked window. Queries not listed follow in registration order, so
 # the union of checked sets grows round over round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-5 window — STALENESS ROTATION (VERDICT r4 next-round #1). All
-    # 124 prior registrations are latest-green, so the window's job this
-    # round is freshness: the r3 NTZ incident proved a green row can rot
-    # silently when the driver regenerates fixtures, so no row should stay
-    # unrefreshed for more than ~2 rounds. Order: (a) queries NEW this
-    # round (no driver row yet), (b) queries whose implementation changed
-    # this round (tracked-cache scoping, memoized IVF codebook,
-    # metadata-derived block count, nullif guards) — their green r4 rows
-    # no longer describe the shipped code, (c) the oldest r2-checked rows
-    # (oldest first) up to the 50-slot budget. New queries outrank stale
-    # greens: a never-checked query has no driver row at all, a stale
-    # green has at worst a 2-round-old one. The 10 r2 rows that no longer
-    # fit, then the r3 cohort, rotate through the r6 window next.
-    # (a) new in round 5.
+    # Round-5 window. 49 queries were added this round (124 → 173), so
+    # the window is EXACTLY the never-checked set: a query with no driver
+    # row has strictly less evidence than any green row, however stale
+    # (tests/test_registry_contract.py enforces this invariant and the
+    # 50-name size). The staleness-rotation policy (VERDICT r4 #1 — no
+    # green row older than ~2 rounds; the r3 NTZ incident showed greens
+    # can rot under fixture regeneration) resumes in the r6 window: its
+    # 50 slots go to any r5 additions first, then the round-5-touched
+    # queries whose r4 rows no longer describe the shipped code
+    # (ann_ivf_cosine, ann_ivf_recall_probe, semdedup_prune,
+    # dedup_embedding_cosine, bigram_lm_*, pmi, tfidf, mixture planner,
+    # both minhash_lsh variants — cache scoping / memoized codebooks /
+    # metadata counts landed this round), then the oldest r2 cohort
+    # (token_positions, q1_pricing_summary, ...) in registration order.
+    # All 173 queries have passed the local driver-mimic at sf0.01 AND
+    # sf0.1 this round regardless of window membership.
     "pipeline_stage_attrition",
     "setsim_prefix_filter_join",
     "lsh_band_tuning_report",
@@ -113,18 +115,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "reservoir_sample_per_source",
     "vocab_overlap_between_sources",
     "language_confusion_matrix",
-    # (b) implementation touched in round 5.
+    # Slot 50: the one touched query that still fits after the 49 new
+    # registrations — the shared IVF build (memoized codebook) landed this
+    # round, so its r4 row no longer describes the shipped code path; the
+    # other touched queries listed in the header rotate through r6.
     "ann_ivf_cosine",
-    # (tfidf_top_terms / token_mixture_planner also saw minor round-5
-    # touches — cache scoping, nullif guard — but their r4 rows are fresh
-    # and pytest covers the touched paths; displaced by the two newest
-    # never-checked queries, they rotate through the r6 window.)
-    # (c) latest driver row is r2 — the oldest greens in the union.
-    # (50 names exactly — the driver's window size. The remaining
-    # r2-cohort rows (token_positions, q1_pricing_summary, ... — displaced
-    # by the 7 warehouse/sketch queries added late in round 5), then the
-    # r3 cohort, follow in registration order and rotate through the r6
-    # window.)
 )
 
 
