@@ -1,11 +1,17 @@
-"""Determinism sweep: run every registered query TWICE — once at the
-default 32 shuffle partitions, once at a coprime 7 — and require
-identical canonical value hashes. Partition-count invariance is the
-distributed-determinism claim behind every oracle green: a query whose
-result depends on partitioning would pass the driver today and flake on
-a 1000-executor cluster tomorrow.
+"""Determinism sweep: run every registered query under a baseline and a
+flipped execution config and require identical canonical value hashes.
 
-Usage: python scripts/determinism_sweep.py [sf_dir]
+Modes (--mode=...):
+- partitions (default): 32 vs 7 shuffle partitions — partition-count
+  invariance, the distributed-determinism claim behind every oracle
+  green (a partitioning-dependent result passes today's driver and
+  flakes on a 1000-executor cluster).
+- broadcast: default planner vs autoBroadcastJoinThreshold=-1 — results
+  must not depend on which side the planner broadcasts.
+- aqe: adaptive execution on vs off — runtime re-planning (coalescing,
+  skew splits, join-strategy switches) must be value-invisible.
+
+Usage: python scripts/determinism_sweep.py [sf_dir] [--mode=partitions|broadcast|aqe]
 """
 
 from __future__ import annotations
@@ -23,18 +29,31 @@ from map_reduce_go_spark.registry import all_queries  # noqa: E402
 from tests.oracle_compare import canonical_rows  # noqa: E402
 
 
+MODES = {
+    "partitions": ("spark.sql.shuffle.partitions", "32", "7"),
+    "broadcast": ("spark.sql.autoBroadcastJoinThreshold", "10485760", "-1"),
+    "aqe": ("spark.sql.adaptive.enabled", "true", "false"),
+}
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark(app_name="determinism-sweep")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = "partitions"
+    for a in sys.argv[1:]:
+        if a.startswith("--mode="):
+            mode = a.split("=", 1)[1]
+    key, base, flipped = MODES[mode]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    spark = get_spark(app_name=f"determinism-sweep-{mode}")
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
     for name, spec in sorted(all_queries().items()):
         t0 = time.time()
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set(key, base)
             a = canonical_rows(spec.fn(spark, sf_dir).toPandas())
             release_caches()
-            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            spark.conf.set(key, flipped)
             b = canonical_rows(spec.fn(spark, sf_dir).toPandas())
             release_caches()
             ok = a == b
@@ -43,11 +62,11 @@ def main() -> int:
             print(f"  {name}: ERROR {str(e)[:120]}")
             continue
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set(key, base)
         if not ok:
             failures.append((name, "NONDETERMINISTIC"))
         print(f"  {name}: {'stable' if ok else 'NONDETERMINISTIC'} {time.time()-t0:.1f}s")
-    print(f"\n{len(all_queries()) - len(failures)}/{len(all_queries())} partition-count-stable")
+    print(f"\n{len(all_queries()) - len(failures)}/{len(all_queries())} stable under mode={mode}")
     for name, why in failures:
         print(f"  FAIL {name}: {why}")
     return 1 if failures else 0
