@@ -13,3 +13,7 @@ echo "== cluster launcher smoke (local[4]) =="
 scripts/submit_cluster.sh --sf-dir /root/testdata/sf0.001 --query wordcount 2>/dev/null | tail -1
 echo "== bench sf0.1 =="
 python bench.py
+# Optional (slow, ~8 min/mode): value-hash invariance across planner paths.
+#   python scripts/determinism_sweep.py                    # 32 vs 7 partitions
+#   python scripts/determinism_sweep.py --mode=broadcast   # auto-broadcast off
+#   python scripts/determinism_sweep.py --mode=aqe         # adaptive off
