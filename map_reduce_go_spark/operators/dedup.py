@@ -1445,7 +1445,13 @@ def setsim_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection on the candidates only; all counts integer, one rounded
     division at emission.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return setsim_over(load_table(spark, sf_dir, "documents"))
+
+
+def setsim_over(docs: DataFrame) -> DataFrame:
+    """The prefix-filter similarity join over any documents-shaped
+    DataFrame — split out so property tests can drive it with generated
+    corpora (hypothesis conformance vs a brute-force evaluator)."""
     # One shingle build feeds BOTH sides: the deduped per-doc arrays (with
     # their sizes) are the verification operand directly — no collect_set
     # re-aggregation — and their explode is the prefix-candidate stream.

@@ -281,3 +281,56 @@ def test_upsert_matches_sequential_evaluator(spark, rows):
         counts[uid] = counts.get(uid, 0) + 1
     want = {u: (counts[u], v[1], v[2]) for u, v in want.items()}
     assert got == want
+
+
+@st.composite
+def shingle_corpora(draw):
+    """Small random corpora whose texts are word sequences over a tiny
+    alphabet — dense shingle overlap, so prefix filtering actually faces
+    shared and hot shingles; includes sub-3-word docs (no shingles)."""
+    n = draw(st.integers(min_value=2, max_value=8))
+    words = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(n):
+        k = draw(st.integers(min_value=0, max_value=12))
+        docs.append((i, " ".join(draw(st.sampled_from(words)) for _ in range(k))))
+    return docs
+
+
+def _brute_setsim(docs, t):
+    def shingles(text):
+        ws = [w for w in text.split() if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(x) for i, x in docs if shingles(x)}
+    out = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                out[(a, b)] = round(inter / union, 6)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=shingle_corpora())
+def test_setsim_prefix_filter_matches_bruteforce_random(spark, corpus):
+    """Certified recall on adversarial corpora: dense shingle overlap,
+    duplicate docs, empty and sub-shingle docs — the prefix filter must
+    still equal the all-pairs brute force exactly."""
+    from map_reduce_go_spark.functions.caching import release_caches
+    from map_reduce_go_spark.operators.dedup import SETSIM_T, setsim_over
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard for r in setsim_over(df).collect()
+    }
+    release_caches()
+    assert got == _brute_setsim(corpus, SETSIM_T)
