@@ -181,14 +181,23 @@ def lsh_candidate_pairs(
     shingle_arrays: DataFrame | None = None,
     n_perm: int = N_PERM,
     n_bands: int = N_BANDS,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: equal minhash band in >=1 of
     n_bands bands of r = n_perm/n_bands rows. The (n_perm, n_bands) pair
     is the recall/precision knob: candidate threshold ≈
-    (1/n_bands)^(1/r)."""
+    (1/n_bands)^(1/r). Pass ``signatures`` (a cached minhash_signatures
+    result) when sweeping several bandings over ONE signature build —
+    the signature aggregate is the only shuffle in the build, so sharing
+    it prices a banding sweep at bandings × self-join, not bandings ×
+    (sig shuffle + self-join)."""
     if n_perm % n_bands:
         raise ValueError(f"n_bands={n_bands} must divide n_perm={n_perm}")
-    sig = minhash_signatures(docs, shingle_arrays, n_perm=n_perm)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, shingle_arrays, n_perm=n_perm)
+    )
     r = n_perm // n_bands
     bands = sig.select(
         "doc_id",
@@ -1594,6 +1603,9 @@ def lsh_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sa = _shingle_arrays(docs).transform(tracked_cache)
+    # ONE signature aggregate feeds all three bandings (cached; the band
+    # explode + self-join per config derive from it map-side).
+    sig = minhash_signatures(docs, sa).transform(tracked_cache)
     thresholds = {
         2: F.sqrt(F.sqrt(F.lit(0.5))),
         4: F.sqrt(F.lit(0.25)),
@@ -1601,7 +1613,9 @@ def lsh_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     parts = []
     for nb in _TUNE_CONFIGS:
-        cand = lsh_candidate_pairs(docs, sa, n_perm=N_PERM, n_bands=nb)
+        cand = lsh_candidate_pairs(
+            docs, sa, n_perm=N_PERM, n_bands=nb, signatures=sig
+        )
         verified = (
             cand.join(
                 sa.select(
