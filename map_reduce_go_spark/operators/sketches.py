@@ -14,9 +14,13 @@ Determinism: every hash is the repo-standard md5 idiom
 (``conv(substring(md5(salt || key), 1, 8), 16, 10) % M`` — identical
 bit-for-bit in Spark and DuckDB), so cell indices, bit positions, and
 therefore every reported count replay exactly in the oracle. The
-reference's engine has no sketch surface at all — these extend it the way
-its wordcount users would first ask for ("top words without keeping every
-word").
+reference's engine has no sketch surface at all — these extend its
+wordcount dataflow (reference src/mrapps/wc.go:19-40: tokenize → count
+per key) the way its users would first ask for ("top words without
+keeping every word"); the CMS build is literally that wordcount with the
+key space folded to d×w hash cells, and the same ihash(key)%n partition
+trick the reference shuffles by (src/mr/worker.go:24-28) becomes the
+cell index.
 """
 
 from __future__ import annotations
