@@ -625,6 +625,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join AQE handles like any other.
     """
     docs = load_table(spark, sf_dir, "documents")
+    labels = _converged_labels(spark, sf_dir)
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+# Converged label sets memoized per (session, fixture): three queries
+# (dedup_clusters, dedup_keep_best, near_dup_cluster_sizes) consume the
+# same transitive closure, and the propagation loop is deterministic, so
+# re-running it per query only re-pays 2-4 rounds of shuffles. The cached
+# object is the CHECKPOINTED node-label frame (edge-participant docs only
+# — bounded by duplicate density, never the corpus), keyed by application
+# id so a fresh session rebuilds instead of referencing dead checkpoint
+# blocks. The 100 TB analog is persisting the cluster-assignment table
+# once per corpus snapshot — the ivf_centroids_for policy applied to
+# cluster state.
+_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _converged_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    if key in _LABEL_CACHE:
+        return _LABEL_CACHE[key]
+
     edges = _near_dup_edges(spark, sf_dir).localCheckpoint()
     # Iterate ONLY over graph nodes (docs with at least one near-dup edge):
     # singleton docs — the overwhelming majority of a deduped corpus —
@@ -670,14 +701,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{max_rounds} rounds (label-sum still changing); raise the round "
             f"bound for this graph"
         )
-    return (
-        docs.select("doc_id")
-        .join(labels, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
-        )
-    )
+    _LABEL_CACHE[key] = labels
+    return labels
 
 
 # --------------------------------------------------------------------------
