@@ -46,3 +46,16 @@ def test_never_checked_queries_lead_the_window():
     assert not out_of_window, (
         f"never-checked queries outside the driver window: {out_of_window}"
     )
+
+
+def test_bench_headliners_are_registered():
+    """Every bench.py HEADLINE name must resolve in the registry — a
+    rename that orphans a headliner would make the driver's BENCH run
+    silently skip it (per-query error isolation) and read as a perf
+    regression."""
+    import bench
+
+    qs = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench headliners not registered: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no duplicates
