@@ -396,3 +396,35 @@ def test_stream_stream_outer_interval_join_equals_batch(spark, event_source, tmp
     null_rows = {t for t in want if t[3] is None}
     assert null_rows, "fixture must contain unattributed purchases"
     assert null_rows <= got
+
+
+def test_microbatch_pacing_with_max_files_per_trigger(spark, event_source):
+    """Source throttling: maxFilesPerTrigger must split the drain into
+    multiple micro-batches (the backpressure knob that keeps a 100 TB
+    backfill from materializing as one giant batch), without changing
+    the aggregate result."""
+    import uuid
+
+    name = f"pace_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(windows.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(event_source)
+    )
+    agg = stream.groupBy("event_type").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected multiple paced batches, got {n_batches}"
+    got = {r.event_type: r["count"] for r in spark.table(name).collect()}
+    want = {
+        r.event_type: r["count"]
+        for r in _batch_events(spark, event_source).groupBy("event_type").count().collect()
+    }
+    assert got == want
