@@ -98,18 +98,25 @@ def main() -> None:
     # Each query runs N_RUNS times and reports the MEDIAN: single-shot
     # timings produced phantom ±38% round-over-round swings at sub-second
     # absolute deltas (VERDICT r4); the median with recorded min/max spread
-    # makes >25% deltas real. Tracked caches are released between runs so
-    # repeat timings measure the plan, not a warm cache the single-shot
-    # driver run wouldn't have.
-    from map_reduce_go_spark.functions.caching import release_caches
+    # makes >25% deltas real. Between runs the harness releases tracked
+    # Spark caches AND clears the Python-side per-fixture memos (cluster
+    # labels, IVF centroids, PQ codebooks), so every timed run is COLD —
+    # without the memo clear, the r5 medians for the index family timed a
+    # dict lookup (dedup_clusters 0.158 s "median" vs 3.03 s cold; VERDICT
+    # r5 #1). After the cold runs, one extra run with the memos left warm
+    # records the steady-state timing a session that persists its indexes
+    # actually sees — cold and warm are separate JSON fields, never mixed.
+    from map_reduce_go_spark.functions.caching import clear_memos, release_caches
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     results: dict[str, float] = {}
+    warm: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         times: list[float] = []
         for _ in range(n_runs):
+            clear_memos()
             t0 = time.perf_counter()
             try:
                 specs[name].fn(spark, sf_dir).write.format("noop").mode(
@@ -125,13 +132,32 @@ def main() -> None:
             times.sort()
             results[name] = round(times[len(times) // 2], 3)
             spread[name] = [round(times[0], 3), round(times[-1], 3)]
+            # Warm pass: memos are populated by the last cold run above
+            # (NOT cleared here); tracked caches are still released so the
+            # delta isolates the memo, not pinned storage.
+            t0 = time.perf_counter()
+            try:
+                specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                warm[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"warm: {type(exc).__name__}: {exc}"[:500]
+            finally:
+                release_caches()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_seconds",
         "value": round(sum(results.values()), 3),
         "unit": "sec",
+        # COLD medians: tracked caches released and per-fixture memos
+        # cleared before every run, so `value`/`queries` are comparable to
+        # any cold single-shot (BENCH_r04) and across rounds.
         "queries": results,
+        "timing": "cold: median of runs_per_query memo-cleared runs; warm: one run with per-fixture memos retained",
+        # Steady-state single-shot with memos warm (persisted-index analog).
+        "warm": warm,
         # Per-query [min, max] over the n_runs timings behind each median.
         "runs_per_query": n_runs,
         "spread": spread,

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_go_spark.functions.text import WORD_BOUNDARY
-from map_reduce_go_spark.functions.caching import tracked_cache
+from map_reduce_go_spark.functions.caching import register_memo, tracked_cache
 from map_reduce_go_spark.registry import register
 from map_reduce_go_spark.sources.readers import fan_out, load_table, table_num_rows
 
@@ -646,13 +646,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocks. The 100 TB analog is persisting the cluster-assignment table
 # once per corpus snapshot — the ivf_centroids_for policy applied to
 # cluster state.
-_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LABEL_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _converged_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    from map_reduce_go_spark.functions.caching import fixture_key
 
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    # (appId, path, documents mtime): appId scopes the checkpointed
+    # frame to its session; the mtime makes an in-session fixture
+    # regeneration rebuild (same policy as the IVF/PQ codebook memos).
+    key = fixture_key(spark, sf_dir, "documents")
     if key in _LABEL_CACHE:
         return _LABEL_CACHE[key]
 
@@ -1273,10 +1276,16 @@ def editdist_deletion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     routes to MinHash-LSH."""
     names = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     # Join on xxhash64(variant), not the variant string: the candidate
-    # shuffle moves 8-byte longs instead of ~|s|-char strings, and any
-    # hash-collision false candidate is eliminated by the exact verify
-    # below — the oracle keeps joining on the strings themselves, so the
-    # digest is an engine-side optimization the hash-compare re-proves.
+    # shuffle moves 8-byte longs instead of ~|s|-char strings. Soundness
+    # of the digest rests on FastSS COMPLETENESS, not on the verify
+    # filtering collisions: any pair at lev<=1 already shares a true
+    # deletion variant, so a hash-colliding pair that also passes the
+    # lev<=1 verify was in the true result set anyway — collisions can
+    # only add candidates, never rows. NOTE this argument is coupled to
+    # EDIT_MAX_DIST == 1 (the 1-deletion certification depth); raising
+    # the threshold requires deeper variant generation AND re-examining
+    # this digest join. The oracle keeps joining on the strings
+    # themselves, so the hash-compare re-proves the optimization.
     variants = names.select(
         "c_custkey",
         "c_name",
@@ -1501,9 +1510,14 @@ def setsim_over(docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w_rn = Window.partitionBy("doc_id").orderBy("f", "token")
-    ordered = toks.join(F.broadcast(freq), "token").withColumn(
-        "rn", F.row_number().over(w_rn)
-    )
+    # No broadcast hint on the frequency table: it is VOCABULARY-sized
+    # state (distinct shingles grow ~linearly with corpus tokens), so a
+    # forced broadcast OOMs at 100 TB where the word-3-gram vocabulary is
+    # billions of rows (VERDICT r5 #2). AQE picks broadcast at small
+    # scale from measured stats and falls back to a shuffle join exactly
+    # when the vocabulary outgrows the threshold — the adaptive behavior
+    # a size-blind hint forfeits.
+    ordered = toks.join(freq, "token").withColumn("rn", F.row_number().over(w_rn))
     prefix_len = F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")).cast("long") + 1
     prefix = ordered.where(F.col("rn") <= prefix_len).select("doc_id", "token")
     cand = (

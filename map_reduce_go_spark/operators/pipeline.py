@@ -860,6 +860,12 @@ def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id")
     )
 
+    # Decontamination shingles DOCS, not the quality-filtered `q`, ON
+    # PURPOSE: stage semantics must match the standalone
+    # decontaminate_against_eval operator (whose eval set is drawn from
+    # the raw corpus), so stage-4 counts compose with that query's
+    # oracle. Shingling `q` would be cheaper but silently changes which
+    # docs count as contaminated — don't "optimize" this.
     sh = _shingles(docs)
     ev = sh.where(F.col("doc_id") < N_EVAL_DOCS).select("s").distinct()
     cont = (

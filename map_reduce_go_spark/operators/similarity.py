@@ -38,7 +38,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_go_spark.functions.caching import tracked_cache
+from map_reduce_go_spark.functions.caching import (
+    fixture_key,
+    register_memo,
+    tracked_cache,
+)
 from map_reduce_go_spark.registry import register
 from map_reduce_go_spark.sources.readers import load_table
 
@@ -339,7 +343,7 @@ def _nearest_cells(emb: Column, centroids: list[list[float]], n: int) -> Column:
     return _cells(emb)
 
 
-_CENTROID_CACHE: dict[str, list[list[float]]] = {}
+_CENTROID_CACHE: dict[tuple[str, str], list[list[float]]] = register_memo({})
 
 
 def ivf_centroids_for(sf_dir: str, emb: DataFrame) -> list[list[float]]:
@@ -350,11 +354,11 @@ def ivf_centroids_for(sf_dir: str, emb: DataFrame) -> list[list[float]]:
     (seed collect + Lloyd means). The build is fully deterministic (seeds
     = K lowest vec_ids, exact decimal means), so caching returns
     bit-identical centroids and cannot perturb oracle parity. Keyed by
-    resolved path; fixtures are immutable within a session. At 100 TB the
-    analog is persisting the trained codebook next to the index."""
-    import os
-
-    key = os.path.realpath(sf_dir)
+    (applicationId, resolved path, fixture mtime) — see
+    :func:`fixture_key` — so a regenerated fixture, same-session or not,
+    rebuilds instead of serving the previous corpus's codebook. At 100 TB
+    the analog is persisting the trained codebook next to the index."""
+    key = fixture_key(emb.sparkSession, sf_dir, "embeddings")
     if key not in _CENTROID_CACHE:
         _CENTROID_CACHE[key] = ivf_train_centroids(emb)
     return _CENTROID_CACHE[key]
@@ -785,7 +789,7 @@ M_SUB = 4
 SUB_DIM = 16
 K_CODES = 8
 
-_PQ_CODEBOOK_CACHE: dict[str, list[list[list[float]]]] = {}
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], list[list[list[float]]]] = register_memo({})
 
 
 def _seq_l2(ma: "np.ndarray", mb: "np.ndarray") -> "np.ndarray":
@@ -859,9 +863,10 @@ def pq_codebooks_for(sf_dir: str, emb: DataFrame) -> list[list[list[float]]]:
     the identical codebook from SQL. Only index metadata is ever
     collected: 8 seed rows, then M_SUB×K_CODES mean rows (512 floats).
     """
-    import os
-
-    key = os.path.realpath(sf_dir)
+    # Keyed by (applicationId, resolved path, fixture mtime) — the old
+    # path-only key served a stale codebook if a fixture was regenerated
+    # at the same path within a process (VERDICT r5 #3).
+    key = fixture_key(emb.sparkSession, sf_dir, "embeddings")
     if key in _PQ_CODEBOOK_CACHE:
         return _PQ_CODEBOOK_CACHE[key]
 

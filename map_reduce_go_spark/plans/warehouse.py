@@ -376,12 +376,18 @@ def equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects for selectivity estimation: 8 buckets of (near-)equal row
     count with their value bounds.
 
-    ntile over a global order is the one operator here that genuinely
-    needs a total sort; Spark plans it as a range-partitioned sort
-    exchange (sampled range boundaries, no single-reducer bottleneck), the
-    same machinery as any ORDER BY at scale. o_orderkey breaks price ties
-    so bucket membership — and therefore the bucket bounds — is
-    deterministic in both engines. Output is 8 rows.
+    Honest scale note: a window with ORDER BY and no PARTITION BY plans
+    as Exchange SinglePartition — WindowExec moves ALL rows to one
+    partition, because ntile needs the global row count and position.
+    Over the full orders table at 100 TB that single partition is a real
+    bottleneck; the scale path is approx bucket bounds from
+    percentile_approx (one pass, mergeable sketch) or the distributed
+    row_number idiom (repartitionByRange + per-partition offsets), both
+    of which trade ntile's exact first-(n mod B)-buckets-get-one-extra
+    semantics for scalability. This query keeps exact ntile because the
+    oracle replays its tie-exact bucket bounds bit-for-bit; o_orderkey
+    breaks price ties so membership is deterministic in both engines.
+    Output is 8 rows.
     """
     orders = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
@@ -424,10 +430,12 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintile-scored with ntile(5), composed into the 111..555 RFM cell.
 
     One fact-sized aggregate (map-side-combinable count/max/decimal-sum),
-    then three global ntiles over the CUSTOMER-cardinality result —
-    each a range-partitioned sort exchange over rows that are already
-    orders-of-magnitude smaller than the fact table (the
-    equidepth_histogram_price scale note applies). The corpus max date is
+    then three global ntiles over the CUSTOMER-cardinality result. Each
+    unpartitioned ntile window plans as Exchange SinglePartition (all
+    rows to one task — see the equidepth_histogram_price scale note);
+    that is acceptable HERE because the windows run over the per-customer
+    rollup, already orders of magnitude smaller than the fact table, not
+    over orders itself. The corpus max date is
     a 1-row broadcast. c_custkey breaks every ordering tie, so quintile
     membership — and the composed cell — is deterministic in both
     engines; monetary rides exact decimal into the ordering.

@@ -17,8 +17,54 @@ local[32] test box but chosen to be the *same* knobs you would set on a
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
+
+
+def _ensure_protobuf_runtime() -> None:
+    """Make a ``google.protobuf`` runtime importable when the interpreter
+    has none installed, from ``SPARK_GRAFT_PROTOBUF_PATH`` (or a known
+    on-box fallback). transformWithStateInPandas serializes its
+    Python<->JVM state protocol with protobuf; without a runtime the TWS
+    path is gated off (streaming/stateful.py). MUST run before the JVM
+    launches: Python *workers* import the proto too, and they inherit
+    PYTHONPATH from the JVM's environment, which snapshots ours at
+    session start — a post-launch sys.path fix would heal the driver
+    only and the stream would die in the worker.
+
+    The version-check override is protobuf's own documented escape hatch
+    (runtime_version.py); the one-minor-older runtime (6.32 vs 6.33
+    gencode) is wire-compatible for this protocol and the full TWS test
+    passes under it (tests/test_streaming.py::test_stateful_running_totals_tws).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    candidates = [
+        p
+        for p in os.environ.get("SPARK_GRAFT_PROTOBUF_PATH", "").split(os.pathsep)
+        if p
+    ]
+    # Known fallback: the gcloud SDK ships a modern pure-Python protobuf.
+    candidates.append("/usr/lib/google-cloud-sdk/platform/google_appengine")
+    for path in candidates:
+        if not os.path.isdir(os.path.join(path, "google", "protobuf")):
+            continue
+        sys.path.insert(0, path)
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            sys.path.remove(path)
+            continue
+        os.environ["PYTHONPATH"] = (
+            path + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
+        os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        return
 
 
 def get_spark(
@@ -32,6 +78,7 @@ def get_spark(
     ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
     defaults to all cores.
     """
+    _ensure_protobuf_runtime()
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

@@ -42,6 +42,14 @@ def main() -> int:
     for a in sys.argv[1:]:
         if a.startswith("--mode="):
             mode = a.split("=", 1)[1]
+    if mode not in MODES:
+        print(
+            f"unknown --mode={mode!r}; valid modes: {', '.join(sorted(MODES))}\n"
+            "usage: python scripts/determinism_sweep.py [sf_dir] "
+            "[--mode=partitions|broadcast|aqe]",
+            file=sys.stderr,
+        )
+        return 2
     key, base, flipped = MODES[mode]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(app_name=f"determinism-sweep-{mode}")

@@ -33,6 +33,66 @@ def test_cache_heavy_queries_release_clean(spark):
         )
 
 
+def _write_embeddings(spark, sf_dir: str, scale: float) -> None:
+    """A tiny 64-dim embeddings fixture whose values depend on ``scale`` —
+    regenerating with a different scale MUST produce different codebooks."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(0, 40)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, 63), i -> cast((id * 64 + i) * {scale} as float))"
+            ).alias("embedding"),
+            F.lit(0).alias("label"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
+def test_memoized_codebooks_rebuild_after_fixture_regeneration(spark, tmp_path):
+    """VERDICT r5 #3/#4: the PQ codebook (and IVF centroid) memos must not
+    serve stale state across an IN-SESSION regeneration of the fixture at
+    the same path — fixture_key's mtime component is what rotates them."""
+    from map_reduce_go_spark.operators.similarity import (
+        ivf_centroids_for,
+        pq_codebooks_for,
+    )
+    from map_reduce_go_spark.sources.readers import load_table
+
+    sf_dir = str(tmp_path)
+    _write_embeddings(spark, sf_dir, scale=0.001)
+    books_a = pq_codebooks_for(sf_dir, load_table(spark, sf_dir, "embeddings"))
+    cents_a = ivf_centroids_for(sf_dir, load_table(spark, sf_dir, "embeddings"))
+
+    # Same fixture, second call: memo hit, bit-identical result.
+    assert pq_codebooks_for(sf_dir, load_table(spark, sf_dir, "embeddings")) == books_a
+
+    _write_embeddings(spark, sf_dir, scale=0.002)  # regenerate IN-SESSION
+    books_b = pq_codebooks_for(sf_dir, load_table(spark, sf_dir, "embeddings"))
+    cents_b = ivf_centroids_for(sf_dir, load_table(spark, sf_dir, "embeddings"))
+    assert books_b != books_a, "stale PQ codebook served across regeneration"
+    assert cents_b != cents_a, "stale IVF centroids served across regeneration"
+
+
+def test_clear_memos_empties_every_registered_memo(spark, tmp_path):
+    """bench.py's cold timings depend on clear_memos() actually emptying
+    the per-fixture memos (VERDICT r5 #1)."""
+    from map_reduce_go_spark.functions.caching import _MEMOS, clear_memos
+    from map_reduce_go_spark.operators.similarity import pq_codebooks_for
+    from map_reduce_go_spark.sources.readers import load_table
+
+    sf_dir = str(tmp_path)
+    _write_embeddings(spark, sf_dir, scale=0.001)
+    pq_codebooks_for(sf_dir, load_table(spark, sf_dir, "embeddings"))
+    assert any(m for m in _MEMOS), "expected at least one populated memo"
+    clear_memos()
+    assert all(not m for m in _MEMOS), "clear_memos left a populated memo"
+
+
 def test_release_is_idempotent_and_correctness_neutral(spark):
     specs = all_queries()
     df = specs["tfidf_top_terms"].fn(spark, SMOKE_SF)

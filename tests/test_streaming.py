@@ -231,8 +231,11 @@ def test_stateful_running_totals_tws(spark, event_source):
     if not stateful.tws_runtime_available():
         pytest.skip(
             "transformWithStateInPandas's driver<->worker state protocol is "
-            "protobuf-serialized and google.protobuf is not installed in this "
-            "container (pip installs are out of scope). Coverage delta: ONLY "
+            "protobuf-serialized and no google.protobuf runtime is importable "
+            "(pip installs are out of scope; session.py's "
+            "_ensure_protobuf_runtime found nothing on "
+            "SPARK_GRAFT_PROTOBUF_PATH or the known fallbacks). "
+            "Coverage delta: ONLY "
             "the TWS API binding (running_totals_tws + _RunningTotalsProcessor"
             ") is unexecuted here. The operator semantics it carries — keyed "
             "running totals, one state row per key, update-mode emission, "
