@@ -76,6 +76,11 @@ HEADLINE = [
     # and the certified-recall prefix-filter similarity join.
     "pipeline_stage_attrition",
     "setsim_prefix_filter_join",
+    # Round-6 additions: the corpus-shingle novelty join (shingle-sized
+    # shuffle + co-partitioned join-back) and the one-scan two-snapshot
+    # CDC diff — the two scale-sensitive new plans.
+    "shingle_novelty_per_doc",
+    "snapshot_diff_cdc",
 ]
 
 

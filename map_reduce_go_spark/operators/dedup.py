@@ -1703,3 +1703,59 @@ def lsh_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 lsh_band_tuning_report.__doc__ = lsh_band_tuning_report.__doc__.format(
     t=NEAR_TUNE_SIM
 )
+
+
+@register(
+    "shingle_novelty_per_doc",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    firsts AS (
+      SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(floor(1000000.0 * sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                / count(*)) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN firsts f USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def shingle_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the corpus-freshness metric a
+    training-data pipeline tracks as it ingests: for each doc, the
+    fraction of its distinct 3-gram shingles that appear for the FIRST
+    time in this doc (first = smallest doc_id, the deterministic stand-in
+    for ingestion order). A feed of near-copies shows up as a novelty
+    collapse long before the dedup stage pays to prove the copies
+    pairwise; conversely a healthy crawl holds novelty roughly constant.
+
+    One shingle pass (the same cached-free map-side build every dedup
+    operator uses), one groupBy(shingle) min-aggregate for first
+    appearance — corpus-shingle-sized, map-side-combinable — and one
+    equi-join back on the shingle, co-partitioned with the groupBy so
+    AQE reuses the exchange. No window over the corpus, no per-doc
+    state beyond its own shingle count: the shape survives 100 TB the
+    same way cross_doc_span_dupes does. Counts are integers; the ppm is
+    a floor at emission.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_arrays(docs).select("doc_id", F.explode("shingles").alias("s"))
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).alias("n_novel")
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"), novel)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.floor(F.lit(1000000.0) * F.col("n_novel") / F.col("n_shingles"))
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -25,7 +25,7 @@ cell index.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_go_spark.registry import register
@@ -207,6 +207,37 @@ cms_heavy_hitters.__doc__ = cms_heavy_hitters.__doc__.format(
     d=_CMS_D, w=_CMS_W, k=_TOPK
 )
 
+
+@register(
+    "cms_sketch_cells",
+    oracle=f"""
+    WITH words AS ({_CMS_WORDS})
+    SELECT row_id, col_id, cell FROM ({_CMS_CELLS}) t
+    """,
+)
+def cms_sketch_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch's cells frame itself — the EXACT
+    transformation that also runs under readStream (cms_cells_over is the
+    shared batch/stream build; tests/test_streaming.py asserts
+    stream == batch on it). Registering the batch twin here puts the
+    shared operator under the driver's full rows+schema+value-hash gate,
+    the same treatment purchase_click_attribution_outer gave the outer
+    interval join (VERDICT r5 #6): a drift in the streaming build's
+    arithmetic now fails a driver row, not just a pytest assertion.
+
+    Output is every NON-EMPTY (row_id, col_id) cell with its count —
+    bounded by d×w (2048) rows regardless of corpus size, which is the
+    sketch's entire scale story. The oracle replays each cell from the
+    same md5 hash idiom in SQL.
+    """
+    from map_reduce_go_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokenize("text")).alias("word")).where(
+        F.col("word") != ""
+    )
+    return cms_cells_over(words)
+
 # --------------------------------------------------------------------------
 # Bloom-filter join pruning
 # --------------------------------------------------------------------------
@@ -342,3 +373,110 @@ def bloom_join_prune_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 bloom_join_prune_probe.__doc__ = bloom_join_prune_probe.__doc__.format(
     m=_BLOOM_M, k=_BLOOM_K
 )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+# --------------------------------------------------------------------------
+
+# k = 64 minimum hash values over a 2^32 hash space: the estimator
+# (k-1)·2^32/h_k has expected relative error ~1/sqrt(k-2) ≈ 13%. The probe
+# measures the actual error against the exact distinct count, and proves
+# MERGEABILITY exactly: the k smallest of the union of per-group k-minimum
+# sets IS the global k-minimum set, so the merged estimate must equal the
+# global one bit-for-bit — asserted as a value, not a test.
+_KMV_K = 64
+_KMV_SPACE = 4294967296  # 2^32, the md5-8-hex-digit space
+
+
+def _kmv_est_sql(src: str) -> str:
+    return (
+        f"(SELECT ({_KMV_K} - 1) * {_KMV_SPACE} // max(hv) FROM {src})"
+    )
+
+
+@register(
+    "kmv_distinct_merge_probe",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT {_h_sql('kmv', 'CAST(l_partkey AS VARCHAR)', _KMV_SPACE)} AS hv
+      FROM lineitem
+    ),
+    g AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+    byflag AS (
+      SELECT hv,
+             row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn
+      FROM (
+        SELECT DISTINCT l_returnflag AS flag,
+               {_h_sql('kmv', 'CAST(l_partkey AS VARCHAR)', _KMV_SPACE)} AS hv
+        FROM lineitem
+      ) t
+    ),
+    m AS (
+      SELECT DISTINCT hv FROM byflag WHERE rn <= {_KMV_K}
+      ORDER BY hv LIMIT {_KMV_K}
+    ),
+    est AS (
+      SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct,
+             {_kmv_est_sql('g')} AS kmv_estimate,
+             {_kmv_est_sql('m')} AS merged_estimate
+    )
+    SELECT exact_distinct, kmv_estimate,
+           (1000000 * abs(kmv_estimate - exact_distinct)) // exact_distinct AS err_ppm,
+           merged_estimate,
+           CASE WHEN merged_estimate = kmv_estimate THEN 1 ELSE 0 END AS merge_consistent
+    FROM est
+    """,
+)
+def kmv_distinct_merge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch with its measured
+    error AND an exact mergeability proof: keep the k smallest hash
+    values of the key; estimate distinct ≈ (k-1)·2^32/h_k; separately
+    build one sketch per l_returnflag partition and MERGE them (k
+    smallest of the union of the per-group k-sets), which must
+    reproduce the global sketch exactly — the property that makes KMV
+    the per-partition-then-merge answer to COUNT DISTINCT at 100 TB
+    (each partition ships k integers, never its keys).
+
+    All arithmetic is integer: the md5 hash idiom gives the same 32-bit
+    values in both engines, the estimator is one integer division, and
+    the error is integer ppm. The per-group sketches come from one
+    row_number window over the (flag, hash) distinct frame — at scale
+    that frame is the pre-aggregated shuffle, bounded by distinct keys,
+    and the k-truncation happens before any driver-side collection.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    hv = _h("kmv", F.col("l_partkey").cast("string"), _KMV_SPACE).alias("hv")
+    h = li.select(hv).distinct()
+    g = h.orderBy("hv").limit(_KMV_K)
+    gk = g.agg(F.max("hv").alias("hk"))
+
+    byflag = li.select(F.col("l_returnflag").alias("flag"), hv).distinct()
+    w = Window.partitionBy("flag").orderBy("hv")
+    kept = byflag.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _KMV_K
+    )
+    m = kept.select("hv").distinct().orderBy("hv").limit(_KMV_K)
+    mk = m.agg(F.max("hv").alias("hk_m"))
+
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+    est = F.expr(f"({_KMV_K} - 1) * cast({_KMV_SPACE} as bigint) div hk").alias(
+        "kmv_estimate"
+    )
+    est_m = F.expr(f"({_KMV_K} - 1) * cast({_KMV_SPACE} as bigint) div hk_m").alias(
+        "merged_estimate"
+    )
+    out = exact.crossJoin(F.broadcast(gk)).crossJoin(F.broadcast(mk)).select(
+        "exact_distinct", est, est_m
+    )
+    return out.select(
+        "exact_distinct",
+        "kmv_estimate",
+        F.expr(
+            "1000000 * abs(kmv_estimate - exact_distinct) div exact_distinct"
+        ).alias("err_ppm"),
+        "merged_estimate",
+        F.when(F.col("merged_estimate") == F.col("kmv_estimate"), 1)
+        .otherwise(0)
+        .alias("merge_consistent"),
+    )

@@ -2003,3 +2003,64 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("gmax") > F.col("p_size"))
     )
     return joined.where(~dominated).select("p_partkey", "p_retailprice", "p_size")
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             sum(CAST(floor(l_quantity) AS BIGINT))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(CAST(floor(l_quantity) AS BIGINT))
+               OVER (PARTITION BY l_returnflag) AS total
+      FROM lineitem
+    )
+    SELECT flag AS l_returnflag,
+           CAST(max(total) AS BIGINT) AS total_weight,
+           min(price) AS weighted_median_price
+    FROM t WHERE 2 * cum >= total
+    GROUP BY flag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of l_extendedprice per return flag — the
+    'median price of a unit sold' statistic, where each line item counts
+    with its quantity. Plain median (median_price_per_segment) answers
+    'the middle row'; the weighted form answers 'the middle unit', which
+    is what pricing analysis actually wants.
+
+    Classic cumulative-weight crossing: per flag, rows sorted by price
+    accumulate integer weight; the weighted median is the price of the
+    first row whose cumulative weight reaches half the total. Expressed
+    as one per-flag window (partitioned on the flag — per-key sort, no
+    global exchange) + a filter + min() per flag, so the crossing row is
+    selected without any driver-side logic. (l_orderkey, l_linenumber)
+    breaks price ties, making `cum` — and the crossing — deterministic
+    in both engines. Weights are floor()ed to exact integers so no float
+    sum ever decides the crossing.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    wt = F.floor("l_quantity").cast("long")
+    t = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(wt).over(w_cum).alias("cum"),
+        F.sum(wt).over(w_tot).alias("total"),
+    )
+    return (
+        t.where(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("total").cast("long").alias("total_weight"),
+            F.min("price").alias("weighted_median_price"),
+        )
+    )

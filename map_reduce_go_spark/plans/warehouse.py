@@ -475,3 +475,316 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_s.alias("m_score"),
         (F.lit(100) * r_s + F.lit(10) * f_s + m_s).alias("rfm_cell"),
     )
+
+
+# Benford expectation log10(1 + 1/d), in integer parts-per-million — the
+# same literal constants in the Spark plan and the oracle SQL, so no
+# engine ever evaluates a logarithm at query time.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE_SQL = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+) + " END"
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+               AS first_digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counted AS (
+      SELECT first_digit, count(*) AS n_orders FROM digits GROUP BY first_digit
+    )
+    SELECT first_digit, n_orders,
+           CAST(floor(1000000.0 * n_orders / (SELECT sum(n_orders) FROM counted)) AS BIGINT)
+             AS observed_ppm,
+           CAST({_BENFORD_CASE_SQL} AS BIGINT) AS benford_ppm,
+           CAST(floor(1000000.0 * n_orders / (SELECT sum(n_orders) FROM counted)) AS BIGINT)
+             - CAST({_BENFORD_CASE_SQL} AS BIGINT) AS deviation_ppm
+    FROM counted
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    forensic / data-quality screen: naturally-occurring multi-magnitude
+    amounts follow P(d) = log10(1 + 1/d), and a synthetic or truncated
+    feed shows up as a deviating digit histogram long before any
+    row-level check fires.
+
+    The first digit comes from integer string arithmetic (floor to
+    BIGINT, first character), never from float log10 — a digit decided
+    by a logarithm at a power-of-ten boundary could disagree between
+    engines; a digit read off an integer string cannot. Expected
+    frequencies are integer-ppm literals shared with the oracle.
+    One map-side digit projection + a 9-group aggregate: scan-bound at
+    any scale, output bounded at 9 rows. (The fixture's uniform-ish
+    totals genuinely DEVIATE from Benford — deviation_ppm is the
+    interesting column, and the audit reporting a true deviation is the
+    point of the audit.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("first_digit")
+    )
+    counted = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = counted.agg(F.sum("n_orders").alias("t"))
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )[F.col("first_digit")].cast("long")
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            "n_orders",
+            F.floor(F.lit(1000000.0) * F.col("n_orders") / F.col("t"))
+            .cast("long")
+            .alias("observed_ppm"),
+            benford.alias("benford_ppm"),
+            (
+                F.floor(F.lit(1000000.0) * F.col("n_orders") / F.col("t")).cast("long")
+                - benford
+            ).alias("deviation_ppm"),
+        )
+    )
+
+
+@register(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH cutoff AS (
+      SELECT max(ts) - INTERVAL 1 DAY AS c1 FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE ts <= (SELECT c1 FROM cutoff)) AS n_a,
+             count(*) AS n_b
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CASE WHEN n_a = 0 THEN 'new'
+                WHEN n_b > n_a THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           count(*) AS n_users,
+           CAST(sum(n_b - n_a) AS BIGINT) AS delta_events
+    FROM per_user
+    GROUP BY change_type
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the CDC reconciliation report between two states
+    of an event-sourced table (here: as-of one day before the latest
+    event vs. now): per key, did it appear, change, or stay identical,
+    and how many events arrived in between. This is the audit run after
+    an incremental load to prove the merge touched exactly the expected
+    keys (complements incremental_agg_merge, which proves the VALUES
+    merge; this proves the KEY delta).
+
+    ONE scan computes both snapshots via a conditional aggregate
+    (count FILTER ts<=cutoff alongside the full count) — never two scans
+    joined, which at 100 TB would read the fact table twice and shuffle
+    it twice. The cutoff is a 1-row broadcast; the per-key frame shuffles
+    once on user_id and the class rollup is 3 rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg((F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("c1"))
+    per_user = (
+        e.crossJoin(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("ts") <= F.col("c1"), 1)).alias("n_a"),
+            F.count(F.lit(1)).alias("n_b"),
+        )
+    )
+    return (
+        per_user.select(
+            F.when(F.col("n_a") == 0, F.lit("new"))
+            .when(F.col("n_b") > F.col("n_a"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+            "n_a",
+            "n_b",
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("n_b") - F.col("n_a")).alias("delta_events"),
+        )
+    )
+
+
+@register(
+    "revenue_lorenz_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DECIMAL(24,6)) * 100)
+               AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             count(*) OVER () AS n
+      FROM spend
+    ),
+    acc AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS total,
+             CAST(sum(CAST(i AS HUGEINT) * cents) AS DECIMAL(38,0)) AS iwsum,
+             CAST(sum(CASE WHEN i > n - CAST(floor(n / 10) AS BIGINT)
+                           THEN CAST(cents AS HUGEINT) ELSE 0 END) AS DECIMAL(38,0))
+               AS top_decile
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           CAST(total AS BIGINT) AS total_cents,
+           CAST(floor(1000000.0 * (2 * iwsum - (n + 1) * total) / (CAST(n AS DECIMAL(38,0)) * total))
+             AS BIGINT) AS gini_ppm,
+           CAST(floor(1000000.0 * top_decile / total) AS BIGINT) AS top_decile_share_ppm
+    FROM acc
+    """,
+)
+def revenue_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: the Gini coefficient of per-customer
+    spend plus the top-decile revenue share — the Lorenz-curve summary a
+    marketplace computes to answer "how concentrated is our revenue".
+
+    Gini from the rank formula G = (2·Σ i·x(i) − (n+1)·Σ x) / (n·Σ x)
+    over ascending-sorted spend, all in integers: spend is exact decimal
+    summed then floored to cents, ranks come from one global row_number
+    (Exchange SinglePartition — acceptable over the CUSTOMER rollup,
+    orders of magnitude smaller than the fact table; the fact-sized work
+    is the map-side-combinable groupBy above it), and the two divisions
+    happen once, at emission, in ppm. decimal(38) accumulators keep
+    Σ i·x exact far past sf1000 (i·x ≤ 10^13 cents · 10^7 rank = 10^20).
+    o_custkey breaks spend ties so the ranking — and therefore iwsum —
+    is engine-independent. Output is one row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.floor(
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)")).cast("decimal(24,6)")
+            * 100
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "cents", F.row_number().over(w).alias("i")
+    )
+    ranked = ranked.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    acc = ranked.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("total"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("iwsum"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.floor(F.col("n") / 10).cast("long"),
+                F.col("cents").cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("top_decile"),
+    )
+    return acc.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").cast("long").alias("total_cents"),
+        F.floor(
+            F.lit(1000000.0)
+            * (2 * F.col("iwsum") - (F.col("n") + 1) * F.col("total"))
+            / (F.col("n").cast("decimal(38,0)") * F.col("total"))
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+        F.floor(F.lit(1000000.0) * F.col("top_decile") / F.col("total"))
+        .cast("long")
+        .alias("top_decile_share_ppm"),
+    )
+
+
+# EWMA half-life weights: alpha = 1/2 per day over a 10-day lookback, as
+# exact integer multipliers 2^(9-d) for day-distance d in [0, 9]. Powers
+# of two keep every weighted term exact in decimal — no float powers.
+_EWMA_DAYS = 10
+
+
+@register(
+    "ewma_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DECIMAL(24,6)) AS rev
+      FROM orders GROUP BY day
+    ),
+    pairs AS (
+      SELECT t.day,
+             CAST(sum(i.rev * CAST(power(2, {_EWMA_DAYS} - 1 - datediff('day', i.day, t.day)) AS BIGINT))
+               AS DECIMAL(38,6)) AS num,
+             CAST(sum(CAST(power(2, {_EWMA_DAYS} - 1 - datediff('day', i.day, t.day)) AS BIGINT))
+               AS BIGINT) AS den
+      FROM daily t
+      JOIN daily i
+        ON i.day <= t.day AND i.day > t.day - INTERVAL {_EWMA_DAYS} DAY
+      GROUP BY t.day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           (SELECT round(CAST(d2.rev AS DOUBLE), 2) FROM daily d2 WHERE d2.day = pairs.day)
+             AS revenue,
+           round(CAST(num AS DOUBLE) / den, 6) AS ewma
+    FROM pairs
+    """,
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue (half-life
+    one day, 10-day lookback) — the smoothing pass behind every ops
+    dashboard's trend line, built so both engines replay it bit-for-bit.
+
+    Aggregate FIRST, smooth the rollup: the fact-sized work is one
+    map-side-combinable groupBy(day); the EWMA then runs over the
+    day-cardinality rollup (a few thousand rows at any corpus size), as
+    a bounded self-join on day distance < {_EWMA_DAYS}. At 100 TB the
+    smoothing cost is unchanged — it is a function of calendar length,
+    not corpus size. Weights are integer powers of two (2^(9-d)), so
+    every weighted term is exact decimal; the single float division
+    happens at emission, rounded. An unweighted window average would
+    hide ramp changes a 1-day half-life shows within a day.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+        .cast("decimal(24,6)")
+        .alias("rev")
+    )
+    t = daily.alias("t")
+    i = daily.alias("i")
+    d = F.datediff(F.col("t.day"), F.col("i.day"))
+    weight = F.pow(F.lit(2), F.lit(_EWMA_DAYS - 1) - d).cast("long")
+    pairs = (
+        t.join(
+            i,
+            (F.col("i.day") <= F.col("t.day"))
+            & (F.col("i.day") > F.date_sub(F.col("t.day"), _EWMA_DAYS)),
+        )
+        .groupBy(F.col("t.day").alias("day"))
+        .agg(
+            F.sum(F.col("i.rev") * weight).cast("decimal(38,6)").alias("num"),
+            F.sum(weight).alias("den"),
+        )
+    )
+    # day emitted as its ISO string: the comparison harness isoformats
+    # date vs timestamp dtypes differently, strings are dtype-proof.
+    return pairs.join(daily, "day").select(
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(F.col("num").cast("double") / F.col("den"), 6).alias("ewma"),
+    )

@@ -50,76 +50,72 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the checked window. Queries not listed follow in registration order, so
 # the union of checked sets grows round over round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-5 window. 49 queries were added this round (124 → 173), so
-    # the window is EXACTLY the never-checked set: a query with no driver
-    # row has strictly less evidence than any green row, however stale
-    # (tests/test_registry_contract.py enforces this invariant and the
-    # 50-name size). The staleness-rotation policy (VERDICT r4 #1 — no
-    # green row older than ~2 rounds; the r3 NTZ incident showed greens
-    # can rot under fixture regeneration) resumes in the r6 window: its
-    # 50 slots go to any r5 additions first, then the round-5-touched
-    # queries whose r4 rows no longer describe the shipped code
-    # (ann_ivf_cosine, ann_ivf_recall_probe, semdedup_prune,
-    # dedup_embedding_cosine, bigram_lm_*, pmi, tfidf, mixture planner,
-    # both minhash_lsh variants — cache scoping / memoized codebooks /
-    # metadata counts landed this round), then the oldest r2 cohort
-    # (token_positions, q1_pricing_summary, ...) in registration order.
-    # All 173 queries have passed the local driver-mimic at sf0.01 AND
-    # sf0.1 this round regardless of window membership.
-    "pipeline_stage_attrition",
+    # Round-6 window — the promised staleness rotation (VERDICT r5 #2).
+    # Slot order: (a) the 8 queries ADDED this round (never checked —
+    # strictly less evidence than any green row), (b) the 9 round-5-
+    # touched queries whose r3/r4 rows no longer describe the shipped
+    # code (memoized codebooks / shared IVF build / cache scoping landed
+    # in r5 after their last driver row), (c) 2 round-6-touched re-checks
+    # (setsim lost its vocabulary broadcast, dedup_clusters' label memo
+    # was rekeyed this round), (d) the ENTIRE oldest cohort — all 31
+    # queries whose latest driver row is r2 — in registration order.
+    # After this window lands, the oldest row in the union is r3.
+    # All 173+8 queries pass the local driver-mimic at sf0.01 this round
+    # regardless of window membership.
+    # --- (a) round-6 additions ---
+    "cms_sketch_cells",
+    "kmv_distinct_merge_probe",
+    "benford_first_digit_audit",
+    "snapshot_diff_cdc",
+    "revenue_lorenz_gini",
+    "ewma_daily_revenue",
+    "shingle_novelty_per_doc",
+    "weighted_median_price",
+    # --- (b) r5-touched, stale rows ---
+    "ann_ivf_recall_probe",
+    "semdedup_prune",
+    "dedup_embedding_cosine",
+    "bigram_lm_doc_score",
+    "pmi_collocations",
+    "tfidf_top_terms",
+    "token_mixture_planner",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_stopfiltered",
+    # --- (c) r6-touched re-checks ---
     "setsim_prefix_filter_join",
-    "lsh_band_tuning_report",
-    "purchase_click_attribution_outer",
-    "dq_hourly_volume_anomalies",
-    "token_mixture_temperature",
-    "ann_ivf_pq_topk",
-    "conversion_lag_histogram",
-    "orders_rfm_segmentation",
-    "ols_tokens_vs_chars_by_source",
-    "join_key_skew_audit",
-    "ann_pq_adc_topk",
-    "incremental_agg_merge",
-    "pareto_frontier_parts",
-    "winsorized_doclen_stats",
-    "upsert_latest_snapshot",
-    "scd2_user_type_history",
-    "dq_referential_integrity",
-    "compaction_planner",
-    "equidepth_histogram_price",
-    "cms_heavy_hitters",
-    "bloom_join_prune_probe",
-    "dedup_minhash_containment",
-    "moment_stats_quantity",
-    "forward_fill_event_values",
-    "zscore_doclen_by_source",
-    "word_graph_triangles",
-    "word_graph_pagerank",
-    "union_by_name_schema_evolution",
-    "try_cast_dirty_data",
-    "editdist_deletion_join",
-    "char_entropy_quality",
-    "word_graph_reachability",
-    "stratified_sample_mktsegment",
-    "order_month_gapfill",
-    "robust_central_tendency",
-    "listagg_supplier_roster",
-    "unpivot_lineitem_charges",
-    "lateral_top3_customers_per_nation",
-    "morton_zorder_layout_audit",
-    "salted_join_hot_events",
-    "event_dwell_time_by_type",
-    "events_hourly_heatmap",
-    "orders_yoy_growth",
-    "customer_spend_deciles",
-    "null_safe_join_probe",
-    "reservoir_sample_per_source",
-    "vocab_overlap_between_sources",
-    "language_confusion_matrix",
-    # Slot 50: the one touched query that still fits after the 49 new
-    # registrations — the shared IVF build (memoized codebook) landed this
-    # round, so its r4 row no longer describes the shipped code path; the
-    # other touched queries listed in the header rotate through r6.
-    "ann_ivf_cosine",
+    "dedup_clusters",
+    # --- (d) the full r2 cohort, registration order ---
+    "knn_bruteforce_cosine",
+    "embedding_centroids",
+    "text_quality_stats",
+    "language_guess",
+    "token_counts",
+    "doc_fingerprint",
+    "token_positions",
+    "q1_pricing_summary",
+    "agg_stats_per_nation",
+    "count_distinct_custkey",
+    "rollup_lineitem_flags",
+    "cube_orders_status_priority",
+    "grouping_sets_nation_segment",
+    "conditional_agg_pivot",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "semi_join_customers_with_purchases",
+    "anti_join_parts_never_ordered",
+    "outer_join_nation_customer_counts",
+    "window_topk_parts_per_brand",
+    "window_running_customer_spend",
+    "top20_orders_by_price",
+    "set_ops_nation_presence",
+    "distinct_sorted_segments",
+    "scalar_string_functions",
+    "scalar_datetime_functions",
+    "scalar_math_functions",
+    "json_extract_events",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
 )
 
 

@@ -76,9 +76,17 @@ R5_QUERIES = [
 ]
 R5_TABLES = ("customer", "documents", "events")
 R5_EXTRA_SHIFTS = {"customer": ["c_custkey"], "events": ["event_id", "user_id"]}
+# setsim family (VERDICT r5 #3): the prefix-filter similarity join, with
+# the prefix-token bucket distribution measured the way the LSH probe
+# measures band buckets — the empirical backing for "prefix buckets are
+# RARE-token buckets, small by construction".
+SETSIM_QUERIES = ["setsim_prefix_filter_join"]
+SETSIM_TABLES = ("documents",)
 
 
-def replicate(spark, k: int, out_dir: str, tables=TABLES, extra_shifts=None) -> None:
+def replicate(
+    spark, k: int, out_dir: str, tables=TABLES, extra_shifts=None, word_salt=False
+) -> None:
     """Build the k-times corpus in ONE pass per table: each row explodes
     into k replicas (a lateral sequence, map-side), keys shift by
     replica*10*n so join/group cardinalities grow linearly, and document
@@ -117,7 +125,39 @@ def replicate(spark, k: int, out_dir: str, tables=TABLES, extra_shifts=None) -> 
                         F.concat(F.col("c_name"), F.lit("~"), suffix)
                     ),
                 )
-            if t == "documents":
+            if t == "documents" and word_salt:
+                # Vocabulary-growing replication: suffix every WORD with a
+                # replica tag, so replica corpora are disjoint in token
+                # space. This models real corpus growth for TOKEN-blocked
+                # operators (the prefix-filter join): new data brings new
+                # vocabulary, so per-token buckets stay shallow and the
+                # frequency table grows linearly. The scramble mode below
+                # keeps the 1x vocabulary, which saturates the distinct-
+                # shingle space and makes every token bucket k-times
+                # deeper — measuring a fixture artifact (observed: 9.6x
+                # wall at 8x, candidate mass ~k^2), not the plan.
+                ws = F.split(F.col("text"), r"\s+")
+                # LETTERS-ONLY tag, no separator: the engine tokenizer
+                # splits on non-letters, so a '~'+hex tag would fragment
+                # into corpus-hot one-char tokens ('a', 'b', ...) shared
+                # by EVERY word — observed as 3856-doc prefix buckets and
+                # 1.3e9 candidate mass at 8x. Translating hex digits to
+                # letters keeps each salted word one distinct token.
+                tag = F.translate(
+                    F.substring(F.md5(F.col("__rep").cast("string")), 1, 4),
+                    "0123456789",
+                    "ghijklmnop",
+                )
+                salted_words = F.array_join(
+                    F.transform(ws, lambda w: F.concat(w, F.lit("q"), tag)), " "
+                )
+                d = d.withColumn(
+                    "text",
+                    F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                        salted_words
+                    ),
+                )
+            elif t == "documents":
                 ws = F.split(F.col("text"), r"\s+")
                 # The sort key salts with (replica, doc, POSITION). The
                 # position matters: without it, repeated words share one
@@ -220,6 +260,42 @@ def lsh_bucket_stats(spark, sf_dir: str) -> dict:
     return row.asDict()
 
 
+def setsim_prefix_bucket_stats(spark, sf_dir: str) -> dict:
+    """Prefix-token bucket size distribution for the prefix-filter join
+    at this scale: how many docs carry each token in their L-token rarest
+    prefix, p50/p90/p99/max, and the implied candidate mass Σ s·(s−1)/2.
+    Mirrors setsim_over's prefix construction exactly (same shingles,
+    same (frequency, token) canonical order, same L)."""
+    from pyspark.sql import Window
+
+    from map_reduce_go_spark.operators.dedup import SETSIM_T, _shingle_arrays
+
+    docs = load_table(spark, sf_dir, "documents")
+    sa = (
+        _shingle_arrays(docs)
+        .select("doc_id", F.col("shingles").alias("ts"), F.col("n"))
+        .where(F.col("n") > 0)
+    )
+    toks = sa.select("doc_id", "n", F.explode("ts").alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    w_rn = Window.partitionBy("doc_id").orderBy("f", "token")
+    ordered = toks.join(freq, "token").withColumn("rn", F.row_number().over(w_rn))
+    prefix_len = F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")).cast("long") + 1
+    prefix = ordered.where(F.col("rn") <= prefix_len).select("doc_id", "token")
+    sizes = prefix.groupBy("token").agg(F.count(F.lit(1)).alias("s"))
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.percentile("s", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("s", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("s", F.lit(0.99)), 2).alias("p99"),
+        F.max("s").alias("max"),
+        F.sum((F.col("s") * (F.col("s") - 1) / 2).cast("long")).alias(
+            "candidate_mass"
+        ),
+    ).collect()[0]
+    return row.asDict()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     family = "mixed"
@@ -230,12 +306,20 @@ def main() -> None:
     queries, tables, extra = {
         "dedup": (DEDUP_QUERIES, DEDUP_TABLES, None),
         "round5": (R5_QUERIES, R5_TABLES, R5_EXTRA_SHIFTS),
+        "setsim": (SETSIM_QUERIES, SETSIM_TABLES, None),
     }.get(family, (QUERIES, TABLES, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = tempfile.mkdtemp(prefix="sfbig_")
     try:
-        replicate(spark, k, out_dir, tables=tables, extra_shifts=extra)
+        replicate(
+            spark,
+            k,
+            out_dir,
+            tables=tables,
+            extra_shifts=extra,
+            word_salt=(family == "setsim"),
+        )
         time_queries(spark, BASE, queries)  # warm-up: codegen/JIT/footer caches
         base = time_queries(spark, BASE, queries)
         big = time_queries(spark, out_dir, queries)
@@ -244,6 +328,9 @@ def main() -> None:
         if family == "dedup":
             out["lsh_buckets_base"] = lsh_bucket_stats(spark, BASE)
             out["lsh_buckets_big"] = lsh_bucket_stats(spark, out_dir)
+        if family == "setsim":
+            out["prefix_buckets_base"] = setsim_prefix_bucket_stats(spark, BASE)
+            out["prefix_buckets_big"] = setsim_prefix_bucket_stats(spark, out_dir)
         print(json.dumps(out))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
