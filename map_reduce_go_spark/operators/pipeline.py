@@ -958,3 +958,67 @@ def token_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "temp_weight"
         ),
     )
+
+
+@register(
+    "dedup_token_attrition_by_source",
+    oracle=f"""
+    WITH keep AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text)
+    ),
+    tagged AS (
+      SELECT d.source,
+             {_WS_TOKENS_SQL} AS n_tok,
+             CASE WHEN k.keep_id = d.doc_id THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN keep k ON md5(d.text) = k.h
+    )
+    SELECT source,
+           count(*) AS docs_before,
+           CAST(sum(kept) AS BIGINT) AS docs_after,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+           CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_after,
+           CAST(floor(1000000.0 * (sum(n_tok) - sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END))
+                / sum(n_tok)) AS BIGINT) AS tokens_removed_ppm
+    FROM tagged GROUP BY source
+    """,
+)
+def dedup_token_attrition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup COSTS each source, measured in the unit the
+    training run actually consumes — tokens: per source, docs and tokens
+    before/after keep-lowest-doc_id exact dedup, and the removed-token
+    ppm. A mixture plan built on pre-dedup token counts
+    (token_mixture_planner) silently over-weights the most duplicated
+    source; this report is the correction input, and its keep rule is
+    identical to dedup_exact's, so the two compose.
+
+    One digest groupBy (md5 shuffles as fixed 32-char keys, never text),
+    one join back on the digest — co-partitioned with the groupBy, so
+    AQE reuses the exchange — and one source-cardinality rollup.
+    Counts are integers; the ppm is a floor at emission.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    tagged = docs.join(keep, F.md5(docs["text"]) == keep["h"]).select(
+        "source",
+        n_tok.alias("n_tok"),
+        F.when(F.col("keep_id") == F.col("doc_id"), 1).otherwise(0).alias("kept"),
+    )
+    kept_tok = F.sum(F.when(F.col("kept") == 1, F.col("n_tok")).otherwise(0))
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum("kept").cast("long").alias("docs_after"),
+        F.sum("n_tok").cast("long").alias("tokens_before"),
+        kept_tok.cast("long").alias("tokens_after"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.sum("n_tok") - kept_tok)
+            / F.sum("n_tok")
+        )
+        .cast("long")
+        .alias("tokens_removed_ppm"),
+    )

@@ -1342,3 +1342,102 @@ def ols_tokens_vs_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round((sy - slope * sx) / n.cast("double"), 6).alias("intercept"),
         F.round((cov_n * cov_n) / (var_n * (n * syy - sy * sy)), 6).alias("r2"),
     )
+
+
+@register(
+    "doclen_log2_histogram",
+    oracle="""
+    WITH lens AS (
+      SELECT source, length(text) AS n_chars FROM documents WHERE length(text) > 0
+    )
+    SELECT source,
+           CAST(length(bin(n_chars)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM lens
+    GROUP BY source, bucket
+    """,
+)
+def doclen_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram per source — the
+    length-distribution profile that sizes sequence packing and flags a
+    feed of truncated or padded docs (a spike in one bucket) at a
+    glance. Bucket k holds lengths in [2^(k-1), 2^k).
+
+    The bucket index is the BINARY DIGIT COUNT of the integer length —
+    length(bin(n)) — which equals floor(log2 n)+1 computed EXACTLY in
+    integer string arithmetic: a float log2 would disagree between
+    engines precisely at the power-of-two boundaries that define the
+    buckets. One map-side projection + one (source × ~17 buckets)
+    aggregate; scan-bound at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("source", F.length("text").alias("n_chars")).where(
+        F.col("n_chars") > 0
+    )
+    return lens.groupBy(
+        "source", F.length(F.bin("n_chars")).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@register(
+    "mad_doclen_by_source",
+    oracle="""
+    WITH lens AS (
+      SELECT source, length(text) AS n_chars FROM documents
+    ),
+    med AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+               AS median_chars
+      FROM lens GROUP BY source
+    )
+    SELECT m.source, m.n_docs, m.median_chars,
+           CAST(percentile_disc(0.5)
+                WITHIN GROUP (ORDER BY abs(l.n_chars - m.median_chars)) AS BIGINT)
+             AS mad_chars
+    FROM lens l JOIN med m ON l.source = m.source
+    GROUP BY m.source, m.n_docs, m.median_chars
+    """,
+)
+def mad_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of document length per source — the
+    robust spread statistic for outlier fences (zscore_doclen_by_source
+    is the parametric twin; MAD survives the heavy tails that wreck a
+    stddev-based fence when a source mixes tweets with books).
+
+    Two passes, both exact and integer-only: per-source median via
+    percentile_disc (an actual set member, no interpolation), broadcast
+    back (source-cardinality), then the median of absolute deviations
+    the same way. No float enters at any point, so cross-engine equality
+    is structural. The per-source exact percentile sorts within each
+    source group — the approx_percentile swap at unbounded cardinality
+    is the documented trade.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("source", F.length("text").alias("n_chars"))
+    med = lens.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("median_chars"),
+    )
+    joined = lens.join(F.broadcast(med), "source").select(
+        "source",
+        "n_docs",
+        "median_chars",
+        F.abs(F.col("n_chars") - F.col("median_chars")).alias("dev"),
+    )
+    return joined.groupBy("source", "n_docs", "median_chars").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+        .cast("long")
+        .alias("mad_chars")
+    )

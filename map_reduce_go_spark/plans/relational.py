@@ -2064,3 +2064,186 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("price").alias("weighted_median_price"),
         )
     )
+
+
+@register(
+    "chisq_segment_priority_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+             count(*) AS obs
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY segment, priority
+    ),
+    tot AS (
+      SELECT segment, priority, obs,
+             sum(obs) OVER (PARTITION BY segment) AS row_tot,
+             sum(obs) OVER (PARTITION BY priority) AS col_tot,
+             sum(obs) OVER () AS total
+      FROM cells
+    )
+    SELECT segment, priority, obs,
+           CAST(1000 * row_tot * col_tot // total AS BIGINT) AS expected_milli,
+           round((CAST(obs AS DOUBLE) * total - CAST(row_tot AS DOUBLE) * col_tot)
+                 * (CAST(obs AS DOUBLE) * total - CAST(row_tot AS DOUBLE) * col_tot)
+                 / (CAST(row_tot AS DOUBLE) * col_tot * total), 6) AS chi2_contrib
+    FROM tot
+    """,
+)
+def chisq_segment_priority_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test cells for market segment × order
+    priority — the contingency-table screen behind "does this dimension
+    actually predict that one": every observed cell with its expected
+    count (under independence) and its chi² contribution; summing
+    chi2_contrib gives the test statistic against dof = (R−1)(C−1).
+
+    Determinism discipline: the contribution (obs−exp)²/exp is algebraic
+    over integers — (obs·total − row·col)² / (row·col·total) — evaluated
+    as ONE double expression on exact BIGINT aggregates, identical
+    IEEE ops in both engines (obs·total ≤ 2e10 stays integer-exact in a
+    double far past sf1). Expected counts are emitted as integer
+    milli-counts via integer division. The fact-sized work is one join +
+    one 25-cell aggregate; the window pass runs over the 25-row cell
+    frame. Scale cost = the join, which broadcasts the customer side's
+    two columns or shuffles on the key like any fact⋈dim.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    tot = cells.select(
+        "segment",
+        "priority",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("segment")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("priority")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("total"),
+    )
+    dev = F.col("obs").cast("double") * F.col("total") - F.col("row_tot").cast(
+        "double"
+    ) * F.col("col_tot")
+    return tot.select(
+        "segment",
+        "priority",
+        "obs",
+        F.expr("1000 * row_tot * col_tot div total").alias("expected_milli"),
+        F.round(
+            dev * dev
+            / (F.col("row_tot").cast("double") * F.col("col_tot") * F.col("total")),
+            6,
+        ).alias("chi2_contrib"),
+    )
+
+
+@register(
+    "ship_latency_percentiles_by_priority",
+    oracle="""
+    WITH lat AS (
+      SELECT o_orderpriority AS priority,
+             datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+               AS lat_days
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )
+    SELECT priority,
+           count(*) AS n_items,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_days) AS BIGINT) AS p50_days,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_days) AS BIGINT) AS p90_days,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY lat_days) AS BIGINT) AS p99_days,
+           CAST(max(lat_days) AS BIGINT) AS max_days
+    FROM lat GROUP BY priority
+    """,
+)
+def ship_latency_percentiles_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order→ship latency SLO report: per order priority, the p50/p90/p99
+    and max of whole-day latency from order date to line-item ship date —
+    the fulfilment dashboard's tail-latency table.
+
+    Latencies are integer day diffs and every percentile is
+    percentile_disc — an actual member of the sorted set, so NO
+    interpolation arithmetic exists to differ between engines; the
+    outputs are exact integers. One fact⋈fact equi-join on the order key
+    (co-partitioned shuffle), then a 5-group exact-percentile aggregate;
+    at unbounded group cardinality the approx_percentile swap is the
+    documented trade (quantile_sketch_probe measures that sketch's
+    rank error).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lat_days"),
+    )
+    return lat.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_days)")
+        .cast("long")
+        .alias("p50_days"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_days)")
+        .cast("long")
+        .alias("p90_days"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY lat_days)")
+        .cast("long")
+        .alias("p99_days"),
+        F.max("lat_days").cast("long").alias("max_days"),
+    )
+
+
+@register(
+    "basket_part_pairs_topk",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2
+    )
+    SELECT p1, p2, n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def basket_part_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs that appear in
+    the same order — the frequent-itemset (k=2) mining pass behind
+    "customers who bought X also bought" (the A-Priori candidate
+    generation step, expressed relationally).
+
+    The pair generation self-joins WITHIN the order key only — the
+    co-partitioned equi-join explodes each order into C(basket, 2)
+    pairs, so the work is Σ basketᵢ² — linear in orders for bounded
+    basket sizes, never corpus-quadratic (the same within-key-only
+    discipline as the LSH band self-join). A distinct pass first
+    collapses repeated parts per order so quantity re-orders don't
+    inflate counts. Top-20 rides TakeOrdered with total tie-break
+    (count DESC, p1, p2) — deterministic under any partitioning.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(F.desc("n_orders"), "p1", "p2").limit(20)

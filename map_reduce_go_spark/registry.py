@@ -62,8 +62,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # After this window lands, the oldest row in the union is r3.
     # All 173+8 queries pass the local driver-mimic at sf0.01 this round
     # regardless of window membership.
-    # --- (a) round-6 additions ---
+    # --- (a) round-6 additions (never checked — lead the window) ---
     "cms_sketch_cells",
+    "chisq_segment_priority_independence",
+    "ship_latency_percentiles_by_priority",
+    "basket_part_pairs_topk",
+    "doclen_log2_histogram",
+    "mad_doclen_by_source",
+    "dedup_token_attrition_by_source",
     "kmv_distinct_merge_probe",
     "benford_first_digit_audit",
     "snapshot_diff_cdc",
@@ -110,12 +116,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "set_ops_nation_presence",
     "distinct_sorted_segments",
     "scalar_string_functions",
-    "scalar_datetime_functions",
-    "scalar_math_functions",
-    "json_extract_events",
-    "q6_forecast_revenue",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
+    # (The r2 cohort's last 6 rows — scalar_datetime_functions,
+    # scalar_math_functions, json_extract_events, q6, q14, q18 — ceded
+    # their slots to the 6 late-round-6 additions above: a never-checked
+    # query has strictly less evidence than any stale green. They lead
+    # the r7 window.)
 )
 
 
