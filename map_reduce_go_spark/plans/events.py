@@ -476,3 +476,105 @@ def dq_hourly_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("zscore"),
         F.when(F.abs(z) > 3, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+@register(
+    "new_users_daily_cumulative",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT CAST(day AS VARCHAR) AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def new_users_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: new users per day (first-ever event) and the
+    cumulative user count — the top line of every product dashboard.
+
+    The naive form (COUNT DISTINCT over an expanding window) re-scans
+    per day; this plan is one min-aggregate per user (map-side
+    combinable), a day-cardinality rollup, and a running sum over the
+    CALENDAR-sized frame — the global window is over days, not users,
+    so the single-partition exchange it implies is a few thousand rows
+    at any corpus size. Day emitted as its ISO string (dtype-proof
+    across the comparison harness).
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@register(
+    "order_backlog_daily",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS start_day,
+             CAST(max(l.l_shipdate) AS DATE) AS end_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, start_day
+    ),
+    deltas AS (
+      SELECT start_day AS day, 1 AS d FROM spans
+      UNION ALL
+      -- CAST back to DATE: DATE + INTERVAL promotes to TIMESTAMP in
+      -- DuckDB, which would change the emitted day string.
+      SELECT CAST(end_day + INTERVAL 1 DAY AS DATE), -1 FROM spans
+    ),
+    net AS (
+      SELECT day, CAST(sum(d) AS BIGINT) AS net FROM deltas GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day, net,
+           CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_open
+    FROM net
+    """,
+)
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — the interval-stabbing query ("how
+    many orders were in flight on day d") solved with the sweep-line
+    delta trick: +1 at each order's start day, −1 the day after its last
+    line ships, then one running sum. Emitted at delta days only (the
+    backlog is constant between them); n_open is the end-of-day count.
+
+    The fact-sized work is one join + one per-order max (both
+    map-side-combinable on the order key); the running sum rides the
+    DAY-cardinality delta frame, so the global window is calendar-sized
+    — the same aggregate-first discipline as ewma_daily_revenue. A
+    per-day interval join (spine × orders with BETWEEN) would be
+    calendar × fact work and is exactly what this shape avoids at
+    100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("start_day"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_day"))
+    )
+    deltas = spans.select(F.col("start_day").alias("day"), F.lit(1).alias("d")).unionAll(
+        spans.select(F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return net.select(
+        F.col("day").cast("string").alias("day"),
+        "net",
+        F.sum("net").over(w).cast("long").alias("n_open"),
+    )

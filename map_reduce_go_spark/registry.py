@@ -70,6 +70,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doclen_log2_histogram",
     "mad_doclen_by_source",
     "dedup_token_attrition_by_source",
+    "new_users_daily_cumulative",
+    "order_backlog_daily",
     "kmv_distinct_merge_probe",
     "benford_first_digit_audit",
     "snapshot_diff_cdc",
@@ -114,13 +116,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_running_customer_spend",
     "top20_orders_by_price",
     "set_ops_nation_presence",
-    "distinct_sorted_segments",
-    "scalar_string_functions",
-    # (The r2 cohort's last 6 rows — scalar_datetime_functions,
-    # scalar_math_functions, json_extract_events, q6, q14, q18 — ceded
-    # their slots to the 6 late-round-6 additions above: a never-checked
-    # query has strictly less evidence than any stale green. They lead
-    # the r7 window.)
+    # (The r2 cohort's last 8 rows — distinct_sorted_segments,
+    # scalar_string/datetime/math_functions, json_extract_events, q6,
+    # q14, q18 — ceded their slots to the 8 late-round-6 additions
+    # above: a never-checked query has strictly less evidence than any
+    # stale green. They lead the r7 window.)
 )
 
 

@@ -431,3 +431,28 @@ def test_microbatch_pacing_with_max_files_per_trigger(spark, event_source):
         for r in _batch_events(spark, event_source).groupBy("event_type").count().collect()
     }
     assert got == want
+
+
+def test_streaming_upsert_snapshot_equals_batch(spark, event_source):
+    """Latest-wins compaction is streaming-maintainable with the SAME
+    transformation the batch query uses: warehouse.upsert_over is a pure
+    max(struct)/count aggregation, so under readStream (complete mode,
+    no watermark) its state is ONE row per user — the current-state
+    table itself — and the final emitted snapshot must equal the batch
+    snapshot exactly. This is the streaming form of a MERGE target: the
+    cms_cells_over pattern applied to CDC compaction, and the batch twin
+    (upsert_latest_snapshot) is driver-value-hash-checked, so the shared
+    build sits under the oracle gate."""
+    import uuid
+
+    from map_reduce_go_spark.plans.warehouse import upsert_over
+
+    name = f"ups_{uuid.uuid4().hex[:8]}"
+    stream = windows.read_event_stream(spark, event_source)
+    windows.run_to_memory(upsert_over(stream), name, complete=True)
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in upsert_over(_batch_events(spark, event_source)).collect()}
+    assert got == want
+    # State is bounded by DISTINCT users, not event count.
+    n_users = _batch_events(spark, event_source).select("user_id").distinct().count()
+    assert len(got) == n_users
