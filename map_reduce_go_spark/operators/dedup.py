@@ -1734,11 +1734,12 @@ def shingle_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shingle pass (the same cached-free map-side build every dedup
     operator uses), one groupBy(shingle) min-aggregate for first
     appearance — corpus-shingle-sized, map-side-combinable — and one
-    equi-join back on the shingle, co-partitioned with the groupBy so
-    AQE reuses the exchange. No window over the corpus, no per-doc
-    state beyond its own shingle count: the shape survives 100 TB the
-    same way cross_doc_span_dupes does. Counts are integers; the ppm is
-    a floor at emission.
+    equi-join back on the shingle. The join side is SIZE-CHOSEN with no
+    hint (the setsim freq-table rule): broadcast while the vocabulary
+    frame is small, shuffle join on the shingle at vocabulary scale. No
+    window over the corpus, no per-doc state beyond its own shingle
+    count: the shape survives 100 TB the same way cross_doc_span_dupes
+    does. Counts are integers; the ppm is a floor at emission.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingle_arrays(docs).select("doc_id", F.explode("shingles").alias("s"))

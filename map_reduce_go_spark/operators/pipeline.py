@@ -994,8 +994,9 @@ def dedup_token_attrition_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     identical to dedup_exact's, so the two compose.
 
     One digest groupBy (md5 shuffles as fixed 32-char keys, never text),
-    one join back on the digest — co-partitioned with the groupBy, so
-    AQE reuses the exchange — and one source-cardinality rollup.
+    one join back on the digest — size-chosen side, no hint: broadcast
+    while the digest frame fits, shuffle join on the digest at corpus
+    scale — and one source-cardinality rollup.
     Counts are integers; the ppm is a floor at emission.
     """
     docs = load_table(spark, sf_dir, "documents")

@@ -240,3 +240,19 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     df.collect()  # materialize so AQE finalizes the plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in plan, plan[:1500]
+
+
+def test_setsim_vocabulary_join_has_no_broadcast_hint(spark, sf_dir):
+    """Regression for VERDICT r5 #2: the prefix-filter join's shingle
+    FREQUENCY table is vocabulary-sized state (grows with corpus
+    tokens), so its join must never carry a size-blind broadcast HINT —
+    AQE/Catalyst may still choose broadcast from measured stats at small
+    scale (correct), but the decision must remain size-based so a
+    100 TB vocabulary falls back to a shuffle join instead of OOMing
+    the broadcast."""
+    df = all_queries()["setsim_prefix_filter_join"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, (
+        "setsim plan carries a join hint again; the frequency side must "
+        "stay size-chosen"
+    )
