@@ -524,9 +524,13 @@ def new_users_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_backlog_daily",
     oracle="""
     WITH spans AS (
+      -- greatest(): a ship date BEFORE the order date (present in dirty
+      -- feeds, and in this fixture) would make a BACKWARDS interval that
+      -- sends the sweep-line count negative; clamp to same-day close.
       SELECT o.o_orderkey,
              CAST(o.o_orderdate AS DATE) AS start_day,
-             CAST(max(l.l_shipdate) AS DATE) AS end_day
+             greatest(CAST(max(l.l_shipdate) AS DATE),
+                      CAST(o.o_orderdate AS DATE)) AS end_day
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_orderkey, start_day
     ),
@@ -566,7 +570,13 @@ def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = (
         o.join(li, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("start_day"))
-        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_day"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"))
+        # Clamp backwards intervals (ship date before order date —
+        # dirty-feed reality) to a same-day close; an unclamped backwards
+        # span emits its −1 before its +1 and corrupts every day between.
+        .select(
+            "start_day", F.greatest("last_ship", "start_day").alias("end_day")
+        )
     )
     deltas = spans.select(F.col("start_day").alias("day"), F.lit(1).alias("d")).unionAll(
         spans.select(F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("d"))
