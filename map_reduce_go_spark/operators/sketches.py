@@ -480,3 +480,99 @@ def kmv_distinct_merge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("merge_consistent"),
     )
+
+
+# --------------------------------------------------------------------------
+# CMS inner-product join-size estimation (the AMS F2 use of the sketch)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cms_self_join_size_probe",
+    oracle=f"""
+    WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    exact AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c * c) AS BIGINT) AS exact_self_join
+      FROM (SELECT k, count(*) AS c FROM keys GROUP BY k)
+    ),
+    cells AS (
+      {" UNION ALL ".join(
+        f'''SELECT {r} AS row_id, {_h_sql(f'cms{r}', 'k', _CMS_W)} AS col_id,
+               count(*) AS cell
+        FROM keys GROUP BY col_id'''
+        for r in range(_CMS_D)
+      )}
+    ),
+    est AS (
+      SELECT CAST(min(rowsum) AS BIGINT) AS cms_estimate
+      FROM (SELECT row_id, sum(cell * cell) AS rowsum FROM cells GROUP BY row_id)
+    )
+    SELECT n_events, n_keys, exact_self_join, cms_estimate,
+           cms_estimate - exact_self_join AS overestimate,
+           (1000000 * (cms_estimate - exact_self_join)) // exact_self_join AS err_ppm
+    FROM exact, est
+    """,
+)
+def cms_self_join_size_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from the count-min sketch — the AMS-style
+    second-moment use: the self-join size |R ⋈ R| on user_id equals
+    Σ_k n_k², and min over sketch rows of Σ_col cell² estimates it
+    without ever shuffling the keys (each row's Σ cell² is the inner
+    product of the sketch row with itself; hash collisions only ADD
+    cross terms, so the estimate is always ≥ exact — the same one-sided
+    contract as the point-query probe). This is the statistic a
+    cost-based optimizer wants before committing to a join order, priced
+    at one fixed-size sketch instead of a key histogram.
+
+    The exact side is one keyed count + Σ c² (map-side combinable);
+    the sketch side folds the key space to d×w = {cells} counters.
+    err_ppm is the measured one-sided error in integer ppm — at w ≫
+    distinct keys it is near zero; at 100 TB key cardinalities the same
+    probe quantifies exactly what the optimizer trades for the fixed
+    budget. All hashes are the md5 idiom, so the oracle replays the
+    sketch bit-for-bit.
+    """
+    e = load_table(spark, sf_dir, "events")
+    keys = e.select(F.col("user_id").cast("string").alias("k"))
+    per_key = keys.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    exact = per_key.agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_self_join"),
+    )
+
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row_id"), _h(f"cms{r}", F.col("k"), _CMS_W).alias("col_id")
+            )
+            for r in range(_CMS_D)
+        ]
+    )
+    cells = (
+        per_key.select(F.explode(cell_structs).alias("rc"), "c")
+        .groupBy("rc.row_id", "rc.col_id")
+        .agg(F.sum("c").alias("cell"))
+    )
+    est = (
+        cells.groupBy("row_id")
+        .agg(F.sum(F.col("cell") * F.col("cell")).alias("rowsum"))
+        .agg(F.min("rowsum").cast("long").alias("cms_estimate"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_events",
+        "n_keys",
+        "exact_self_join",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_self_join")).alias("overestimate"),
+        F.expr(
+            "1000000 * (cms_estimate - exact_self_join) div exact_self_join"
+        ).alias("err_ppm"),
+    )
+
+
+cms_self_join_size_probe.__doc__ = cms_self_join_size_probe.__doc__.format(
+    cells=_CMS_D * _CMS_W
+)

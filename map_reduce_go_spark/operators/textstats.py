@@ -1441,3 +1441,145 @@ def mad_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mad_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training steps (iterative, unrolled like word_graph_pagerank)
+# --------------------------------------------------------------------------
+
+BPE_MERGE_STEPS = 3
+
+# Each symbol is encoded boundary-delimited as _sym_ and a word's symbol
+# sequence concatenates them sharing underscores: "abc" -> _a__b__c_.
+# Applying merge (a, b) is then ONE string replace of _a__b_ -> _ab_:
+# replace() scans left-to-right non-overlapping, which IS the greedy BPE
+# application order, and the boundary underscores make a partial-symbol
+# match impossible (pattern _a__b_ can only match a as a whole symbol).
+
+_BPE_ENC_SQL = (
+    r"'_' || array_to_string(regexp_extract_all(word, '.'), '__') || '_'"
+)
+
+
+def _bpe_pairs_sql(src: str) -> str:
+    return f"""
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+  FROM (SELECT regexp_extract_all(enc, '_([^_]+)_', 1) AS syms, c FROM {src}),
+       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+  GROUP BY a, b
+"""
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        r"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+                                x -> len(x) > 0)) AS word
+      FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+    v0 AS (SELECT """ + _BPE_ENC_SQL + " AS enc, c FROM wc)"
+    ]
+    for s in range(1, BPE_MERGE_STEPS + 1):
+        parts.append(f", p{s} AS ({_bpe_pairs_sql(f'v{s-1}')})")
+        parts.append(
+            f", r{s} AS (SELECT a, b, cnt FROM p{s} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        if s < BPE_MERGE_STEPS:
+            parts.append(
+                f""", v{s} AS (
+      SELECT replace(enc,
+                     '_' || (SELECT a FROM r{s}) || '__' || (SELECT b FROM r{s}) || '_',
+                     '_' || (SELECT a FROM r{s}) || (SELECT b FROM r{s}) || '_') AS enc,
+             c
+      FROM v{s-1})"""
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT {s} AS step, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM r{s}"
+        for s in range(1, BPE_MERGE_STEPS + 1)
+    )
+    return "".join(parts) + "\n    " + sel
+
+
+@register("bpe_merge_steps", oracle=_bpe_oracle())
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {n} merges of actual BPE TRAINING — not just the pair
+    statistic (bpe_pair_counts) but the iterative algorithm: count
+    adjacent symbol pairs over the vocabulary, merge the most frequent
+    pair everywhere (greedy left-to-right, ties by (count DESC, pair)),
+    recount on the rewritten vocabulary, repeat. Output is the ordered
+    merge table (step, pair, merged symbol, pair count) — the artifact a
+    tokenizer trainer persists.
+
+    Distributed shape (the word_graph_pagerank discipline applied to
+    text): the corpus collapses ONCE to its frequency-weighted
+    vocabulary; each merge step is vocabulary-sized work — a pair
+    explode + aggregate picks the rule (a 1-row broadcast), and applying
+    it is ONE string replace thanks to the boundary-delimited symbol
+    encoding (_a__b_ -> _ab_ cannot match a partial symbol, and
+    replace's left-to-right non-overlap IS BPE's application order).
+    The whole {n}-step train is a single declarative plan — no collect
+    between steps — and the oracle replays it as an unrolled CTE chain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split("text", WORD_BOUNDARY), lambda x: F.length(x) > 0)
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = wc.select(
+        F.concat(
+            F.lit("_"),
+            F.array_join(F.regexp_extract_all("word", F.lit("."), 0), "__"),
+            F.lit("_"),
+        ).alias("enc"),
+        "c",
+    )
+
+    def top_pair(v: DataFrame) -> DataFrame:
+        syms = F.regexp_extract_all("enc", F.lit("_([^_]+)_"), 1)
+        s = v.select(syms.alias("syms"), "c").where(F.size("syms") >= 2)
+        pairs = s.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda i: F.struct(
+                        F.col("syms")[i].alias("a"), F.col("syms")[i + 1].alias("b")
+                    ),
+                )
+            ).alias("p"),
+            "c",
+        )
+        return (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("c").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+        )
+
+    out = None
+    for step in range(1, BPE_MERGE_STEPS + 1):
+        rule = top_pair(vocab)
+        row = rule.select(
+            F.lit(step).cast("long").alias("step"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.concat("a", "b").alias("merged"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionAll(row)
+        if step < BPE_MERGE_STEPS:
+            vocab = vocab.crossJoin(F.broadcast(rule)).select(
+                F.replace(
+                    F.col("enc"),
+                    F.concat(F.lit("_"), "a", F.lit("__"), "b", F.lit("_")),
+                    F.concat(F.lit("_"), "a", "b", F.lit("_")),
+                ).alias("enc"),
+                "c",
+            )
+    return out
+
+
+bpe_merge_steps.__doc__ = bpe_merge_steps.__doc__.format(n=BPE_MERGE_STEPS)

@@ -51,17 +51,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the union of checked sets grows round over round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-6 window — the promised staleness rotation (VERDICT r5 #2).
-    # Slot order: (a) the 8 queries ADDED this round (never checked —
+    # Slot order: (a) the 18 queries ADDED this round (never checked —
     # strictly less evidence than any green row), (b) the 9 round-5-
     # touched queries whose r3/r4 rows no longer describe the shipped
     # code (memoized codebooks / shared IVF build / cache scoping landed
     # in r5 after their last driver row), (c) 2 round-6-touched re-checks
     # (setsim lost its vocabulary broadcast, dedup_clusters' label memo
-    # was rekeyed this round), (d) the ENTIRE oldest cohort — all 31
-    # queries whose latest driver row is r2 — in registration order.
-    # After this window lands, the oldest row in the union is r3.
-    # All 173+8 queries pass the local driver-mimic at sf0.01 this round
-    # regardless of window membership.
+    # was rekeyed this round), (d) the oldest cohort — 21 of the 31
+    # queries whose latest driver row is r2, registration order; the 10
+    # that did not fit (named below) lead the r7 window. All 191 queries
+    # pass the local driver-mimic at sf0.01 AND sf0.1 this round
+    # regardless of window membership, and all are three-mode
+    # determinism-swept (partitions/broadcast/aqe).
     # --- (a) round-6 additions (never checked — lead the window) ---
     "cms_sketch_cells",
     "chisq_segment_priority_independence",
@@ -72,6 +73,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_token_attrition_by_source",
     "new_users_daily_cumulative",
     "order_backlog_daily",
+    "bpe_merge_steps",
+    "cms_self_join_size_probe",
     "kmv_distinct_merge_probe",
     "benford_first_digit_audit",
     "snapshot_diff_cdc",
@@ -114,11 +117,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "outer_join_nation_customer_counts",
     "window_topk_parts_per_brand",
     "window_running_customer_spend",
-    "top20_orders_by_price",
-    "set_ops_nation_presence",
-    # (The r2 cohort's last 8 rows — distinct_sorted_segments,
+    # (The r2 cohort's last 10 rows — top20_orders_by_price,
+    # set_ops_nation_presence, distinct_sorted_segments,
     # scalar_string/datetime/math_functions, json_extract_events, q6,
-    # q14, q18 — ceded their slots to the 8 late-round-6 additions
+    # q14, q18 — ceded their slots to the 10 late-round-6 additions
     # above: a never-checked query has strictly less evidence than any
     # stale green. They lead the r7 window.)
 )
