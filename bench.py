@@ -81,6 +81,10 @@ HEADLINE = [
     # CDC diff — the two scale-sensitive new plans.
     "shingle_novelty_per_doc",
     "snapshot_diff_cdc",
+    # The 3-step iterative BPE train — the deepest single plan in the
+    # suite (3 chained vocabulary rewrites); regression canary for
+    # multi-stage plan compilation + execution.
+    "bpe_merge_steps",
 ]
 
 
@@ -139,7 +143,12 @@ def main() -> None:
             spread[name] = [round(times[0], 3), round(times[-1], 3)]
             # Warm pass: memos are populated by the last cold run above
             # (NOT cleared here); tracked caches are still released so the
-            # delta isolates the memo, not pinned storage.
+            # delta isolates the memo, not pinned storage. Skipped for
+            # sub-half-second queries — a memo-free query's warm run
+            # equals its cold run, and pruning those keeps the suite's
+            # wall time from doubling for no information.
+            if results[name] < 0.5:
+                continue
             t0 = time.perf_counter()
             try:
                 specs[name].fn(spark, sf_dir).write.format("noop").mode(
@@ -160,7 +169,7 @@ def main() -> None:
         # cleared before every run, so `value`/`queries` are comparable to
         # any cold single-shot (BENCH_r04) and across rounds.
         "queries": results,
-        "timing": "cold: median of runs_per_query memo-cleared runs; warm: one run with per-fixture memos retained",
+        "timing": "cold: median of runs_per_query memo-cleared runs; warm: one run with per-fixture memos retained (recorded only for queries with cold median >= 0.5s)",
         # Steady-state single-shot with memos warm (persisted-index analog).
         "warm": warm,
         # Per-query [min, max] over the n_runs timings behind each median.

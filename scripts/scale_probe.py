@@ -82,6 +82,19 @@ R5_EXTRA_SHIFTS = {"customer": ["c_custkey"], "events": ["event_id", "user_id"]}
 # RARE-token buckets, small by construction".
 SETSIM_QUERIES = ["setsim_prefix_filter_join"]
 SETSIM_TABLES = ("documents",)
+# Round-6 family: the new heavy plans — iterative BPE (3 vocabulary
+# rewrites), the shingle-novelty join, within-order basket pairs, and
+# the backlog sweep-line. Documents use the vocabulary-growing word
+# salt (novelty and BPE are token-blocked operators — the setsim
+# lesson); orders/lineitem keys shift so baskets grow in COUNT, not in
+# per-order depth.
+R6_QUERIES = [
+    "bpe_merge_steps",
+    "shingle_novelty_per_doc",
+    "basket_part_pairs_topk",
+    "order_backlog_daily",
+]
+R6_TABLES = ("documents", "orders", "lineitem")
 
 
 def replicate(
@@ -307,6 +320,7 @@ def main() -> None:
         "dedup": (DEDUP_QUERIES, DEDUP_TABLES, None),
         "round5": (R5_QUERIES, R5_TABLES, R5_EXTRA_SHIFTS),
         "setsim": (SETSIM_QUERIES, SETSIM_TABLES, None),
+        "round6": (R6_QUERIES, R6_TABLES, None),
     }.get(family, (QUERIES, TABLES, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -318,7 +332,7 @@ def main() -> None:
             out_dir,
             tables=tables,
             extra_shifts=extra,
-            word_salt=(family == "setsim"),
+            word_salt=(family in ("setsim", "round6")),
         )
         time_queries(spark, BASE, queries)  # warm-up: codegen/JIT/footer caches
         base = time_queries(spark, BASE, queries)

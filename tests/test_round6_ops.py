@@ -161,3 +161,56 @@ def test_chisq_cells_are_consistent_contingency_table(spark, sf_dir):
         assert abs(r.chi2_contrib - (r.obs - exp) ** 2 / exp) < 1e-4
     # With every (segment, priority) combination observed, Σ expected = N.
     assert abs(exp_sum - total) < 1e-6
+
+
+def test_bpe_merge_steps_match_pure_python_trainer(spark, duck, sf_dir):
+    """The 3-step distributed BPE train must pick exactly the merges a
+    sequential pure-Python BPE trainer picks on the same word counts —
+    greedy most-frequent pair, ties (count DESC, pair ASC), greedy
+    left-to-right application. Proves the boundary-encoded string
+    replace IS BPE application, independent of both SQL engines."""
+    from map_reduce_go_spark.operators.textstats import (
+        BPE_MERGE_STEPS,
+        bpe_merge_steps,
+    )
+
+    got = [
+        (r.step, r.sym_a, r.sym_b, r.merged, r.pair_count)
+        for r in sorted(bpe_merge_steps(spark, sf_dir).collect())
+    ]
+
+    wc = duck.sql(
+        r"""
+        SELECT word, count(*) FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+                                    x -> len(x) > 0)) AS word
+          FROM documents) GROUP BY word
+        """
+    ).fetchall()
+    vocab = {tuple(w): c for w, c in wc}  # symbol tuple -> count
+
+    expected = []
+    for step in range(1, BPE_MERGE_STEPS + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        (a, b), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((step, a, b, a + b, cnt))
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):  # greedy left-to-right, non-overlapping
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    assert got == expected
