@@ -390,8 +390,11 @@ _KMV_SPACE = 4294967296  # 2^32, the md5-8-hex-digit space
 
 
 def _kmv_est_sql(src: str) -> str:
+    # greatest(·, 1): h_k = 0 (a key hashing to exactly 0) is a 2^-32
+    # event per key, but an unguarded integer division would turn it
+    # into a query error instead of a (correctly enormous) estimate.
     return (
-        f"(SELECT ({_KMV_K} - 1) * {_KMV_SPACE} // max(hv) FROM {src})"
+        f"(SELECT ({_KMV_K} - 1) * {_KMV_SPACE} // greatest(max(hv), 1) FROM {src})"
     )
 
 
@@ -460,12 +463,13 @@ def kmv_distinct_merge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     mk = m.agg(F.max("hv").alias("hk_m"))
 
     exact = li.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
-    est = F.expr(f"({_KMV_K} - 1) * cast({_KMV_SPACE} as bigint) div hk").alias(
-        "kmv_estimate"
-    )
-    est_m = F.expr(f"({_KMV_K} - 1) * cast({_KMV_SPACE} as bigint) div hk_m").alias(
-        "merged_estimate"
-    )
+    # greatest(·, 1) mirrors the oracle's zero-hash division guard.
+    est = F.expr(
+        f"({_KMV_K} - 1) * cast({_KMV_SPACE} as bigint) div greatest(hk, 1)"
+    ).alias("kmv_estimate")
+    est_m = F.expr(
+        f"({_KMV_K} - 1) * cast({_KMV_SPACE} as bigint) div greatest(hk_m, 1)"
+    ).alias("merged_estimate")
     out = exact.crossJoin(F.broadcast(gk)).crossJoin(F.broadcast(mk)).select(
         "exact_distinct", est, est_m
     )

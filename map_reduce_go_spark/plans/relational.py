@@ -2247,3 +2247,43 @@ def basket_part_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     return pairs.orderBy(F.desc("n_orders"), "p1", "p2").limit(20)
+
+
+# One SQL string, two engines: the Spark implementation executes THIS text
+# via spark.sql() over temp views and the oracle is the IDENTICAL string —
+# zero translation, the strongest possible statement that the engine's SQL
+# front-end speaks the shared ANSI dialect. Constraints that keep the text
+# dialect-portable: explicit CASTs everywhere an engine-default type could
+# differ (count -> BIGINT, decimal sum -> DOUBLE), exact decimal
+# accumulation before the one double conversion, no engine-specific
+# functions, ties impossible in the rank (segment revenues are distinct).
+_SHARED_ANSI_SQL = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           CAST(rank() OVER (
+                  ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) DESC
+                ) AS BIGINT) AS revenue_rank
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@register("shared_ansi_sql_probe", oracle=_SHARED_ANSI_SQL)
+def shared_ansi_sql_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect-parity probe: the ONE query in the registry whose Spark
+    implementation and DuckDB oracle are the SAME SQL string — the text
+    below goes through spark.sql() verbatim, so this row passing the
+    value-hash gate certifies the whole shared-ANSI-subset discipline
+    the other 190 oracles rely on (explicit casts at every
+    engine-default-type seam, exact decimal accumulation, one double
+    conversion at emission).
+
+    Catalyst plans the text exactly as it would the DataFrame form:
+    fact⋈dim equi-join (customer side broadcast at this size), two-phase
+    hash aggregate, and a 5-row window — no penalty for entering
+    through SQL.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SHARED_ANSI_SQL)

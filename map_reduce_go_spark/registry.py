@@ -51,15 +51,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the union of checked sets grows round over round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-6 window — the promised staleness rotation (VERDICT r5 #2).
-    # Slot order: (a) the 18 queries ADDED this round (never checked —
+    # Slot order: (a) the 19 queries ADDED this round (never checked —
     # strictly less evidence than any green row), (b) the 9 round-5-
     # touched queries whose r3/r4 rows no longer describe the shipped
     # code (memoized codebooks / shared IVF build / cache scoping landed
     # in r5 after their last driver row), (c) 2 round-6-touched re-checks
     # (setsim lost its vocabulary broadcast, dedup_clusters' label memo
-    # was rekeyed this round), (d) the oldest cohort — 21 of the 31
-    # queries whose latest driver row is r2, registration order; the 10
-    # that did not fit (named below) lead the r7 window. All 191 queries
+    # was rekeyed this round), (d) the oldest cohort — 20 of the 31
+    # queries whose latest driver row is r2, registration order; the 11
+    # that did not fit (named below) lead the r7 window. All 192 queries
     # pass the local driver-mimic at sf0.01 AND sf0.1 this round
     # regardless of window membership, and all are three-mode
     # determinism-swept (partitions/broadcast/aqe).
@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "order_backlog_daily",
     "bpe_merge_steps",
     "cms_self_join_size_probe",
+    "shared_ansi_sql_probe",
     "kmv_distinct_merge_probe",
     "benford_first_digit_audit",
     "snapshot_diff_cdc",
@@ -116,13 +117,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "anti_join_parts_never_ordered",
     "outer_join_nation_customer_counts",
     "window_topk_parts_per_brand",
-    "window_running_customer_spend",
-    # (The r2 cohort's last 10 rows — top20_orders_by_price,
-    # set_ops_nation_presence, distinct_sorted_segments,
-    # scalar_string/datetime/math_functions, json_extract_events, q6,
-    # q14, q18 — ceded their slots to the 10 late-round-6 additions
-    # above: a never-checked query has strictly less evidence than any
-    # stale green. They lead the r7 window.)
+    # (The r2 cohort's last 11 rows — window_running_customer_spend,
+    # top20_orders_by_price, set_ops_nation_presence,
+    # distinct_sorted_segments, scalar_string/datetime/math_functions,
+    # json_extract_events, q6, q14, q18 — ceded their slots to the 11
+    # late-round-6 additions above: a never-checked query has strictly
+    # less evidence than any stale green. They lead the r7 window.)
 )
 
 
