@@ -144,3 +144,120 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --------------------------------------------------------------------------
+# Event-time sessionization on the StatefulProcessor API: ListState buffer
+# + event-time TIMERS — the TWS features (named states, timers, watermark
+# expiry) that applyInPandasWithState cannot express.
+# --------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_epoch", LongType()),
+        StructField("session_end_epoch", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_TS_BUFFER_SCHEMA = StructType([StructField("ts_ms", LongType())])
+
+SESSION_GAP_MS = 600 * 1000  # mirrors plans.events.SESSION_GAP_SEC
+
+
+class _SessionTimerProcessor(StatefulProcessor):
+    """Per-user session builder: buffer event times in a ListState, keep a
+    timer registered at (max seen ts + gap); when the WATERMARK passes it
+    the timer fires, the buffered times are sorted and split at >= gap
+    boundaries (the events_sessionize rule), the closed sessions are
+    emitted, and the state is cleared — watermark-driven state EXPIRY,
+    the piece session_window() implements internally and this processor
+    makes explicit. Buffering whole per-key histories is the
+    bounded-lateness formulation (state ~ events inside one watermark
+    horizon); an incremental-merge variant trades that for out-of-order
+    merge logic, same API."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._handle = handle
+        self._buf = handle.getListState("ts_buffer", _TS_BUFFER_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        mx = None
+        for pdf in rows:
+            if len(pdf):
+                ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                self._buf.appendList([(int(m),) for m in ms])
+                m = max(ms)
+                mx = m if mx is None else max(mx, m)
+        if mx is not None:
+            # One timer per batch at the newest event + gap. Earlier
+            # batches' timers may still exist — when a stale one fires
+            # first it closes every session the CURRENT watermark proves
+            # finished (and the final timer sweeps the rest), so extra
+            # timers cost duplicate no-op wakeups, never wrong output.
+            self._handle.registerTimer(mx + SESSION_GAP_MS)
+        return iter([])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        times = sorted(t[0] for t in self._buf.get())
+        if not times:
+            return
+        wm = timerValues.getCurrentWatermarkInMs()
+        sessions = []
+        start = prev = times[0]
+        n = 1
+        for t in times[1:]:
+            if t - prev >= SESSION_GAP_MS:
+                sessions.append((start, prev, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        sessions.append((start, prev, n))
+        # Emit only sessions the watermark has sealed (no event can still
+        # arrive within gap of their end); keep the rest buffered.
+        closed = [s for s in sessions if s[1] + SESSION_GAP_MS <= wm]
+        still_open = [s for s in sessions if s[1] + SESSION_GAP_MS > wm]
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(closed),
+                    "session_start_epoch": [s // 1000 for s, _e, _n in closed],
+                    "session_end_epoch": [e // 1000 for _s, e, _n in closed],
+                    "n_events": [n for _s, _e, n in closed],
+                }
+            )
+        if still_open:
+            self._buf.clear()
+            remaining = [
+                (t,)
+                for s, e, _n in still_open
+                for t in times
+                if s <= t <= e
+            ]
+            self._buf.appendList(remaining)
+        else:
+            self._buf.clear()
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_tws(events: DataFrame, watermark_delay: str = "60 days") -> DataFrame:
+    """Event-time session windows per user on transformWithStateInPandas
+    (ListState + event-time timers). The generous default watermark delay
+    makes the operator lossless for the test fixtures (no event is ever
+    late); production picks the delay that bounds buffered state."""
+    if not _HAS_TWS:  # pragma: no cover - older Spark
+        raise NotImplementedError("transformWithStateInPandas requires Spark >= 4.0")
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionTimerProcessor(),
+            outputStructType=SESSION_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

@@ -456,3 +456,169 @@ def test_streaming_upsert_snapshot_equals_batch(spark, event_source):
     # State is bounded by DISTINCT users, not event count.
     n_users = _batch_events(spark, event_source).select("user_id").distinct().count()
     assert len(got) == n_users
+
+
+def test_tws_session_timers_equal_batch_sessionization(spark, sf_dir, tmp_path):
+    """The TWS ListState+event-time-timer sessionizer must reproduce the
+    batch gaps-and-islands sessions exactly once the watermark seals
+    them. Two far-future sentinel users drive the watermark past every
+    real session (sentinel #1 advances it; the batch carrying sentinel
+    #2 fires the timers under the advanced watermark) — the same
+    flush-sentinel technique the outer-interval-join test uses."""
+    import time as _time
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    if not stateful.tws_runtime_available():
+        pytest.skip("no protobuf runtime for transformWithStateInPandas")
+
+    src = str(tmp_path / "sess_src")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").limit(2000)
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def sentinel(uid, days):
+        pdf = pd.DataFrame(
+            {"user_id": [uid], "ts": [pd.Timestamp(max_ts) + pd.Timedelta(days=days)]}
+        )
+        _time.sleep(1.1)  # distinct mtime so the file source orders batches
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    sentinel(-1, 400)  # advances the watermark past every real session
+    sentinel(-2, 800)  # its batch runs under that watermark -> timers fire
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        name = f"sess_{uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stateful.sessionize_tws(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.user_id, r.session_start_epoch, r.session_end_epoch, r.n_events)
+            for r in spark.table(name).collect()
+            if r.user_id >= 0
+        }
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+    # Batch truth: gaps-and-islands with the same >= gap boundary rule.
+    from map_reduce_go_spark.plans.events import SESSION_GAP_SEC
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flag = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") >= F.lag("ts").over(w) + F.expr(f"INTERVAL {SESSION_GAP_SEC} SECOND")),
+        1,
+    ).otherwise(0)
+    islands = ev.withColumn(
+        "sid", F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    want = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in islands.groupBy("user_id", "sid")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("s"),
+            F.unix_timestamp(F.max("ts")).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_tws_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """RocksDB state recovery: run the TWS running-totals query to
+    completion, append MORE input, restart from the same checkpoint —
+    the per-key totals must continue from the persisted state (equal the
+    batch aggregate over BOTH loads), not restart from zero."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    if not stateful.tws_runtime_available():
+        pytest.skip("no protobuf runtime for transformWithStateInPandas")
+
+    src = str(tmp_path / "tws_src")
+    chk = str(tmp_path / "tws_chk")
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.limit(600)
+    first.coalesce(2).write.mode("overwrite").parquet(src)
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+
+        out = str(tmp_path / "tws_out")
+
+        def run_once():
+            # memory sink cannot recover from a checkpoint; foreachBatch
+            # appending to parquet can. Stamp the batch ordering so the
+            # final (latest) emission per key is identifiable.
+            def sink(df, batch_id):
+                df.withColumn("emit_seq", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(out)
+
+            stream = spark.readStream.schema(windows.EVENTS_SCHEMA).parquet(src)
+            q = (
+                stateful.running_totals_tws(stream)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            emitted = spark.read.parquet(out).toPandas()
+            emitted = emitted.sort_values("emit_seq")
+            return emitted.groupby("event_type").last()
+
+        run_once()
+
+        # Second load lands AFTER the first run drained; the restarted
+        # query must resume from checkpointed state, not reprocess or
+        # forget.
+        second = ev.limit(1000)  # 600 overlap is fine: distinct files
+        second.coalesce(2).write.mode("append").parquet(src)
+        final = run_once()
+
+        batch = (
+            spark.read.schema(windows.EVENTS_SCHEMA)
+            .parquet(src)
+            .groupBy("event_type")
+            .count()
+            .toPandas()
+            .set_index("event_type")
+        )
+        for et, row in batch.iterrows():
+            assert final.loc[et, "n_events"] == row["count"], et
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
