@@ -118,6 +118,21 @@ def cosine_udf(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
+def dot_udf(a: Column, b: Column) -> Column:
+    """Arrow-vectorized raw inner product (no normalization) with the
+    same dimension-sequential float64 accumulation contract as
+    cosine_udf, so MIPS rankings are bit-identical to the oracle's
+    sequential list_sum."""
+
+    @F.pandas_udf("double")
+    def _dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        ma = np.vstack(ea.to_numpy()).astype(np.float64)
+        mb = np.vstack(eb.to_numpy()).astype(np.float64)
+        return pd.Series(_seq_dot(ma, mb))
+
+    return _dot(a, b)
+
+
 # Explicit-double cosine for the oracle: DuckDB's list_cosine_similarity
 # accumulates in float32, which lands on the wrong side of the 1e-6
 # rounding boundary vs Spark's double arithmetic. This mirrors the Spark
@@ -1266,6 +1281,235 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(F.col("dist").cast("double"), 6).alias("pq_dist"),
+            "rank",
+        )
+    )
+
+
+# --- int8 scalar-quantization recall probe -------------------------------
+
+QUANT_QUERIES = 20
+QUANT_K = 10
+
+
+@register(
+    "embedding_int8_quant_recall",
+    oracle=f"""
+    WITH amax AS (
+      SELECT max(greatest(abs(mn), abs(mx))) AS a FROM (
+        SELECT min(CAST(e.embedding[g.i] AS DOUBLE)) AS mn,
+               max(CAST(e.embedding[g.i] AS DOUBLE)) AS mx
+        FROM embeddings e, generate_series(1, 64) AS g(i)
+        GROUP BY g.i
+      )
+    ),
+    qv AS (
+      SELECT e.vec_id, g.i AS i,
+             CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 127.0
+                        / (SELECT a FROM amax)) AS BIGINT) AS q
+      FROM embeddings e, generate_series(1, 64) AS g(i)
+    ),
+    idot AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+             sum(qa.q * qb.q) AS d
+      FROM qv qa JOIN qv qb ON qa.i = qb.i
+      WHERE qa.vec_id < {QUANT_QUERIES} AND qb.vec_id <> qa.vec_id
+      GROUP BY 1, 2
+    ),
+    irank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d DESC, neighbor_id) AS rank
+      FROM idot
+    ),
+    frank AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_DOT} DESC, v.vec_id) AS rank
+      FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+      WHERE q.vec_id < {QUANT_QUERIES}
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+    FROM embeddings q
+    LEFT JOIN (
+      SELECT i.query_id, count(*) AS n_overlap
+      FROM irank i JOIN frank f
+        ON f.query_id = i.query_id AND f.neighbor_id = i.neighbor_id
+      WHERE i.rank <= {QUANT_K} AND f.rank <= {QUANT_K}
+      GROUP BY i.query_id
+    ) ov ON ov.query_id = q.vec_id
+    WHERE q.vec_id < {QUANT_QUERIES}
+    """,
+)
+def embedding_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of int8-quantized maximum-inner-product search against
+    exact float MIPS — the audit run before shipping a quantized index:
+    symmetric scalar quantization (one GLOBAL scale, q = floor(x·127/
+    max|x|)) cuts index and shuffle bytes 4x, and because the scale is a
+    single shared constant, integer code dots are order-preserving
+    approximations of true dots — unlike per-dim affine (min/max) codes,
+    whose offset cross-terms corrupt MIPS rankings unless the index
+    stores reconstruction terms (measured on this fixture: 97% recall
+    symmetric vs 7% affine-no-offset).
+
+    The scale posture mirrors the FAISS-style operators above: the
+    quantizer state is ONE scalar — index METADATA, collected once and
+    folded into the plan as a literal (the same "collect only the
+    codebook" discipline as ann_ivf/ann_pq). Quantized scoring is pure
+    integer multiply-add (order-independent, engine-exact); the exact
+    arm reuses the dimension-sequential float-dot contract that keeps
+    dot products bit-identical to the oracle. Both arms broadcast the
+    20-query probe side, so the corpus is scanned, never shuffled.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mm_row = emb.agg(
+        *[
+            f(F.col("embedding")[i].cast("double")).alias(f"{n}_{i}")
+            for i in range(_DIM)
+            for n, f in (("mn", F.min), ("mx", F.max))
+        ]
+    ).collect()[0]
+    amax = max(
+        max(abs(mm_row[f"mn_{i}"]), abs(mm_row[f"mx_{i}"])) for i in range(_DIM)
+    )
+
+    def _quant(col):
+        return F.array(
+            *[
+                F.floor(col[i].cast("double") * 127.0 / F.lit(amax)).cast("long")
+                for i in range(_DIM)
+            ]
+        )
+
+    # Quantize in its OWN projection (64-term array build ~ one dot64 of
+    # codegen budget; see dot64's contract), then score in the next.
+    qcodes = emb.select("vec_id", _quant(F.col("embedding")).alias("qc"))
+    probes = qcodes.where(F.col("vec_id") < QUANT_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qc").alias("pc")
+    )
+    idot = F.col("qc")[0] * F.col("pc")[0]
+    for i in range(1, _DIM):
+        idot = idot + F.col("qc")[i] * F.col("pc")[i]
+    iranked = (
+        qcodes.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), idot.alias("d"))
+        .withColumn(
+            "irank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("d"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .where(F.col("irank") <= QUANT_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    fq = emb.where(F.col("vec_id") < QUANT_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    fscored = (
+        emb.join(F.broadcast(fq), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_udf(F.col("q_emb"), F.col("embedding")).alias("d"),
+        )
+    )
+    franked = (
+        fscored.withColumn(
+            "frank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("d"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .where(F.col("frank") <= QUANT_K)
+        .select("query_id", "neighbor_id")
+    )
+    overlap = (
+        iranked.join(franked, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    spine = emb.where(F.col("vec_id") < QUANT_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return spine.join(overlap, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+    )
+
+
+# --- hard-negative mining -------------------------------------------------
+
+HN_QUERIES = 10
+HN_K = 5
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             {_DOT} / ({_NORM_Q} * {_NORM_V}) AS raw_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_DOT} / ({_NORM_Q} * {_NORM_V}) DESC,
+                        v.vec_id) AS rank
+      FROM embeddings q JOIN embeddings v
+        ON v.vec_id <> q.vec_id AND v.label <> q.label
+      WHERE q.vec_id < {HN_QUERIES}
+    ) t WHERE rank <= {HN_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-5 most cosine-similar vectors with a DIFFERENT label — the
+    near-misses that teach an embedding model its decision boundary
+    (random negatives are trivially separable; these are not).
+
+    Same execution shape as knn_bruteforce_cosine with the label
+    predicate fused into the broadcast join condition, so mismatched
+    labels are dropped BEFORE scoring rather than filtered after — at
+    scale that predicate removes ~1/n_labels of the score work for
+    free. Probe side broadcast, Arrow-vectorized cosine, corpus scanned
+    not shuffled.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_udf(F.col("q_emb"), F.col("embedding")).alias("raw_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("raw_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("raw_sim", 6).alias("sim"),
             "rank",
         )
     )

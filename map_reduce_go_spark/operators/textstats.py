@@ -1583,3 +1583,182 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bpe_merge_steps.__doc__ = bpe_merge_steps.__doc__.format(n=BPE_MERGE_STEPS)
+
+
+@register(
+    "readability_flesch_by_source",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+                                  t -> len(t) > 0)) AS BIGINT) AS w,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS y
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, sum(w) AS words, sum(s) AS sentences, sum(y) AS syllables
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, CAST(words AS BIGINT) AS n_words,
+           CAST(sentences AS BIGINT) AS n_sentences,
+           CAST(syllables AS BIGINT) AS n_syllables,
+           CAST(floor(CAST(206835 * sentences * words
+                           - 1015 * words * words
+                           - 84600 * syllables * sentences AS DOUBLE)
+                      / CAST(sentences * words AS DOUBLE)) AS BIGINT)
+             AS flesch_milli
+    FROM agg
+    """,
+)
+def readability_flesch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source, in milli-units: 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with syllables
+    approximated as vowel runs and sentences as terminal-punctuation
+    runs (min 1 per doc). The classic readability screen in a quality
+    pipeline — sources whose score collapses are boilerplate, code, or
+    OCR noise, not prose. (The synthetic fixture has no sentence
+    punctuation, so scores go deeply negative — the audit faithfully
+    reporting that the corpus is not prose is the signal working.)
+
+    One scan, three regexp counters per doc, one keyed sum per source:
+    map-side-combinable, zero joins. The score is a single floor over
+    one double division whose integer operands are identical on both
+    engines (exact in double through sf0.1's ~2^47 products; a decimal
+    numerator is the drop-in past that).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(_tokens()).cast("long").alias("w"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        )
+        .cast("long")
+        .alias("s"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiou]+"), 0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("w").alias("words"),
+        F.sum("s").alias("sentences"),
+        F.sum("y").alias("syllables"),
+    )
+    num = (
+        F.lit(206835) * F.col("sentences") * F.col("words")
+        - F.lit(1015) * F.col("words") * F.col("words")
+        - F.lit(84600) * F.col("syllables") * F.col("sentences")
+    )
+    den = F.col("sentences") * F.col("words")
+    return agg.select(
+        "source",
+        F.col("words").cast("long").alias("n_words"),
+        F.col("sentences").cast("long").alias("n_sentences"),
+        F.col("syllables").cast("long").alias("n_syllables"),
+        F.floor(num.cast("double") / den.cast("double"))
+        .cast("long")
+        .alias("flesch_milli"),
+    )
+
+
+# Head ranks excluded from the Zipf tail fit (the head deviates from the
+# power law by construction; the tail is the claim being measured).
+ZIPF_HEAD_RANKS = 10
+
+
+@register(
+    "zipf_tail_slope",
+    oracle=f"""
+    WITH freq AS (
+      SELECT t AS token, count(*) AS f
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '[^\\p{{L}}]+'),
+                                  x -> len(x) > 0)) AS t
+        FROM documents
+      ) GROUP BY t
+    ),
+    pts AS (
+      SELECT CAST(len(bin(row_number() OVER (ORDER BY f DESC, token ASC))) - 1
+               AS BIGINT) AS x,
+             CAST(len(bin(f)) - 1 AS BIGINT) AS y,
+             row_number() OVER (ORDER BY f DESC, token ASC) AS rnk
+      FROM freq
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM pts WHERE rnk > {ZIPF_HEAD_RANKS}
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CAST(-((1000000 * (sx * sy - n * sxy)) // (n * sxx - sx * sx))
+             AS BIGINT) AS slope_ppm,
+           CAST((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  // nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
+             AS BIGINT) AS r2_ppm
+    FROM sums
+    """,
+)
+def zipf_tail_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law tail fit over the token frequency spectrum: OLS slope
+    (and r²) of log2(frequency) against log2(rank) for ranks past the
+    head. Natural-language corpora sit near slope −1; a corpus whose
+    tail slope drifts toward 0 is template spam (flat frequencies) and
+    one plunging past −2 is low-diversity boilerplate — a one-row
+    corpus-health gauge for the mixture planner.
+
+    The corpus-sized work is one tokenize + one keyed count; ranking
+    runs over the VOCABULARY rollup (single-partition window —
+    acceptable by the same argument as revenue_lorenz_gini: orders of
+    magnitude smaller than the corpus, and the fact-sized stage above
+    it is map-side-combinable). Both logs are exact integer bucket
+    positions via length(bin(x))−1 — no float log — and the OLS closed
+    form runs in decimal(38) integer sums with one integer division per
+    coefficient, arranged all-positive so truncation == floor on both
+    engines.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        fan_out(docs)
+        .select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("token"))
+    pts = freq.select(
+        "f", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") > ZIPF_HEAD_RANKS).select(
+        (F.length(F.bin("rnk")) - 1).cast("long").alias("x"),
+        (F.length(F.bin("f")) - 1).cast("long").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    sums = pts.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(d38).alias("syy"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_points"),
+        (
+            -F.expr("(1000000 * (sx * sy - n * sxy)) div (n * sxx - sx * sx)")
+        )
+        .cast("long")
+        .alias("slope_ppm"),
+        F.expr(
+            "(1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)) div "
+            "nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0)"
+        )
+        .cast("long")
+        .alias("r2_ppm"),
+    )

@@ -588,3 +588,129 @@ def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net",
         F.sum("net").over(w).cast("long").alias("n_open"),
     )
+
+
+@register(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM user_days)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           count(DISTINCT u.user_id) AS u7
+    FROM days d
+    JOIN user_days u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling-MAU
+    family of engagement metric. COUNT(DISTINCT) over a sliding RANGE
+    frame is unsupported by window functions in both engines (distinct
+    state can't merge incrementally), so the scalable plan is
+    contribute-then-count: each observed (user, day) pair contributes
+    itself to the 7 report days it can influence, then one keyed
+    distinct-count per report day.
+
+    The fact-table work is one distinct projection down to (user, day)
+    — at most users × days rows, crushingly smaller than raw events.
+    The explode is a BOUNDED 7× replication of that rollup (vs. the
+    oracle's spine × user_days range join, which DuckDB can afford at
+    sf0.01 but which is calendar × rollup work at 100 TB), and the
+    final count-distinct shuffles once on report day. Report days are
+    semi-joined to OBSERVED days so both engines emit the same spine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    observed = user_days.select("day").distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("report_day"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(observed),
+            contrib["report_day"] == observed["day"],
+            "left_semi",
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("u7"))
+        .select(F.col("report_day").cast("string").alias("day"), "u7")
+    )
+
+
+@register(
+    "time_weighted_avg_value_per_user",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS value_micro,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(sum(CAST(value_micro AS HUGEINT) * dur_us)
+                  // sum(CAST(dur_us AS HUGEINT)) AS BIGINT) AS twa_micro
+    FROM seq
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(dur_us) > 0
+    """,
+)
+def time_weighted_avg_value_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-weighted average event value per user (TWAP): each reading
+    holds until the user's next event, so its weight is that interval's
+    duration in seconds — the correct average for irregularly-sampled
+    gauges (balances, queue depths, prices), where the plain AVG
+    over-weights bursts.
+
+    One shuffle on user_id drives both the lead() interval build and
+    the aggregate (same partitioning, no second exchange). Weights and
+    values are integers — value floored to micro-units by the identical
+    IEEE expression on both engines, durations in exact MICROSECONDS
+    (unix_micros / epoch_us; whole-second truncation would round
+    differently across engines) — and the weighted mean is one integer
+    floor-division per user at emission (all-positive: fixture values
+    are > 0 and lead() makes durations non-negative), so the hash
+    boundary sees no float. The decimal(38) accumulator survives
+    value_micro ~1e9 × dur ~1e13 µs × millions of events per key far
+    past sf1000.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("value_micro"),
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").cast("long").alias("total_dur_us"),
+            F.sum(
+                F.col("value_micro").cast("decimal(38,0)") * F.col("dur_us")
+            ).alias("wv"),
+        )
+        .where(F.col("total_dur_us") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_dur_us",
+            F.expr("wv div CAST(total_dur_us AS DECIMAL(38,0))")
+            .cast("long")
+            .alias("twa_micro"),
+        )
+    )

@@ -1,0 +1,178 @@
+"""Data-governance audits: k-anonymity re-identification risk and exact
+proportional sample allocation.
+
+Reference parity: the reference engine's job surface is "run an audit
+function over every record and reduce per class" (src/mr/worker.go:38's
+two-hook contract); these plans are that shape expressed declaratively —
+one map-side class projection, one keyed aggregate, a tiny report join.
+
+Both queries follow the repo's oracle-portability discipline: all
+arithmetic that crosses the value-hash boundary is integer (counts,
+floor-div allocations, integer remainders), so DuckDB and Spark cannot
+disagree on a single bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_go_spark.registry import register
+from map_reduce_go_spark.sources.readers import load_table
+
+# Re-identification thresholds audited by k_anonymity_audit. Shared with
+# the oracle as literals so both engines group over the same spine.
+K_THRESHOLDS = (2, 5, 10, 20)
+
+# Sample budget for the largest-remainder allocator. Prime, and not a
+# divisor of anything in the fixture, so remainders actually differ and
+# the tie-ranked "+1" path is exercised rather than degenerate.
+SAMPLE_BUDGET = 997
+
+_K_VALUES_SQL = ", ".join(f"({k})" for k in K_THRESHOLDS)
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             count(*) AS k
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT t.k_threshold,
+           count(*) FILTER (WHERE k < t.k_threshold) AS n_classes_below,
+           CAST(coalesce(sum(k) FILTER (WHERE k < t.k_threshold), 0) AS BIGINT)
+             AS n_rows_at_risk,
+           count(*) AS n_classes_total,
+           CAST(min(k) AS BIGINT) AS min_class_size
+    FROM classes CROSS JOIN (VALUES {_K_VALUES_SQL}) AS t(k_threshold)
+    GROUP BY t.k_threshold
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (nation, market segment, account-balance kilobucket): for each
+    re-identification threshold k, how many equivalence classes have
+    fewer than k members and how many customers sit in them. The
+    standard privacy screen run before releasing a training extract —
+    a class of size 1 IS a person.
+
+    ONE scan builds the classes (map-side projection + keyed count);
+    the threshold spine is a 4-row broadcast cross join over the class
+    rollup, which is orders of magnitude smaller than the customer
+    table, so the report step is free at any scale. The balance bucket
+    comes from floor(x/1000.0) — the identical IEEE double expression
+    on both engines — and everything downstream is integer counts.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    classes = (
+        customer.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    thresholds = spark.createDataFrame(
+        [(k,) for k in K_THRESHOLDS], "k_threshold int"
+    )
+    return (
+        classes.crossJoin(F.broadcast(thresholds))
+        .groupBy("k_threshold")
+        .agg(
+            F.count(F.when(F.col("k") < F.col("k_threshold"), 1)).alias(
+                "n_classes_below"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("k") < F.col("k_threshold"), F.col("k"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.count(F.lit(1)).alias("n_classes_total"),
+            F.min("k").cast("long").alias("min_class_size"),
+        )
+    )
+
+
+@register(
+    "sample_allocation_largest_remainder",
+    oracle=f"""
+    WITH weights AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight_chars
+      FROM documents GROUP BY source
+    ),
+    quota AS (
+      SELECT source, weight_chars,
+             CAST((weight_chars * {SAMPLE_BUDGET}) // (SELECT sum(weight_chars) FROM weights)
+               AS BIGINT) AS base_alloc,
+             CAST((weight_chars * {SAMPLE_BUDGET}) % (SELECT sum(weight_chars) FROM weights)
+               AS BIGINT) AS remainder
+      FROM weights
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY remainder DESC, source ASC) AS r,
+             {SAMPLE_BUDGET} - sum(base_alloc) OVER () AS extras
+      FROM quota
+    )
+    SELECT source, weight_chars, base_alloc,
+           base_alloc + CASE WHEN r <= extras THEN 1 ELSE 0 END AS final_alloc
+    FROM ranked
+    """,
+)
+def sample_allocation_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact proportional allocation of a fixed sample budget across
+    sources by the largest-remainder (Hamilton) method, weighted by
+    corpus characters: floor quotas first, then the leftover units go
+    to the largest fractional remainders (ties broken by source name).
+    This is how a training-mix planner turns "sample 997 docs
+    proportionally to corpus size" into per-source integers that
+    provably sum to the budget — naive rounding over- or under-shoots.
+
+    The fact-table work is one map-side-combinable sum per source; the
+    apportionment runs over the 20-row source rollup, where the global
+    window (Exchange SinglePartition) is free. Quotas are integer
+    floor-div and modulo on BIGINTs — bit-identical across engines —
+    and tests assert sum(final_alloc) == budget exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    weights = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("weight_chars")
+    )
+    total = weights.agg(F.sum("weight_chars").alias("total_w"))
+    quota = weights.crossJoin(F.broadcast(total)).select(
+        "source",
+        "weight_chars",
+        F.expr(f"(weight_chars * {SAMPLE_BUDGET}) div total_w").alias("base_alloc"),
+        ((F.col("weight_chars") * SAMPLE_BUDGET) % F.col("total_w")).alias(
+            "remainder"
+        ),
+    )
+    w_rank = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    ranked = quota.select(
+        "source",
+        "weight_chars",
+        "base_alloc",
+        F.row_number().over(w_rank).alias("r"),
+        (
+            F.lit(SAMPLE_BUDGET)
+            - F.sum("base_alloc").over(Window.partitionBy())
+        ).alias("extras"),
+    )
+    return ranked.select(
+        "source",
+        "weight_chars",
+        "base_alloc",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("r") <= F.col("extras"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("final_alloc"),
+    )

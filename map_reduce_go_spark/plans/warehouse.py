@@ -788,3 +788,63 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev").cast("double"), 2).alias("revenue"),
         F.round(F.col("num").cast("double") / F.col("den"), 6).alias("ewma"),
     )
+
+
+@register(
+    "order_gap_islands",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+      FROM orders
+    ),
+    isl AS (
+      SELECT o_custkey, m,
+             m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+      FROM months
+    ),
+    lens AS (
+      SELECT o_custkey, count(*) AS island_len
+      FROM isl GROUP BY o_custkey, grp
+    )
+    SELECT island_len,
+           count(*) AS n_islands,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM lens GROUP BY island_len
+    """,
+)
+def order_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over customer ordering activity: group each
+    customer's distinct order months into runs of CONSECUTIVE months
+    (the islands), then report the run-length distribution — how many
+    maximal streaks of each length exist and how many customers have
+    one. The retention shape behind "n-month consecutive activity"
+    cohorts, and the canonical row_number-difference technique: within
+    a customer, month_index − row_number() is constant exactly along a
+    consecutive run.
+
+    The fact scan collapses to distinct (customer, month) first — at
+    most customers × 84 months — so the two window passes ride ONE
+    shuffle on o_custkey (same partitioning for row_number and the
+    island rollup; the final histogram is a second, run-length-sized
+    exchange). Month indexes are pure integer year*12+month arithmetic,
+    identical on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    isl = months.select(
+        "o_custkey", (F.col("m") - F.row_number().over(w)).alias("grp")
+    )
+    lens = isl.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).alias("island_len")
+    )
+    return lens.groupBy("island_len").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

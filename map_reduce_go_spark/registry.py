@@ -51,19 +51,28 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the union of checked sets grows round over round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-6 window — the promised staleness rotation (VERDICT r5 #2).
-    # Slot order: (a) the 19 queries ADDED this round (never checked —
+    # Slot order: (a) the 28 queries ADDED this round (never checked —
     # strictly less evidence than any green row), (b) the 9 round-5-
     # touched queries whose r3/r4 rows no longer describe the shipped
     # code (memoized codebooks / shared IVF build / cache scoping landed
     # in r5 after their last driver row), (c) 2 round-6-touched re-checks
     # (setsim lost its vocabulary broadcast, dedup_clusters' label memo
-    # was rekeyed this round), (d) the oldest cohort — 20 of the 31
-    # queries whose latest driver row is r2, registration order; the 11
-    # that did not fit (named below) lead the r7 window. All 192 queries
+    # was rekeyed this round), (d) the oldest cohort — 11 of the 31
+    # queries whose latest driver row is r2, registration order; the 20
+    # that did not fit (named below) lead the r7 window. All 201 queries
     # pass the local driver-mimic at sf0.01 AND sf0.1 this round
     # regardless of window membership, and all are three-mode
     # determinism-swept (partitions/broadcast/aqe).
     # --- (a) round-6 additions (never checked — lead the window) ---
+    "k_anonymity_audit",
+    "sample_allocation_largest_remainder",
+    "rolling_7d_distinct_users",
+    "time_weighted_avg_value_per_user",
+    "order_gap_islands",
+    "readability_flesch_by_source",
+    "zipf_tail_slope",
+    "embedding_int8_quant_recall",
+    "hard_negative_mining",
     "cms_sketch_cells",
     "chisq_segment_priority_independence",
     "ship_latency_percentiles_by_priority",
@@ -108,21 +117,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_stats_per_nation",
     "count_distinct_custkey",
     "rollup_lineitem_flags",
-    "cube_orders_status_priority",
-    "grouping_sets_nation_segment",
-    "conditional_agg_pivot",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "semi_join_customers_with_purchases",
-    "anti_join_parts_never_ordered",
-    "outer_join_nation_customer_counts",
-    "window_topk_parts_per_brand",
-    # (The r2 cohort's last 11 rows — window_running_customer_spend,
-    # top20_orders_by_price, set_ops_nation_presence,
-    # distinct_sorted_segments, scalar_string/datetime/math_functions,
-    # json_extract_events, q6, q14, q18 — ceded their slots to the 11
-    # late-round-6 additions above: a never-checked query has strictly
-    # less evidence than any stale green. They lead the r7 window.)
+    # (The r2 cohort's last 20 rows — cube_orders_status_priority,
+    # grouping_sets_nation_segment, conditional_agg_pivot, q3, q5,
+    # semi/anti/outer joins, window_topk_parts_per_brand,
+    # window_running_customer_spend, top20_orders_by_price,
+    # set_ops_nation_presence, distinct_sorted_segments,
+    # scalar_string/datetime/math_functions, json_extract_events, q6,
+    # q14, q18 — ceded their slots to the 20 round-6 additions above:
+    # a never-checked query has strictly less evidence than any stale
+    # green. They lead the r7 window.)
 )
 
 

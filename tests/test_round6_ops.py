@@ -214,3 +214,199 @@ def test_bpe_merge_steps_match_pure_python_trainer(spark, duck, sf_dir):
             new_vocab[key] = new_vocab.get(key, 0) + c
         vocab = new_vocab
     assert got == expected
+
+
+# --- late-round-6 additions ----------------------------------------------
+
+
+def test_sample_allocation_sums_exactly_to_budget(spark, sf_dir):
+    """Hamilton allocation must hand out EXACTLY the budget (the whole
+    point vs. naive rounding), every final_alloc within 1 of its base,
+    and allocations must be monotone in weight up to the +1 remainder."""
+    from map_reduce_go_spark.plans.governance import (
+        SAMPLE_BUDGET,
+        sample_allocation_largest_remainder,
+    )
+
+    rows = sample_allocation_largest_remainder(spark, sf_dir).collect()
+    assert sum(r.final_alloc for r in rows) == SAMPLE_BUDGET
+    assert all(r.final_alloc in (r.base_alloc, r.base_alloc + 1) for r in rows)
+    # Proportionality: floor quota is never exceeded by more than 1 and
+    # never undershot — Hamilton satisfies exact quota.
+    total_w = sum(r.weight_chars for r in rows)
+    for r in rows:
+        exact = r.weight_chars * SAMPLE_BUDGET / total_w
+        assert exact - 1 < r.final_alloc < exact + 1
+
+
+def test_k_anonymity_monotone_in_threshold(spark, sf_dir):
+    """Classes-below and rows-at-risk are non-decreasing in k, and the
+    class totals are threshold-independent."""
+    from map_reduce_go_spark.plans.governance import k_anonymity_audit
+
+    rows = sorted(k_anonymity_audit(spark, sf_dir).collect(), key=lambda r: r.k_threshold)
+    assert len({r.n_classes_total for r in rows}) == 1
+    assert len({r.min_class_size for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_classes_below <= b.n_classes_below
+        assert a.n_rows_at_risk <= b.n_rows_at_risk
+    # risk rows counted only where a class is below threshold
+    for r in rows:
+        assert (r.n_rows_at_risk == 0) == (r.n_classes_below == 0)
+
+
+def test_rolling_7d_distinct_bounds_daily_distinct(spark, duck, sf_dir):
+    """u7(d) must be >= the single-day distinct count for d and <= the
+    sum of the 7 daily distinct counts in its window — recomputed from a
+    per-day DuckDB rollup."""
+    from map_reduce_go_spark.plans.events import rolling_7d_distinct_users
+    import datetime as dt
+
+    daily = dict(
+        duck.sql(
+            "SELECT CAST(CAST(ts AS DATE) AS VARCHAR), count(DISTINCT user_id)"
+            " FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    for r in rolling_7d_distinct_users(spark, sf_dir).collect():
+        day = dt.date.fromisoformat(r.day)
+        window_days = [
+            (day - dt.timedelta(days=i)).isoformat() for i in range(7)
+        ]
+        singles = [daily.get(d, 0) for d in window_days]
+        assert r.u7 >= max(singles)
+        assert r.u7 <= sum(singles)
+
+
+def test_gap_islands_conserve_customer_months(spark, duck, sf_dir):
+    """Σ island_len × n_islands must equal the number of distinct
+    (customer, month) pairs — islands partition the activity set."""
+    from map_reduce_go_spark.plans.warehouse import order_gap_islands
+
+    rows = order_gap_islands(spark, sf_dir).collect()
+    total = sum(r.island_len * r.n_islands for r in rows)
+    (expected,) = duck.sql(
+        "SELECT count(*) FROM (SELECT DISTINCT o_custkey,"
+        " year(o_orderdate)*12 + month(o_orderdate) FROM orders)"
+    ).fetchone()
+    assert total == expected
+
+
+def test_twap_between_min_and_max_value(spark, duck, sf_dir):
+    """A time-weighted average must lie within [min, max] of the user's
+    event values (excluding each user's final, zero-weight reading)."""
+    from map_reduce_go_spark.plans.events import time_weighted_avg_value_per_user
+
+    bounds = {
+        u: (lo, hi)
+        for u, lo, hi in duck.sql(
+            """
+            WITH seq AS (
+              SELECT user_id, value,
+                     lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+              FROM events
+            )
+            SELECT user_id, min(value), max(value) FROM seq
+            WHERE nxt IS NOT NULL GROUP BY user_id
+            """
+        ).fetchall()
+    }
+    for r in time_weighted_avg_value_per_user(spark, sf_dir).collect():
+        lo, hi = bounds[r.user_id]
+        assert lo * 1e6 - 1 <= r.twa_micro <= hi * 1e6 + 1
+
+
+def test_int8_quant_recall_is_high_and_bounded(spark, sf_dir):
+    """Overlap is bounded by k, and int8 over 64 dims should keep mean
+    recall@10 comfortably above chance (>= 50% on the fixture)."""
+    from map_reduce_go_spark.operators.similarity import (
+        QUANT_K,
+        QUANT_QUERIES,
+        embedding_int8_quant_recall,
+    )
+
+    rows = embedding_int8_quant_recall(spark, sf_dir).collect()
+    assert len(rows) == QUANT_QUERIES
+    assert all(0 <= r.n_overlap <= QUANT_K for r in rows)
+    assert sum(r.n_overlap for r in rows) / (QUANT_QUERIES * QUANT_K) >= 0.5
+
+
+def test_hard_negatives_never_share_query_label(spark, duck, sf_dir):
+    """Every mined negative must carry a different label from its query,
+    and per query the similarities are non-increasing in rank."""
+    from map_reduce_go_spark.operators.similarity import hard_negative_mining
+
+    labels = dict(duck.sql("SELECT vec_id, label FROM embeddings").fetchall())
+    by_q: dict[int, list] = {}
+    for r in hard_negative_mining(spark, sf_dir).collect():
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        by_q.setdefault(r.query_id, []).append((r.rank, r.sim))
+    for pairs in by_q.values():
+        pairs.sort()
+        sims = [s for _, s in pairs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_flesch_identity_on_known_text(spark, duck, sf_dir):
+    """Recompute one source's Flesch score in pure Python from the same
+    three counters and assert the integer milli-score matches."""
+    import re
+
+    from map_reduce_go_spark.operators.textstats import (
+        readability_flesch_by_source,
+    )
+
+    rows = {r.source: r for r in readability_flesch_by_source(spark, sf_dir).collect()}
+    texts = duck.sql(
+        "SELECT text FROM documents WHERE source = 'src0'"
+    ).fetchall()
+    W = S = Y = 0
+    for (text,) in texts:
+        toks = [t for t in re.split(r"[^a-zA-Z]+", text) if t]
+        W += len(toks)
+        S += max(1, len(re.findall(r"[.!?]+", text)))
+        Y += len(re.findall(r"[aeiou]+", text.lower()))
+    r = rows["src0"]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (W, S, Y)
+    import math
+
+    expected = math.floor((206835 * S * W - 1015 * W * W - 84600 * Y * S) / (S * W))
+    assert r.flesch_milli == expected
+
+
+def test_zipf_slope_matches_numpy_ols(spark, duck, sf_dir):
+    """Recompute the tail OLS in numpy from the DuckDB frequency table
+    and assert the integer ppm coefficients agree (ppm floor applied)."""
+    from map_reduce_go_spark.operators.textstats import (
+        ZIPF_HEAD_RANKS,
+        zipf_tail_slope,
+    )
+
+    freqs = [
+        f
+        for (f,) in duck.sql(
+            """
+            SELECT count(*) AS f FROM (
+              SELECT unnest(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+                            x -> len(x) > 0)) AS t FROM documents)
+            GROUP BY t ORDER BY f DESC, t ASC
+            """
+        ).fetchall()
+    ]
+    pts = [
+        (rank.bit_length() - 1, f.bit_length() - 1)
+        for rank, f in enumerate(freqs, start=1)
+        if rank > ZIPF_HEAD_RANKS
+    ]
+    x = np.array([p[0] for p in pts], dtype=np.int64)
+    y = np.array([p[1] for p in pts], dtype=np.int64)
+    n = len(pts)
+    neg_num = int(x.sum()) * int(y.sum()) - n * int((x * y).sum())
+    den = n * int((x * x).sum()) - int(x.sum()) ** 2
+    assert neg_num > 0 and den > 0  # mirrors the query's all-positive layout
+    slope_ppm = -((1000000 * neg_num) // den)
+    row = zipf_tail_slope(spark, sf_dir).collect()[0]
+    assert row.n_points == n
+    assert row.slope_ppm == slope_ppm
+    assert row.slope_ppm < 0  # zipf tails decrease
+    assert 0 <= row.r2_ppm <= 1000000
