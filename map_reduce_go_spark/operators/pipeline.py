@@ -1023,3 +1023,184 @@ def dedup_token_attrition_by_source(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         .alias("tokens_removed_ppm"),
     )
+
+
+# Negative-sampling knobs, shared with the oracle as literals.
+NEG_SEED = 7
+NEG_ORDER_MOD = 10  # keep ~1/10 of orders
+NEG_CANDIDATES = 6  # hash draws per order
+NEG_K = 3  # negatives kept per order
+
+
+@register(
+    "negative_sampling_per_order",
+    oracle=f"""
+    WITH mx AS (SELECT max(p_partkey) AS m FROM part),
+    sampled AS (
+      SELECT o_orderkey FROM orders
+      WHERE CAST('0x' || substring(md5('neg|' || CAST(o_orderkey AS VARCHAR)
+                 || '|{NEG_SEED}'), 1, 8) AS BIGINT) % {NEG_ORDER_MOD} = 0
+    ),
+    cand AS (
+      SELECT s.o_orderkey, g.i,
+             1 + CAST('0x' || substring(md5('negc|' || CAST(s.o_orderkey AS VARCHAR)
+                   || '|' || CAST(g.i AS VARCHAR)), 1, 8) AS BIGINT)
+                 % (SELECT m FROM mx) AS cand_pk
+      FROM sampled s, generate_series(1, {NEG_CANDIDATES}) AS g(i)
+    ),
+    kept AS (
+      SELECT c.o_orderkey, c.cand_pk, min(c.i) AS min_i
+      FROM cand c
+      LEFT JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) p
+        ON p.l_orderkey = c.o_orderkey AND p.l_partkey = c.cand_pk
+      WHERE p.l_orderkey IS NULL
+      GROUP BY c.o_orderkey, c.cand_pk
+    )
+    SELECT o_orderkey, neg_rank, neg_partkey FROM (
+      SELECT o_orderkey, cand_pk AS neg_partkey,
+             CAST(row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY min_i, cand_pk) AS BIGINT)
+               AS neg_rank
+      FROM kept
+    ) WHERE neg_rank <= {NEG_K}
+    """,
+)
+def negative_sampling_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender/contrastive
+    training: for a 1-in-10 hash-sampled slice of orders, draw 6
+    hash-derived candidate parts, drop any the order actually contains
+    (the anti-join makes them TRUE negatives), and keep the first 3 by
+    draw index. Engine RNG would make the sample irreproducible across
+    runs and partitionings; the md5 draws make it a pure function of
+    (order, draw index), so retries, backfills and the oracle all see
+    the same negatives.
+
+    Scale shape: candidates are 6 rows per sampled order (map-side
+    generate + hash, no part-table cross join); the membership check is
+    ONE hash join co-keyed on orderkey against the (orderkey, partkey)
+    projection of lineitem; the per-order top-3 window partitions on
+    orderkey (bounded ≤6 rows per group). The max-partkey scalar is the
+    only collected state.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    mx = part.agg(F.max("p_partkey").alias("m"))
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("neg"), F.col("o_orderkey").cast("string"), F.lit(str(NEG_SEED))
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % NEG_ORDER_MOD
+        == 0
+    )
+    sampled = o.where(keep).select("o_orderkey")
+    cand = (
+        sampled.crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderkey",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_CANDIDATES))).alias("i"),
+            "m",
+        )
+        .select(
+            "o_orderkey",
+            "i",
+            (
+                1
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit("negc"),
+                                F.col("o_orderkey").cast("string"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("m")
+            ).alias("cand_pk"),
+        )
+    )
+    purchased = li.select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("cand_pk")
+    ).distinct()
+    kept = (
+        cand.join(purchased, ["o_orderkey", "cand_pk"], "left_anti")
+        .groupBy("o_orderkey", "cand_pk")
+        .agg(F.min("i").alias("min_i"))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("min_i", "cand_pk")
+    return (
+        kept.select(
+            "o_orderkey",
+            F.col("cand_pk").alias("neg_partkey"),
+            F.row_number().over(w).cast("long").alias("neg_rank"),
+        )
+        .where(F.col("neg_rank") <= NEG_K)
+        .select("o_orderkey", "neg_rank", "neg_partkey")
+    )
+
+
+@register(
+    "quantile_normalization_doclen",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r
+      FROM documents
+    ),
+    target AS (
+      SELECT r, CAST(sum(n_chars) // count(*) AS BIGINT) AS norm_chars
+      FROM ranked GROUP BY r
+    )
+    SELECT ranked.source, ranked.doc_id, ranked.n_chars, target.norm_chars
+    FROM ranked JOIN target ON target.r = ranked.r
+    """,
+)
+def quantile_normalization_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources (the
+    bioinformatics technique applied to corpus features): rank docs
+    within each source, then replace each doc's length with the
+    across-source mean length AT ITS RANK — afterwards every source has
+    the identical length distribution, so a length-based curriculum or
+    filter treats sources impartially.
+
+    One shuffle ranks within source (sources are independent window
+    partitions — parallel, never global); the rank-target table is a
+    rank-cardinality rollup; the final join is co-keyed on rank. Target
+    means are integer floor-div. Assumes equal per-source depth (true
+    for the fixture; ragged sources would ntile to a common grid first
+    — documented, not silently wrong, since the rank join would then
+    drop the overhang rows of deeper sources).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+    )
+    target = ranked.groupBy("r").agg(
+        F.expr("sum(n_chars) div count(*)").alias("norm_chars")
+    )
+    return ranked.join(target, "r").select(
+        "source", "doc_id", "n_chars", "norm_chars"
+    )

@@ -1762,3 +1762,77 @@ def zipf_tail_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r2_ppm"),
     )
+
+
+@register(
+    "word_graph_degree_distribution",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(text, '[^\p{L}]+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    edges AS (
+      SELECT DISTINCT ws[i] AS src, ws[i + 1] AS dst
+      FROM toks, LATERAL unnest(range(1, len(ws))) t(i)
+      WHERE ws[i] <> ws[i + 1]
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT src AS node, dst AS nb FROM edges
+        UNION
+        SELECT dst AS node, src AS nb FROM edges
+      ) GROUP BY node
+    )
+    SELECT CAST(len(bin(degree)) - 1 AS BIGINT) AS degree_log2,
+           count(*) AS n_nodes,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def word_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the FULL corpus word-adjacency graph
+    (undirected, self-loops dropped): nodes per power-of-two degree
+    bucket. The graph-shape health check behind the pagerank/triangle/
+    reachability family — a natural-language word graph is heavy-tailed
+    (hub function words), and a missing tail means template text.
+
+    Scale shape: distinct edge projection (one shuffle), symmetrize by
+    union (map-side), one keyed neighbor count, and a bucket rollup of
+    the node-cardinality frame. Buckets are exact binary-digit-count
+    log2 — no float log at bucket boundaries — so the histogram is
+    engine-exact. Unlike the top-300-edge graph queries above, this one
+    keeps EVERY edge: the degree rollup is linear in edges, so no cap
+    is needed where the quadratic walks required one.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _tokens()
+    bigrams = F.when(
+        (F.size(ws) >= 2) & (F.monotonically_increasing_id() >= 0),
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("src"),
+                F.element_at(ws, i + 1).alias("dst"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+    edges = (
+        fan_out(docs)
+        .select(F.explode(bigrams).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nb")
+    ).union(edges.select(F.col("dst").alias("node"), F.col("src").alias("nb")))
+    deg = sym.distinct().groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy(
+        (F.length(F.bin("degree")) - 1).cast("long").alias("degree_log2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("degree").cast("long").alias("min_degree"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )

@@ -714,3 +714,144 @@ def time_weighted_avg_value_per_user(
             .alias("twa_micro"),
         )
     )
+
+
+@register(
+    "first_last_touch_attribution",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, min(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn_first,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn_last
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      WHERE e.ts < fp.first_purchase
+    )
+    SELECT f.event_type AS first_touch, l.event_type AS last_touch,
+           count(*) AS n_users
+    FROM touches f JOIN touches l
+      ON l.user_id = f.user_id AND l.rn_last = 1
+    WHERE f.rn_first = 1
+    GROUP BY 1, 2
+    """,
+)
+def first_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution matrix: for every user who
+    purchased, the type of their FIRST event and of their LAST event
+    before their first purchase, cross-tabulated — the report marketing
+    runs to see how much the two attribution models disagree (diagonal
+    = models agree; off-diagonal mass = contested credit).
+
+    The purchase anchor is a keyed min-agg (map-side combinable); both
+    endpoint picks ride ONE shuffle on user_id (two row_numbers over
+    the same partitioning, opposite orders — Spark plans a single
+    exchange, two sorts), and the matrix rollup is event-type² rows.
+    Endpoint order is (ts, event_id) so ties are engine-independent.
+    """
+    e = load_table(spark, sf_dir, "events")
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    touches = (
+        e.join(fp, "user_id")
+        .where(F.col("ts") < F.col("first_purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("rn_first"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            )
+            .alias("rn_last"),
+        )
+    )
+    first = touches.where(F.col("rn_first") == 1).select(
+        "user_id", F.col("event_type").alias("first_touch")
+    )
+    last = touches.where(F.col("rn_last") == 1).select(
+        "user_id", F.col("event_type").alias("last_touch")
+    )
+    return (
+        first.join(last, "user_id")
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM user_days),
+    dau AS (
+      SELECT day, count(*) AS dau FROM user_days GROUP BY day
+    ),
+    mau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS mau
+      FROM days d
+      JOIN user_days u ON u.day BETWEEN d.day - 27 AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau AS dau, mau.mau AS mau,
+           CAST((1000000 * dau.dau) // mau.mau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN mau ON mau.day = dau.day
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — daily actives over trailing-28-day
+    actives, the engagement ratio product teams track (1.0 = every
+    monthly user shows up daily). Composes the contribute-then-count
+    sliding-distinct pattern of rolling_7d_distinct_users at the 28-day
+    horizon with a per-day exact distinct, joined on the observed-day
+    spine; the ratio is integer ppm (dau ≤ mau so the floor-div is
+    all-positive and engine-exact).
+
+    Fact-sized work is ONE distinct projection to (user, day); the 28×
+    contribution explode replicates only that rollup, and both distinct
+    counts shuffle once on day. At 100 TB the (user, day) rollup is the
+    operand everywhere — raw events are scanned exactly once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    observed = user_days.select("day").distinct()
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 27))
+        ).alias("report_day"),
+    )
+    mau = (
+        contrib.join(
+            F.broadcast(observed),
+            contrib["report_day"] == observed["day"],
+            "left_semi",
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau["day"] == mau["report_day"])
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "mau",
+            F.expr("(1000000 * dau) div mau").alias("stickiness_ppm"),
+        )
+    )

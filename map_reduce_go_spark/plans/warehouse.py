@@ -848,3 +848,104 @@ def order_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@register(
+    "interval_union_coverage_days",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderpriority AS pri,
+             CAST(o.o_orderdate AS DATE) AS start_day,
+             greatest(max(CAST(l.l_shipdate AS DATE)),
+                      CAST(o.o_orderdate AS DATE)) AS end_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, CAST(o.o_orderdate AS DATE)
+    ),
+    deltas AS (
+      SELECT pri, day, CAST(sum(d) AS BIGINT) AS net FROM (
+        SELECT pri, start_day AS day, 1 AS d FROM spans
+        UNION ALL
+        SELECT pri, end_day + 1 AS day, -1 AS d FROM spans
+      ) GROUP BY pri, day
+    ),
+    run AS (
+      SELECT pri, day, net,
+             sum(net) OVER (PARTITION BY pri ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_open,
+             lead(day) OVER (PARTITION BY pri ORDER BY day) AS next_day
+      FROM deltas
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(sum(CASE WHEN n_open > 0 THEN next_day - day ELSE 0 END)
+             AS BIGINT) AS covered_days,
+           CAST(min(day) AS VARCHAR) AS first_day,
+           CAST(max(day) - 1 AS VARCHAR) AS last_day
+    FROM run
+    GROUP BY pri
+    """,
+)
+def interval_union_coverage_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: per order priority, how many calendar
+    days had at least one order open (order date → last ship date,
+    clamped like order_backlog_daily) — the union-of-intervals length,
+    merging overlaps. The capacity-planning complement to the backlog
+    sweep: backlog counts HOW MANY are open, this counts WHEN anything
+    was open at all.
+
+    Same sweep-line discipline: fact-sized work is the keyed span
+    aggregate; the ±1 deltas collapse to at most 2 rows per (priority,
+    day); the running sum and the lead() ride one priority-keyed window
+    over that calendar-sized frame, and coverage is Σ gap-lengths where
+    the running count is positive — pure integer day arithmetic
+    (datediff), no per-day explode of the fact table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("start_day"),
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"))
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            "start_day",
+            F.greatest("last_ship", "start_day").alias("end_day"),
+        )
+    )
+    deltas = (
+        spans.select("pri", F.col("start_day").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            spans.select(
+                "pri", F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("pri", "day")
+        .agg(F.sum("d").cast("long").alias("net"))
+    )
+    w_run = (
+        Window.partitionBy("pri")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy("pri").orderBy("day")
+    run = deltas.select(
+        "pri",
+        "day",
+        F.sum("net").over(w_run).alias("n_open"),
+        F.lead("day").over(w_lead).alias("next_day"),
+    )
+    return run.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.sum(
+            F.when(
+                F.col("n_open") > 0, F.datediff("next_day", "day")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("covered_days"),
+        F.min("day").cast("string").alias("first_day"),
+        F.date_sub(F.max("day"), 1).cast("string").alias("last_day"),
+    )

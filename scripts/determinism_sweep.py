@@ -11,7 +11,8 @@ Modes (--mode=...):
 - aqe: adaptive execution on vs off — runtime re-planning (coalescing,
   skew splits, join-strategy switches) must be value-invisible.
 
-Usage: python scripts/determinism_sweep.py [sf_dir] [--mode=partitions|broadcast|aqe]
+Usage: python scripts/determinism_sweep.py [sf_dir]
+           [--mode=partitions|broadcast|aqe] [--only=name1,name2,...]
 """
 
 from __future__ import annotations
@@ -39,9 +40,12 @@ MODES = {
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     mode = "partitions"
+    only: set[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--mode="):
             mode = a.split("=", 1)[1]
+        elif a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
     if mode not in MODES:
         print(
             f"unknown --mode={mode!r}; valid modes: {', '.join(sorted(MODES))}\n"
@@ -55,7 +59,10 @@ def main() -> int:
     spark = get_spark(app_name=f"determinism-sweep-{mode}")
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
-    for name, spec in sorted(all_queries().items()):
+    selected = {
+        n: s for n, s in all_queries().items() if only is None or n in only
+    }
+    for name, spec in sorted(selected.items()):
         t0 = time.time()
         try:
             spark.conf.set(key, base)
@@ -74,7 +81,7 @@ def main() -> int:
         if not ok:
             failures.append((name, "NONDETERMINISTIC"))
         print(f"  {name}: {'stable' if ok else 'NONDETERMINISTIC'} {time.time()-t0:.1f}s")
-    print(f"\n{len(all_queries()) - len(failures)}/{len(all_queries())} stable under mode={mode}")
+    print(f"\n{len(selected) - len(failures)}/{len(selected)} stable under mode={mode}")
     for name, why in failures:
         print(f"  FAIL {name}: {why}")
     return 1 if failures else 0

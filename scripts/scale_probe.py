@@ -95,6 +95,25 @@ R6_QUERIES = [
     "order_backlog_daily",
 ]
 R6_TABLES = ("documents", "orders", "lineitem")
+# Late-round-6 family: the governance/temporal/embedding additions.
+# user_id and o_custkey shift so the probe grows the number of USERS
+# and CUSTOMERS linearly (rolling-distinct state, TWAP groups, island
+# counts), not per-key history depth — per-key depth at k× measures a
+# different (and unrealistic) workload. Embeddings grow in corpus rows
+# while both probe sides stay fixed at 20 queries, so the int8/negative
+# mining probes measure scan growth, the designed scale axis.
+R6B_QUERIES = [
+    "rolling_7d_distinct_users",
+    "time_weighted_avg_value_per_user",
+    "order_gap_islands",
+    "embedding_int8_quant_recall",
+    "hard_negative_mining",
+]
+R6B_TABLES = ("events", "orders", "embeddings")
+R6B_EXTRA_SHIFTS = {
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+}
 
 
 def replicate(
@@ -321,6 +340,7 @@ def main() -> None:
         "round5": (R5_QUERIES, R5_TABLES, R5_EXTRA_SHIFTS),
         "setsim": (SETSIM_QUERIES, SETSIM_TABLES, None),
         "round6": (R6_QUERIES, R6_TABLES, None),
+        "round6b": (R6B_QUERIES, R6B_TABLES, R6B_EXTRA_SHIFTS),
     }.get(family, (QUERIES, TABLES, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")

