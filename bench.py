@@ -85,6 +85,13 @@ HEADLINE = [
     # suite (3 chained vocabulary rewrites); regression canary for
     # multi-stage plan compilation + execution.
     "bpe_merge_steps",
+    # Late round-6 additions: sliding-distinct via contribute-then-count
+    # (bounded 7× rollup replication), sweep-line interval union (fact
+    # agg + calendar window), and hash-derived negative sampling (map-
+    # side generate + orderkey-co-keyed anti join) — one per new family.
+    "rolling_7d_distinct_users",
+    "interval_union_coverage_days",
+    "negative_sampling_per_order",
 ]
 
 

@@ -748,10 +748,17 @@ def first_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     = models agree; off-diagonal mass = contested credit).
 
     The purchase anchor is a keyed min-agg (map-side combinable); both
-    endpoint picks ride ONE shuffle on user_id (two row_numbers over
-    the same partitioning, opposite orders — Spark plans a single
-    exchange, two sorts), and the matrix rollup is event-type² rows.
-    Endpoint order is (ts, event_id) so ties are engine-independent.
+    endpoints come from ONE min/max-struct aggregate over the joined
+    pre-purchase events — (ts, event_id) leads the struct, and since
+    that pair is unique per user, lexicographic min/max IS the window
+    endpoint pick, without materializing two ranked subtrees. (The
+    first formulation — two opposite-order row_numbers filtered to
+    rn=1 and self-joined — read clean but Catalyst planned the events
+    scan, the anchor aggregate, and the window TWICE, once per
+    endpoint; the struct-extreme form is one scan, one user shuffle.)
+    The matrix rollup is event-type² rows. The oracle keeps the
+    window formulation, so the value hash also certifies that the
+    struct-extreme and rank-pick semantics coincide.
     """
     e = load_table(spark, sf_dir, "events")
     fp = (
@@ -759,35 +766,20 @@ def first_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_purchase"))
     )
-    touches = (
+    endpoint = F.struct("ts", "event_id", "event_type")
+    ends = (
         e.join(fp, "user_id")
         .where(F.col("ts") < F.col("first_purchase"))
-        .select(
-            "user_id",
-            "event_type",
-            F.row_number()
-            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-            .alias("rn_first"),
-            F.row_number()
-            .over(
-                Window.partitionBy("user_id").orderBy(
-                    F.desc("ts"), F.desc("event_id")
-                )
-            )
-            .alias("rn_last"),
+        .groupBy("user_id")
+        .agg(
+            F.min(endpoint).alias("first_e"),
+            F.max(endpoint).alias("last_e"),
         )
     )
-    first = touches.where(F.col("rn_first") == 1).select(
-        "user_id", F.col("event_type").alias("first_touch")
-    )
-    last = touches.where(F.col("rn_last") == 1).select(
-        "user_id", F.col("event_type").alias("last_touch")
-    )
-    return (
-        first.join(last, "user_id")
-        .groupBy("first_touch", "last_touch")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
+    return ends.groupBy(
+        F.col("first_e.event_type").alias("first_touch"),
+        F.col("last_e.event_type").alias("last_touch"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
 
 
 @register(
