@@ -847,3 +847,107 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * dau) div mau").alias("stickiness_ppm"),
         )
     )
+
+
+@register(
+    "session_path_patterns",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS ini,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_SEC} SECOND
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, ini,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(ini, '' ORDER BY ts, event_id) AS path
+      FROM numbered GROUP BY user_id, session_no
+    )
+    SELECT substring(path, 1, 1) AS entry_type,
+           count(*) AS n_sessions,
+           count(*) FILTER (WHERE regexp_matches(path, 'v.*c.*p'))
+             AS n_funnel_sessions,
+           count(*) FILTER (WHERE regexp_matches(path, 'cc|ee|pp|ss|vv'))
+             AS n_repeat_sessions,
+           CAST(max(len(path)) AS BIGINT) AS max_session_len
+    FROM paths GROUP BY 1
+    """,
+)
+def session_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path-pattern mining: encode each session as its ordered
+    event-initial string (v=view, c=click, p=purchase, s=signup,
+    e=error) and count, per session entry type, how many sessions
+    match the view→click→purchase funnel REGEX and how many contain an
+    immediate repeat — sequence questions (ordering + adjacency) that
+    keyed aggregates like funnel_view_click_purchase cannot express,
+    answered as regular-expression matches over the path encoding.
+
+    Sessionization is the gaps-and-islands chain of events_sessionize
+    (one user shuffle reused by both windows); path assembly sorts only
+    WITHIN a session group (bounded by session length — never a global
+    sort), and the pattern screen is map-side regex over session-count
+    rows. The repeat pattern is spelled as an alternation, not a
+    backreference, because DuckDB's RE2 has no backrefs — the
+    portable-regex subset is part of the operator's contract.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ini"),
+        # Full-precision gap test (see events_sessionize): truncating to
+        # seconds flips sub-second boundary gaps vs the oracle INTERVAL.
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w)
+                + F.expr(f"INTERVAL {SESSION_GAP_SEC} SECOND")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "ini",
+        F.sum("new_session").over(w_run).alias("session_no"),
+    )
+    paths = numbered.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                lambda s: s["ini"],
+            ),
+            "",
+        ).alias("path")
+    )
+    return paths.groupBy(
+        F.substring("path", 1, 1).alias("entry_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("path").rlike("v.*c.*p"), 1)).alias(
+            "n_funnel_sessions"
+        ),
+        F.count(F.when(F.col("path").rlike("cc|ee|pp|ss|vv"), 1)).alias(
+            "n_repeat_sessions"
+        ),
+        F.max(F.length("path")).cast("long").alias("max_session_len"),
+    )

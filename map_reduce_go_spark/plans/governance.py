@@ -176,3 +176,155 @@ def sample_allocation_largest_remainder(
         .cast("long")
         .alias("final_alloc"),
     )
+
+
+# Reconciliation knobs, shared with the oracle.
+CHECKSUM_BUCKETS = 64
+
+
+@register(
+    "table_checksum_buckets",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+             CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                   || o_orderstatus || '|'
+                   || CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                   || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)), 1, 8)
+               AS BIGINT) AS row_hash
+      FROM orders
+    )
+    SELECT bucket, count(*) AS n_rows,
+           CAST(sum(row_hash) AS BIGINT) AS checksum,
+           CAST(min(row_hash) AS BIGINT) AS min_hash,
+           CAST(max(row_hash) AS BIGINT) AS max_hash
+    FROM hashed GROUP BY bucket
+    """,
+)
+def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed table checksums for cross-system reconciliation: every
+    order row hashes its business columns to a 32-bit digest, digests
+    roll up into 64 key-bucketed (count, sum, min, max) fingerprints.
+    Two copies of the table (replica, post-migration, vendor export)
+    compare 64 rows instead of the full table, and a mismatched bucket
+    localizes the diff to 1/64th of the keyspace for row-level triage —
+    the standard divide-and-conquer data-reconciliation protocol.
+
+    Canonicalization is the engine-parity discipline in miniature: the
+    price enters the hash as exact integer cents and the date as its
+    ISO string, so the digest is a pure function of VALUES, never of
+    engine float formatting. One scan, one map-side hash, one
+    64-group aggregate — the sum-checksum is order-independent by
+    construction, so the fingerprint is partitioning-proof.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                    F.col("o_orderdate").cast("date").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        o.select(
+            (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
+            row_hash.alias("row_hash"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("row_hash").cast("long").alias("checksum"),
+            F.min("row_hash").cast("long").alias("min_hash"),
+            F.max("row_hash").cast("long").alias("max_hash"),
+        )
+    )
+
+
+# GDPR erasure-impact knobs, shared with the oracle.
+GDPR_SAMPLE_MOD = 20  # simulate erasure for ~5% of customers
+
+
+@register(
+    "gdpr_delete_impact",
+    oracle=f"""
+    WITH erased AS (
+      SELECT c_custkey FROM customer
+      WHERE CAST('0x' || substring(md5('gdpr|' || CAST(c_custkey AS VARCHAR)), 1, 8)
+            AS BIGINT) % {GDPR_SAMPLE_MOD} = 0
+    ),
+    ord AS (
+      SELECT o.o_orderkey FROM orders o JOIN erased e ON e.c_custkey = o.o_custkey
+    )
+    SELECT * FROM (
+      SELECT 'customer' AS table_name, count(*) AS n_rows_affected,
+             (SELECT count(*) FROM customer) AS n_rows_total FROM erased
+      UNION ALL
+      SELECT 'orders', count(*), (SELECT count(*) FROM orders) FROM ord
+      UNION ALL
+      SELECT 'lineitem', count(*), (SELECT count(*) FROM lineitem)
+      FROM lineitem l JOIN ord ON ord.o_orderkey = l.l_orderkey
+    )
+    """,
+)
+def gdpr_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-impact analysis (GDPR article-17 dry run): for a
+    deterministic 5% sample of customers requesting deletion, how many
+    rows in each downstream table the cascade would touch — the report
+    a data-platform team runs BEFORE executing erasure, to size the
+    rewrite and verify the cascade path (customer → orders → lineitem)
+    is complete.
+
+    The cascade is two hash joins along the FK chain, each co-keyed on
+    its join key; affected-key sets stay keys-only (never row payloads)
+    — at 100 TB the erased-customer set is the only state carried
+    between tables, the same keys-only discipline as
+    pipeline_stage_attrition's stage boundaries. Totals are per-table
+    scalar aggregates; output is 3 rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    erased = c.where(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("gdpr"), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % GDPR_SAMPLE_MOD
+        == 0
+    ).select("c_custkey")
+    ord_ = o.join(
+        erased, o["o_custkey"] == erased["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    li_aff = li.join(
+        ord_, li["l_orderkey"] == ord_["o_orderkey"], "left_semi"
+    )
+    rows = [
+        erased.agg(F.count(F.lit(1)).alias("n_rows_affected")).crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).alias("n_rows_total")))
+        ).select(F.lit("customer").alias("table_name"), "n_rows_affected", "n_rows_total"),
+        ord_.agg(F.count(F.lit(1)).alias("n_rows_affected")).crossJoin(
+            F.broadcast(o.agg(F.count(F.lit(1)).alias("n_rows_total")))
+        ).select(F.lit("orders").alias("table_name"), "n_rows_affected", "n_rows_total"),
+        li_aff.agg(F.count(F.lit(1)).alias("n_rows_affected")).crossJoin(
+            F.broadcast(li.agg(F.count(F.lit(1)).alias("n_rows_total")))
+        ).select(F.lit("lineitem").alias("table_name"), "n_rows_affected", "n_rows_total"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -514,3 +514,78 @@ def test_first_last_touch_totals_match_purchasers(spark, duck, sf_dir):
         """
     ).fetchone()
     assert sum(r.n_users for r in rows) == expected
+
+
+def test_checksum_buckets_partition_the_table(spark, duck, sf_dir):
+    """Bucket row counts must sum to the table cardinality, buckets must
+    cover 0..63, and perturbing one row's hash must change exactly its
+    bucket's checksum (localization property, simulated)."""
+    from map_reduce_go_spark.plans.governance import (
+        CHECKSUM_BUCKETS,
+        table_checksum_buckets,
+    )
+
+    rows = {r.bucket: r for r in table_checksum_buckets(spark, sf_dir).collect()}
+    (n_orders,) = duck.sql("SELECT count(*) FROM orders").fetchone()
+    assert sum(r.n_rows for r in rows.values()) == n_orders
+    assert set(rows) == set(range(CHECKSUM_BUCKETS))
+    for r in rows.values():
+        assert r.min_hash <= r.max_hash
+        # checksum is a sum of n_rows values within [min_hash, max_hash]
+        assert r.n_rows * r.min_hash <= r.checksum <= r.n_rows * r.max_hash
+
+
+def test_gdpr_cascade_counts_are_consistent(spark, duck, sf_dir):
+    """The cascade must touch a superset-consistent chain: every erased
+    customer's orders counted, every counted order's lineitems counted —
+    recomputed directly in DuckDB."""
+    from map_reduce_go_spark.plans.governance import (
+        GDPR_SAMPLE_MOD,
+        gdpr_delete_impact,
+    )
+
+    got = {r.table_name: r for r in gdpr_delete_impact(spark, sf_dir).collect()}
+    exp = dict(
+        duck.sql(
+            f"""
+            WITH erased AS (
+              SELECT c_custkey FROM customer
+              WHERE CAST('0x' || substring(md5('gdpr|' || CAST(c_custkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) % {GDPR_SAMPLE_MOD} = 0
+            )
+            SELECT 'customer', count(*) FROM erased
+            UNION ALL
+            SELECT 'orders', count(*) FROM orders JOIN erased ON c_custkey = o_custkey
+            UNION ALL
+            SELECT 'lineitem', count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 JOIN erased ON c_custkey = o_custkey)
+            """
+        ).fetchall()
+    )
+    for t in ("customer", "orders", "lineitem"):
+        assert got[t].n_rows_affected == exp[t], t
+    assert 0 < got["customer"].n_rows_affected < got["customer"].n_rows_total
+
+
+def test_session_paths_consistent_with_sessionize(spark, sf_dir):
+    """Total sessions in the path report must equal the session count
+    from events_sessionize (same gap, same keys), and funnel/repeat
+    counts can never exceed the sessions that contain them."""
+    from map_reduce_go_spark.plans.events import (
+        events_sessionize,
+        session_path_patterns,
+    )
+
+    n_sessions = (
+        events_sessionize(spark, sf_dir)
+        .select("user_id", "session_no")
+        .distinct()
+        .count()
+    )
+    rows = session_path_patterns(spark, sf_dir).collect()
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    for r in rows:
+        assert r.n_funnel_sessions <= r.n_sessions
+        assert r.n_repeat_sessions <= r.n_sessions
+        assert 1 <= r.max_session_len
