@@ -2287,3 +2287,89 @@ def shared_ansi_sql_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_SHARED_ANSI_SQL)
+
+
+# Association-rule knobs shared with the oracle: minimum pair support
+# (absolute order count) before a lift is considered meaningful.
+LIFT_MIN_SUPPORT = 3
+LIFT_TOP_K = 20
+
+
+@register(
+    "basket_pair_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+    marg AS (
+      SELECT l_partkey, count(*) AS n_p FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_pair
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2
+    )
+    SELECT p1, p2, n_pair,
+           CAST((1000000 * n_pair * (SELECT n_baskets FROM n))
+                // (m1.n_p * m2.n_p) AS BIGINT) AS lift_ppm
+    FROM pairs
+    JOIN marg m1 ON m1.l_partkey = p1
+    JOIN marg m2 ON m2.l_partkey = p2
+    WHERE n_pair >= {LIFT_MIN_SUPPORT}
+    ORDER BY lift_ppm DESC, p1, p2
+    LIMIT {LIFT_TOP_K}
+    """,
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift over market baskets: for co-purchased part
+    pairs with support >= 3 orders, lift = P(p1,p2) / (P(p1)·P(p2)) in
+    integer ppm — the step after basket_part_pairs_topk's raw counts,
+    separating genuinely-associated pairs from pairs that co-occur
+    merely because both parts are popular (lift ~ 1e6 ppm = independent).
+
+    Pair generation is the same within-order-key-only self-join
+    (Σ basket² work, never corpus-quadratic); the marginals are one
+    part-keyed rollup joined back twice on partkey (co-keyed, and
+    part-cardinality sized — at 100 TB these are the small side and
+    broadcast under AQE); the basket total is a one-row broadcast. Lift
+    is a single integer floor-division — n_pair·N and n_p1·n_p2 are
+    exact BIGINT products — so the ranking is engine-exact with
+    (lift, p1, p2) total tie-break.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    marg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= LIFT_MIN_SUPPORT)
+    )
+    m1 = marg.select(F.col("l_partkey").alias("p1"), F.col("n_p").alias("n_p1"))
+    m2 = marg.select(F.col("l_partkey").alias("p2"), F.col("n_p").alias("n_p2"))
+    return (
+        pairs.join(m1, "p1")
+        .join(m2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.expr("(1000000 * n_pair * n_baskets) div (n_p1 * n_p2)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), "p1", "p2")
+        .limit(LIFT_TOP_K)
+    )

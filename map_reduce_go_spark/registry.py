@@ -51,19 +51,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the union of checked sets grows round over round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-6 window — the promised staleness rotation (VERDICT r5 #2).
-    # Slot order: (a) the 37 queries ADDED this round (never checked —
+    # Slot order: (a) the 38 queries ADDED this round (never checked —
     # strictly less evidence than any green row), (b) the 9 round-5-
     # touched queries whose r3/r4 rows no longer describe the shipped
     # code (memoized codebooks / shared IVF build / cache scoping landed
     # in r5 after their last driver row), (c) 2 round-6-touched re-checks
     # (setsim lost its vocabulary broadcast, dedup_clusters' label memo
-    # was rekeyed this round), (d) the oldest cohort — 2 of the 31
-    # queries whose latest driver row is r2, registration order; the 29
-    # that did not fit (named below) lead the r7 window. All 210 queries
+    # was rekeyed this round), (d) the oldest cohort — 1 of the 31
+    # queries whose latest driver row is r2, registration order; the 30
+    # that did not fit (named below) lead the r7 window. All 211 queries
     # pass the local driver-mimic at sf0.01 AND sf0.1 this round
     # regardless of window membership, and all are three-mode
     # determinism-swept (partitions/broadcast/aqe).
     # --- (a) round-6 additions (never checked — lead the window) ---
+    "basket_pair_lift",
     "table_checksum_buckets",
     "gdpr_delete_impact",
     "session_path_patterns",
@@ -115,9 +116,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "setsim_prefix_filter_join",
     "dedup_clusters",
     # --- (d) the oldest (r2) cohort, registration order ---
-    "knn_bruteforce_cosine",
     "embedding_centroids",
-    # (The r2 cohort's last 29 rows — text_quality_stats,
+    # (The r2 cohort's last 30 rows — knn_bruteforce_cosine, text_quality_stats,
     # language_guess, token_counts, doc_fingerprint, token_positions,
     # q1_pricing_summary, agg_stats_per_nation, count_distinct_custkey,
     # rollup_lineitem_flags, cube_orders_status_priority,
@@ -126,7 +126,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # window_running_customer_spend, top20_orders_by_price,
     # set_ops_nation_presence, distinct_sorted_segments,
     # scalar_string/datetime/math_functions, json_extract_events, q6,
-    # q14, q18 — ceded their slots to the 29 round-6 additions above:
+    # q14, q18 — ceded their slots to the 30 round-6 additions above:
     # a never-checked query has strictly less evidence than any stale
     # green. They lead the r7 window.)
 )

@@ -589,3 +589,32 @@ def test_session_paths_consistent_with_sessionize(spark, sf_dir):
         assert r.n_funnel_sessions <= r.n_sessions
         assert r.n_repeat_sessions <= r.n_sessions
         assert 1 <= r.max_session_len
+
+
+def test_basket_lift_agrees_with_direct_probability_recompute(spark, duck, sf_dir):
+    """Recompute lift for every emitted pair from raw basket
+    probabilities in DuckDB and assert the integer ppm matches; lift
+    ranking must be the declared total order."""
+    from map_reduce_go_spark.plans.relational import (
+        LIFT_MIN_SUPPORT,
+        basket_pair_lift,
+    )
+
+    rows = basket_pair_lift(spark, sf_dir).collect()
+    (n_baskets,) = duck.sql(
+        "SELECT count(DISTINCT l_orderkey) FROM lineitem"
+    ).fetchone()
+    marg = dict(
+        duck.sql(
+            "SELECT l_partkey, count(*) FROM (SELECT DISTINCT l_orderkey, l_partkey"
+            " FROM lineitem) GROUP BY 1"
+        ).fetchall()
+    )
+    prev = None
+    for r in rows:
+        assert r.n_pair >= LIFT_MIN_SUPPORT
+        expected = (1000000 * r.n_pair * n_baskets) // (marg[r.p1] * marg[r.p2])
+        assert r.lift_ppm == expected
+        key = (-r.lift_ppm, r.p1, r.p2)
+        assert prev is None or prev < key  # strictly increasing total order
+        prev = key
