@@ -590,6 +590,35 @@ def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_distinct_over(user_days: DataFrame, window_days: int) -> DataFrame:
+    """Trailing-N-day distinct count per observed day via
+    contribute-then-count: each (user_id, day) rollup row contributes
+    itself to the ``window_days`` report days it can influence (bounded
+    map-side explode of the ROLLUP, never the fact table), report days
+    are semi-joined to observed days, and one keyed exact distinct
+    closes it. This is the scalable shape for sliding COUNT(DISTINCT),
+    which no window frame supports (distinct state cannot merge
+    incrementally). Shared by rolling_7d_distinct_users (N=7) and
+    dau_mau_stickiness (N=28); hypothesis-tested against a brute-force
+    per-day evaluator on generated inputs."""
+    observed = user_days.select("day").distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("report_day"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(observed),
+            contrib["report_day"] == observed["day"],
+            "left_semi",
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("n_distinct"))
+    )
+
+
 @register(
     "rolling_7d_distinct_users",
     oracle="""
@@ -625,22 +654,9 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_days = e.select(
         "user_id", F.col("ts").cast("date").alias("day")
     ).distinct()
-    observed = user_days.select("day").distinct()
-    contrib = user_days.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
-        ).alias("report_day"),
-    )
-    return (
-        contrib.join(
-            F.broadcast(observed),
-            contrib["report_day"] == observed["day"],
-            "left_semi",
-        )
-        .groupBy("report_day")
-        .agg(F.countDistinct("user_id").alias("u7"))
-        .select(F.col("report_day").cast("string").alias("day"), "u7")
+    return rolling_distinct_over(user_days, 7).select(
+        F.col("report_day").cast("string").alias("day"),
+        F.col("n_distinct").alias("u7"),
     )
 
 
@@ -821,22 +837,9 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_days = e.select(
         "user_id", F.col("ts").cast("date").alias("day")
     ).distinct()
-    observed = user_days.select("day").distinct()
     dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    contrib = user_days.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("day"), F.date_add(F.col("day"), 27))
-        ).alias("report_day"),
-    )
-    mau = (
-        contrib.join(
-            F.broadcast(observed),
-            contrib["report_day"] == observed["day"],
-            "left_semi",
-        )
-        .groupBy("report_day")
-        .agg(F.countDistinct("user_id").alias("mau"))
+    mau = rolling_distinct_over(user_days, 28).select(
+        "report_day", F.col("n_distinct").alias("mau")
     )
     return (
         dau.join(mau, dau["day"] == mau["report_day"])

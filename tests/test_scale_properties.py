@@ -334,3 +334,57 @@ def test_setsim_prefix_filter_matches_bruteforce_random(spark, corpus):
     }
     release_caches()
     assert got == _brute_setsim(corpus, SETSIM_T)
+
+
+@st.composite
+def user_day_sets(draw):
+    """Small (user_id, day-offset) activity sets with deliberate overlap
+    (few users, few days) so sliding windows share members."""
+    n = draw(st.integers(min_value=1, max_value=25))
+    return draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=4),  # user_id
+                st.integers(min_value=0, max_value=12),  # day offset
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+
+
+@given(rows=user_day_sets(), window=st.integers(min_value=1, max_value=5))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rolling_distinct_matches_bruteforce(spark, rows, window):
+    """contribute-then-count must equal the brute-force 'distinct users
+    with activity in (d-window, d]' on every observed day, for any
+    activity set and window length — the sliding-COUNT(DISTINCT)
+    correctness claim independent of the fixture."""
+    import datetime as dt
+
+    from map_reduce_go_spark.plans.events import rolling_distinct_over
+
+    base = dt.date(2024, 1, 1)
+    data = [(u, base + dt.timedelta(days=off)) for u, off in rows]
+    df = spark.createDataFrame(data, "user_id long, day date").distinct()
+    got = {
+        r.report_day: r.n_distinct
+        for r in rolling_distinct_over(df, window).collect()
+    }
+    pairs = set(data)
+    days = {d for _, d in pairs}
+    want = {
+        d: len(
+            {
+                u
+                for (u, d2) in pairs
+                if dt.timedelta(0) <= d - d2 < dt.timedelta(days=window)
+            }
+        )
+        for d in days
+    }
+    assert got == want
