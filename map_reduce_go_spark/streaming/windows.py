@@ -238,3 +238,30 @@ def purchase_click_outer_join(
         F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
         F.unix_timestamp("click_ts").alias("click_epoch"),
     )
+
+
+def daily_distinct_users(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Daily distinct active users (the DAU metric) as a streaming
+    aggregation. Streaming DataFrames cannot run COUNT(DISTINCT)
+    directly (distinct state does not merge incrementally across
+    micro-batches), so this uses the canonical dedup-then-count
+    rewrite: drop duplicate (user, day) pairs — keyed state bounded by
+    actives × watermark horizon — then a plain windowed count, which IS
+    the distinct count after dedup. The same code path runs in batch
+    (plain dropDuplicates), so stream == batch is testable row-for-row;
+    this is the streaming twin of the batch dau_mau_stickiness rollup.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    days = src.select(
+        "user_id", F.window("ts", "1 day").alias("w")
+    )
+    deduped = (
+        days.dropDuplicatesWithinWatermark(["user_id", "w"])
+        if events.isStreaming
+        else days.dropDuplicates(["user_id", "w"])
+    )
+    return (
+        deduped.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .select(F.unix_timestamp("w.start").alias("day_start"), "dau")
+    )

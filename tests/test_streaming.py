@@ -622,3 +622,28 @@ def test_tws_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+
+def test_streaming_daily_distinct_equals_batch(spark, event_source):
+    """The dedup-then-count rewrite of COUNT(DISTINCT) must produce the
+    identical DAU rows under a file-source stream and in batch, and both
+    must equal a direct batch countDistinct."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    name = f"dau_{_uuid.uuid4().hex[:8]}"
+    stream = windows.read_event_stream(spark, event_source)
+    windows.run_to_memory(windows.daily_distinct_users(stream), name, complete=True)
+    got = {tuple(r) for r in spark.table(name).collect()}
+    batch_df = _batch_events(spark, event_source)
+    want = {tuple(r) for r in windows.daily_distinct_users(batch_df).collect()}
+    assert got == want
+    direct = {
+        (r.day_start, r.dau)
+        for r in batch_df.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .select(F.unix_timestamp("w.start").alias("day_start"), "dau")
+        .collect()
+    }
+    assert got == direct
