@@ -98,6 +98,48 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def largest_remainder_alloc(weights: DataFrame, budget: int) -> DataFrame:
+    """Hamilton apportionment core over a (source, weight_chars) frame:
+    integer floor quotas, then the ``budget − Σ floor`` leftover units go
+    to the largest remainders (ties by source name). Exact-quota by
+    construction: every allocation is within 1 of its real-valued quota
+    and the total is exactly ``budget``. All arithmetic is BIGINT
+    floor-div/modulo — partitioning- and engine-invariant; the global
+    window runs over the source rollup, where Exchange SinglePartition
+    is free. Hypothesis-tested on generated weight sets against a pure-
+    Python apportioner."""
+    total = weights.agg(F.sum("weight_chars").alias("total_w"))
+    quota = weights.crossJoin(F.broadcast(total)).select(
+        "source",
+        "weight_chars",
+        F.expr(f"(weight_chars * {int(budget)}) div total_w").alias("base_alloc"),
+        ((F.col("weight_chars") * int(budget)) % F.col("total_w")).alias(
+            "remainder"
+        ),
+    )
+    w_rank = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    ranked = quota.select(
+        "source",
+        "weight_chars",
+        "base_alloc",
+        F.row_number().over(w_rank).alias("r"),
+        (
+            F.lit(int(budget)) - F.sum("base_alloc").over(Window.partitionBy())
+        ).alias("extras"),
+    )
+    return ranked.select(
+        "source",
+        "weight_chars",
+        "base_alloc",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("r") <= F.col("extras"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("final_alloc"),
+    )
+
+
 @register(
     "sample_allocation_largest_remainder",
     oracle=f"""
@@ -145,37 +187,7 @@ def sample_allocation_largest_remainder(
     weights = docs.groupBy("source").agg(
         F.sum("n_chars").cast("long").alias("weight_chars")
     )
-    total = weights.agg(F.sum("weight_chars").alias("total_w"))
-    quota = weights.crossJoin(F.broadcast(total)).select(
-        "source",
-        "weight_chars",
-        F.expr(f"(weight_chars * {SAMPLE_BUDGET}) div total_w").alias("base_alloc"),
-        ((F.col("weight_chars") * SAMPLE_BUDGET) % F.col("total_w")).alias(
-            "remainder"
-        ),
-    )
-    w_rank = Window.orderBy(F.desc("remainder"), F.asc("source"))
-    ranked = quota.select(
-        "source",
-        "weight_chars",
-        "base_alloc",
-        F.row_number().over(w_rank).alias("r"),
-        (
-            F.lit(SAMPLE_BUDGET)
-            - F.sum("base_alloc").over(Window.partitionBy())
-        ).alias("extras"),
-    )
-    return ranked.select(
-        "source",
-        "weight_chars",
-        "base_alloc",
-        (
-            F.col("base_alloc")
-            + F.when(F.col("r") <= F.col("extras"), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("final_alloc"),
-    )
+    return largest_remainder_alloc(weights, SAMPLE_BUDGET)
 
 
 # Reconciliation knobs, shared with the oracle.

@@ -388,3 +388,58 @@ def test_rolling_distinct_matches_bruteforce(spark, rows, window):
         for d in days
     }
     assert got == want
+
+
+@st.composite
+def weight_sets(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    ws = draw(
+        st.lists(
+            st.integers(min_value=1, max_value=10_000),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    budget = draw(st.integers(min_value=1, max_value=500))
+    return ws, budget
+
+
+def _hamilton_py(weights: dict, budget: int) -> dict:
+    total = sum(weights.values())
+    base = {s: (w * budget) // total for s, w in weights.items()}
+    rem = {s: (w * budget) % total for s, w in weights.items()}
+    extras = budget - sum(base.values())
+    order = sorted(weights, key=lambda s: (-rem[s], s))
+    return {
+        s: base[s] + (1 if i < extras else 0) for i, s in enumerate(order)
+    }
+
+
+@given(wb=weight_sets())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_largest_remainder_matches_python_apportioner(spark, wb):
+    """The distributed Hamilton allocation must equal a pure-Python
+    apportioner on arbitrary weights and budgets: exact budget total,
+    exact-quota bounds, identical per-source integers."""
+    ws, budget = wb
+    from map_reduce_go_spark.plans.governance import largest_remainder_alloc
+
+    weights = {f"s{i:02d}": w for i, w in enumerate(ws)}
+    df = spark.createDataFrame(
+        list(weights.items()), "source string, weight_chars long"
+    ).repartition(3)
+    got = {
+        r.source: r.final_alloc
+        for r in largest_remainder_alloc(df, budget).collect()
+    }
+    want = _hamilton_py(weights, budget)
+    assert got == want
+    assert sum(got.values()) == budget
+    total = sum(weights.values())
+    for s, alloc in got.items():
+        exact = weights[s] * budget / total
+        assert exact - 1 < alloc < exact + 1
