@@ -1198,9 +1198,14 @@ def quantile_normalization_doclen(spark: SparkSession, sf_dir: str) -> DataFrame
         .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
         .alias("r"),
     )
-    target = ranked.groupBy("r").agg(
-        F.expr("sum(n_chars) div count(*)").alias("norm_chars")
-    )
-    return ranked.join(target, "r").select(
-        "source", "doc_id", "n_chars", "norm_chars"
+    # Rank-target means as a WINDOW over rank, not a groupBy + join-back:
+    # the join form re-plans the ranked subtree twice (plan-audited — 2
+    # scans); the window form is one scan, one extra exchange on r.
+    return ranked.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "sum(n_chars) OVER (PARTITION BY r) div count(*) OVER (PARTITION BY r)"
+        ).alias("norm_chars"),
     )

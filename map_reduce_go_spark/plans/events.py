@@ -578,9 +578,19 @@ def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "start_day", F.greatest("last_ship", "start_day").alias("end_day")
         )
     )
-    deltas = spans.select(F.col("start_day").alias("day"), F.lit(1).alias("d")).unionAll(
-        spans.select(F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("d"))
-    )
+    # Each span emits its +1/-1 pair via ONE map-side explode — a
+    # unionAll of two projections reads clean but makes Catalyst plan
+    # the orders x lineitem span build TWICE (plan-audited: 4 scans).
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("start_day").alias("day"), F.lit(1).alias("d")),
+                F.struct(
+                    F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("e")
+    ).select("e.day", "e.d")
     net = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("net"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return net.select(
@@ -833,10 +843,16 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts shuffle once on day. At 100 TB the (user, day) rollup is the
     operand everywhere — raw events are scanned exactly once.
     """
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
     e = load_table(spark, sf_dir, "events")
-    user_days = e.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
+    # The (user, day) rollup feeds THREE branches (daily count, 28-day
+    # contribution, observed-day spine); uncached, Catalyst plans the
+    # events scan once per branch (plan-audited: 3 scans). The rollup is
+    # actives x days — cache THAT, never the fact table.
+    user_days = tracked_cache(
+        e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    )
     dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     mau = rolling_distinct_over(user_days, 28).select(
         "report_day", F.col("n_distinct").alias("mau")

@@ -916,13 +916,22 @@ def interval_union_coverage_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("last_ship", "start_day").alias("end_day"),
         )
     )
+    # ONE map-side explode per span (see order_backlog_daily): the
+    # unionAll form planned the fact join twice.
     deltas = (
-        spans.select("pri", F.col("start_day").alias("day"), F.lit(1).alias("d"))
-        .unionAll(
-            spans.select(
-                "pri", F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("d")
-            )
+        spans.select(
+            "pri",
+            F.explode(
+                F.array(
+                    F.struct(F.col("start_day").alias("day"), F.lit(1).alias("d")),
+                    F.struct(
+                        F.date_add("end_day", 1).alias("day"),
+                        F.lit(-1).alias("d"),
+                    ),
+                )
+            ).alias("e"),
         )
+        .select("pri", "e.day", "e.d")
         .groupBy("pri", "day")
         .agg(F.sum("d").cast("long").alias("net"))
     )
