@@ -1394,7 +1394,12 @@ def embedding_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Quantize in its OWN projection (64-term array build ~ one dot64 of
     # codegen budget; see dot64's contract), then score in the next.
-    qcodes = emb.select("vec_id", _quant(F.col("embedding")).alias("qc"))
+    # Cached: the code table is the 4x-compressed INDEX and feeds both
+    # the probe projection and the corpus side of the integer-dot join —
+    # uncached, each side re-ran the quantization over a fresh scan.
+    qcodes = tracked_cache(
+        emb.select("vec_id", _quant(F.col("embedding")).alias("qc"))
+    )
     probes = qcodes.where(F.col("vec_id") < QUANT_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qc").alias("pc")
     )

@@ -660,10 +660,14 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     final count-distinct shuffles once on report day. Report days are
     semi-joined to OBSERVED days so both engines emit the same spine.
     """
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
     e = load_table(spark, sf_dir, "events")
-    user_days = e.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
+    # Cached for the same reason as dau_mau_stickiness: the rollup
+    # feeds both the contribution explode and the observed-day spine.
+    user_days = tracked_cache(
+        e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    )
     return rolling_distinct_over(user_days, 7).select(
         F.col("report_day").cast("string").alias("day"),
         F.col("n_distinct").alias("u7"),

@@ -108,6 +108,11 @@ def largest_remainder_alloc(weights: DataFrame, budget: int) -> DataFrame:
     window runs over the source rollup, where Exchange SinglePartition
     is free. Hypothesis-tested on generated weight sets against a pure-
     Python apportioner."""
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
+    # weights feeds the total AND the quota projection — cache the
+    # source-cardinality rollup so the fact scan below it runs once.
+    weights = tracked_cache(weights)
     total = weights.agg(F.sum("weight_chars").alias("total_w"))
     quota = weights.crossJoin(F.broadcast(total)).select(
         "source",
@@ -303,6 +308,8 @@ def gdpr_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline_stage_attrition's stage boundaries. Totals are per-table
     scalar aggregates; output is 3 rows.
     """
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -319,9 +326,14 @@ def gdpr_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         % GDPR_SAMPLE_MOD
         == 0
     ).select("c_custkey")
+    # Cache the keys-only cascade frontiers (the docstring's keys-only
+    # discipline made literal): uncached, each downstream branch
+    # re-planned its parent's scan — 9 fact scans (plan-audited).
+    erased = tracked_cache(erased)
     ord_ = o.join(
         erased, o["o_custkey"] == erased["c_custkey"], "left_semi"
     ).select("o_orderkey")
+    ord_ = tracked_cache(ord_)
     li_aff = li.join(
         ord_, li["l_orderkey"] == ord_["o_orderkey"], "left_semi"
     )

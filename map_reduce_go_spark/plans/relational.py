@@ -2231,8 +2231,12 @@ def basket_part_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflate counts. Top-20 rides TakeOrdered with total tie-break
     (count DESC, p1, p2) — deterministic under any partitioning.
     """
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # Cache the distinct rollup so the a x b self-join reads the fact
+    # table once, not twice (see basket_pair_lift).
+    items = tracked_cache(li.select("l_orderkey", "l_partkey").distinct())
     a = items.alias("a")
     b = items.alias("b")
     pairs = (
@@ -2338,8 +2342,14 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINT products — so the ranking is engine-exact with
     (lift, p1, p2) total tie-break.
     """
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # The distinct item set feeds FIVE subtrees (pair join a/b, two
+    # marginal joins, the basket total) — uncached that is five fact
+    # scans (plan-audited). Cache the ROLLUP (distinct pairs, far
+    # smaller than lineitem), never the fact table.
+    items = tracked_cache(li.select("l_orderkey", "l_partkey").distinct())
     n = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
     marg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
     a = items.alias("a")
