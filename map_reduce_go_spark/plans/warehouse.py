@@ -222,14 +222,21 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
 
     def fk(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
-        orphans = child.join(
-            parent.select(pkey), on=child[ckey] == parent[pkey], how="left_anti"
-        )
-        return (
-            child.agg(F.count(F.lit(1)).alias("n_rows"))
-            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_violations")))
-            .select(F.lit(name).alias("check_name"), "n_rows", "n_violations")
-        )
+        # One LEFT OUTER join against the (distinct) parent keys carries
+        # BOTH counts: total rows and no-match rows. The earlier
+        # anti-join + separate count formulation read the child table
+        # twice per check (plan-audited: 14 scans for the suite). The
+        # distinct() keeps the fusion safe even if a parent key ever
+        # stopped being unique; orphan semantics are unchanged (a NULL
+        # child key matches nothing in either formulation).
+        pk = parent.select(pkey).distinct()
+        joined = child.join(pk, on=child[ckey] == pk[pkey], how="left_outer")
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(pk[pkey].isNull(), 1).otherwise(0)).alias(
+                "n_violations"
+            ),
+        ).select(F.lit(name).alias("check_name"), "n_rows", "n_violations")
 
     def predicate(name: str, table: DataFrame, bad) -> DataFrame:
         return table.agg(
