@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...} — sized to fit the driver's 2000-char
+stdout tail. The full record (per-query spread, warm timings, error
+messages) is written to $SPARK_GRAFT_BENCH_OUT (default
+./BENCH_LOCAL.json, tracked) so cold medians stay auditable across
+rounds even when stdout is truncated.
 
 Execution is forced with a noop sink (full computation, nothing collected
 to the driver) — the honest measure of distributed work.
@@ -168,7 +172,7 @@ def main() -> None:
                 release_caches()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    full = {
         "metric": "headline_suite_seconds",
         "value": round(sum(results.values()), 3),
         "unit": "sec",
@@ -189,8 +193,45 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+
+    # The driver records only a 2000-char TAIL of stdout; the full record
+    # above overflows it at 42+ headliners (BENCH_r06 came back
+    # parsed:null — VERDICT r6 #1). So the full record goes to a TRACKED
+    # file (auditable round-over-round), and stdout carries exactly ONE
+    # JSON line — the contract fields (metric/value/unit/queries/sf) plus
+    # completed/attempted/worst — kept under the tail budget by dropping
+    # spread/warm/timing from stdout and, if headliner growth ever pushes
+    # the line past ~1900 chars, by coarsening per-query medians to 2dp
+    # (the suite total stays 3dp; full precision is always in the file).
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", str(REPO / "BENCH_LOCAL.json"))
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+
+    worst = max(results.items(), key=lambda kv: kv[1]) if results else None
+    line = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": results,
+        "completed": full["completed"],
+        "attempted": full["attempted"],
+        "worst": list(worst) if worst else None,
+        "detail": os.path.basename(out_path),
+        "sf": full["sf"],
+    }
+    if errors:
+        line["error_queries"] = sorted(errors)  # messages live in the file
+    encoded = json.dumps(line)
+    if len(encoded) > 1900:
+        line["queries"] = {k: round(v, 2) for k, v in results.items()}
+        encoded = json.dumps(line)
+    if len(encoded) > 1900:  # last resort: keep the contract parseable
+        line["queries"] = dict(sorted(results.items(), key=lambda kv: -kv[1])[:30])
+        line["queries_truncated_to_worst"] = len(line["queries"])
+        encoded = json.dumps(line)
+    print(encoded)
 
 
 if __name__ == "__main__":

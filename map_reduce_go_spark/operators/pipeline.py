@@ -1185,9 +1185,11 @@ def quantile_normalization_doclen(spark: SparkSession, sf_dir: str) -> DataFrame
     partitions — parallel, never global); the rank-target table is a
     rank-cardinality rollup; the final join is co-keyed on rank. Target
     means are integer floor-div. Assumes equal per-source depth (true
-    for the fixture; ragged sources would ntile to a common grid first
-    — documented, not silently wrong, since the rank join would then
-    drop the overhang rows of deeper sources).
+    for the fixture). Ragged sources: no row is ever dropped — deeper
+    sources keep their overhang rows, whose rank-mean simply averages
+    over the fewer sources that reach that depth (both the window form
+    below and the oracle behave this way). The fix for ragged inputs is
+    ntile to a common grid before ranking, not a row-drop.
     """
     docs = load_table(spark, sf_dir, "documents")
     ranked = docs.select(

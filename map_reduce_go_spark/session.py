@@ -54,16 +54,36 @@ def _ensure_protobuf_runtime() -> None:
     for path in candidates:
         if not os.path.isdir(os.path.join(path, "google", "protobuf")):
             continue
-        sys.path.insert(0, path)
+        # APPEND, never insert(0): the fallback dir ships many vendored
+        # top-level packages besides google/ (the appengine SDK bundles
+        # its own yaml, six, ...) — at the front of sys.path they would
+        # shadow site-packages/stdlib for the whole process. At the tail
+        # they are only reachable for imports nothing else satisfies
+        # (here: google.protobuf, which the try above proved absent).
+        sys.path.append(path)
         try:
             from google.protobuf import descriptor  # noqa: F401
         except ImportError:
             sys.path.remove(path)
             continue
+        # Side effects, applied only when the fallback is actually used:
+        # PYTHONPATH gains the fallback dir (appended, same shadowing
+        # argument — workers inherit it via the JVM env snapshot) and
+        # protobuf's documented version-check escape hatch is set
+        # process-wide (the one-minor-older runtime is wire-compatible
+        # for the TWS protocol; see docstring).
         os.environ["PYTHONPATH"] = (
-            path + os.pathsep + os.environ.get("PYTHONPATH", "")
-        ).rstrip(os.pathsep)
+            (os.environ.get("PYTHONPATH", "") + os.pathsep + path).lstrip(os.pathsep)
+        )
         os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        import warnings
+
+        warnings.warn(
+            f"google.protobuf loaded from fallback path {path} "
+            "(appended to sys.path/PYTHONPATH; "
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK=true set)",
+            stacklevel=2,
+        )
         return
 
 

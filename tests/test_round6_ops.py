@@ -55,7 +55,9 @@ def test_backlog_matches_naive_per_day_count(spark, duck, sf_dir):
     of days including the first, last, and peak)."""
     got = {r.day: r.n_open for r in order_backlog_daily(spark, sf_dir).collect()}
     days = sorted(got)
-    sample = {days[0], days[-1], max(got, key=got.get)} | set(days[:: len(days) // 7])
+    sample = {days[0], days[-1], max(got, key=got.get)} | set(
+        days[:: max(1, len(days) // 7)]
+    )
     for day in sample:
         naive = duck.sql(
             f"""
