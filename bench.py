@@ -96,6 +96,14 @@ HEADLINE = [
     "rolling_7d_distinct_users",
     "interval_union_coverage_days",
     "negative_sampling_per_order",
+    # Round-7 additions: the distributed-row_number equidepth histogram
+    # (two full-width shuffles replacing the single-partition ntile),
+    # BM25 corpus scoring (tokenize + two-level agg + top-k), and
+    # filtered IVF vector search (predicate fused into the cell-pruned
+    # candidate join) — the three scale-sensitive new plans.
+    "equidepth_histogram_price_approx",
+    "bm25_doc_ranking",
+    "ann_filtered_ivf",
 ]
 
 

@@ -1211,3 +1211,70 @@ def quantile_normalization_doclen(spark: SparkSession, sf_dir: str) -> DataFrame
             "sum(n_chars) OVER (PARTITION BY r) div count(*) OVER (PARTITION BY r)"
         ).alias("norm_chars"),
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "doc_chunking_fixed_tokens",
+    oracle=rf"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{{L}}]+'),
+                         x -> len(x) > 0) AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(least(s + {CHUNK_TOKENS}, len(toks)) - s AS BIGINT) AS n_tokens,
+           toks[s + 1] AS first_token,
+           toks[least(s + {CHUNK_TOKENS}, len(toks))] AS last_token
+    FROM (
+      SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS s
+      FROM ws WHERE len(toks) > 0
+    ) t
+    """,
+)
+def doc_chunking_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window splitter a
+    RAG indexer or a fixed-sequence-length training pipeline runs over
+    every document: chunks of {CHUNK_TOKENS} tokens starting every
+    {CHUNK_STRIDE} (i.e. {CHUNK_TOKENS - CHUNK_STRIDE}-token overlap),
+    the final chunk truncated at the document end. Emits per chunk its
+    index, token count, and boundary tokens (the metadata a chunk store
+    carries; the chunk text itself would be a slice() of the same array).
+
+    Scale shape: pure map-side — tokenize once per doc, explode a
+    sequence of chunk starts (~n_tokens/{CHUNK_STRIDE} rows per doc,
+    linear in corpus size), no shuffle at all until a downstream
+    aggregation. At 100 TB this runs as one codegen'd scan-project pass;
+    the explode factor is bounded by document length over stride, so
+    output size tracks token count, not doc count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), r"[^\p{L}]+"), lambda x: F.length(x) > 0
+        ).alias("toks"),
+    ).where(F.size("toks") > 0)
+    chunks = ws.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.expr(f"CAST(s div {CHUNK_STRIDE} AS INT)").alias("chunk_idx"),
+        (F.least(F.col("s") + CHUNK_TOKENS, F.size("toks")) - F.col("s"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.element_at("toks", F.col("s") + 1).alias("first_token"),
+        F.element_at(
+            "toks", F.least(F.col("s") + CHUNK_TOKENS, F.size("toks"))
+        ).alias("last_token"),
+    )

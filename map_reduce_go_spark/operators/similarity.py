@@ -1526,3 +1526,90 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "ann_filtered_ivf",
+    oracle=f"""
+    WITH {_ivf_build_ctes()},
+    probe AS (
+      SELECT vec_id, embedding, label, cell FROM (
+        SELECT e.vec_id, e.embedding, e.label, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))
+                          / sqrt(list_sum(list_transform(generate_series(1, {_DIM}),
+                            i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))) DESC,
+                          c.cell) AS rk
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE rk <= {NPROBE}
+    )
+    SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             {_DOT} / ({_NORM_Q} * {_NORM_V}) AS raw_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_DOT} / ({_NORM_Q} * {_NORM_V}) DESC,
+                        v.vec_id) AS rank
+      FROM probe q
+      JOIN (SELECT c.vec_id, c.embedding, c.cell, e.label
+            FROM corpus c JOIN embeddings e USING (vec_id)) v
+        ON v.cell = q.cell AND v.vec_id <> q.vec_id AND v.label = q.label
+    ) t WHERE rank <= {TOP_K}
+    """,
+)
+def ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — ANN with a metadata predicate, the shape
+    every production vector store runs (RAG retrieval restricted to one
+    tenant/collection/language): each query's neighbors must satisfy the
+    predicate (here: share the query's label) AND rank top-k by cosine
+    within the NPROBE probed IVF cells.
+
+    The predicate is applied as PRE-filtering — fused into the cell-
+    pruned candidate join, so non-matching vectors are discarded before
+    any distance is computed. Post-filtering (top-k first, filter after)
+    would silently return < k rows whenever the unfiltered top-k is
+    dominated by non-matching neighbors; with pre-filtering, recall
+    within probed cells is exact. At 100 TB with the corpus written
+    partitioned by cell (and optionally sub-partitioned by a coarse
+    predicate column), the filter reaches the parquet scan as a pushed
+    predicate and the probe set stays a broadcast.
+
+    Shares the memoized deterministic IVF build with ann_ivf_cosine (one
+    codebook per fixture per session).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").transform(tracked_cache)
+    centroids = ivf_centroids_for(sf_dir, emb)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("label").alias("v_label"),
+        _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        F.explode(_nearest_cells(F.col("embedding"), centroids, NPROBE)).alias(
+            "q_cell"
+        ),
+    )
+    scored = corpus.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("v_label") == F.col("q_label")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_udf(F.col("q_emb"), F.col("v_emb")).alias("raw_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("raw_sim", 6).alias("sim"), "rank")
+    )

@@ -7,7 +7,7 @@ for a 100 TB quality-filter pass (no shuffle at all until you aggregate).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_go_spark.functions.text import WORD_BOUNDARY
@@ -1835,4 +1835,342 @@ def word_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("degree").cast("long").alias("min_degree"),
         F.max("degree").cast("long").alias("max_degree"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranking, LLR keyness, vocabulary min-count curve, source language mix
+# (round 7)
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_DOCS = 20
+BM25_TERMS = ("spark", "merge", "window")
+
+
+def _bm25_term_sql(i: int) -> str:
+    """One query term's BM25 contribution — written with the exact same
+    association/parenthesization as the Spark Column expression below so
+    the double math is bit-matched cross-engine before the 6dp round."""
+    return (
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * ({BM25_K1} + 1.0))"
+        f" / (tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / (sum_dl / n_docs)))"
+    )
+
+
+@register(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH {_TOKS_ALL_SQL},
+    perdoc AS (
+      SELECT doc_id, count(*) AS dl,
+             {", ".join(f"CAST(sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}" for i, t in enumerate(BM25_TERMS))}
+      FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+             {", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(BM25_TERMS)))}
+      FROM perdoc
+    ),
+    scored AS (
+      SELECT doc_id, dl, {", ".join(f"tf{i}" for i in range(len(BM25_TERMS)))},
+             round({" + ".join(_bm25_term_sql(i) for i in range(len(BM25_TERMS)))}, 6) AS score
+      FROM perdoc CROSS JOIN stats
+    )
+    SELECT doc_id, dl, {", ".join(f"tf{i}" for i in range(len(BM25_TERMS)))}, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM scored
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOP_DOCS}
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring of the whole corpus against a fixed query
+    ({BM25_TERMS}) — the lexical-search ranking a RAG pipeline runs before
+    (or fused with) vector search. Okapi BM25 with k1/b defaults.
+
+    Scale shape: ONE tokenize+explode pass feeds a per-doc conditional
+    aggregate (tf per query term + doc length — map-side combinable);
+    corpus stats (N, sum dl, df per term) are ONE more agg over that
+    doc-sized rollup, cross-joined back as a broadcast scalar row. The
+    final top-k is orderBy+limit — TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), never a global single-partition sort.
+    Ranking ties break on the 6dp-rounded score then doc_id, so ULP noise
+    in ln() cannot reorder rows cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0)
+        ).alias("tok"),
+    )
+    perdoc = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    ).transform(tracked_cache)
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+
+    def term(i: int):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        tfn = (F.col(f"tf{i}") * (BM25_K1 + 1.0)) / (
+            F.col(f"tf{i}")
+            + BM25_K1
+            * (
+                1.0
+                - BM25_B
+                + BM25_B * F.col("dl") / (F.col("sum_dl") / F.col("n_docs"))
+            )
+        )
+        return idf * tfn
+
+    scored = perdoc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "dl",
+        *[f"tf{i}" for i in range(len(BM25_TERMS))],
+        F.round(sum((term(i) for i in range(1, len(BM25_TERMS))), term(0)), 6).alias(
+            "score"
+        ),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOP_DOCS)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+LLR_TOP_TERMS = 5
+
+
+@register(
+    "llr_keyness_by_source",
+    oracle=f"""
+    WITH {_TOKS_ALL_SQL},
+    src_toks AS (
+      SELECT d.source, t.tok FROM toks t JOIN documents d USING (doc_id)
+    ),
+    a AS (SELECT source, tok, count(*) AS n_in_source
+          FROM src_toks GROUP BY source, tok),
+    ns AS (SELECT source, CAST(sum(n_in_source) AS BIGINT) AS n_source FROM a GROUP BY source),
+    wt AS (SELECT tok, CAST(sum(n_in_source) AS BIGINT) AS n_word FROM a GROUP BY tok),
+    tot AS (SELECT CAST(sum(n_in_source) AS BIGINT) AS n_total FROM a),
+    cells AS (
+      SELECT a.source, a.tok, a.n_in_source,
+             wt.n_word - a.n_in_source AS n_elsewhere,
+             ns.n_source, wt.n_word, tot.n_total
+      FROM a JOIN ns USING (source) JOIN wt USING (tok) CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT source, tok, n_in_source, n_elsewhere,
+             round(2.0 * (
+               (CASE WHEN n_in_source > 0 THEN n_in_source * ln(n_in_source / (CAST(n_source AS DOUBLE) * n_word / n_total)) ELSE 0.0 END)
+             + (CASE WHEN n_elsewhere > 0 THEN n_elsewhere * ln(n_elsewhere / (CAST(n_total - n_source AS DOUBLE) * n_word / n_total)) ELSE 0.0 END)
+             + (CASE WHEN n_source - n_in_source > 0 THEN (n_source - n_in_source) * ln((n_source - n_in_source) / (CAST(n_source AS DOUBLE) * (n_total - n_word) / n_total)) ELSE 0.0 END)
+             + (CASE WHEN (n_total - n_source) - n_elsewhere > 0 THEN ((n_total - n_source) - n_elsewhere) * ln(((n_total - n_source) - n_elsewhere) / (CAST(n_total - n_source AS DOUBLE) * (n_total - n_word) / n_total)) ELSE 0.0 END)
+             ), 6) AS llr
+      FROM cells
+      WHERE n_in_source * n_total > n_source * n_word
+    )
+    SELECT source, tok, n_in_source, n_elsewhere, llr, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY llr DESC, tok) AS INT) AS rk
+      FROM scored
+    ) t WHERE rk <= {LLR_TOP_TERMS}
+    """,
+)
+def llr_keyness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source by Dunning log-likelihood ratio
+    (G² keyness over the 2x2 term-vs-rest contingency table) — the
+    corpus-comparison statistic quality teams use to spot what a source
+    over-represents (spam phrases, boilerplate, domain drift). Keeps only
+    OVER-represented terms (observed share > corpus share — an exact
+    integer cross-multiplication test) and emits the top {LLR_TOP_TERMS}
+    per source.
+
+    Scale shape: the corpus is tokenized ONCE into (source, tok) counts
+    (map-side combinable, vocabulary x sources sized); the three marginals
+    (per-source totals, per-term totals, grand total) all derive from that
+    cached rollup — no second corpus scan. Joins are rollup-sized; the
+    grand total is a broadcast scalar. Ranking uses the 6dp-rounded score
+    with a token tiebreak, so ln() ULP noise cannot flip rows cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    a = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0
+                )
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n_in_source"))
+        .transform(tracked_cache)
+    )
+    ns = a.groupBy("source").agg(F.sum("n_in_source").cast("long").alias("n_source"))
+    wt = a.groupBy("tok").agg(F.sum("n_in_source").cast("long").alias("n_word"))
+    tot = a.agg(F.sum("n_in_source").cast("long").alias("n_total"))
+    cells = (
+        a.join(ns, "source")
+        .join(wt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_elsewhere", F.col("n_word") - F.col("n_in_source"))
+    )
+
+    def cell(obs, exp):
+        return F.when(obs > 0, obs * F.log(obs / exp)).otherwise(F.lit(0.0))
+
+    n_src = F.col("n_source").cast("double")
+    n_rest = (F.col("n_total") - F.col("n_source")).cast("double")
+    scored = cells.where(
+        F.col("n_in_source") * F.col("n_total") > F.col("n_source") * F.col("n_word")
+    ).select(
+        "source",
+        "tok",
+        "n_in_source",
+        "n_elsewhere",
+        F.round(
+            2.0
+            * (
+                cell(F.col("n_in_source"), n_src * F.col("n_word") / F.col("n_total"))
+                + cell(
+                    F.col("n_elsewhere"), n_rest * F.col("n_word") / F.col("n_total")
+                )
+                + cell(
+                    F.col("n_source") - F.col("n_in_source"),
+                    n_src * (F.col("n_total") - F.col("n_word")) / F.col("n_total"),
+                )
+                + cell(
+                    (F.col("n_total") - F.col("n_source")) - F.col("n_elsewhere"),
+                    n_rest * (F.col("n_total") - F.col("n_word")) / F.col("n_total"),
+                )
+            ),
+            6,
+        ).alias("llr"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("llr"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= LLR_TOP_TERMS)
+    )
+
+
+VOCAB_MIN_COUNTS = (1, 2, 3, 5, 10, 20, 50, 100)
+
+
+@register(
+    "min_count_vocab_curve",
+    oracle=f"""
+    WITH {_TOKS_ALL_SQL},
+    cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt)
+    SELECT t.min_count,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(cnt) AS BIGINT) AS covered_tokens,
+           CAST(sum(cnt) * 1000000 // (SELECT total FROM tot) AS BIGINT) AS coverage_ppm
+    FROM cnt CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in VOCAB_MIN_COUNTS)}]) AS min_count) t
+    WHERE cnt >= t.min_count
+    GROUP BY t.min_count
+    """,
+)
+def min_count_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-planning curve: for each candidate min-count threshold,
+    the surviving vocabulary size and the fraction of token OCCURRENCES
+    it still covers (ppm) — the tradeoff table behind every frequency-
+    pruned vocabulary decision.
+
+    Scale shape: one tokenize pass to vocabulary counts (map-side
+    combinable); the curve is an explode of {len(VOCAB_MIN_COUNTS)}
+    threshold literals over that VOCABULARY-sized rollup (bounded k×
+    replication of the small frame, never of the corpus), then one more
+    tiny agg. Coverage is integer-ppm (exact cross-engine). The corpus
+    total derives from the cached counts — one scan total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .transform(tracked_cache)
+    )
+    tot = cnt.agg(F.sum("cnt").cast("long").alias("total"))
+    curve = (
+        cnt.select(
+            "cnt",
+            F.explode(
+                F.array(*[F.lit(t) for t in VOCAB_MIN_COUNTS])
+            ).alias("min_count"),
+        )
+        .where(F.col("cnt") >= F.col("min_count"))
+        .groupBy("min_count")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum("cnt").cast("long").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return curve.select(
+        "min_count",
+        "vocab_size",
+        "covered_tokens",
+        F.expr("covered_tokens * 1000000 div total").alias("coverage_ppm"),
+    )
+
+
+@register(
+    "source_lang_entropy",
+    oracle="""
+    WITH sl AS (
+      SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           round(ln(CAST(sum(cnt) AS DOUBLE))
+                 - sum(cnt * ln(CAST(cnt AS DOUBLE))) / sum(cnt), 6) AS lang_entropy
+    FROM sl GROUP BY source
+    """,
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix diversity per source: Shannon entropy (nats) of each
+    source's language distribution — 0 for monolingual sources, ln(k) for
+    a uniform k-language mix. The data-mixture signal that tells you which
+    sources need language-stratified sampling.
+
+    Scale shape: one (source, lang) count agg (map-side combinable,
+    sources x languages rows), then a per-source fold using the
+    H = ln(n) - Σ c·ln(c) / n identity — one division total, no per-row
+    p=c/n intermediates. The float sum runs over ≤ #languages terms per
+    source; 6dp rounding absorbs ULP/order noise cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt").cast("long")
+    return sl.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.round(
+            F.log(n.cast("double"))
+            - F.sum(F.col("cnt") * F.log(F.col("cnt").cast("double"))) / F.sum("cnt"),
+            6,
+        ).alias("lang_entropy"),
     )

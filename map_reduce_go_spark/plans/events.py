@@ -974,3 +974,127 @@ def session_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(F.length("path")).cast("long").alias("max_session_len"),
     )
+
+
+@register(
+    "weekly_activity_bitmap",
+    oracle="""
+    WITH perweek AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS week_idx,
+             bit_or(1 << dayofweek(ts)) AS pattern
+      FROM events GROUP BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7
+    )
+    SELECT pattern,
+           CAST(bit_count(pattern) AS INT) AS days_active,
+           count(*) AS n_user_weeks
+    FROM perweek GROUP BY pattern
+    """,
+)
+def weekly_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-activity fingerprints: per (user, week) a 7-bit bitmap of
+    which weekdays saw any activity (bit_or of 1<<dow), then the corpus
+    histogram of those patterns — the compact engagement-shape rollup
+    (weekday-only users, weekend-only users, daily users) that feeds
+    cohorting without storing per-day rows.
+
+    Scale shape: the bitmap build is ONE map-side-combinable bit_or agg
+    keyed (user, week) — bitwise OR is associative/commutative, so
+    partial aggregation compacts each partition to one int per key before
+    the shuffle; the pattern histogram is a second tiny agg over ≤128
+    distinct patterns. All integer — exact cross-engine. Weeks are epoch
+    days div 7 and weekdays Spark's dayofweek-1 (Sunday=0), matching
+    DuckDB's dayofweek, both independent of session timezone under the
+    pinned-UTC sessions.
+    """
+    e = load_table(spark, sf_dir, "events")
+    perweek = e.select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) div 7").alias(
+            "week_idx"
+        ),
+        F.expr("shiftleft(1, dayofweek(ts) - 1)").alias("day_bit"),
+    )
+    bitmaps = perweek.groupBy("user_id", "week_idx").agg(
+        F.bit_or("day_bit").alias("pattern")
+    )
+    return bitmaps.groupBy("pattern").agg(
+        F.bit_count("pattern").cast("int").alias("days_active"),
+        F.count(F.lit(1)).alias("n_user_weeks"),
+    )
+
+
+@register(
+    "churn_weekly_rates",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS week_idx
+      FROM events
+    ),
+    horizon AS (SELECT max(week_idx) AS max_week FROM uw)
+    SELECT a.week_idx,
+           count(*) AS n_active,
+           CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned,
+           CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS churn_ppm
+    FROM uw a
+    LEFT JOIN uw b ON b.user_id = a.user_id AND b.week_idx = a.week_idx + 1
+    WHERE a.week_idx < (SELECT max_week FROM horizon)
+    GROUP BY a.week_idx
+    """,
+)
+def churn_weekly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: of the users active in week w, how many produce no
+    event in week w+1 — the retention KPI. The horizon's last week is
+    excluded (its following week is unobserved, not churned).
+
+    Scale shape: ONE distinct (user, week) rollup is cached and reused
+    for both sides of the churn self-join (co-keyed on user_id — at
+    100 TB both sides arrive pre-bucketed if the rollup persists bucketed
+    by user) and for the max-week scalar; the fact table is scanned once.
+    The join input is users x weeks, orders of magnitude below the event
+    count, and the churn test is a LEFT join null-probe. All counters and
+    the ppm rate are exact integers.
+    """
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
+    e = load_table(spark, sf_dir, "events")
+    uw = (
+        e.select(
+            "user_id",
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) div 7").alias(
+                "week_idx"
+            ),
+        )
+        .distinct()
+        .transform(tracked_cache)
+    )
+    max_week = uw.agg(F.max("week_idx").alias("max_week"))
+    nxt = uw.select(
+        F.col("user_id").alias("n_user_id"), F.col("week_idx").alias("n_week_idx")
+    )
+    joined = uw.join(
+        nxt,
+        (F.col("n_user_id") == F.col("user_id"))
+        & (F.col("n_week_idx") == F.col("week_idx") + 1),
+        "left",
+    )
+    return (
+        joined.crossJoin(F.broadcast(max_week))
+        .where(F.col("week_idx") < F.col("max_week"))
+        .groupBy("week_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("n_user_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_churned"),
+        )
+        .select(
+            "week_idx",
+            "n_active",
+            "n_churned",
+            F.expr("n_churned * 1000000 div n_active").alias("churn_ppm"),
+        )
+    )

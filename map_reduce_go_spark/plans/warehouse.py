@@ -970,3 +970,98 @@ def interval_union_coverage_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").cast("string").alias("first_day"),
         F.date_sub(F.max("day"), 1).cast("string").alias("last_day"),
     )
+
+
+_HIST_APPROX_BUCKETS = 16
+_HIST_APPROX_PARTS = 8
+
+
+@register(
+    "equidepth_histogram_price_approx",
+    oracle=f"""
+    SELECT bucket,
+           count(*) AS n_orders,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM (
+      SELECT o_totalprice,
+             CAST(ntile({_HIST_APPROX_BUCKETS})
+                  OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS bucket
+      FROM orders
+    ) t
+    GROUP BY bucket
+    """,
+)
+def equidepth_histogram_price_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram WITHOUT the single-partition ntile window —
+    the scale path the equidepth_histogram_price docstring names. Same
+    output (exact ntile semantics, {_HIST_APPROX_BUCKETS} buckets), but
+    the global rank is computed with the distributed row_number idiom:
+
+      1. repartitionByRange on (price, orderkey) — rows land in
+         range-ordered partitions, each sorted independently;
+      2. per-partition row_number (window PARTITIONED by the physical
+         partition id — parallel, never a global sort);
+      3. global row_number = local row_number + the cumulative count of
+         all lower partitions. The per-partition counts are index
+         metadata — at most {_HIST_APPROX_PARTS} longs collected to the
+         driver and joined back as a broadcast literal frame (the IVF-
+         codebook discipline: metadata moves, the data plane never does).
+
+    The rank→bucket map replays ntile's exact fill rule (the first
+    n mod B buckets take one extra row) as integer arithmetic, so the
+    DuckDB ntile oracle matches bit-for-bit; o_orderkey tie-breaks make
+    membership deterministic. The executed plan contains NO Exchange
+    SinglePartition over fact-sized input (tests/test_plan_audit.py);
+    both shuffles (range + pid-hash) are full-width. At 100 TB this is
+    the plan you run when ANALYZE-grade exact bucket bounds are required;
+    when approximate bounds suffice, percentile_approx's mergeable GK
+    sketch does it in one pass with no second shuffle.
+    """
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranged = (
+        orders.select("o_totalprice", "o_orderkey")
+        .repartitionByRange(_HIST_APPROX_PARTS, "o_totalprice", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        .transform(tracked_cache)
+    )
+    # Partition sizes -> cumulative offsets: bounded by the partition
+    # count (metadata), independent of row count.
+    sizes = {r["pid"]: r["n"] for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(sizes.values())
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = spark.createDataFrame(offsets, "pid int, offset long")
+
+    w = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    rn = (F.row_number().over(w) + F.col("offset")).alias("rn")
+    ranked = ranged.join(F.broadcast(off), "pid").select("o_totalprice", rn)
+
+    # ntile replay: with n rows and B buckets, the first r = n mod B
+    # buckets hold q+1 rows (q = n div B), the rest hold q.
+    b = _HIST_APPROX_BUCKETS
+    q, r = divmod(n, b)
+    if q == 0:  # degenerate corpus smaller than the bucket count
+        bucket = F.col("rn")
+    else:
+        big = r * (q + 1)  # rows living in the q+1-sized buckets
+        # ceil division via (x + d - 1) div d, all integer.
+        bucket = F.when(
+            F.col("rn") <= big,
+            F.expr(f"CAST((rn + {q + 1} - 1) div {q + 1} AS INT)"),
+        ).otherwise(
+            F.expr(f"CAST({r} + (rn - {big} + {q} - 1) div {q} AS INT)")
+        )
+    return (
+        ranked.select("o_totalprice", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -50,85 +50,78 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the checked window. Queries not listed follow in registration order, so
 # the union of checked sets grows round over round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-6 window — the promised staleness rotation (VERDICT r5 #2).
-    # Slot order: (a) the 38 queries ADDED this round (never checked —
-    # strictly less evidence than any green row), (b) the 9 round-5-
-    # touched queries whose r3/r4 rows no longer describe the shipped
-    # code (memoized codebooks / shared IVF build / cache scoping landed
-    # in r5 after their last driver row), (c) 2 round-6-touched re-checks
-    # (setsim lost its vocabulary broadcast, dedup_clusters' label memo
-    # was rekeyed this round), (d) the oldest cohort — 1 of the 31
-    # queries whose latest driver row is r2, registration order; the 30
-    # that did not fit (named below) lead the r7 window. All 211 queries
-    # pass the local driver-mimic at sf0.01 AND sf0.1 this round
-    # regardless of window membership, and all are three-mode
-    # determinism-swept (partitions/broadcast/aqe).
-    # --- (a) round-6 additions (never checked — lead the window) ---
-    "basket_pair_lift",
-    "table_checksum_buckets",
-    "gdpr_delete_impact",
-    "session_path_patterns",
-    "first_last_touch_attribution",
-    "dau_mau_stickiness",
-    "interval_union_coverage_days",
-    "negative_sampling_per_order",
-    "quantile_normalization_doclen",
-    "word_graph_degree_distribution",
-    "k_anonymity_audit",
-    "sample_allocation_largest_remainder",
-    "rolling_7d_distinct_users",
-    "time_weighted_avg_value_per_user",
-    "order_gap_islands",
-    "readability_flesch_by_source",
-    "zipf_tail_slope",
-    "embedding_int8_quant_recall",
-    "hard_negative_mining",
-    "cms_sketch_cells",
-    "chisq_segment_priority_independence",
-    "ship_latency_percentiles_by_priority",
-    "basket_part_pairs_topk",
-    "doclen_log2_histogram",
-    "mad_doclen_by_source",
-    "dedup_token_attrition_by_source",
-    "new_users_daily_cumulative",
-    "order_backlog_daily",
-    "bpe_merge_steps",
-    "cms_self_join_size_probe",
-    "shared_ansi_sql_probe",
-    "kmv_distinct_merge_probe",
-    "benford_first_digit_audit",
-    "snapshot_diff_cdc",
-    "revenue_lorenz_gini",
-    "ewma_daily_revenue",
-    "shingle_novelty_per_doc",
-    "weighted_median_price",
-    # --- (b) r5-touched, stale rows ---
-    "ann_ivf_recall_probe",
-    "semdedup_prune",
-    "dedup_embedding_cosine",
-    "bigram_lm_doc_score",
-    "pmi_collocations",
-    "tfidf_top_terms",
-    "token_mixture_planner",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_stopfiltered",
-    # --- (c) r6-touched re-checks ---
-    "setsim_prefix_filter_join",
-    "dedup_clusters",
-    # --- (d) the oldest (r2) cohort, registration order ---
-    "embedding_centroids",
-    # (The r2 cohort's last 30 rows — knn_bruteforce_cosine, text_quality_stats,
-    # language_guess, token_counts, doc_fingerprint, token_positions,
-    # q1_pricing_summary, agg_stats_per_nation, count_distinct_custkey,
-    # rollup_lineitem_flags, cube_orders_status_priority,
-    # grouping_sets_nation_segment, conditional_agg_pivot, q3, q5,
-    # semi/anti/outer joins, window_topk_parts_per_brand,
-    # window_running_customer_spend, top20_orders_by_price,
-    # set_ops_nation_presence, distinct_sorted_segments,
-    # scalar_string/datetime/math_functions, json_extract_events, q6,
-    # q14, q18 — ceded their slots to the 30 round-6 additions above:
-    # a never-checked query has strictly less evidence than any stale
-    # green. They lead the r7 window.)
+    # Round-7 window — PAYING the rotation debt (VERDICT r6 "Next round"
+    # #2): after r6 spent its slots on its own 38 additions, 112 of 211
+    # rows predated r5 and the whole r2 cohort (30 rows, last checked
+    # round 2) was the oldest evidence on the board. This window leads
+    # with ALL 30 of those displaced r2 rows, then the 9 round-7
+    # additions (never checked — strictly less evidence than any green),
+    # then the 11 oldest r3 rows in registration order. New-query
+    # additions were deliberately budgeted ≤15 this round so 41 of the
+    # 50 slots rotate stale rows; after r7 no query's latest driver row
+    # is older than round 3. All 211 queries pass the local driver-mimic
+    # at sf0.01 AND sf0.1 regardless of window membership.
+    # --- (a) the full r2 cohort (oldest evidence — leads the window) ---
+    "knn_bruteforce_cosine",
+    "text_quality_stats",
+    "language_guess",
+    "token_counts",
+    "doc_fingerprint",
+    "token_positions",
+    "q1_pricing_summary",
+    "agg_stats_per_nation",
+    "count_distinct_custkey",
+    "rollup_lineitem_flags",
+    "cube_orders_status_priority",
+    "grouping_sets_nation_segment",
+    "conditional_agg_pivot",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "semi_join_customers_with_purchases",
+    "anti_join_parts_never_ordered",
+    "outer_join_nation_customer_counts",
+    "window_topk_parts_per_brand",
+    "window_running_customer_spend",
+    "top20_orders_by_price",
+    "set_ops_nation_presence",
+    "distinct_sorted_segments",
+    "scalar_string_functions",
+    "scalar_datetime_functions",
+    "scalar_math_functions",
+    "json_extract_events",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    # --- (b) round-7 additions (never checked) ---
+    "equidepth_histogram_price_approx",
+    "bm25_doc_ranking",
+    "llr_keyness_by_source",
+    "min_count_vocab_curve",
+    "source_lang_entropy",
+    "weekly_activity_bitmap",
+    "churn_weekly_rates",
+    "doc_chunking_fixed_tokens",
+    "ann_filtered_ivf",
+    # --- (c) the oldest r3 rows, registration order ---
+    "multimodal_feature_stub",
+    "multimodal_resize_stub",
+    "multimodal_frame_sample",
+    "ann_lsh_cosine",
+    "top_bigrams",
+    "doc_repetition_stats",
+    "bpe_pair_counts",
+    "approx_distinct_probe",
+    "array_functions_showcase",
+    "median_price_per_segment",
+    "correlated_subquery_above_nation_avg",
+    # (The remaining 30 r3 rows — set_ops_all_variants, unpivot_part_metrics,
+    # minmax_by_order_extremes, window_range_frame_30d, the q4-q22 TPC-H
+    # cohort, pii_redaction, quality_filter_chain, sequence_packing,
+    # train_test_split, shuffle_shards, stratified_sample_by_lang,
+    # data_mixture_upsample, decontaminate_against_eval,
+    # events_multi_granularity_rollup, range_join_error_click_counts,
+    # scalar_subquery_in_select, window_value_functions, quantile_sketch_probe
+    # — lead the r8 window, oldest-first.)
 )
 
 
