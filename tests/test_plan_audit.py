@@ -22,6 +22,8 @@ _EXEC_AT_BUILD = {
     "cross_doc_span_dupes",  # materializes the hashed span set
     "ann_pq_adc_topk",  # trains the PQ codebooks
     "ann_ivf_pq_topk",  # trains both the IVF and PQ indexes
+    "ann_filtered_ivf",  # trains the IVF codebook
+    "equidepth_histogram_price_approx",  # collects the partition-offset metadata
 }
 
 
