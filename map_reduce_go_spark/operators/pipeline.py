@@ -1235,6 +1235,7 @@ CHUNK_STRIDE = 24
       SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS s
       FROM ws WHERE len(toks) > 0
     ) t
+    WHERE s = 0 OR s < len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}
     """,
 )
 def doc_chunking_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,7 +1243,11 @@ def doc_chunking_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAG indexer or a fixed-sequence-length training pipeline runs over
     every document: chunks of {CHUNK_TOKENS} tokens starting every
     {CHUNK_STRIDE} (i.e. {CHUNK_TOKENS - CHUNK_STRIDE}-token overlap),
-    the final chunk truncated at the document end. Emits per chunk its
+    the final chunk truncated at the document end. A start whose chunk
+    would be wholly contained in the previous chunk (s > 0 and the
+    previous chunk already reaches the document end, i.e.
+    s >= n - ({CHUNK_TOKENS} - {CHUNK_STRIDE})) is not emitted — a real
+    RAG indexer never emits a fully redundant chunk. Emits per chunk its
     index, token count, and boundary tokens (the metadata a chunk store
     carries; the chunk text itself would be a slice() of the same array).
 
@@ -1266,6 +1271,9 @@ def doc_chunking_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
         ).alias("s"),
+    ).where(
+        (F.col("s") == 0)
+        | (F.col("s") < F.size("toks") - (CHUNK_TOKENS - CHUNK_STRIDE))
     )
     return chunks.select(
         "doc_id",

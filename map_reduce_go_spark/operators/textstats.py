@@ -1898,6 +1898,14 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap + driver merge of k rows), never a global single-partition sort.
     Ranking ties break on the 6dp-rounded score then doc_id, so ULP noise
     in ln() cannot reorder rows cross-engine.
+
+    Definition note: n_docs and avgdl are computed over the per-doc
+    rollup, which EXCLUDES documents that tokenize to zero tokens;
+    textbook BM25 uses the full corpus N. Zero-token docs can never be
+    retrieved (tf=0 for every term), so only idf/avgdl shift by the
+    (tiny) empty-doc fraction. The oracle uses the same definition, so
+    parity is exact; deriving N from the documents table on both sides
+    would be equally valid but no more correct.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(

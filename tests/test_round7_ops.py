@@ -8,6 +8,7 @@ cross-query consistency)."""
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import functions as F
 
@@ -159,13 +160,22 @@ def test_chunking_covers_every_token_and_indexes_are_dense(spark, duck, sf_dir):
         chunks.sort(key=lambda r: r["chunk_idx"])
         assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
         n = n_toks[doc]
-        assert len(chunks) == (max(n - 1, 0)) // CHUNK_STRIDE + 1
+        expected_starts = [
+            s
+            for s in range(0, n, CHUNK_STRIDE)
+            if s == 0 or s < n - (CHUNK_TOKENS - CHUNK_STRIDE)
+        ]
+        assert len(chunks) == len(expected_starts)
         for i, c in enumerate(chunks):
             start = i * CHUNK_STRIDE
             assert c["n_tokens"] == min(CHUNK_TOKENS, n - start)
         # Full coverage: the last chunk reaches the document end.
         last = chunks[-1]
         assert last.chunk_idx * CHUNK_STRIDE + last.n_tokens == n
+        # No redundant chunks: every chunk extends past its predecessor
+        # (a fully-contained final chunk would repeat prior tokens only).
+        ends = [c.chunk_idx * CHUNK_STRIDE + c.n_tokens for c in chunks]
+        assert ends == sorted(set(ends))
 
 
 def test_chunking_plan_is_shuffle_free(spark, sf_dir):
@@ -206,10 +216,17 @@ def test_filtered_ann_prefilters_not_postfilters(spark, sf_dir):
     not above the rank window (post-filter): the analyzed plan applies
     the label equality below the window operator."""
     df = _q("ann_filtered_ivf", spark, sf_dir)
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    win_at = analyzed.find("Window")
-    join_at = analyzed.find("v_label")
-    assert join_at != -1 and win_at != -1
-    # Plans print top-down: the window sits ABOVE (before) the join
-    # condition that carries the label predicate.
-    assert win_at < join_at
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    # Anchor on NODE lines, not raw substring positions: the Window
+    # OPERATOR line, and the Join OPERATOR line whose condition carries
+    # the label equality (both labels on one Join line = the predicate
+    # is in the join condition, not a projection or a post-window
+    # filter). Plans print top-down, so a larger line index = deeper.
+    win_lines = [i for i, l in enumerate(lines) if re.search(r"\bWindow \[", l)]
+    join_lines = [
+        i
+        for i, l in enumerate(lines)
+        if re.search(r"\bJoin\b", l) and "v_label" in l and "q_label" in l
+    ]
+    assert win_lines and join_lines
+    assert min(join_lines) > max(win_lines)
