@@ -116,6 +116,13 @@ HEADLINE = [
     "equidepth_histogram_price_approx",
     "bm25_doc_ranking",
     "ann_filtered_ivf",
+    # Round-8 additions: PageRank (fact->bounded-aggregate iteration),
+    # MAD outlier fences (three passes over the cached segment/price
+    # rollup), and the Kaplan-Meier curve (fact join -> day rollup ->
+    # bounded cumulative window) — the three scale-sensitive new plans.
+    "pagerank_nation_trade",
+    "mad_outliers_by_segment",
+    "survival_order_fulfillment",
 ]
 
 

@@ -167,3 +167,64 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000000) * F.max("cnt") / F.sum("cnt").cast("double")
         ).cast("long").alias("hot_share_ppm"),
     )
+
+
+@register(
+    "partkey_skew_spectrum",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM per_key)
+    SELECT length(bin(cnt)) AS bucket,
+           count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS sum_rows,
+           max(cnt) AS max_cnt,
+           CAST(1000000 * sum(cnt) // tot.total AS BIGINT) AS mass_ppm
+    FROM per_key, tot
+    GROUP BY bucket, tot.total
+    """,
+)
+def partkey_skew_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key frequency spectrum for lineitem.l_partkey — the skew
+    audit you run BEFORE a 100 TB join to decide between plain shuffle,
+    AQE skew splitting, and explicit salting (salted_join above): how
+    many keys fall in each power-of-two frequency bucket, and what share
+    of total row mass each bucket carries. A heavy top bucket with few
+    keys = salt those keys; a flat spectrum = let AQE handle it.
+
+    Scale shape: one map-side-combinable count per key (the only
+    full-width shuffle), then an agg over ~log2(max frequency) buckets;
+    the grand total joins back as a broadcast scalar row. Exact log2
+    buckets via length(bin(cnt)) — integer both engines, no float log.
+    """
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
+    # The per-key rollup feeds two subtrees (grand total + bucket agg);
+    # cache the ROLLUP (key-cardinality, far smaller than the fact),
+    # never the fact (scan-count audited).
+    per_key = tracked_cache(
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = per_key.agg(F.sum("cnt").alias("total"))
+    return (
+        per_key.withColumn("bucket", F.length(F.bin("cnt")).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("sum_rows"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_keys",
+            "sum_rows",
+            "max_cnt",
+            F.expr("CAST(1000000 * sum_rows div total AS BIGINT)").alias(
+                "mass_ppm"
+            ),
+        )
+    )

@@ -1286,3 +1286,82 @@ def doc_chunking_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks", F.least(F.col("s") + CHUNK_TOKENS, F.size("toks"))
         ).alias("last_token"),
     )
+
+
+MIXTURE_TAU = 0.3
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle=rf"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(sum(len(list_filter(string_split_regex(text, '[^\p{{L}}]+'),
+                                      x -> len(x) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+             sum(pow(CAST(n_tokens AS DOUBLE), {MIXTURE_TAU})) AS z
+      FROM per_lang
+    )
+    SELECT p.lang,
+           p.n_tokens,
+           CAST(1000000 * p.n_tokens // t.total AS BIGINT) AS natural_ppm,
+           round(pow(CAST(p.n_tokens AS DOUBLE), {MIXTURE_TAU}) / t.z, 6)
+             AS temp_weight
+    FROM per_lang p, tot t
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture sampling weights (the mT5 /
+    multilingual-pretraining recipe): raw per-language token mass p_i is
+    flattened to w_i ∝ p_i^τ (τ={MIXTURE_TAU}), boosting low-resource
+    languages without letting any dominate. Emits each language's token
+    count, natural share (exact integer ppm), and normalized temperature
+    weight — the numbers a data-mixture config is built from.
+
+    p_i^τ / Σ p_j^τ is computed as n_i^τ / Σ n_j^τ (the 1/N^τ factor
+    cancels in the normalization), keeping the pow() argument an exact
+    integer on both engines.
+
+    Scale shape: token counting is map-side (size of the split array —
+    no explode), the per-language rollup is a map-side-combinable sum to
+    ≤ |languages| rows, and the normalizer is ONE broadcast scalar row.
+    The fact table is scanned once; everything after is metadata-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # The per-language rollup feeds the normalizer AND the final select;
+    # cache the (<=|languages|)-row rollup so the corpus is tokenized
+    # exactly once (scan-count audited).
+    per_lang = tracked_cache(
+        docs.select(
+            "lang",
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), r"[^\p{L}]+"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("toks"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("toks").cast("long").alias("n_tokens"))
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(MIXTURE_TAU))).alias(
+            "z"
+        ),
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.expr("CAST(1000000 * n_tokens div total AS BIGINT)").alias(
+            "natural_ppm"
+        ),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(MIXTURE_TAU))
+            / F.col("z"),
+            6,
+        ).alias("temp_weight"),
+    )

@@ -352,3 +352,100 @@ def gdpr_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+SHORT_DOC_CHARS = 100
+
+
+@register(
+    "dataset_card_by_source",
+    oracle=f"""
+    WITH lang_counts AS (
+      SELECT source, lang, count(*) AS cnt
+      FROM documents GROUP BY source, lang
+    ),
+    top_lang AS (
+      SELECT lc.source, min(lc.lang) AS top_lang
+      FROM lang_counts lc
+      JOIN (SELECT source, max(cnt) AS mc FROM lang_counts GROUP BY source) m
+        ON lc.source = m.source AND lc.cnt = m.mc
+      GROUP BY lc.source
+    ),
+    card AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT md5(text)) AS distinct_texts,
+             CAST(coalesce(sum(CASE WHEN n_chars < {SHORT_DOC_CHARS}
+                                    THEN 1 END), 0) AS BIGINT) AS n_short
+      FROM documents GROUP BY source
+    )
+    SELECT c.source, c.n_docs, c.total_chars,
+           CAST(c.total_chars // c.n_docs AS BIGINT) AS mean_chars,
+           c.n_langs, t.top_lang,
+           CAST(1000000 * (c.n_docs - c.distinct_texts) // c.n_docs
+                AS BIGINT) AS dup_ppm,
+           CAST(1000000 * c.n_short // c.n_docs AS BIGINT) AS short_ppm
+    FROM card c JOIN top_lang t ON c.source = t.source
+    """,
+)
+def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the one-page summary a dataset release
+    ships (and the first thing a pipeline owner reads before mixing a
+    source into training data): document count, character mass, mean doc
+    length, language spread, dominant language, exact-duplicate rate and
+    short-doc rate, all as exact integers (ppm for rates).
+
+    Scale shape: ONE pass over the fact builds the per-source card
+    (count/sum/when are map-side combinable; the two count-DISTINCTs are
+    two-phase partial aggregates over (source, lang) and (source, md5) —
+    digest-only shuffles, never document text); the dominant-language
+    pick is a (source, lang)-rollup argmax joined back, all
+    metadata-sized. Ties on the dominant language break to the
+    lexicographically smallest language on both engines.
+    """
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
+    docs = load_table(spark, sf_dir, "documents")
+    # The (source, lang) rollup feeds the max frame AND the argmax join;
+    # cache the rollup (metadata-sized), never the fact (scan-count
+    # audited -- the card agg itself is the one text-bearing pass).
+    lang_counts = tracked_cache(
+        docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mx = lang_counts.groupBy("source").agg(F.max("cnt").alias("mc")).select(
+        F.col("source").alias("m_src"), "mc"
+    )
+    top = (
+        lang_counts.join(
+            F.broadcast(mx),
+            (F.col("source") == F.col("m_src")) & (F.col("cnt") == F.col("mc")),
+        )
+        .select(F.col("source").alias("src"), "lang")
+        .groupBy("src")
+        .agg(F.min("lang").alias("top_lang"))
+    )
+    card = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("distinct_texts"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_chars") < SHORT_DOC_CHARS, 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_short"),
+    )
+    return card.join(F.broadcast(top), card.source == top.src).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.expr("CAST(total_chars div n_docs AS BIGINT)").alias("mean_chars"),
+        "n_langs",
+        "top_lang",
+        F.expr(
+            "CAST(1000000 * (n_docs - distinct_texts) div n_docs AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.expr("CAST(1000000 * n_short div n_docs AS BIGINT)").alias("short_ppm"),
+    )

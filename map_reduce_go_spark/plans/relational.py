@@ -2383,3 +2383,252 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "p1", "p2")
         .limit(LIFT_TOP_K)
     )
+
+
+@register(
+    "mad_outliers_by_segment",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    med AS (
+      SELECT segment,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY price) AS med_price
+      FROM base GROUP BY segment
+    ),
+    dev AS (
+      SELECT b.segment, b.price, m.med_price,
+             abs(b.price - m.med_price) AS d
+      FROM base b JOIN med m ON b.segment = m.segment
+    ),
+    mad AS (
+      SELECT segment,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS mad_price
+      FROM dev GROUP BY segment
+    )
+    SELECT d.segment,
+           round(d.med_price, 6) AS med_price,
+           round(m.mad_price, 6) AS mad_price,
+           count(*) AS n_orders,
+           CAST(coalesce(sum(CASE WHEN d.d > 3 * m.mad_price THEN 1 END), 0)
+                AS BIGINT) AS n_outliers,
+           CAST(1000000 * coalesce(sum(CASE WHEN d.d > 3 * m.mad_price
+                                       THEN 1 END), 0) // count(*)
+                AS BIGINT) AS outlier_ppm
+    FROM dev d JOIN mad m ON d.segment = m.segment
+    GROUP BY d.segment, d.med_price, m.mad_price
+    """,
+)
+def mad_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per market segment: median / MAD (median
+    absolute deviation) instead of mean / stddev, the estimator that
+    survives the heavy-tailed price distributions real data has (one
+    whale order moves a z-score fence, not a MAD fence). Flags orders
+    with |price − median| > 3·MAD and reports the per-segment rate.
+
+    Cross-engine determinism: percentile_disc picks an ACTUAL data value
+    (no interpolation), |price − med| is one IEEE subtraction, and the
+    3·MAD fence is one multiply — every comparison is bit-identical in
+    Spark and DuckDB; only the final display columns are rounded.
+
+    Scale shape: two grouped exact percentiles over the fact (each one
+    shuffle on segment; the 5-way group fan-in is the exact-median cost —
+    at 100 TB swap percentile_disc for approx_percentile or the
+    distributed-row_number rank idiom (see equidepth_histogram_*), same
+    frame, and fence on the approximate median; the fence-count pass is
+    map-side combinable either way). The median/MAD frames are 5 rows —
+    broadcast joined back, never a shuffle of the fact.
+    """
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # The (segment, price) projection feeds THREE subtrees (median, MAD,
+    # fence count) -- cache the 2-column frame so the join runs once
+    # (scan-count audited); at 100 TB swap for recompute or checkpoint.
+    base = tracked_cache(
+        o.join(c, o.o_custkey == c.c_custkey).select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    med = base.groupBy("segment").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price)").alias(
+            "med_price"
+        )
+    )
+    dev = base.join(F.broadcast(med), "segment").withColumn(
+        "d", F.abs(F.col("price") - F.col("med_price"))
+    )
+    mad = dev.groupBy("segment").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad_price")
+    )
+    return (
+        dev.join(F.broadcast(mad), "segment")
+        .groupBy("segment", "med_price", "mad_price")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.coalesce(
+                F.sum(F.when(F.col("d") > 3 * F.col("mad_price"), 1)), F.lit(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "segment",
+            F.round("med_price", 6).alias("med_price"),
+            F.round("mad_price", 6).alias("mad_price"),
+            "n_orders",
+            "n_outliers",
+            F.expr("CAST(1000000 * n_outliers div n_orders AS BIGINT)").alias(
+                "outlier_ppm"
+            ),
+        )
+    )
+
+
+PAGERANK_DAMP = 0.85
+PAGERANK_ITERS = 3
+
+
+@register(
+    "pagerank_nation_trade",
+    oracle=f"""
+    WITH edges AS (
+      SELECT sn.n_nationkey AS src, cn.n_nationkey AS dst,
+             count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      GROUP BY src, dst
+    ),
+    outdeg AS (SELECT src, sum(w) AS o FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nation),
+    r0 AS (SELECT n_nationkey AS node, 1.0 / nn.n AS pr FROM nation, nn),
+    l1 AS (
+      SELECT coalesce(sum(r.pr), 0.0) AS lk
+      FROM r0 r LEFT JOIN outdeg d ON d.src = r.node
+      WHERE d.src IS NULL
+    ),
+    r1 AS (
+      SELECT node, (1.0 - {PAGERANK_DAMP}) / nn.n
+             + {PAGERANK_DAMP} * (coalesce(sum(pr * w / o), 0.0)
+                                    + l1.lk / nn.n) AS pr
+      FROM (SELECT t.node, r.pr, e.w, d.o
+            FROM (SELECT n_nationkey AS node FROM nation) t
+            LEFT JOIN edges e ON e.dst = t.node
+            LEFT JOIN r0 r ON r.node = e.src
+            LEFT JOIN outdeg d ON d.src = e.src), nn, l1
+      GROUP BY node, nn.n, l1.lk
+    ),
+    l2 AS (
+      SELECT coalesce(sum(r.pr), 0.0) AS lk
+      FROM r1 r LEFT JOIN outdeg d ON d.src = r.node
+      WHERE d.src IS NULL
+    ),
+    r2 AS (
+      SELECT node, (1.0 - {PAGERANK_DAMP}) / nn.n
+             + {PAGERANK_DAMP} * (coalesce(sum(pr * w / o), 0.0)
+                                    + l2.lk / nn.n) AS pr
+      FROM (SELECT t.node, r.pr, e.w, d.o
+            FROM (SELECT n_nationkey AS node FROM nation) t
+            LEFT JOIN edges e ON e.dst = t.node
+            LEFT JOIN r1 r ON r.node = e.src
+            LEFT JOIN outdeg d ON d.src = e.src), nn, l2
+      GROUP BY node, nn.n, l2.lk
+    ),
+    l3 AS (
+      SELECT coalesce(sum(r.pr), 0.0) AS lk
+      FROM r2 r LEFT JOIN outdeg d ON d.src = r.node
+      WHERE d.src IS NULL
+    ),
+    r3 AS (
+      SELECT node, (1.0 - {PAGERANK_DAMP}) / nn.n
+             + {PAGERANK_DAMP} * (coalesce(sum(pr * w / o), 0.0)
+                                    + l3.lk / nn.n) AS pr
+      FROM (SELECT t.node, r.pr, e.w, d.o
+            FROM (SELECT n_nationkey AS node FROM nation) t
+            LEFT JOIN edges e ON e.dst = t.node
+            LEFT JOIN r2 r ON r.node = e.src
+            LEFT JOIN outdeg d ON d.src = e.src), nn, l3
+      GROUP BY node, nn.n, l3.lk
+    )
+    SELECT n.n_name AS nation, round(r3.pr, 6) AS pagerank
+    FROM r3 JOIN nation n ON n.n_nationkey = r3.node
+    """,
+)
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-to-nation trade graph (supplier nation →
+    customer nation, edge weight = shipment count), {PAGERANK_ITERS}
+    power iterations with damping {PAGERANK_DAMP} — the
+    iterate-on-the-aggregate pattern for graph centrality at warehouse
+    scale: the 100 TB fact table is touched ONCE to build a
+    bounded-cardinality edge aggregate (≤ |nations|² rows), and the
+    iterative part runs on that aggregate alone, each step a tiny
+    broadcast join + 25-row shuffle. Never iterate over the fact.
+
+    Dangling nodes (nations with no outgoing trade — common at small
+    scale factors) get the standard correction: their mass redistributes
+    uniformly each iteration, so the PageRank vector sums to exactly 1
+    at every step (probability-mass conservation is unit-tested).
+
+    Cross-engine determinism: edge weights and out-degrees are exact
+    integers; each iteration sums ≤ |nations| double terms of identical
+    expression shape ((pr · w) / o), so engine-order ULP drift is
+    ~1e-16 — far inside the 6 dp rounding of the output.
+    """
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = tracked_cache(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("o"))
+    n_nations = nation.count()  # bounded dim count, driver-side by design
+    nodes = nation.select(F.col("n_nationkey").cast("long").alias("node"))
+    pr = nodes.withColumn("pr", F.lit(1.0) / n_nations)
+    base = (1.0 - PAGERANK_DAMP) / n_nations
+    contrib_src = edges.join(outdeg, "src")
+    for _ in range(PAGERANK_ITERS):
+        leaked = (
+            pr.join(outdeg, pr.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("lk"))
+        )
+        incoming = (
+            contrib_src.join(
+                pr.select(F.col("node").alias("src"), "pr"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("o")).alias("mass"))
+        )
+        pr = (
+            nodes.join(incoming, "node", "left")
+            .crossJoin(F.broadcast(leaked))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + PAGERANK_DAMP
+                    * (
+                        F.coalesce(F.col("mass"), F.lit(0.0))
+                        + F.col("lk") / n_nations
+                    )
+                ).alias("pr"),
+            )
+        )
+    return pr.join(
+        F.broadcast(nation), pr.node == F.col("n_nationkey")
+    ).select(F.col("n_name").alias("nation"), F.round("pr", 6).alias("pagerank"))

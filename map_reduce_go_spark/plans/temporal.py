@@ -244,3 +244,133 @@ def purchase_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFr
     from map_reduce_go_spark.streaming.windows import purchase_click_outer_join
 
     return purchase_click_outer_join(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "survival_order_fulfillment",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(min(l.l_shipdate) AS DATE)) AS t,
+             CASE WHEN o.o_orderstatus <> 'O' THEN 1 ELSE 0 END AS event
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+    ),
+    tot AS (SELECT count(*) AS n FROM per_order),
+    per_day AS (
+      SELECT t AS day, CAST(sum(event) AS BIGINT) AS n_events,
+             CAST(sum(1 - event) AS BIGINT) AS n_censored
+      FROM per_order GROUP BY t
+    ),
+    km AS (
+      SELECT day, n_events, n_censored,
+             CAST(tot.n - coalesce(sum(n_events + n_censored) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS n_at_risk
+      FROM per_day, tot
+    ),
+    terms AS (
+      SELECT day, n_events, n_censored, n_at_risk,
+             1.0 - CAST(n_events AS DOUBLE) / n_at_risk AS term
+      FROM km
+    )
+    SELECT day, n_at_risk, n_events, n_censored,
+           CASE WHEN max(CASE WHEN term <= 0 THEN 1 ELSE 0 END) OVER
+                  (ORDER BY day ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN term > 0 THEN ln(term) END)
+                       OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6)
+           END AS survival
+    FROM terms
+    """,
+)
+def survival_order_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-first-shipment: for each
+    delay t (days from order date to the order's first shipped line),
+    the probability an order is still unshipped after t days. Orders
+    with status 'O' (open) are right-censored at their observed first
+    ship time — they leave the risk set without counting as events, the
+    thing that distinguishes KM from a plain complementary ECDF.
+    (The synthetic fixture draws ship dates independently of order
+    dates, so negative delays occur; the curve is well-defined over any
+    integer day domain and both engines use the same one.)
+
+    S(t) = Π_{u≤t} (1 − d_u / n_u); if a day consumes the whole risk set
+    (term = 0) the curve is pinned to exactly 0.0 from that day on —
+    guarded explicitly (zero terms are excluded from the log-sum and the
+    curve forced to 0.0) because ln(0) is NULL in Spark but an ERROR in
+    DuckDB.
+
+    Scale shape: the fact joins/aggregates to a PER-ORDER rollup (all
+    map-side-combinable), then to a PER-DAY rollup bounded by the
+    calendar span (the documented bounded-domain case for the
+    unpartitioned cumulative window — thousands of rows, not corpus
+    rows); the grand total is one broadcast scalar. ln/exp keep the
+    running product a running SUM in identical day order on both
+    engines, so float drift is sub-6dp.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.datediff(
+                F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("o_orderstatus") != "O", 1).otherwise(0).alias("event"),
+        )
+    )
+    # Cache the DAY rollup (calendar-bounded) and derive the grand total
+    # from it, so the fact join runs exactly once (scan-count audited).
+    from map_reduce_go_spark.functions.caching import tracked_cache
+
+    per_day = tracked_cache(
+        per_order.groupBy(F.col("t").alias("day")).agg(
+            F.sum("event").cast("long").alias("n_events"),
+            F.sum(1 - F.col("event")).cast("long").alias("n_censored"),
+        )
+    )
+    tot = per_day.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).cast("long").alias("n")
+    )
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = per_day.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk",
+        F.col("n")
+        - F.coalesce(
+            F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev), F.lit(0)
+        ),
+    )
+    terms = km.withColumn(
+        "term",
+        F.lit(1.0) - F.col("n_events").cast("double") / F.col("n_at_risk"),
+    )
+    return terms.select(
+        "day",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.when(
+            F.max(F.when(F.col("term") <= 0, 1).otherwise(0)).over(w_cum) == 1,
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum(F.when(F.col("term") > 0, F.log("term"))).over(w_cum)
+                ),
+                6,
+            )
+        )
+        .alias("survival"),
+    )

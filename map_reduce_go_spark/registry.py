@@ -50,78 +50,75 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the checked window. Queries not listed follow in registration order, so
 # the union of checked sets grows round over round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 window — PAYING the rotation debt (VERDICT r6 "Next round"
-    # #2): after r6 spent its slots on its own 38 additions, 112 of 211
-    # rows predated r5 and the whole r2 cohort (30 rows, last checked
-    # round 2) was the oldest evidence on the board. This window leads
-    # with ALL 30 of those displaced r2 rows, then the 9 round-7
-    # additions (never checked — strictly less evidence than any green),
-    # then the 11 oldest r3 rows in registration order. New-query
-    # additions were deliberately budgeted ≤15 this round so 41 of the
-    # 50 slots rotate stale rows; after r7 no query's latest driver row
-    # is older than round 3. All 211 queries pass the local driver-mimic
-    # at sf0.01 AND sf0.1 regardless of window membership.
-    # --- (a) the full r2 cohort (oldest evidence — leads the window) ---
-    "knn_bruteforce_cosine",
-    "text_quality_stats",
-    "language_guess",
-    "token_counts",
-    "doc_fingerprint",
-    "token_positions",
-    "q1_pricing_summary",
-    "agg_stats_per_nation",
-    "count_distinct_custkey",
-    "rollup_lineitem_flags",
-    "cube_orders_status_priority",
-    "grouping_sets_nation_segment",
-    "conditional_agg_pivot",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "semi_join_customers_with_purchases",
-    "anti_join_parts_never_ordered",
-    "outer_join_nation_customer_counts",
-    "window_topk_parts_per_brand",
-    "window_running_customer_spend",
-    "top20_orders_by_price",
-    "set_ops_nation_presence",
-    "distinct_sorted_segments",
-    "scalar_string_functions",
-    "scalar_datetime_functions",
-    "scalar_math_functions",
-    "json_extract_events",
-    "q6_forecast_revenue",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    # --- (b) round-7 additions (never checked) ---
-    "equidepth_histogram_price_approx",
-    "bm25_doc_ranking",
-    "llr_keyness_by_source",
-    "min_count_vocab_curve",
-    "source_lang_entropy",
-    "weekly_activity_bitmap",
-    "churn_weekly_rates",
-    "doc_chunking_fixed_tokens",
-    "ann_filtered_ivf",
-    # --- (c) the oldest r3 rows, registration order ---
-    "multimodal_feature_stub",
-    "multimodal_resize_stub",
-    "multimodal_frame_sample",
-    "ann_lsh_cosine",
-    "top_bigrams",
-    "doc_repetition_stats",
-    "bpe_pair_counts",
-    "approx_distinct_probe",
-    "array_functions_showcase",
-    "median_price_per_segment",
-    "correlated_subquery_above_nation_avg",
-    # (The remaining 30 r3 rows — set_ops_all_variants, unpivot_part_metrics,
-    # minmax_by_order_extremes, window_range_frame_30d, the q4-q22 TPC-H
-    # cohort, pii_redaction, quality_filter_chain, sequence_packing,
-    # train_test_split, shuffle_shards, stratified_sample_by_lang,
-    # data_mixture_upsample, decontaminate_against_eval,
-    # events_multi_granularity_rollup, range_join_error_click_counts,
-    # scalar_subquery_in_select, window_value_functions, quantile_sketch_probe
-    # — lead the r8 window, oldest-first.)
+    # Round-8 window — finishing the rotation plan VERDICT r7 #2 encoded:
+    # after this window no query's latest driver row predates round 4.
+    # --- (a) ALL 30 remaining r3-era rows, registration order (every one
+    #     re-verified by the LOCAL driver-mimic at sf0.01 AND sf0.1 each
+    #     round since — the staleness is of driver rows, not evidence) ---
+    "set_ops_all_variants",
+    "unpivot_part_metrics",
+    "minmax_by_order_extremes",
+    "window_range_frame_30d",
+    "window_value_functions",
+    "scalar_subquery_in_select",
+    "quantile_sketch_probe",
+    "events_multi_granularity_rollup",
+    "range_join_error_click_counts",
+    "q4_order_priority_count",
+    "q7_nation_trade_volume",
+    "q10_returned_item_revenue",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_dormant_customers",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "quality_filter_chain",
+    "train_test_split",
+    "shuffle_shards",
+    "sequence_packing",
+    "stratified_sample_by_lang",
+    "data_mixture_upsample",
+    "pii_redaction",
+    "decontaminate_against_eval",
+    # --- (b) round-8 additions (never checked): robust stats, graph
+    #     centrality, survival analysis, skew audit, mixture weighting,
+    #     dataset reporting ---
+    "mad_outliers_by_segment",
+    "pagerank_nation_trade",
+    "survival_order_fulfillment",
+    "mixture_temperature_weights",
+    "partkey_skew_spectrum",
+    "dataset_card_by_source",
+    # --- (c) the oldest r4 rows, registration order (14 slots left:
+    #     the dedup family + the MR-app lineage) ---
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_pipeline_exact_then_lsh",
+    "dedup_keep_best",
+    "cross_doc_span_dupes",
+    "lsh_recall_probe",
+    "near_dup_cluster_sizes",
+    "dedup_incremental_batch",
+    "wordcount",
+    "inverted_index",
+    "generic_mapreduce_wordcount",
+    "per_file_count",
+    "file_projections",
+    # (The remaining 27 r4 rows — multimodal_blob_meta, the events
+    # window/sessionize family, corpus_head_coverage,
+    # token_commonness_score, shard_balance_audit,
+    # embedding_quality_audit, table_profile_lineitem, the scalar
+    # regex/null/map/date/bitwise probes, explode_outer_probe,
+    # histogram_price_buckets, corr_quantity_price, funnel/cohort,
+    # eval_contamination_report, q2/q11/q20, asof_join,
+    # event_transition_matrix, length_weighted_sample — lead the r9
+    # window, oldest-first, followed by the oldest r5 rows.)
 )
 
 

@@ -1,0 +1,218 @@
+"""Semantic and plan properties of the round-8 operators: PageRank on
+the trade graph, the MAD robust-outlier fence, the join-key skew
+spectrum, temperature-mixture weights, the Kaplan-Meier survival curve,
+and the per-source dataset card. Oracle parity is the driver's job;
+these tests pin the invariants the oracle comparison can't state
+(probability-mass conservation, KM monotonicity, fence semantics, plan
+shapes / scan counts)."""
+
+from __future__ import annotations
+
+from map_reduce_go_spark.registry import all_queries
+
+
+def _q(name, spark, sf_dir):
+    return all_queries()[name].fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_mass_conserved_and_positive(spark, sf_dir):
+    """Probability-mass conservation: with dangling mass redistributed
+    uniformly, the PageRank vector sums to 1 after every iteration; each
+    score is at least the teleport floor (1-d)/N."""
+    rows = _q("pagerank_nation_trade", spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-4  # 6dp rounding x 25 nodes
+    floor = (1.0 - 0.85) / n
+    assert all(r["pagerank"] >= floor - 1e-6 for r in rows)
+
+
+def test_pagerank_iterates_on_cached_aggregate(spark, sf_dir):
+    """The iterate-on-the-aggregate contract: every reference to the
+    edge rollup resolves to ONE InMemoryRelation (the tracked cache), so
+    at runtime the fact is aggregated once and the 3 power iterations
+    read the cache. (A flat string scan-count is meaningless here: plan
+    printing repeats the cached subtree per reference.)"""
+    from map_reduce_go_spark.functions.caching import release_caches
+
+    release_caches()
+    try:
+        df = _q("pagerank_nation_trade", spark, sf_dir)
+        with_cached = df._jdf.queryExecution().withCachedData().toString()
+        assert "InMemoryRelation" in with_cached
+        # The edge build (the only lineitem reader) sits behind the
+        # cache: no lineitem scan outside an InMemoryRelation block.
+        head = with_cached.split("InMemoryRelation", 1)[0]
+        assert "lineitem" not in head
+    finally:
+        release_caches()
+
+
+# ---------------------------------------------------------------- MAD
+
+
+def test_mad_fence_matches_recomputed_medians(spark, duck, sf_dir):
+    """Recompute median/MAD/outlier-count per segment in DuckDB from
+    scratch (different formulation: window-free percentile_disc) and
+    compare every column."""
+    rows = {r["segment"]: r for r in _q("mad_outliers_by_segment", spark, sf_dir).collect()}
+    ref = duck.sql(
+        """
+        WITH base AS (
+          SELECT c.c_mktsegment AS seg, o.o_totalprice AS price
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        m AS (SELECT seg, percentile_disc(0.5) WITHIN GROUP (ORDER BY price) AS med
+              FROM base GROUP BY seg),
+        d AS (SELECT b.seg, abs(b.price - m.med) AS dv
+              FROM base b JOIN m USING (seg)),
+        md AS (SELECT seg, percentile_disc(0.5) WITHIN GROUP (ORDER BY dv) AS mad
+               FROM d GROUP BY seg)
+        SELECT d.seg, count(*) AS n,
+               sum(CASE WHEN d.dv > 3 * md.mad THEN 1 ELSE 0 END) AS n_out
+        FROM d JOIN md USING (seg) GROUP BY d.seg
+        """
+    ).fetchall()
+    assert rows
+    for seg, n, n_out in ref:
+        assert rows[seg]["n_orders"] == n
+        assert rows[seg]["n_outliers"] == n_out
+        assert rows[seg]["outlier_ppm"] == 1_000_000 * n_out // n
+
+
+# ---------------------------------------------------------------- skew
+
+
+def test_skew_spectrum_buckets_partition_the_keyspace(spark, duck, sf_dir):
+    """Bucket key counts sum to the distinct partkey count, row masses
+    sum to the fact row count, mass_ppm sums to ~1e6, and each bucket's
+    max_cnt stays inside its power-of-two range."""
+    rows = _q("partkey_skew_spectrum", spark, sf_dir).collect()
+    n_keys_total = sum(r["n_keys"] for r in rows)
+    mass_total = sum(r["sum_rows"] for r in rows)
+    (dk, nrows) = duck.sql(
+        "SELECT count(DISTINCT l_partkey), count(*) FROM lineitem"
+    ).fetchone()
+    assert n_keys_total == dk
+    assert mass_total == nrows
+    assert 1_000_000 - len(rows) <= sum(r["mass_ppm"] for r in rows) <= 1_000_000
+    for r in rows:
+        assert 2 ** (r["bucket"] - 1) <= r["max_cnt"] < 2 ** r["bucket"]
+
+
+# ---------------------------------------------------------------- mixture
+
+
+def test_mixture_weights_normalize_and_flatten(spark, sf_dir):
+    """Temperature weights sum to 1; tau < 1 flattens: every language
+    with below-average natural share gets boosted (weight > natural
+    share), every dominant language gets shrunk."""
+    rows = _q("mixture_temperature_weights", spark, sf_dir).collect()
+    assert abs(sum(r["temp_weight"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        nat = r["natural_ppm"] / 1e6
+        if nat < 1.0 / len(rows):
+            assert r["temp_weight"] > nat
+    # Monotone: temperature preserves the ordering of language sizes.
+    by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
+    weights = [r["temp_weight"] for r in by_tokens]
+    assert weights == sorted(weights)
+
+
+# ---------------------------------------------------------------- survival
+
+
+def test_survival_curve_is_monotone_and_km_exact(spark, duck, sf_dir):
+    """S is non-increasing from 1.0; risk-set bookkeeping is exact
+    (n_at_risk decreases by exactly the prior day's events+censored);
+    and S matches a from-scratch Python KM product at every day."""
+    rows = sorted(
+        _q("survival_order_fulfillment", spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    prev_s = 1.0
+    prev_leave = 0
+    prev_risk = None
+    s_exact = 1.0
+    for r in rows:
+        if prev_risk is not None:
+            assert r["n_at_risk"] == prev_risk - prev_leave
+        assert r["survival"] <= prev_s + 1e-9
+        s_exact *= 1.0 - r["n_events"] / r["n_at_risk"]
+        assert abs(r["survival"] - s_exact) < 1e-5
+        prev_s = r["survival"]
+        prev_leave = r["n_events"] + r["n_censored"]
+        prev_risk = r["n_at_risk"]
+    # Every order WITH at least one lineitem enters the risk set
+    # exactly once (orders without lines have no ship time at all).
+    n_orders = duck.sql(
+        """SELECT count(*) FROM orders o
+           WHERE EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey)"""
+    ).fetchone()[0]
+    assert rows[0]["n_at_risk"] == n_orders
+    assert sum(r["n_events"] + r["n_censored"] for r in rows) == n_orders
+
+
+def test_survival_censoring_counts_match_open_orders(spark, duck, sf_dir):
+    rows = _q("survival_order_fulfillment", spark, sf_dir).collect()
+    n_open = duck.sql(
+        """SELECT count(*) FROM orders o
+           WHERE o.o_orderstatus = 'O'
+             AND EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey)"""
+    ).fetchone()[0]
+    assert sum(r["n_censored"] for r in rows) == n_open
+
+
+# ---------------------------------------------------------------- card
+
+
+def test_dataset_card_internal_consistency(spark, duck, sf_dir):
+    """Cross-field invariants: rates within [0, 1e6], mean consistent
+    with totals, top_lang actually attains the per-source max count, and
+    doc counts reconcile with the raw table."""
+    rows = _q("dataset_card_by_source", spark, sf_dir).collect()
+    raw = dict(
+        duck.sql("SELECT source, count(*) FROM documents GROUP BY source").fetchall()
+    )
+    top = {
+        (s, l): c
+        for s, l, c in duck.sql(
+            "SELECT source, lang, count(*) FROM documents GROUP BY source, lang"
+        ).fetchall()
+    }
+    assert {r["source"] for r in rows} == set(raw)
+    for r in rows:
+        assert r["n_docs"] == raw[r["source"]]
+        assert r["mean_chars"] == r["total_chars"] // r["n_docs"]
+        assert 0 <= r["dup_ppm"] <= 1_000_000
+        assert 0 <= r["short_ppm"] <= 1_000_000
+        per_lang = {l: c for (s, l), c in top.items() if s == r["source"]}
+        assert per_lang[r["top_lang"]] == max(per_lang.values())
+        assert r["n_langs"] == len(per_lang)
+
+
+def test_dataset_card_scans_text_once(spark, sf_dir):
+    """The text-bearing column feeds exactly one aggregate pass; the
+    language-argmax path reads only (source, lang)."""
+    from map_reduce_go_spark.functions.caching import release_caches
+
+    release_caches()
+    try:
+        df = _q("dataset_card_by_source", spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        text_scans = sum(
+            1
+            for seg in plan.split("Scan parquet")[1:]
+            if "ReadSchema" in seg
+            and "text" in seg.split("ReadSchema", 1)[1].split("\n", 1)[0]
+        )
+        assert text_scans <= 1
+    finally:
+        release_caches()
