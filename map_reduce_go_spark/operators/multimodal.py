@@ -1,11 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(deterministic fake features; ``decode_mode="real"`` raises
-NotImplementedError at the exact seam where PIL/ffmpeg would plug in). The
-Spark-side plumbing is real and tested: binary columns, metadata structs,
-Arrow-batched ``mapInPandas`` with a bounded batch size, and a schema that
-holds at any scale.
+The container has no image/audio libraries, so the registered fixture
+queries use deterministic stub decodes (oracle-checkable). But
+``decode_mode="real"`` now EXECUTES for PNG input via the repo's
+pure-Python codec (:mod:`map_reduce_go_spark.functions.png_codec`,
+stdlib zlib only): real pixel decode for feature extraction, real 2-D
+resampling for resize, and per-frame decode over concatenated-PNG
+streams for frame sampling — all covered by
+``tests/test_multimodal_real.py``. Formats that genuinely require
+external libraries (JPEG, audio, mp4/webm) still raise
+NotImplementedError at the same seams. The Spark-side plumbing is real
+and tested either way: binary columns, metadata structs, Arrow-batched
+``mapInPandas`` with a bounded batch size, and a schema that holds at
+any scale.
 
 Scale notes:
 - blobs ride through scans/shuffles as parquet binary; metadata extraction
@@ -121,11 +128,34 @@ def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
             ):
                 data = np.frombuffer(blob, dtype=np.uint8)
                 if decode_mode == "real":
-                    # Seam for real codecs (PIL / torchaudio / pyav) — not
-                    # available in this container.
-                    raise NotImplementedError(
-                        "real decode requires image/audio libraries"
+                    # Real decode: PNG via the repo's pure-Python codec
+                    # (stdlib zlib). Other formats (JPEG/audio) genuinely
+                    # need external libraries this container lacks.
+                    from map_reduce_go_spark.functions.png_codec import (
+                        decode_png,
+                        is_png,
                     )
+
+                    if not is_png(bytes(blob)):
+                        raise NotImplementedError(
+                            "real decode supports PNG (pure-Python codec); "
+                            "JPEG/audio need external libraries"
+                        )
+                    px = decode_png(bytes(blob))
+                    h, w = px.shape[:2]
+                    flat = px.reshape(-1)
+                    hist = np.bincount(flat >> 4, minlength=FEATURE_DIM).astype(
+                        np.float64
+                    )
+                    total = hist.sum() or 1.0
+                    rows["doc_id"].append(int(doc_id))
+                    rows["modality"].append(modality)
+                    rows["byte_len"].append(len(data))
+                    rows["fake_width"].append(w)   # real width in real mode
+                    rows["fake_height"].append(h)  # real height in real mode
+                    rows["features"].append((hist / total).astype(np.float32))
+                    rows["bin_counts"].append(hist.astype(np.int32))
+                    continue
                 hist = np.bincount(data >> 4, minlength=FEATURE_DIM).astype(np.float64)
                 total = hist.sum() or 1.0
                 rows["doc_id"].append(int(doc_id))
@@ -217,7 +247,30 @@ def resize_images(
             rows = {"doc_id": [], "out_width": [], "out_height": [], "pixels": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 if decode_mode == "real":
-                    raise NotImplementedError("real decode requires PIL")
+                    # Real decode: PNG -> grayscale -> 2-D nearest-
+                    # neighbor resample (pure-Python codec, stdlib zlib).
+                    from map_reduce_go_spark.functions.png_codec import (
+                        decode_png,
+                        is_png,
+                    )
+
+                    if not is_png(bytes(blob)):
+                        raise NotImplementedError(
+                            "real decode supports PNG (pure-Python codec); "
+                            "other image formats need external libraries"
+                        )
+                    px = decode_png(bytes(blob))
+                    if px.ndim == 3:
+                        px = px.mean(axis=2).astype(np.uint8)
+                    sh, sw = px.shape
+                    ys = (np.arange(height) * sh) // height
+                    xs = (np.arange(width) * sw) // width
+                    grid = px[np.ix_(ys, xs)].astype(np.float32) / 255.0
+                    rows["doc_id"].append(int(doc_id))
+                    rows["out_width"].append(width)
+                    rows["out_height"].append(height)
+                    rows["pixels"].append(grid.reshape(-1))
+                    continue
                 data = np.frombuffer(blob, dtype=np.uint8)
                 if len(data) == 0:
                     data = np.zeros(1, dtype=np.uint8)
@@ -311,7 +364,42 @@ def sample_frames(blobs: DataFrame, n_frames: int = N_FRAMES, decode_mode: str =
             rows = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_sha": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 if decode_mode == "real":
-                    raise NotImplementedError("real decode requires pyav/ffmpeg")
+                    # Real decode: an MJPEG-style concatenated-PNG stream
+                    # (frame = one PNG image, frames back-to-back). Real
+                    # video containers (mp4/webm) genuinely need
+                    # pyav/ffmpeg; the per-frame decode below is real.
+                    from map_reduce_go_spark.functions.png_codec import (
+                        decode_png,
+                        is_png,
+                    )
+
+                    raw = bytes(blob)
+                    if not is_png(raw):
+                        raise NotImplementedError(
+                            "real decode supports concatenated-PNG streams; "
+                            "mp4/webm need pyav/ffmpeg"
+                        )
+                    sig = raw[:8]
+                    offs = []
+                    i = 0
+                    while True:
+                        j = raw.find(sig, i)
+                        if j < 0:
+                            break
+                        offs.append(j)
+                        i = j + 8
+                    offs.append(len(raw))
+                    nf = len(offs) - 1
+                    for k in range(n_frames):
+                        fi = (k * nf) // n_frames
+                        frame = decode_png(raw[offs[fi] : offs[fi + 1]])
+                        rows["doc_id"].append(int(doc_id))
+                        rows["frame_idx"].append(k)
+                        rows["frame_offset"].append(offs[fi])
+                        rows["frame_sha"].append(
+                            hashlib.sha256(frame.tobytes()).hexdigest()[:16]
+                        )
+                    continue
                 n = max(len(blob), 1)
                 for k in range(n_frames):
                     off = (k * n) // n_frames

@@ -114,10 +114,64 @@ R6B_EXTRA_SHIFTS = {
     "events": ["event_id", "user_id"],
     "orders": ["o_orderkey", "o_custkey"],
 }
+# Round-7 family (VERDICT r7 #1): the four scale-sensitive r7 plans.
+# equidepth exercises the two full-width shuffles of the distributed
+# rank; bm25 the tokenize+agg (scramble replication: the query terms
+# stay corpus-hot, df and tf-row mass both grow k-fold — the realistic
+# model for lexical retrieval, unlike word_salt which would remove the
+# query terms from every replica); chunking the pure map-side explode;
+# filtered ANN the corpus-growing scan with a fixed 20-query probe side.
+R7_QUERIES = [
+    "equidepth_histogram_price_approx",
+    "bm25_doc_ranking",
+    "doc_chunking_fixed_tokens",
+    "ann_filtered_ivf",
+]
+R7_TABLES = ("orders", "documents", "embeddings")
+# Round-7b family: the user-behavior plans (+ the two r6 plans VERDICT
+# r7 #1 names as never-probed). FK-consistent replication (fk_bases):
+# o_custkey shifts by CUSTOMER's stride and l_orderkey by ORDERS',
+# so each replica's customer->orders->lineitem cascade stays intact —
+# gdpr_delete_impact measures real frontier growth, not orphan noise.
+R7B_QUERIES = [
+    "churn_weekly_rates",
+    "weekly_activity_bitmap",
+    "session_path_patterns",
+    "gdpr_delete_impact",
+]
+R7B_TABLES = ("events", "customer", "orders", "lineitem")
+R7B_EXTRA_SHIFTS = {
+    "events": ["event_id", "user_id"],
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+}
+R7B_FK_BASES = {"o_custkey": "customer", "l_orderkey": "orders"}
+# Round-8 family: the new fact-heavy plans. Same FK-consistent model.
+# l_partkey deliberately does NOT shift: at real scale-up the part
+# catalog is fixed and per-part depth grows — the spectrum shifts right
+# by ~log2(k) buckets, which is the workload the skew audit exists for.
+R8_QUERIES = [
+    "pagerank_nation_trade",
+    "mad_outliers_by_segment",
+    "survival_order_fulfillment",
+    "partkey_skew_spectrum",
+]
+R8_TABLES = ("customer", "orders", "lineitem")
+R8_EXTRA_SHIFTS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+}
+R8_FK_BASES = {"o_custkey": "customer", "l_orderkey": "orders"}
 
 
 def replicate(
-    spark, k: int, out_dir: str, tables=TABLES, extra_shifts=None, word_salt=False
+    spark,
+    k: int,
+    out_dir: str,
+    tables=TABLES,
+    extra_shifts=None,
+    word_salt=False,
+    fk_bases=None,
 ) -> None:
     """Build the k-times corpus in ONE pass per table: each row explodes
     into k replicas (a lateral sequence, map-side), keys shift by
@@ -137,6 +191,21 @@ def replicate(
     shifts = dict(SHIFT_COLS)
     for t2, cols in (extra_shifts or {}).items():
         shifts[t2] = sorted(set(shifts.get(t2, [])) | set(cols))
+    # fk_bases: column -> table whose row count sets that column's shift
+    # stride. A foreign key must move with its REFERENCED table's stride
+    # (e.g. o_custkey with customer's), or every replica's joins point
+    # at rows that do not exist and a cascade/join probe measures orphan
+    # noise instead of the plan.
+    base_counts: dict[str, int] = {}
+
+    def stride(table: str, col: str, own_n: int) -> int:
+        bt = (fk_bases or {}).get(col)
+        if bt is None or bt == table:
+            return 10 * own_n
+        if bt not in base_counts:
+            base_counts[bt] = load_table(spark, BASE, bt).count()
+        return 10 * base_counts[bt]
+
     for t in tables:
         df = load_table(spark, BASE, t)
         if t in shifts:
@@ -146,7 +215,7 @@ def replicate(
                 F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__rep"),
             )
             for c in shifts[t]:
-                d = d.withColumn(c, F.col(c) + F.col("__rep") * (10 * n))
+                d = d.withColumn(c, F.col(c) + F.col("__rep") * stride(t, c, n))
             if t == "customer":
                 suffix = F.substring(
                     F.md5(F.col("__rep").cast("string")), 1, 4
@@ -335,13 +404,16 @@ def main() -> None:
         if a.startswith("--family="):
             family = a.split("=", 1)[1]
     k = int(args[0]) if args else 8
-    queries, tables, extra = {
-        "dedup": (DEDUP_QUERIES, DEDUP_TABLES, None),
-        "round5": (R5_QUERIES, R5_TABLES, R5_EXTRA_SHIFTS),
-        "setsim": (SETSIM_QUERIES, SETSIM_TABLES, None),
-        "round6": (R6_QUERIES, R6_TABLES, None),
-        "round6b": (R6B_QUERIES, R6B_TABLES, R6B_EXTRA_SHIFTS),
-    }.get(family, (QUERIES, TABLES, None))
+    queries, tables, extra, fk = {
+        "dedup": (DEDUP_QUERIES, DEDUP_TABLES, None, None),
+        "round5": (R5_QUERIES, R5_TABLES, R5_EXTRA_SHIFTS, None),
+        "setsim": (SETSIM_QUERIES, SETSIM_TABLES, None, None),
+        "round6": (R6_QUERIES, R6_TABLES, None, None),
+        "round6b": (R6B_QUERIES, R6B_TABLES, R6B_EXTRA_SHIFTS, None),
+        "round7": (R7_QUERIES, R7_TABLES, None, None),
+        "round7b": (R7B_QUERIES, R7B_TABLES, R7B_EXTRA_SHIFTS, R7B_FK_BASES),
+        "round8": (R8_QUERIES, R8_TABLES, R8_EXTRA_SHIFTS, R8_FK_BASES),
+    }.get(family, (QUERIES, TABLES, None, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = tempfile.mkdtemp(prefix="sfbig_")
@@ -353,6 +425,7 @@ def main() -> None:
             tables=tables,
             extra_shifts=extra,
             word_salt=(family in ("setsim", "round6")),
+            fk_bases=fk,
         )
         time_queries(spark, BASE, queries)  # warm-up: codegen/JIT/footer caches
         base = time_queries(spark, BASE, queries)
