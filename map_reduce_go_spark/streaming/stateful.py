@@ -183,11 +183,25 @@ class _SessionTimerProcessor(StatefulProcessor):
         self._buf = handle.getListState("ts_buffer", _TS_BUFFER_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
+        # Late-data guard: TWS does NOT filter input rows behind the
+        # event-time watermark (verified empirically — a row 240 days
+        # late still reaches the processor), so without this a straggler
+        # would be buffered, its already-expired timer would fire on the
+        # next batch, and a phantom single-event "session" would be
+        # emitted for a time range the watermark sealed long ago. Drop
+        # at the operator, the contract built-in stateful ops enforce.
+        wm = timerValues.getCurrentWatermarkInMs()
         mx = None
         for pdf in rows:
             if len(pdf):
-                ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-                self._buf.appendList([(int(m),) for m in ms])
+                ms = [
+                    int(m)
+                    for m in (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                    if m >= wm
+                ]
+                if not ms:
+                    continue
+                self._buf.appendList([(m,) for m in ms])
                 m = max(ms)
                 mx = m if mx is None else max(mx, m)
         if mx is not None:

@@ -397,6 +397,64 @@ def setsim_prefix_bucket_stats(spark, sf_dir: str) -> dict:
     return row.asDict()
 
 
+def filtered_ann_candidate_stats(spark, sf_dir: str) -> dict:
+    """Candidate mass of the filtered-ANN join at this scale: the corpus
+    is bucketed by (IVF cell, label) and each query probes NPROBE cells
+    within its own label, so candidates = sum over probed (cell, label)
+    buckets of their corpus size. The probe side is FIXED (N_QUERIES),
+    so candidate mass growing ~linearly with the corpus while staying
+    ~1/K_CELLS of an unpruned scan is exactly the designed behavior —
+    the selectivity evidence behind ann_filtered_ivf's scale grade.
+    Mirrors the operator's own cell assignment (shared memoized IVF
+    build)."""
+    from map_reduce_go_spark.operators.similarity import (
+        N_QUERIES,
+        NPROBE,
+        _nearest_cells,
+        ivf_centroids_for,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_centroids_for(sf_dir, emb)
+    corpus = emb.select(
+        F.col("label").alias("v_label"),
+        _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
+    )
+    buckets = corpus.groupBy("cell", "v_label").agg(F.count(F.lit(1)).alias("s"))
+    probes = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("label").alias("v_label"),
+            F.explode(
+                _nearest_cells(F.col("embedding"), centroids, NPROBE)
+            ).alias("cell"),
+        )
+        .groupBy("cell", "v_label")
+        .agg(F.count(F.lit(1)).alias("q"))
+    )
+    n_corpus = emb.count()
+    row = (
+        buckets.join(probes, ["cell", "v_label"])
+        .agg(
+            F.sum(F.col("s") * F.col("q")).alias("candidates"),
+            F.count(F.lit(1)).alias("probed_buckets"),
+            F.max("s").alias("max_bucket"),
+        )
+        .collect()[0]
+    )
+    d = row.asDict()
+    d["corpus_rows"] = n_corpus
+    d["unpruned_candidates"] = n_corpus * _n_probe_queries(spark, sf_dir)
+    return d
+
+
+def _n_probe_queries(spark, sf_dir: str) -> int:
+    from map_reduce_go_spark.operators.similarity import N_QUERIES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") < N_QUERIES).count()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     family = "mixed"
@@ -438,6 +496,9 @@ def main() -> None:
         if family == "setsim":
             out["prefix_buckets_base"] = setsim_prefix_bucket_stats(spark, BASE)
             out["prefix_buckets_big"] = setsim_prefix_bucket_stats(spark, out_dir)
+        if family == "round7":
+            out["filtered_ann_base"] = filtered_ann_candidate_stats(spark, BASE)
+            out["filtered_ann_big"] = filtered_ann_candidate_stats(spark, out_dir)
         print(json.dumps(out))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

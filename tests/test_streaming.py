@@ -647,3 +647,110 @@ def test_streaming_daily_distinct_equals_batch(spark, event_source):
         .collect()
     }
     assert got == direct
+
+
+def test_tws_timer_closes_session_mid_stream_and_drops_late_data(
+    spark, tmp_path
+):
+    """The r6 brief's strong-form timer probe (VERDICT r7 #4): >= 4
+    micro-batches, a session closed BY TIMER while the stream still
+    carries later data for the same user (NOT a stream-end flush — TWS
+    has none, and the probe proves it: the user's newer open session is
+    absent from the sink when the run drains), then a RESTART from the
+    same checkpoint where a late event arrives behind the watermark and
+    must not resurrect or inflate the sealed session."""
+    import time as _time
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if not stateful.tws_runtime_available():
+        pytest.skip("no protobuf runtime for transformWithStateInPandas")
+
+    src = str(tmp_path / "mid_src")
+    ckpt = str(tmp_path / "mid_ckpt")
+    t0 = pd.Timestamp("2025-01-01 10:00:00")
+
+    def write_file(rows):
+        pdf = pd.DataFrame(
+            {"user_id": [u for u, _ in rows], "ts": [t for _, t in rows]}
+        )
+        _time.sleep(1.1)  # distinct mtime: file source orders batches
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    day = pd.Timedelta(days=1)
+    # Phase 1: session A (2 events) | sentinel advances watermark |
+    # sentinel fires timers | a NEWER user-1 event (open session B).
+    write_file([(1, t0), (1, t0 + pd.Timedelta(seconds=10))])
+    write_file([(-1, t0 + 400 * day)])
+    write_file([(-2, t0 + 800 * day)])
+    write_file([(1, t0 + 2000 * day)])  # beyond every phase-1 watermark
+
+    out = str(tmp_path / "mid_out")
+
+    def drain():
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # appending to parquet can (the restart-test pattern).
+        def sink(df, batch_id):
+            df.write.mode("append").parquet(out)
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stateful.sessionize_tws(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    def emitted():
+        return sorted(
+            (r.user_id, r.session_start_epoch, r.session_end_epoch, r.n_events)
+            for r in spark.read.parquet(out).collect()
+            if r.user_id == 1
+        )
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q1 = drain()
+        batches = len([p for p in q1.recentProgress if p["numInputRows"] > 0])
+        assert batches >= 4  # one per file
+        got1 = emitted()
+        e0 = int(t0.timestamp())
+        # Session A was closed BY TIMER mid-stream; session B (the
+        # +500d event, newer than the final watermark) is still OPEN
+        # and therefore ABSENT — there is no end-of-stream flush.
+        assert got1 == [(1, e0, e0 + 10, 2)]
+
+        # Phase 2: a LATE event behind the recovered watermark (~+1940d)
+        # straddling sealed session A, then sentinels that advance the
+        # watermark past session B and fire its timer.
+        write_file([(1, t0 + pd.Timedelta(seconds=20))])
+        write_file([(-3, t0 + 4000 * day)])
+        write_file([(-4, t0 + 8000 * day)])
+        drain()
+        got2 = emitted()
+        e2000 = int((t0 + 2000 * day).timestamp())
+        # Exactly one NEW session: B, closed by its timer. The late
+        # event neither reopened A, inflated its count, nor spawned a
+        # phantom session at t0+20s — it was dropped by the processor's
+        # late-data guard (TWS delivers late rows to the operator; the
+        # guard exists because this exact probe caught the phantom).
+        assert got2 == [(1, e0, e0 + 10, 2), (1, e2000, e2000, 1)]
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
