@@ -156,7 +156,7 @@ R8_QUERIES = [
     "survival_order_fulfillment",
     "partkey_skew_spectrum",
 ]
-R8_TABLES = ("customer", "orders", "lineitem")
+R8_TABLES = ("customer", "orders", "lineitem", "supplier", "nation")
 R8_EXTRA_SHIFTS = {
     "customer": ["c_custkey"],
     "orders": ["o_orderkey", "o_custkey"],
