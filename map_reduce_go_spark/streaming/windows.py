@@ -265,3 +265,33 @@ def daily_distinct_users(events: DataFrame, watermark: str = "1 day") -> DataFra
         .agg(F.count(F.lit(1)).alias("dau"))
         .select(F.unix_timestamp("w.start").alias("day_start"), "dau")
     )
+
+
+def enrich_with_customer_over(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static broadcast-join enrichment: the event stream joined
+    to a STATIC (batch) customer dimension, then aggregated per
+    (market segment, event type) — the canonical "enrich clicks with
+    the user dim" topology. Spark plans the static side as a broadcast
+    per micro-batch (no state, no stream-stream watermark bookkeeping),
+    so at 100 TB/day of events the dim join costs one broadcast per
+    micro-batch and the stateful footprint stays exactly the aggregate's.
+
+    Same transformation works on a batch frame (batch-equality tested) —
+    the dual-use-one-definition discipline every streaming operator in
+    this module follows. Integer cents keep the revenue sum exact across
+    micro-batch accumulation orders.
+    """
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )

@@ -172,6 +172,7 @@ def replicate(
     extra_shifts=None,
     word_salt=False,
     fk_bases=None,
+    inject_hot=False,
 ) -> None:
     """Build the k-times corpus in ONE pass per table: each row explodes
     into k replicas (a lateral sequence, map-side), keys shift by
@@ -290,6 +291,25 @@ def replicate(
                 d = d.withColumn(
                     "text",
                     F.when(F.col("__rep") == 0, F.col("text")).otherwise(scrambled),
+                )
+            if t == "documents" and inject_hot:
+                # Skew stress (VERDICT r7 #8): append one UNSALTED hot
+                # phrase to every 3rd doc across ALL replicas — its
+                # interior shingle ("zzhot zzhot zzhot") becomes a
+                # corpus-hot token carried by ~1/3 of the k-times corpus,
+                # the token-frequency skew that would detonate a naive
+                # token-blocked join. The prefix filter must keep it out
+                # of every prefix bucket (prefixes take the RAREST
+                # tokens), so candidate mass stays flat.
+                d = d.withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") % 3 == 0,
+                        F.concat(
+                            F.col("text"),
+                            F.lit(" zzhot zzhot zzhot zzhot zzhot"),
+                        ),
+                    ).otherwise(F.col("text")),
                 )
             # The explode build is map-side, so it inherits the SOURCE
             # file's partitioning — at sf0.1 that is one file, and a
@@ -448,6 +468,39 @@ def filtered_ann_candidate_stats(spark, sf_dir: str) -> dict:
     return d
 
 
+HOT_SHINGLE = "zzhot zzhot zzhot"
+
+
+def hot_shingle_stats(spark, sf_dir: str) -> dict:
+    """How the injected corpus-hot shingle behaves under the prefix
+    filter: how many docs carry it, and how many PREFIX rows it occupies
+    (the design invariant: 0 for any doc longer than the prefix bound —
+    rare-token ordering exiles hot tokens from prefixes)."""
+    from pyspark.sql import Window
+
+    from map_reduce_go_spark.operators.dedup import SETSIM_T, _shingle_arrays
+
+    docs = load_table(spark, sf_dir, "documents")
+    sa = (
+        _shingle_arrays(docs)
+        .select("doc_id", F.col("shingles").alias("ts"), F.col("n"))
+        .where(F.col("n") > 0)
+    )
+    toks = sa.select("doc_id", "n", F.explode("ts").alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    w_rn = Window.partitionBy("doc_id").orderBy("f", "token")
+    ordered = toks.join(freq, "token").withColumn("rn", F.row_number().over(w_rn))
+    prefix_len = F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")).cast("long") + 1
+    prefix = ordered.where(F.col("rn") <= prefix_len)
+    row = prefix.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("token") == HOT_SHINGLE, 1)), F.lit(0)
+        ).alias("hot_in_prefix")
+    ).collect()[0]
+    hot_docs = toks.where(F.col("token") == HOT_SHINGLE).count()
+    return {"hot_doc_count": hot_docs, "hot_in_prefix": int(row["hot_in_prefix"])}
+
+
 def _n_probe_queries(spark, sf_dir: str) -> int:
     from map_reduce_go_spark.operators.similarity import N_QUERIES
 
@@ -471,6 +524,7 @@ def main() -> None:
         "round7": (R7_QUERIES, R7_TABLES, None, None),
         "round7b": (R7B_QUERIES, R7B_TABLES, R7B_EXTRA_SHIFTS, R7B_FK_BASES),
         "round8": (R8_QUERIES, R8_TABLES, R8_EXTRA_SHIFTS, R8_FK_BASES),
+        "setsimskew": (SETSIM_QUERIES, SETSIM_TABLES, None, None),
     }.get(family, (QUERIES, TABLES, None, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -482,8 +536,9 @@ def main() -> None:
             out_dir,
             tables=tables,
             extra_shifts=extra,
-            word_salt=(family in ("setsim", "round6")),
+            word_salt=(family in ("setsim", "setsimskew", "round6")),
             fk_bases=fk,
+            inject_hot=(family == "setsimskew"),
         )
         time_queries(spark, BASE, queries)  # warm-up: codegen/JIT/footer caches
         base = time_queries(spark, BASE, queries)
@@ -499,6 +554,9 @@ def main() -> None:
         if family == "round7":
             out["filtered_ann_base"] = filtered_ann_candidate_stats(spark, BASE)
             out["filtered_ann_big"] = filtered_ann_candidate_stats(spark, out_dir)
+        if family == "setsimskew":
+            out["prefix_buckets_big"] = setsim_prefix_bucket_stats(spark, out_dir)
+            out["hot_shingle_big"] = hot_shingle_stats(spark, out_dir)
         print(json.dumps(out))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -754,3 +754,37 @@ def test_tws_timer_closes_session_mid_stream_and_drops_late_data(
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+
+def test_stream_static_broadcast_join_equals_batch(spark, sf_dir, event_source):
+    """Stream-static enrichment: joining the event STREAM to the batch
+    customer dim and aggregating must equal the same transformation on
+    the batch frame — and the static side must enter the plan as a
+    broadcast join (no shuffle of the stream on the dim key, no state
+    beyond the aggregate)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    customer = load_table(spark, sf_dir, "customer")
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    stream = windows.read_event_stream(spark, event_source)
+    enriched = windows.enrich_with_customer_over(stream, customer)
+    q = windows.run_to_memory(enriched, name, complete=True)
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {
+        tuple(r)
+        for r in windows.enrich_with_customer_over(
+            _batch_events(spark, event_source), customer
+        ).collect()
+    }
+    assert got == want and got
+    assert q.lastProgress is not None
+    # Plan shape: the dim side is broadcast. A streaming frame's plan
+    # only exists inside a started query, so assert on the BATCH twin —
+    # the transformation is one shared definition, so the join strategy
+    # claim carries over (micro-batch planning uses the same rules).
+    plan = (
+        windows.enrich_with_customer_over(
+            _batch_events(spark, event_source), customer
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
