@@ -123,6 +123,9 @@ HEADLINE = [
     "pagerank_nation_trade",
     "mad_outliers_by_segment",
     "survival_order_fulfillment",
+    # Per-byte position explode — the one plan whose work scales with
+    # corpus BYTES, worth tracking cold.
+    "cdc_chunk_stats",
 ]
 
 

@@ -1365,3 +1365,85 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("temp_weight"),
     )
+
+
+CDC_WINDOW = 8    # bytes hashed per boundary test
+CDC_DIVISOR = 64  # P(boundary) per position = 1/64 -> ~64-char chunks
+
+
+@register(
+    "cdc_chunk_stats",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT doc_id, n_chars,
+             CAST(coalesce(sum(CASE WHEN
+               CAST('0x' || substring(md5(substring(text, i - {CDC_WINDOW - 1}, {CDC_WINDOW})), 1, 8) AS BIGINT)
+               % {CDC_DIVISOR} = 0 AND i < n_chars THEN 1 END), 0) AS BIGINT)
+               AS n_boundaries
+      FROM documents, LATERAL unnest(generate_series({CDC_WINDOW},
+                                     CAST(n_chars AS BIGINT))) t(i)
+      WHERE n_chars >= {CDC_WINDOW}
+      GROUP BY doc_id, n_chars
+    )
+    SELECT doc_id,
+           n_boundaries,
+           n_boundaries + 1 AS n_chunks,
+           CAST(n_chars // (n_boundaries + 1) AS BIGINT) AS mean_chunk_chars
+    FROM bounds
+    """,
+)
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync idea): chunk
+    boundaries where the hash of the trailing {CDC_WINDOW}-byte window
+    ≡ 0 mod {CDC_DIVISOR}, giving ~{CDC_DIVISOR}-char expected chunks
+    whose boundaries are CONTENT-anchored — insert one byte early in a
+    document and every downstream chunk boundary still lands on the
+    same content, so chunk-level dedup keeps matching (fixed-stride
+    chunking loses every boundary after an edit; that is the entire
+    point of CDC). Emits per-doc boundary/chunk counts and mean chunk
+    size — the dedup-planning statistics.
+
+    Cross-engine determinism: the boundary predicate is the repo's md5
+    idiom (first 8 hex chars as an integer) over the identical 1-indexed
+    substring on both engines — pure integer arithmetic, no rolling
+    state to replicate. A trailing boundary at the document end is not
+    counted (it would split off an empty chunk).
+
+    Scale shape: one position explode (~n_chars rows per doc — linear in
+    corpus BYTES, the honest cost of per-byte chunking) feeding a
+    map-side-combinable count; no shuffle beyond the per-doc rollup. At
+    100 TB this runs as Arrow-batched mapInPandas with an actual gear
+    rolling hash (O(1)/byte instead of O(window)); the declarative form
+    here is the oracle-checkable semantics of the same boundary rule.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars") >= CDC_WINDOW
+    )
+    pos = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.sequence(F.lit(CDC_WINDOW), F.col("n_chars").cast("long"))
+        ).alias("i"),
+        F.col("text"),
+    )
+    window_hash = F.expr(
+        f"CAST(conv(substring(md5(substring(text, i - {CDC_WINDOW - 1},"
+        f" {CDC_WINDOW})), 1, 8), 16, 10) AS BIGINT)"
+    )
+    is_boundary = (window_hash % CDC_DIVISOR == 0) & (
+        F.col("i") < F.col("n_chars")
+    )
+    bounds = pos.groupBy("doc_id", "n_chars").agg(
+        F.coalesce(F.sum(F.when(is_boundary, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_boundaries")
+    )
+    return bounds.select(
+        "doc_id",
+        "n_boundaries",
+        (F.col("n_boundaries") + 1).alias("n_chunks"),
+        F.expr("CAST(n_chars div (n_boundaries + 1) AS BIGINT)").alias(
+            "mean_chunk_chars"
+        ),
+    )

@@ -1613,3 +1613,122 @@ def ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("raw_sim", 6).alias("sim"), "rank")
     )
+
+
+MRL_DIM = 32  # truncation point: the first half of the 64-dim embedding
+
+_DOT32 = (
+    f"list_sum(list_transform(generate_series(1, {MRL_DIM}), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))"
+)
+_NORM32_Q = (
+    f"sqrt(list_sum(list_transform(generate_series(1, {MRL_DIM}), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+)
+_NORM32_V = (
+    f"sqrt(list_sum(list_transform(generate_series(1, {MRL_DIM}), "
+    "i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))"
+)
+
+
+def _cosine_udf_dim(a: Column, b: Column, dim: int) -> Column:
+    """Arrow-vectorized cosine over the FIRST `dim` dimensions, with the
+    same dimension-sequential float64 accumulation contract as
+    cosine_udf so truncated rankings are bit-identical to the oracle's
+    sequential list_sum."""
+
+    @F.pandas_udf("double")
+    def _cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        ma = np.vstack(ea.to_numpy()).astype(np.float64)[:, :dim]
+        mb = np.vstack(eb.to_numpy()).astype(np.float64)[:, :dim]
+
+        def seq(x, y):
+            acc = x[:, 0] * y[:, 0]
+            for i in range(1, dim):
+                acc = acc + x[:, i] * y[:, i]
+            return acc
+
+        return pd.Series(seq(ma, mb) / (np.sqrt(seq(ma, ma)) * np.sqrt(seq(mb, mb))))
+
+    return _cos(a, b)
+
+
+@register(
+    "matryoshka_truncation_recall",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             {_DOT} / ({_NORM_Q} * {_NORM_V}) AS sim_full,
+             {_DOT32} / ({_NORM32_Q} * {_NORM32_V}) AS sim_trunc
+      FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim_full DESC, neighbor_id) AS rf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim_trunc DESC, neighbor_id) AS rt
+      FROM pairs
+    )
+    SELECT query_id,
+           CAST(coalesce(sum(CASE WHEN rf <= {TOP_K} AND rt <= {TOP_K}
+                             THEN 1 END), 0) AS BIGINT) AS n_overlap,
+           CAST(1000000 * coalesce(sum(CASE WHEN rf <= {TOP_K} AND rt <= {TOP_K}
+                                        THEN 1 END), 0) // {TOP_K}
+             AS BIGINT) AS recall_ppm
+    FROM ranked GROUP BY query_id
+    """,
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation truncation audit: recall@{TOP_K} of
+    nearest-neighbor search using only the FIRST {MRL_DIM} of 64
+    embedding dimensions against the full-dimension ranking — the
+    acceptance measurement for MRL-style dimension truncation (2× less
+    vector memory and bandwidth if recall holds; the fixture's
+    unstructured embeddings show the baseline penalty an MRL-trained
+    model is supposed to avoid).
+
+    ONE broadcast join scores each (query, corpus) pair under BOTH
+    metrics in the same row, two rank windows share that frame, and the
+    intersection count is a per-query aggregate — the corpus is scanned
+    once, never twice-ranked from separate scans. Both cosines use the
+    dimension-sequential kernels, so ranks are bit-identical
+    cross-engine and recall is exact integer arithmetic.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v_emb")
+    )
+    pairs = v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_udf(F.col("q_emb"), F.col("v_emb")).alias("sim_full"),
+        _cosine_udf_dim(F.col("q_emb"), F.col("v_emb"), MRL_DIM).alias("sim_trunc"),
+    )
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_full"), F.asc("neighbor_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_trunc"), F.asc("neighbor_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    both = (F.col("rf") <= TOP_K) & (F.col("rt") <= TOP_K)
+    return ranked.groupBy("query_id").agg(
+        F.coalesce(F.sum(F.when(both, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_overlap"),
+        F.expr(
+            f"CAST(1000000 * coalesce(sum(CASE WHEN rf <= {TOP_K} AND"
+            f" rt <= {TOP_K} THEN 1 END), 0) div {TOP_K} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

@@ -2213,3 +2213,139 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lang_entropy"),
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_TOP_K = 10
+_RRF_SCALE = 1_000_000_000  # contributions as floor(1e9 / (K + rank))
+
+
+@register(
+    "rrf_fusion_topk",
+    oracle=f"""
+    WITH {_TOKS_ALL_SQL},
+    perdoc AS (
+      SELECT doc_id, count(*) AS dl,
+             {", ".join(f"CAST(sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}" for i, t in enumerate(BM25_TERMS))},
+             count(DISTINCT tok) AS n_distinct
+      FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+             {", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(BM25_TERMS)))}
+      FROM perdoc
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY round({" + ".join(_bm25_term_sql(i) for i in range(len(BM25_TERMS)))}, 6) DESC,
+                        doc_id) AS BIGINT) AS r1
+      FROM perdoc CROSS JOIN stats
+      QUALIFY r1 <= {BM25_TOP_DOCS}
+    ),
+    divr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY (1000000 * n_distinct) // dl DESC, doc_id
+             ) AS BIGINT) AS r2
+      FROM perdoc
+      QUALIFY r2 <= {BM25_TOP_DOCS}
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+             coalesce(l.r1, 0) AS bm25_rank,
+             coalesce(d.r2, 0) AS diversity_rank,
+             CAST(coalesce({_RRF_SCALE} // ({RRF_K} + l.r1), 0)
+                + coalesce({_RRF_SCALE} // ({RRF_K} + d.r2), 0)
+                AS BIGINT) AS fused_score
+      FROM lex l FULL OUTER JOIN divr d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, bm25_rank, diversity_rank, fused_score,
+           CAST(row_number() OVER (ORDER BY fused_score DESC, doc_id)
+             AS BIGINT) AS fused_rank
+    FROM fused
+    ORDER BY fused_score DESC, doc_id LIMIT {RRF_TOP_K}
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings — the standard
+    hybrid-search combiner (lexical BM25 fused with a second ranker;
+    here a lexical-diversity prior stands in for the dense ranker, whose
+    fusion arithmetic is identical). RRF is rank-only, so the fused
+    score is EXACT integer arithmetic: floor(1e9/(60+rank)) summed per
+    list — no score normalization across incomparable scales, which is
+    precisely why production hybrid search uses RRF over raw-score
+    mixing.
+
+    The BM25 leg calls the registered bm25_doc_ranking operator itself
+    (the pipeline_stage_attrition discipline: compositions reuse the
+    exact registered semantics, so this query sits under bm25's own
+    oracle too). Scale shape: both legs end in bounded top-k lists
+    ({BM25_TOP_DOCS} rows), so fusion is a {2 * BM25_TOP_DOCS}-row outer
+    join — free at any corpus size; the corpus-sized work is exactly the
+    two rankers' (one shared tokenize in the oracle; two passes in the
+    composed Spark plan, each the ranker's own audited plan).
+    """
+    bm = bm25_doc_ranking(spark, sf_dir).select(
+        "doc_id", F.col("rank").cast("long").alias("r1")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    perdoc = (
+        docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0
+            ).alias("toks"),
+        )
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        )
+    )
+    top_div = (
+        perdoc.select(
+            "doc_id",
+            F.expr("(1000000 * n_distinct) div dl").alias("div_score"),
+        )
+        .orderBy(F.desc("div_score"), F.asc("doc_id"))
+        .limit(BM25_TOP_DOCS)
+    )
+    from pyspark.sql import Window
+
+    # row_number over an already-limited 20-row frame (the bm25 bound).
+    w2 = Window.orderBy(F.desc("div_score"), F.asc("doc_id"))
+    dv = top_div.select(
+        "doc_id", F.row_number().over(w2).cast("long").alias("r2")
+    )
+    fused = (
+        bm.join(dv, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("r1", F.lit(0)).alias("bm25_rank"),
+            F.coalesce("r2", F.lit(0)).alias("diversity_rank"),
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({RRF_K} + r1)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({RRF_K} + r2)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("fused_score"),
+        )
+    )
+    w3 = Window.orderBy(F.desc("fused_score"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("fused_score"), F.asc("doc_id"))
+        .limit(RRF_TOP_K)
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "diversity_rank",
+            "fused_score",
+            F.row_number().over(w3).cast("long").alias("fused_rank"),
+        )
+    )

@@ -87,15 +87,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "decontaminate_against_eval",
     # --- (b) round-8 additions (never checked): robust stats, graph
     #     centrality, survival analysis, skew audit, mixture weighting,
-    #     dataset reporting ---
+    #     dataset reporting, RRF hybrid fusion, content-defined
+    #     chunking, Matryoshka truncation recall ---
     "mad_outliers_by_segment",
     "pagerank_nation_trade",
     "survival_order_fulfillment",
     "mixture_temperature_weights",
     "partkey_skew_spectrum",
     "dataset_card_by_source",
-    # --- (c) the oldest r4 rows, registration order (14 slots left:
-    #     the dedup family + the MR-app lineage) ---
+    "rrf_fusion_topk",
+    "cdc_chunk_stats",
+    "matryoshka_truncation_recall",
+    # --- (c) the oldest r4 rows, registration order (11 slots left:
+    #     the dedup family + the start of the MR-app lineage) ---
     "dedup_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -107,10 +111,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_batch",
     "wordcount",
     "inverted_index",
-    "generic_mapreduce_wordcount",
-    "per_file_count",
-    "file_projections",
-    # (The remaining 27 r4 rows — multimodal_blob_meta, the events
+    # (The remaining 30 r4 rows — generic_mapreduce_wordcount,
+    # per_file_count, file_projections, multimodal_blob_meta, the events
     # window/sessionize family, corpus_head_coverage,
     # token_commonness_score, shard_balance_audit,
     # embedding_quality_audit, table_profile_lineitem, the scalar

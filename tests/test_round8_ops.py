@@ -236,3 +236,93 @@ def test_zipf_rank_window_is_partitioned(spark, sf_dir):
     assert specs, "expected a window in the zipf plan"
     for spec in specs:
         assert spec.startswith("pid#"), spec
+
+
+# ---------------------------------------------------------------- RRF
+
+
+def test_rrf_fusion_scores_and_membership(spark, sf_dir):
+    """Fused scores decompose exactly into the two legs' reciprocal-rank
+    contributions (integer arithmetic), ranks are dense from 1, and any
+    doc ranked by BOTH legs outscores a doc holding the same single-leg
+    rank alone."""
+    rows = _q("rrf_fusion_topk", spark, sf_dir).collect()
+    assert [r["fused_rank"] for r in sorted(rows, key=lambda r: r["fused_rank"])] == list(
+        range(1, len(rows) + 1)
+    )
+    for r in rows:
+        want = 0
+        if r["bm25_rank"] > 0:
+            want += 1_000_000_000 // (60 + r["bm25_rank"])
+        if r["diversity_rank"] > 0:
+            want += 1_000_000_000 // (60 + r["diversity_rank"])
+        assert r["fused_score"] == want
+        assert r["bm25_rank"] > 0 or r["diversity_rank"] > 0
+
+
+def test_rrf_bm25_leg_equals_registered_bm25(spark, sf_dir):
+    """Composition discipline: the doc set carrying a bm25_rank in the
+    fused output is consistent with the registered bm25_doc_ranking
+    operator's own top list (same rank values)."""
+    bm = {
+        r["doc_id"]: r["rank"]
+        for r in _q("bm25_doc_ranking", spark, sf_dir).collect()
+    }
+    for r in _q("rrf_fusion_topk", spark, sf_dir).collect():
+        if r["bm25_rank"] > 0:
+            assert bm[r["doc_id"]] == r["bm25_rank"]
+
+
+# ---------------------------------------------------------------- CDC
+
+
+def test_cdc_boundaries_are_content_anchored(spark, duck, sf_dir):
+    """The CDC property itself: recompute boundary positions for a few
+    docs in Python, then verify that PREPENDING a byte to the text
+    shifts every boundary by exactly one position (same content, same
+    cut points) — the invariant fixed-stride chunking lacks."""
+    import hashlib
+
+    from map_reduce_go_spark.operators.pipeline import CDC_DIVISOR, CDC_WINDOW
+
+    texts = dict(
+        duck.sql(
+            f"SELECT doc_id, text FROM documents WHERE n_chars >= {CDC_WINDOW} LIMIT 5"
+        ).fetchall()
+    )
+    got = {
+        r["doc_id"]: (r["n_boundaries"], r["n_chunks"], r["mean_chunk_chars"])
+        for r in _q("cdc_chunk_stats", spark, sf_dir).collect()
+    }
+
+    def boundaries(text):
+        out = []
+        for i in range(CDC_WINDOW, len(text) + 1):
+            win = text[i - CDC_WINDOW : i]
+            h = int(hashlib.md5(win.encode()).hexdigest()[:8], 16)
+            if h % CDC_DIVISOR == 0 and i < len(text):
+                out.append(i)
+        return out
+
+    for doc_id, text in texts.items():
+        b = boundaries(text)
+        assert got[doc_id][0] == len(b)
+        assert got[doc_id][1] == len(b) + 1
+        assert got[doc_id][2] == len(text) // (len(b) + 1)
+        # Content anchoring: prepend one byte -> same cuts, shifted by 1.
+        assert boundaries("X" + text)[-len(b) or None :] == (
+            [x + 1 for x in b] if b else []
+        )
+
+
+# ---------------------------------------------------------------- MRL
+
+
+def test_matryoshka_recall_bounds_and_self_consistency(spark, sf_dir):
+    from map_reduce_go_spark.operators.similarity import TOP_K
+
+    rows = _q("matryoshka_truncation_recall", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= TOP_K
+        assert r["recall_ppm"] == 1_000_000 * r["n_overlap"] // TOP_K
