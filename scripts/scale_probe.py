@@ -162,6 +162,16 @@ R8_EXTRA_SHIFTS = {
     "orders": ["o_orderkey", "o_custkey"],
 }
 R8_FK_BASES = {"o_custkey": "customer", "l_orderkey": "orders"}
+# Round-8b family: the retrieval/chunking trio. Scramble replication
+# (BM25's query terms must stay corpus-hot, same argument as round7);
+# cdc is the suite's only byte-linear plan (per-byte boundary tests),
+# matryoshka is the knn shape (corpus grows, probe side fixed).
+R8B_QUERIES = [
+    "cdc_chunk_stats",
+    "rrf_fusion_topk",
+    "matryoshka_truncation_recall",
+]
+R8B_TABLES = ("documents", "embeddings")
 
 
 def replicate(
@@ -525,6 +535,7 @@ def main() -> None:
         "round7b": (R7B_QUERIES, R7B_TABLES, R7B_EXTRA_SHIFTS, R7B_FK_BASES),
         "round8": (R8_QUERIES, R8_TABLES, R8_EXTRA_SHIFTS, R8_FK_BASES),
         "setsimskew": (SETSIM_QUERIES, SETSIM_TABLES, None, None),
+        "round8b": (R8B_QUERIES, R8B_TABLES, None, None),
     }.get(family, (QUERIES, TABLES, None, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
