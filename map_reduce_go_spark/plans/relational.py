@@ -2578,6 +2578,12 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; each iteration sums ≤ |nations| double terms of identical
     expression shape ((pr · w) / o), so engine-order ULP drift is
     ~1e-16 — far inside the 6 dp rounding of the output.
+
+    Sibling: word_graph_pagerank (same algorithm family) runs in exact
+    parts-per-billion INTEGER arithmetic over the token graph; this
+    variant exercises the other half of the design space — double
+    arithmetic with uniform dangling-mass redistribution, and a graph
+    AGGREGATED from a 4-table fact join rather than read as edges.
     """
     from map_reduce_go_spark.functions.caching import tracked_cache
 
