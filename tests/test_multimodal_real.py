@@ -158,3 +158,27 @@ def test_real_mode_still_raises_for_foreign_formats(spark):
         with pytest.raises(PythonException) as ei:
             frame.collect()
         assert "NotImplementedError" in str(ei.value)
+
+
+# ---------------------------------------------------------------- property
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    rgb=st.booleans(),
+    ft=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_codec_roundtrip_property(h, w, rgb, ft, seed):
+    """Any uint8 image, any spec filter: decode(encode(img)) == img —
+    the property the operator real-decode branches stand on."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, filter_type=ft)), img)

@@ -326,3 +326,41 @@ def test_matryoshka_recall_bounds_and_self_consistency(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_overlap"] <= TOP_K
         assert r["recall_ppm"] == 1_000_000 * r["n_overlap"] // TOP_K
+
+
+def test_cdc_boundary_rule_property():
+    """Pure-Python property (no Spark): for random ASCII strings, the
+    CDC boundary set of s is position-shifted but otherwise UNCHANGED
+    under any prefix insertion longer than the window — the
+    content-anchoring theorem the operator's value rests on (boundaries
+    depend only on the trailing window's bytes)."""
+    import hashlib
+    import random
+
+    from map_reduce_go_spark.operators.pipeline import CDC_DIVISOR, CDC_WINDOW
+
+    def cuts(text):
+        return [
+            i
+            for i in range(CDC_WINDOW, len(text) + 1)
+            if int(
+                hashlib.md5(text[i - CDC_WINDOW : i].encode()).hexdigest()[:8], 16
+            )
+            % CDC_DIVISOR
+            == 0
+            and i < len(text)
+        ]
+
+    rng = random.Random(11)
+    alpha = "abcdefghij "
+    for _ in range(25):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(40, 400)))
+        prefix = "".join(rng.choice(alpha) for _ in range(CDC_WINDOW + rng.randint(0, 8)))
+        base = cuts(s)
+        shifted = cuts(prefix + s)
+        # Every original cut reappears shifted by len(prefix); the only
+        # new cuts may sit inside/straddling the prefix region.
+        expect = {c + len(prefix) for c in base}
+        boundary_zone = len(prefix) + CDC_WINDOW - 1
+        assert expect <= set(shifted)
+        assert {c for c in shifted if c > boundary_zone} == expect
