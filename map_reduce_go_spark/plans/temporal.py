@@ -374,3 +374,112 @@ def survival_order_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     )
+
+
+_SCD2_BROWSE_SQL = """
+    browse AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+    ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM browse
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts, event_type,
+             CAST(sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM ordered
+    ),
+    versions AS (
+      SELECT user_id, version, event_type,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from_epoch
+      FROM islands
+      GROUP BY user_id, version, event_type
+    ),
+    scd2 AS (
+      SELECT user_id, version, event_type, valid_from_epoch,
+             lead(valid_from_epoch) OVER (PARTITION BY user_id
+                                          ORDER BY version) AS valid_to_epoch
+      FROM versions
+    )
+"""
+
+
+@register(
+    "purchase_scd2_state_lookup",
+    oracle=f"""
+    WITH {_SCD2_BROWSE_SQL}
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           s.version,
+           s.event_type AS browse_state
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN scd2 s
+      ON s.user_id = p.user_id
+     AND s.valid_from_epoch <= CAST(floor(epoch(p.ts)) AS BIGINT)
+     AND (s.valid_to_epoch IS NULL
+          OR CAST(floor(epoch(p.ts)) AS BIGINT) < s.valid_to_epoch)
+    """,
+)
+def purchase_scd2_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-VERSIONED-dimension temporal lookup: each purchase
+    resolves the SCD Type-2 "browsing state" version (runs of
+    consecutive equal non-purchase event types, built by the registered
+    scd2_over transformation) that was valid AT THE PURCHASE'S EVENT
+    TIME — the temporal dimension join every warehouse with Type-2 dims
+    runs on every fact load (joining on the key alone would attach
+    today's attributes to yesterday's facts). Purchases before a user's
+    first browse run resolve to NULL; half-open [from, to) validity
+    makes the match unique, and a zero-length version (two runs starting
+    within the same epoch second) can never match, on either engine.
+
+    Plan: NOT an inequality join. The scalable as-of formulation (this
+    module's asof_join technique applied to SCD2): union dim-version
+    starts with fact probes, ONE window per user ordered by
+    (t, dim-before-probe, version) carrying the last version forward,
+    then keep probes. One shuffle on user_id, per-key state = one
+    carried struct; an inequality join would be a per-user cross
+    product, and at 100 TB the dim may be far too big to broadcast.
+    """
+    from map_reduce_go_spark.plans.warehouse import scd2_over
+
+    e = load_table(spark, sf_dir, "events")
+    dim = scd2_over(e.where(F.col("event_type") != "purchase")).select(
+        "user_id",
+        F.col("valid_from_epoch").alias("t"),
+        F.lit(0).alias("tag"),
+        "version",
+        F.col("event_type").alias("browse_state"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    probes = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("string").alias("browse_state"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("tag"), F.col("version").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = dim.unionByName(probes).select(
+        "user_id",
+        "t",
+        "tag",
+        "purchase_id",
+        F.last("version", ignorenulls=True).over(w).alias("version"),
+        F.last("browse_state", ignorenulls=True).over(w).alias("browse_state"),
+    )
+    return carried.where(F.col("tag") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.col("t").alias("purchase_epoch"),
+        "version",
+        "browse_state",
+    )

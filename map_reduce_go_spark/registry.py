@@ -88,7 +88,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (b) round-8 additions (never checked): robust stats, graph
     #     centrality, survival analysis, skew audit, mixture weighting,
     #     dataset reporting, RRF hybrid fusion, content-defined
-    #     chunking, Matryoshka truncation recall ---
+    #     chunking, Matryoshka truncation recall, SCD2 temporal
+    #     dimension lookup ---
     "mad_outliers_by_segment",
     "pagerank_nation_trade",
     "survival_order_fulfillment",
@@ -98,7 +99,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rrf_fusion_topk",
     "cdc_chunk_stats",
     "matryoshka_truncation_recall",
-    # --- (c) the oldest r4 rows, registration order (11 slots left:
+    "purchase_scd2_state_lookup",
+    # --- (c) the oldest r4 rows, registration order (10 slots left:
     #     the dedup family + the start of the MR-app lineage) ---
     "dedup_exact",
     "dedup_simhash",
@@ -110,8 +112,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "near_dup_cluster_sizes",
     "dedup_incremental_batch",
     "wordcount",
-    "inverted_index",
-    # (The remaining 30 r4 rows — generic_mapreduce_wordcount,
+    # (The remaining 31 r4 rows — inverted_index,
+    # generic_mapreduce_wordcount,
     # per_file_count, file_projections, multimodal_blob_meta, the events
     # window/sessionize family, corpus_head_coverage,
     # token_commonness_score, shard_balance_audit,

@@ -364,3 +364,54 @@ def test_cdc_boundary_rule_property():
         boundary_zone = len(prefix) + CDC_WINDOW - 1
         assert expect <= set(shifted)
         assert {c for c in shifted if c > boundary_zone} == expect
+
+
+# ------------------------------------------------------------ SCD2 lookup
+
+
+def test_scd2_state_lookup_matches_interval_semantics(spark, sf_dir):
+    """Every resolved (purchase -> version) pair satisfies the half-open
+    validity interval of an independently built browse-state dim,
+    unresolved purchases genuinely have no covering version, row count
+    equals the purchase count, and a nontrivial share resolves."""
+    from map_reduce_go_spark.plans.warehouse import scd2_over
+    from map_reduce_go_spark.sources.readers import load_table
+
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    dim = {}
+    for r in scd2_over(e.where(F.col("event_type") != "purchase")).collect():
+        dim.setdefault(r["user_id"], []).append(
+            (r["valid_from_epoch"], r["valid_to_epoch"], r["version"], r["event_type"])
+        )
+    rows = _q("purchase_scd2_state_lookup", spark, sf_dir).collect()
+    n_purchases = e.where(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purchases
+    n_hit = 0
+    for r in rows:
+        vs = dim.get(r["user_id"], [])
+        covering = [
+            v
+            for v in vs
+            if v[0] <= r["purchase_epoch"]
+            and (v[1] is None or r["purchase_epoch"] < v[1])
+        ]
+        if r["version"] is None:
+            assert not covering
+        else:
+            n_hit += 1
+            assert len(covering) == 1
+            assert (covering[0][2], covering[0][3]) == (r["version"], r["browse_state"])
+            assert r["browse_state"] != "purchase"
+    assert n_hit > n_purchases // 2  # the fixture resolves most purchases
+
+
+def test_scd2_state_lookup_plan_has_no_inequality_join(spark, sf_dir):
+    """The scale contract: the lookup is the union-window as-of plan —
+    no BroadcastNestedLoopJoin / CartesianProduct (the inequality-join
+    shapes) anywhere in the executed plan."""
+    df = _q("purchase_scd2_state_lookup", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
