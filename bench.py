@@ -126,6 +126,9 @@ HEADLINE = [
     # Per-byte position explode — the one plan whose work scales with
     # corpus BYTES, worth tracking cold.
     "cdc_chunk_stats",
+    # Union-window as-of against a versioned dim (two window passes on
+    # one user shuffle) — the temporal-join family's scale canary.
+    "purchase_scd2_state_lookup",
 ]
 
 
