@@ -30,7 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_go_spark.functions.text import WORD_BOUNDARY
@@ -1758,5 +1758,337 @@ def shingle_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(1000000.0) * F.col("n_novel") / F.col("n_shingles"))
             .cast("long")
             .alias("novelty_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — guaranteed-coverage document fingerprints
+# --------------------------------------------------------------------------
+
+WINNOW_W = 4  # winnowing window: every WINNOW_W consecutive k-grams
+#: contribute at least one selected fingerprint (the coverage guarantee)
+_WINNOW_POS_BASE = 1_073_741_824  # 2^30 — (hash, pos) packed key base;
+#: bounds supported doc length at 2^30 k-gram positions (a ~4 GiB doc at
+#: one position per word — far past any real document)
+WINNOW_STOP_DF = 64  # fingerprints in more docs than this are boilerplate
+#: stop-fingerprints: excluded from pair generation (the LSH stop-shingle
+#: discipline), keeping posting lists bounded at scale
+_WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many prints
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\\p{{L}}]+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    pos_kg AS (
+      SELECT doc_id, i AS pos,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    comb AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)
+               * {_WINNOW_POS_BASE} + pos AS c
+      FROM pos_kg
+    ),
+    sel AS (
+      SELECT doc_id,
+             min(c) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                          AND CURRENT ROW) AS fp_comb,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                            AND CURRENT ROW) AS cnt
+      FROM comb
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp_comb // {_WINNOW_POS_BASE} AS fp
+      FROM sel WHERE cnt = {WINNOW_W}
+    ),
+    freq AS (SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp),
+    sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+      FROM fps a
+      JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN freq f ON f.fp = a.fp
+      WHERE f.n_docs BETWEEN 2 AND {WINNOW_STOP_DF}
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.nc AS BIGINT) AS n_shared,
+           CAST((1000000 * c.nc) // (sa.n + sb.n - c.nc) AS BIGINT)
+             AS jaccard_ppm
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE c.nc >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every word-3-gram at its position, slide a
+    window of WINNOW_W consecutive positions, and select the minimum
+    hash per window. The selection guarantees any shared run of
+    WINNOW_W + k - 1 words produces at least one shared fingerprint
+    (the coverage theorem), at a ~2/(w+1) expected sampling density —
+    the fingerprint family between "hash everything" (span dupes) and
+    "hash a fixed signature" (minhash). Output: document pairs sharing
+    >= 2 selected fingerprints with their fingerprint-set Jaccard.
+
+    Tie-break deviation from the paper: ties select the LEFTMOST
+    minimal hash (the packed (hash, pos) key is minimized), not the
+    rightmost — same coverage guarantee, one fewer comparison, and the
+    packing makes the whole selection a single BIGINT window min that
+    compares identically in DuckDB.
+
+    Scale shape: the k-gram build is map-side (the _shingle_arrays
+    barrier pattern, positions kept); selection is a per-doc window
+    (partitioned on doc_id — never global); the pair join is an
+    inverted index on SELECTED fingerprints only (~2/(w+1) of the
+    positions), with stop-fingerprints (df > WINNOW_STOP_DF) dropped
+    before pair generation — the same posting-list bound the LSH
+    stop-shingle filter enforces. Jaccard denominators use the full
+    per-doc fingerprint counts, so stop-fingerprint exclusion only
+    tightens the numerator (documented estimator bias, identical in
+    both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0
+    )
+    base = fan_out(docs).select("doc_id", ws.alias("ws"))
+    arr = F.col("ws")
+    k = SHINGLE_K
+    kgrams = F.when(
+        (F.size(arr) >= k) & (F.monotonically_increasing_id() >= 0),
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - k + 1),
+            lambda i: F.array_join(F.slice(arr, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_kg = base.select(
+        "doc_id", F.posexplode(kgrams).alias("pos0", "s")
+    )
+    comb = pos_kg.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(
+            f"CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)"
+            f" * {_WINNOW_POS_BASE} + (pos0 + 1)"
+        ).alias("c"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = comb.select(
+        "doc_id",
+        F.min("c").over(win).alias("fp_comb"),
+        F.count(F.lit(1)).over(win).alias("cnt"),
+    ).where(F.col("cnt") == WINNOW_W)
+    fps = (
+        sel.select(
+            "doc_id",
+            F.expr(f"fp_comb div {_WINNOW_POS_BASE}").alias("fp"),
+        )
+        .distinct()
+        .transform(tracked_cache)
+    )
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = fps.alias("a"), fps.alias("b")
+    common = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(
+            freq.where(F.col("n_docs").between(2, WINNOW_STOP_DF)).alias("fr"),
+            F.col("a.fp") == F.col("fr.fp"),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .where(F.col("nc") >= _WINNOW_MIN_SHARED)
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("nc").cast("long").alias("n_shared"),
+            F.expr("(1000000 * nc) div (sa.n + sb.n - nc)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood dedup — the sort-based blocking family
+# --------------------------------------------------------------------------
+
+SNM_WINDOW = 5  # compare each record to the next SNM_WINDOW-1 in key order
+SNM_KEY_CHARS = 24  # blocking key: first chars of the normalized text
+_SNM_RANK_PARTS = 8  # range partitions for the distributed global rank
+_SNM_MIN_J_PPM = 250_000  # report pairs with token-set Jaccard >= 0.25
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                       1, {SNM_KEY_CHARS}) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn
+      FROM keyed
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, b.rn - a.rn AS gap
+      FROM ranked a
+      JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW - 1}
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(text, '[^\\p{{L}}]+'),
+               x -> len(x) > 0)) AS ws
+      FROM documents
+    ),
+    sim AS (
+      SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b, gap,
+             len(list_intersect(wa.ws, wb.ws)) AS nc,
+             len(wa.ws) AS na, len(wb.ws) AS nb
+      FROM pairs
+      JOIN w wa ON wa.doc_id = da
+      JOIN w wb ON wb.doc_id = db
+    )
+    SELECT doc_a, doc_b, CAST(gap AS BIGINT) AS rank_gap,
+           CAST((1000000 * nc) // (na + nb - nc) AS BIGINT) AS jaccard_ppm
+    FROM sim
+    WHERE na + nb - nc > 0
+      AND 1000000 * nc >= {_SNM_MIN_J_PPM} * (na + nb - nc)
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez & Stolfo 1995) — the third
+    classic blocking family beside hash blocking (dedup_exact) and LSH
+    (dedup_minhash_lsh): sort all records by a blocking key (here the
+    first SNM_KEY_CHARS of the alphanumeric-normalized text), then
+    compare each record only to its SNM_WINDOW-1 successors in sort
+    order. Near-duplicates with a shared prefix land adjacent and get
+    compared; everything else is never paired — candidate count is
+    exactly n·(w-1), LINEAR in the corpus. Output: neighbor pairs with
+    token-set Jaccard >= 0.25, with their rank distance.
+
+    Scale shape: the global sort rank uses the distributed-row_number
+    idiom (repartitionByRange on the key + per-partition row_number +
+    broadcast cumulative offsets — the equidepth/zipf plan; the only
+    collect is partition-count longs). The neighborhood join is an
+    EQUI-join: each rank explodes to its w-1 probe ranks, so Spark
+    shuffles on rn instead of falling into a non-equi nested-loop join.
+    Token sets join back by doc_id — the rank shuffle moves (key,
+    doc_id) pairs, never document text. Jaccard is evaluated only on
+    the n·(w-1) candidate pairs; the filter is the all-integer predicate
+    1e6·|A∩B| >= t·|A∪B| (no float before the cut, floor-division
+    after it — bit-exact in both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(spark, docs)
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The SNM core over any (doc_id, text) frame — see
+    dedup_sorted_neighborhood for the plan-shape contract. Split out so
+    tests can drive it over constructed corpora with known duplicates
+    (the driver fixtures contain none)."""
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""),
+        1,
+        SNM_KEY_CHARS,
+    )
+    ranged = (
+        docs.select("doc_id", key.alias("k"))
+        .repartitionByRange(_SNM_RANK_PARTS, F.asc("k"), F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .transform(tracked_cache)
+    )
+    sizes = {
+        r["pid"]: r["n"]
+        for r in ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
+    win = Window.partitionBy("pid").orderBy("k", "doc_id")
+    ranked = (
+        ranged.join(F.broadcast(off), "pid")
+        .select(
+            "doc_id", (F.row_number().over(win) + F.col("offset")).alias("rn")
+        )
+        .transform(tracked_cache)
+    )
+    probes = ranked.select(
+        F.col("doc_id").alias("da"),
+        F.explode(F.sequence(F.lit(1), F.lit(SNM_WINDOW - 1))).alias("gap"),
+        F.col("rn"),
+    ).select("da", "gap", (F.col("rn") + F.col("gap")).alias("probe_rn"))
+    b = ranked.alias("b")
+    pairs = probes.join(b, F.col("b.rn") == F.col("probe_rn")).select(
+        "da", F.col("b.doc_id").alias("db"), "gap"
+    )
+    wsets = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.col("text"), WORD_BOUNDARY),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("ws"),
+    )
+    wa, wb = wsets.alias("wa"), wsets.alias("wb")
+    sim = (
+        pairs.join(wa, F.col("wa.doc_id") == F.col("da"))
+        .join(wb, F.col("wb.doc_id") == F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "gap",
+            F.size(F.array_intersect("wa.ws", "wb.ws")).alias("nc"),
+            F.size("wa.ws").alias("na"),
+            F.size("wb.ws").alias("nb"),
+        )
+    )
+    union = F.col("na") + F.col("nb") - F.col("nc")
+    return (
+        sim.where(
+            (union > 0)
+            & (F.lit(1_000_000) * F.col("nc") >= _SNM_MIN_J_PPM * union)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("gap").cast("long").alias("rank_gap"),
+            F.expr("(1000000 * nc) div (na + nb - nc)")
+            .cast("long")
+            .alias("jaccard_ppm"),
         )
     )

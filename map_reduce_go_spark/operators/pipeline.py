@@ -1447,3 +1447,86 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_chunk_chars"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the "hashing trick") — fixed-dimension featurization
+# --------------------------------------------------------------------------
+
+#: Hashed feature dimension. Small enough that the per-doc vector state is
+#: trivially bounded, large enough that the fixture vocabulary collides —
+#: the property the signed-sum construction exists to absorb.
+FEATURE_HASH_DIM = 64
+
+
+@register(
+    "feature_hashing_vectorize",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
+               % {FEATURE_HASH_DIM} AS bucket,
+             CASE WHEN substring(md5(tok), 9, 1) < '8'
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ),
+    vec AS (
+      SELECT doc_id, bucket,
+             CAST(sum(sgn) AS BIGINT) AS v,
+             count(*) AS cnt
+      FROM h GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE v <> 0) AS BIGINT) AS nnz,
+           CAST(sum(abs(v)) AS BIGINT) AS l1_norm,
+           CAST(sum(v * v) AS BIGINT) AS sq_norm,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens
+    FROM vec GROUP BY doc_id
+    """,
+)
+def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): every token
+    maps to one of FEATURE_HASH_DIM buckets by content hash, with a
+    second hash bit choosing the sign, so collisions cancel in
+    expectation instead of biasing the bucket upward. The output is the
+    per-document sparse-vector summary a downstream trainer's feature
+    audit would read: nonzero count, L1 norm, squared L2 norm, token
+    count — all integers, so the cross-engine hash is exact.
+
+    The 100 TB shape: bucket and sign are codegen'd column expressions
+    on the exploded tokens (the one corpus-sized pass), then two
+    map-side-combinable aggregates — (doc, bucket) signed sums whose
+    shuffle moves at most FEATURE_HASH_DIM rows per doc, then the per-doc
+    rollup keyed on doc_id. No vocabulary state anywhere: unlike a
+    dictionary vectorizer there is no driver-side vocab build, which is
+    exactly why the hashing trick is the featurizer that survives
+    web-scale vocabularies. The md5-slice construction (first 8 hex
+    chars -> bucket, 9th -> sign) matches lexicographically in DuckDB,
+    making the oracle bit-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        ).alias("tok"),
+    )
+    bucket = F.expr(
+        f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+        f" % {FEATURE_HASH_DIM}"
+    ).alias("bucket")
+    sgn = F.when(F.substring(F.md5("tok"), 9, 1) < "8", 1).otherwise(-1)
+    vec = toks.groupBy("doc_id", bucket).agg(
+        F.sum(sgn).cast("long").alias("v"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return vec.groupBy("doc_id").agg(
+        F.count(F.when(F.col("v") != 0, 1)).cast("long").alias("nnz"),
+        F.sum(F.abs("v")).cast("long").alias("l1_norm"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sq_norm"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+    )

@@ -2638,3 +2638,160 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.join(
         F.broadcast(nation), pr.node == F.col("n_nationkey")
     ).select(F.col("n_name").alias("nation"), F.round("pr", 6).alias("pagerank"))
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (one-pass, B resamples)
+# --------------------------------------------------------------------------
+
+#: Number of bootstrap resamples. 32 keeps the order-statistic CI readable
+#: (2nd / 31st of 32) while the whole resample state is 2·B aggregate
+#: columns — one shuffled row per group regardless of corpus size.
+BOOTSTRAP_B = 32
+
+#: floor(2^32 · CDF_Poisson(1)(k)) for k = 0..5 — the inverse-CDF ladder
+#: that turns one 32-bit uniform hash slice into a Poisson(1) resample
+#: weight. Exact integers, so the CASE ladder compares identically in
+#: Spark and DuckDB; weights are capped at 6 (P ≈ 5.9e-4 of truncation).
+_POISSON1_CDF_U32 = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+)
+
+
+def _poisson_weight_case(u_expr: str) -> str:
+    """CASE ladder mapping a u32 uniform (as BIGINT) to a Poisson(1) draw."""
+    arms = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}"
+        for k, t in enumerate(_POISSON1_CDF_U32)
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+def _bootstrap_oracle() -> str:
+    """DuckDB oracle for bootstrap_ci_avg_price, generated the same way
+    the Spark side generates its columns so the two stay in lockstep."""
+    u = lambda b: (  # noqa: E731 — local SQL-fragment builder
+        f"CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '|"
+        f"{b // 4}'), {1 + 8 * (b % 4)}, 8) AS BIGINT)"
+    )
+    w_cols = ",\n             ".join(
+        f"{_poisson_weight_case(u(b))} AS w{b}" for b in range(BOOTSTRAP_B)
+    )
+    aggs = ",\n             ".join(
+        f"CAST(sum(w{b}) AS BIGINT) AS c{b},"
+        f" CAST(sum(w{b} * price_cents) AS BIGINT) AS s{b}"
+        for b in range(BOOTSTRAP_B)
+    )
+    means = ", ".join(
+        f"(10000 * s{b}) // nullif(c{b}, 0)" for b in range(BOOTSTRAP_B)
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderkey
+      FROM orders
+    ),
+    weighted AS (
+      SELECT priority, price_cents,
+             {w_cols}
+      FROM base
+    ),
+    agg AS (
+      SELECT priority,
+             count(*) AS n_orders,
+             CAST(sum(price_cents) AS BIGINT) AS total_cents,
+             {aggs}
+      FROM weighted GROUP BY priority
+    )
+    SELECT priority,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST((10000 * total_cents) // n_orders AS BIGINT) AS point_micro,
+           CAST(list_sort([{means}])[2] AS BIGINT) AS ci_lo_micro,
+           CAST(list_sort([{means}])[{BOOTSTRAP_B - 1}] AS BIGINT)
+             AS ci_hi_micro
+    FROM agg
+    """
+
+
+@register("bootstrap_ci_avg_price", oracle=_bootstrap_oracle())
+def bootstrap_ci_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order price per priority,
+    via the ONE-PASS Poisson bootstrap (Chamandy et al., the streaming
+    bootstrap): instead of materializing B resampled datasets, each row
+    contributes to resample b with a Poisson(1) multiplicity drawn
+    deterministically from a content hash, so all B resample means fall
+    out of a single grouped aggregate. The CI is the 2nd/31st order
+    statistic of the 32 resample means (a ~6% trimmed interval).
+
+    Scale shape — why this is THE bootstrap for 100 TB: the naive
+    bootstrap explodes the fact ×B (B corpus copies through the
+    shuffle); this plan computes 2·B map-side-combinable sums in the one
+    aggregate it already owed, so the shuffle moves ONE 64-column row
+    per group and B only widens that row, never the data. Hash-seeded
+    weights (md5 slices, 4 uniforms per digest — the minhash digest
+    idiom) make every engine, run, and cluster size draw the same
+    resamples: the md5 is computed once per row per digest in codegen.
+
+    Determinism: weights from exact integer CDF thresholds; means as
+    micro-dollar integer division (all-positive, truncation == floor on
+    both engines); order statistics over a 32-element sorted array —
+    no float percentile anywhere. Fixture-scale arithmetic note:
+    10000·sum(w·cents) stays under 2^63 through sf100; beyond that,
+    promote the sums to decimal(38,0) as zipf_tail_slope does.
+    """
+    B = BOOTSTRAP_B
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        "o_orderkey",
+    )
+    # 8 md5 digests -> 32 sliced u32 uniforms -> Poisson(1) weights.
+    u = lambda b: (  # noqa: E731 — mirrors the oracle builder
+        f"CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '|"
+        f"{b // 4}')), {1 + 8 * (b % 4)}, 8), 16, 10) AS BIGINT)"
+    )
+    weighted = base.select(
+        "priority",
+        "price_cents",
+        *[
+            F.expr(_poisson_weight_case(u(b))).alias(f"w{b}")
+            for b in range(B)
+        ],
+    )
+    agg = weighted.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_cents").alias("total_cents"),
+        *[
+            agg_col
+            for b in range(B)
+            for agg_col in (
+                F.sum(f"w{b}").alias(f"c{b}"),
+                F.sum(F.col(f"w{b}") * F.col("price_cents")).alias(f"s{b}"),
+            )
+        ],
+    )
+    means = F.array_sort(
+        F.array(
+            *[
+                F.expr(f"(10000 * s{b}) div nullif(c{b}, 0)")
+                for b in range(B)
+            ]
+        )
+    )
+    return agg.select(
+        "priority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.expr("(10000 * total_cents) div n_orders")
+        .cast("long")
+        .alias("point_micro"),
+        F.element_at(means, 2).cast("long").alias("ci_lo_micro"),
+        F.element_at(means, B - 1).cast("long").alias("ci_hi_micro"),
+    )

@@ -1065,3 +1065,164 @@ def equidepth_histogram_price_approx(spark: SparkSession, sf_dir: str) -> DataFr
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# FIFO inventory allocation — set-based lot matching, no iteration
+# --------------------------------------------------------------------------
+
+_FIFO_ORDER = "l_shipdate, l_orderkey, l_linenumber"
+
+
+@register(
+    "fifo_inventory_allocation",
+    oracle=f"""
+    WITH r2 AS (
+      SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS q,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey ORDER BY {_FIFO_ORDER}
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    i2 AS (
+      SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS q,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey ORDER BY {_FIFO_ORDER}
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
+      FROM lineitem WHERE l_returnflag = 'A'
+    ),
+    alloc AS (
+      SELECT r2.pk,
+             least(r2.cend, i2.cend)
+               - greatest(r2.cend - r2.q, i2.cend - i2.q) AS a
+      FROM r2 JOIN i2
+        ON r2.pk = i2.pk
+       AND i2.cend - i2.q < r2.cend
+       AND r2.cend - r2.q < i2.cend
+    ),
+    tot AS (
+      SELECT l_partkey AS pk,
+             CAST(coalesce(sum(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS rq,
+             CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN 1 END), 0)
+               AS BIGINT) AS n_lots,
+             CAST(coalesce(sum(CASE WHEN l_returnflag = 'A'
+                    THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS iq,
+             CAST(coalesce(sum(CASE WHEN l_returnflag = 'A' THEN 1 END), 0)
+               AS BIGINT) AS n_issues
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'A')
+      GROUP BY l_partkey
+    ),
+    al AS (
+      SELECT pk, count(*) AS n_allocations, CAST(sum(a) AS BIGINT) AS aq
+      FROM alloc GROUP BY pk
+    )
+    SELECT t.pk AS l_partkey,
+           t.n_lots, t.n_issues,
+           CAST(coalesce(al.n_allocations, 0) AS BIGINT) AS n_allocations,
+           CAST(coalesce(al.aq, 0) AS BIGINT) AS qty_allocated,
+           CAST(t.iq - coalesce(al.aq, 0) AS BIGINT) AS qty_unfilled,
+           CAST(t.rq - coalesce(al.aq, 0) AS BIGINT) AS qty_ending
+    FROM tot t LEFT JOIN al ON al.pk = t.pk
+    """,
+)
+def fifo_inventory_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot allocation per part — receipts (returnflag 'R' as restock
+    lots) consumed by issues (returnflag 'A') in strict ship-date order —
+    computed SET-BASED: give every receipt and every issue its interval
+    on the part's cumulative-quantity axis (running sum minus own
+    quantity .. running sum), and FIFO matching IS interval overlap:
+    issue i draws least(ends) − greatest(starts) units from receipt r
+    wherever their cumulative intervals intersect. The classic
+    imperative queue-walk becomes two windows and one join — no
+    iteration, no state, no UDF.
+
+    Scale shape: both running sums are per-partkey windows (never
+    global); the overlap join is an equi-join on partkey with the
+    interval conditions as residual predicates — per-key row counts
+    bound the pair fan-out, and because cumulative intervals are
+    CONSECUTIVE, each issue overlaps O(its own span) receipts, so the
+    join output is linear in rows + allocations, not quadratic.
+    Totals come from ONE conditional-aggregate pass over the fact (the
+    fused-DQ-check discipline) instead of per-flag scans. All
+    quantities are integral (TPC-H) and cast BIGINT before any sum, so
+    every interval endpoint, allocation, and balance is hash-exact.
+    Output: per-part allocation ledger — lots, issues, matches, units
+    allocated, demand unfilled, inventory remaining.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    order_cols = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    win = (
+        Window.partitionBy("pk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def cum(flag: str, side: str) -> DataFrame:
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .select(
+                F.col("l_partkey").alias("pk"),
+                F.col("l_quantity").cast("long").alias("q"),
+                *order_cols,
+            )
+            .select(
+                "pk",
+                "q",
+                F.sum("q").over(win).alias("cend"),
+            )
+            .alias(side)
+        )
+
+    r2, i2 = cum("R", "r"), cum("A", "i")
+    alloc = r2.join(
+        i2,
+        (F.col("r.pk") == F.col("i.pk"))
+        & (F.col("i.cend") - F.col("i.q") < F.col("r.cend"))
+        & (F.col("r.cend") - F.col("r.q") < F.col("i.cend")),
+    ).select(
+        F.col("r.pk").alias("pk"),
+        (
+            F.least("r.cend", "i.cend")
+            - F.greatest(
+                F.col("r.cend") - F.col("r.q"), F.col("i.cend") - F.col("i.q")
+            )
+        ).alias("a"),
+    )
+    al = alloc.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_allocations"),
+        F.sum("a").alias("aq"),
+    )
+    q = F.col("l_quantity").cast("long")
+    is_r = F.col("l_returnflag") == "R"
+    is_a = F.col("l_returnflag") == "A"
+    tot = (
+        li.where(F.col("l_returnflag").isin("R", "A"))
+        .groupBy(F.col("l_partkey"))
+        .agg(
+            F.coalesce(F.sum(F.when(is_r, q)), F.lit(0)).alias("rq"),
+            F.coalesce(F.sum(F.when(is_r, 1)), F.lit(0))
+            .cast("long")
+            .alias("n_lots"),
+            F.coalesce(F.sum(F.when(is_a, q)), F.lit(0)).alias("iq"),
+            F.coalesce(F.sum(F.when(is_a, 1)), F.lit(0))
+            .cast("long")
+            .alias("n_issues"),
+        )
+    )
+    return tot.join(al, tot["l_partkey"] == al["pk"], "left").select(
+        "l_partkey",
+        "n_lots",
+        "n_issues",
+        F.coalesce("n_allocations", F.lit(0)).cast("long").alias(
+            "n_allocations"
+        ),
+        F.coalesce("aq", F.lit(0)).cast("long").alias("qty_allocated"),
+        (F.col("iq") - F.coalesce("aq", F.lit(0)))
+        .cast("long")
+        .alias("qty_unfilled"),
+        (F.col("rq") - F.coalesce("aq", F.lit(0)))
+        .cast("long")
+        .alias("qty_ending"),
+    )

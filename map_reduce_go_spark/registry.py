@@ -89,7 +89,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #     centrality, survival analysis, skew audit, mixture weighting,
     #     dataset reporting, RRF hybrid fusion, content-defined
     #     chunking, Matryoshka truncation recall, SCD2 temporal
-    #     dimension lookup ---
+    #     dimension lookup, hashing-trick featurization, Poisson
+    #     bootstrap CIs, winnowing fingerprints, sorted-neighborhood
+    #     dedup, set-based FIFO allocation ---
     "mad_outliers_by_segment",
     "pagerank_nation_trade",
     "survival_order_fulfillment",
@@ -100,19 +102,21 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cdc_chunk_stats",
     "matryoshka_truncation_recall",
     "purchase_scd2_state_lookup",
-    # --- (c) the oldest r4 rows, registration order (10 slots left:
-    #     the dedup family + the start of the MR-app lineage) ---
+    "feature_hashing_vectorize",
+    "bootstrap_ci_avg_price",
+    "winnowing_fingerprints",
+    "dedup_sorted_neighborhood",
+    "fifo_inventory_allocation",
+    # --- (c) the oldest r4 rows, registration order (5 slots left:
+    #     the start of the dedup family) ---
     "dedup_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_pipeline_exact_then_lsh",
     "dedup_keep_best",
-    "cross_doc_span_dupes",
-    "lsh_recall_probe",
-    "near_dup_cluster_sizes",
-    "dedup_incremental_batch",
-    "wordcount",
-    # (The remaining 31 r4 rows — inverted_index,
+    # (The remaining 36 r4 rows — cross_doc_span_dupes,
+    # lsh_recall_probe, near_dup_cluster_sizes, dedup_incremental_batch,
+    # wordcount, inverted_index,
     # generic_mapreduce_wordcount,
     # per_file_count, file_projections, multimodal_blob_meta, the events
     # window/sessionize family, corpus_head_coverage,
