@@ -129,6 +129,20 @@ HEADLINE = [
     # Union-window as-of against a versioned dim (two window passes on
     # one user shuffle) — the temporal-join family's scale canary.
     "purchase_scd2_state_lookup",
+    # Positional-explode + per-doc window-min + selected-only posting
+    # join — the fingerprint-selection family (token-linear by design).
+    "winnowing_fingerprints",
+    # Distributed global rank + rank-explode equi-join: candidate count
+    # n·(w-1) by construction — the sort-based blocking canary.
+    "dedup_sorted_neighborhood",
+    # Two per-key cumulative windows + consecutive-interval overlap
+    # join — the set-based FIFO / temporal-ledger canary.
+    "fifo_inventory_allocation",
+    # (feature_hashing_vectorize is the wordcount shape — already
+    # canaried; bootstrap_ci_avg_price's cold time is ~5 s of fixed
+    # 200-expression codegen compile, which would read as a data-scale
+    # signal here when it is a compile-once cost — probed in SCALE.md
+    # instead.)
 ]
 
 

@@ -172,6 +172,26 @@ R8B_QUERIES = [
     "matryoshka_truncation_recall",
 ]
 R8B_TABLES = ("documents", "embeddings")
+# round8c family (late r8): the five newest plans. Documents use the
+# word_salt growth model — SNM sort keys and winnowing fingerprints must
+# grow in DISTINCT content (identical replicas would pile exact
+# duplicates into every neighborhood/posting list and measure a fixture
+# artifact, not the plan). lineitem keeps l_partkey UNSHIFTED on purpose:
+# replication deepens each part's receipt/issue history k-fold, which is
+# exactly the FIFO overlap-join's scale axis (allocations must stay
+# linear in rows because cumulative intervals are consecutive);
+# l_orderkey moves with orders' stride so order-level joins stay
+# FK-consistent. Bootstrap's axis is row count alone (the resample state
+# is 64 agg columns regardless).
+R8C_QUERIES = [
+    "feature_hashing_vectorize",
+    "winnowing_fingerprints",
+    "dedup_sorted_neighborhood",
+    "fifo_inventory_allocation",
+    "bootstrap_ci_avg_price",
+]
+R8C_TABLES = ("documents", "orders", "lineitem")
+R8C_FK_BASES = {"l_orderkey": "orders"}
 
 
 def replicate(
@@ -536,6 +556,7 @@ def main() -> None:
         "round8": (R8_QUERIES, R8_TABLES, R8_EXTRA_SHIFTS, R8_FK_BASES),
         "setsimskew": (SETSIM_QUERIES, SETSIM_TABLES, None, None),
         "round8b": (R8B_QUERIES, R8B_TABLES, None, None),
+        "round8c": (R8C_QUERIES, R8C_TABLES, None, R8C_FK_BASES),
     }.get(family, (QUERIES, TABLES, None, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -547,7 +568,7 @@ def main() -> None:
             out_dir,
             tables=tables,
             extra_shifts=extra,
-            word_salt=(family in ("setsim", "setsimskew", "round6")),
+            word_salt=(family in ("setsim", "setsimskew", "round6", "round8c")),
             fk_bases=fk,
             inject_hot=(family == "setsimskew"),
         )
