@@ -34,7 +34,10 @@ NOTES = (
     "with harness/host-level variance (JIT/page-cache state at driver "
     "run time), not a plan regression; canary: q3+q1+wordcount cold sum "
     "~3.0s is the expected band, >4s suggests harness noise before "
-    "suspecting plans."
+    "suspecting plans. Late r8: suite grew 50->53 headliners "
+    "(winnowing/SNM/FIFO, ~1s each cold); the same-run jump 52->64s is "
+    "~3s new queries + host variance on the heavy tail (ann_ivf_cosine "
+    "1.8->2.9s with no plan change - inside its recorded 3-run spread)."
 )
 
 # Headline set: one per operator family, weighted toward scale-sensitive

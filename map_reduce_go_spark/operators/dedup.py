@@ -1777,6 +1777,52 @@ WINNOW_STOP_DF = 64  # fingerprints in more docs than this are boilerplate
 _WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many prints
 
 
+def winnowing_fingerprint_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) distinct winnowing-selected fingerprints for any
+    (doc_id, text) frame — the selection core of winnowing_fingerprints
+    (see its docstring for the algorithm and scale contract). Split out
+    so tests can drive the coverage theorem over constructed documents
+    with known shared runs."""
+    ws = F.filter(
+        F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0
+    )
+    base = fan_out(docs).select("doc_id", ws.alias("ws"))
+    arr = F.col("ws")
+    k = SHINGLE_K
+    kgrams = F.when(
+        (F.size(arr) >= k) & (F.monotonically_increasing_id() >= 0),
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - k + 1),
+            lambda i: F.array_join(F.slice(arr, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_kg = base.select(
+        "doc_id", F.posexplode(kgrams).alias("pos0", "s")
+    )
+    comb = pos_kg.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(
+            f"CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)"
+            f" * {_WINNOW_POS_BASE} + (pos0 + 1)"
+        ).alias("c"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = comb.select(
+        "doc_id",
+        F.min("c").over(win).alias("fp_comb"),
+        F.count(F.lit(1)).over(win).alias("cnt"),
+    ).where(F.col("cnt") == WINNOW_W)
+    return sel.select(
+        "doc_id",
+        F.expr(f"fp_comb div {_WINNOW_POS_BASE}").alias("fp"),
+    ).distinct()
+
+
 @register(
     "winnowing_fingerprints",
     oracle=f"""
@@ -1860,48 +1906,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines).
     """
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.filter(
-        F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0
-    )
-    base = fan_out(docs).select("doc_id", ws.alias("ws"))
-    arr = F.col("ws")
-    k = SHINGLE_K
-    kgrams = F.when(
-        (F.size(arr) >= k) & (F.monotonically_increasing_id() >= 0),
-        F.transform(
-            F.sequence(F.lit(1), F.size(arr) - k + 1),
-            lambda i: F.array_join(F.slice(arr, i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos_kg = base.select(
-        "doc_id", F.posexplode(kgrams).alias("pos0", "s")
-    )
-    comb = pos_kg.select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.expr(
-            f"CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)"
-            f" * {_WINNOW_POS_BASE} + (pos0 + 1)"
-        ).alias("c"),
-    )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(WINNOW_W - 1), 0)
-    )
-    sel = comb.select(
-        "doc_id",
-        F.min("c").over(win).alias("fp_comb"),
-        F.count(F.lit(1)).over(win).alias("cnt"),
-    ).where(F.col("cnt") == WINNOW_W)
-    fps = (
-        sel.select(
-            "doc_id",
-            F.expr(f"fp_comb div {_WINNOW_POS_BASE}").alias("fp"),
-        )
-        .distinct()
-        .transform(tracked_cache)
-    )
+    fps = winnowing_fingerprint_sets(docs).transform(tracked_cache)
     freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = fps.alias("a"), fps.alias("b")

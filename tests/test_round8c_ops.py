@@ -147,6 +147,37 @@ def test_winnowing_density_bounds(spark, duck, sf_dir):
         assert -(-m // WINNOW_W) <= n_sel <= m, (_doc, n_sel, m)
 
 
+def test_winnowing_coverage_theorem(spark):
+    """The winnowing guarantee (Schleimer et al., theorem 1): any two
+    documents sharing a run of at least w + k - 1 words must share at
+    least one SELECTED fingerprint — the window over the shared run's
+    k-grams picks the same minimal hash in both docs. Checked over
+    constructed pairs embedding a (WINNOW_W + SHINGLE_K - 1)-word run at
+    different offsets inside otherwise-disjoint text; a disjoint decoy
+    must share nothing."""
+    from map_reduce_go_spark.operators.dedup import (
+        SHINGLE_K,
+        WINNOW_W,
+        winnowing_fingerprint_sets,
+    )
+
+    run_len = WINNOW_W + SHINGLE_K - 1
+    shared = " ".join(f"sharedword{i}" for i in range(run_len))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {shared} epsilon zeta"),
+            (2, f"one two {shared} three four five six seven eight"),
+            (3, "totally disjoint vocabulary nothing in common here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {1: set(), 2: set(), 3: set()}
+    for r in winnowing_fingerprint_sets(docs).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared run must yield a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
 def test_winnowing_pairs_are_canonical(spark, sf_dir):
     rows = _q("winnowing_fingerprints", spark, sf_dir).collect()
     assert rows
@@ -282,3 +313,119 @@ def test_fifo_matches_imperative_queue_walk(spark, duck, sf_dir):
         r = got[pk]
         assert r["n_allocations"] == n_alloc, (pk, r, n_alloc)
         assert r["qty_allocated"] == allocated, (pk, r, allocated)
+
+
+# ------------------------------------- hypothesis conformance (batched)
+
+
+def _py_winnow(text: str):
+    """Pure-Python reference winnowing over letter-word texts (the test
+    alphabet avoids tokenizer divergence): word-3-grams at 1-based
+    positions, md5-slice hash, min of packed (hash, pos) per 4-window."""
+    import hashlib
+
+    from map_reduce_go_spark.operators.dedup import (
+        SHINGLE_K,
+        WINNOW_W,
+        _WINNOW_POS_BASE,
+    )
+
+    toks = [t for t in text.split() if t]
+    combs = []
+    for i in range(len(toks) - SHINGLE_K + 1):
+        kg = " ".join(toks[i : i + SHINGLE_K])
+        h = int(hashlib.md5(kg.encode()).hexdigest()[:8], 16)
+        combs.append(h * _WINNOW_POS_BASE + (i + 1))
+    fps = set()
+    for end in range(WINNOW_W - 1, len(combs)):
+        fps.add(min(combs[end - WINNOW_W + 1 : end + 1]) // _WINNOW_POS_BASE)
+    return fps
+
+
+def _py_snm(docs):
+    """Pure-Python reference sorted-neighborhood over letter-word texts."""
+    import re
+
+    from map_reduce_go_spark.operators.dedup import (
+        SNM_KEY_CHARS,
+        SNM_WINDOW,
+        _SNM_MIN_J_PPM,
+    )
+
+    keyed = sorted(
+        (re.sub("[^a-z0-9]", "", t.lower())[:SNM_KEY_CHARS], d)
+        for d, t in docs
+    )
+    toks = {d: {w for w in t.split() if w} for d, t in docs}
+    out = {}
+    for i in range(len(keyed)):
+        for j in range(i + 1, min(i + SNM_WINDOW, len(keyed))):
+            da, db = keyed[i][1], keyed[j][1]
+            a, b = toks[da], toks[db]
+            nc, union = len(a & b), len(a | b)
+            if union > 0 and 1_000_000 * nc >= _SNM_MIN_J_PPM * union:
+                out[(min(da, db), max(da, db))] = (
+                    j - i,
+                    (1_000_000 * nc) // union,
+                )
+    return out
+
+
+def _hyp():
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    return HealthCheck, given, settings, st
+
+
+_HealthCheck, _given, _settings, _st = _hyp()
+
+
+@_st.composite
+def _letter_corpora(draw):
+    # Small vocabulary ON PURPOSE: repeats create shared k-grams
+    # (winnowing collisions) and near-identical docs (SNM matches).
+    word = _st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    n = draw(_st.integers(min_value=1, max_value=8))
+    return [
+        (i, " ".join(draw(_st.lists(word, min_size=0, max_size=14))))
+        for i in range(n)
+    ]
+
+
+@_settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.function_scoped_fixture],
+)
+@_given(docs=_letter_corpora())
+def test_winnowing_selection_matches_python_reference(spark, docs):
+    from map_reduce_go_spark.operators.dedup import (
+        winnowing_fingerprint_sets,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprint_sets(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for d, t in docs:
+        assert got.get(d, set()) == _py_winnow(t), (d, t)
+
+
+@_settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.function_scoped_fixture],
+)
+@_given(docs=_letter_corpora())
+def test_snm_matches_python_reference(spark, docs):
+    from map_reduce_go_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["rank_gap"], r["jaccard_ppm"])
+        for r in sorted_neighborhood_pairs(spark, df).collect()
+    }
+    assert got == _py_snm(docs)
