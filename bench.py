@@ -146,6 +146,10 @@ HEADLINE = [
     # 200-expression codegen compile, which would read as a data-scale
     # signal here when it is a compile-once cost — probed in SCALE.md
     # instead.)
+    # Model-eval family: the shared-rank AUC (fact rollup + distributed
+    # prefix + five one-vs-rest reductions) — the family's one
+    # fact-scaling plan (PSI/stump/CUSUM ride bounded rollups).
+    "auc_value_by_event_type",
 ]
 
 

@@ -19,3 +19,4 @@ import map_reduce_go_spark.functions.skew  # noqa: F401
 import map_reduce_go_spark.plans.warehouse  # noqa: F401
 import map_reduce_go_spark.operators.sketches  # noqa: F401
 import map_reduce_go_spark.plans.governance  # noqa: F401
+import map_reduce_go_spark.plans.mleval  # noqa: F401

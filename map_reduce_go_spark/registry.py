@@ -107,14 +107,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "winnowing_fingerprints",
     "dedup_sorted_neighborhood",
     "fifo_inventory_allocation",
-    # --- (c) the oldest r4 rows, registration order (5 slots left:
+    # --- (b2) the model-evaluation family (never checked): Mann-Whitney
+    #     AUC, PSI distribution drift, decision-stump split finding,
+    #     CUSUM change-point detection ---
+    "auc_value_by_event_type",
+    "psi_doclen_drift",
+    "decision_stump_doclen",
+    "cusum_daily_changepoint",
+    # --- (c) the oldest r4 row, registration order (1 slot left:
     #     the start of the dedup family) ---
     "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_pipeline_exact_then_lsh",
-    "dedup_keep_best",
-    # (The remaining 36 r4 rows — cross_doc_span_dupes,
+    # (The remaining 40 r4 rows — dedup_simhash, dedup_ngram_jaccard,
+    # dedup_pipeline_exact_then_lsh, dedup_keep_best,
+    # cross_doc_span_dupes,
     # lsh_recall_probe, near_dup_cluster_sizes, dedup_incremental_batch,
     # wordcount, inverted_index,
     # generic_mapreduce_wordcount,
