@@ -192,6 +192,21 @@ R8C_QUERIES = [
 ]
 R8C_TABLES = ("documents", "orders", "lineitem")
 R8C_FK_BASES = {"l_orderkey": "orders"}
+# mleval family (late r8): the model-evaluation plans. Plain replication
+# is the right growth model for all four: the scale axis is FACT rows
+# feeding a bounded rollup — AUC's rank frame is the distinct-VALUE set
+# (constant under replication, as for a real score column with bounded
+# precision), PSI/stump ride the distinct-n_chars / bucket rollups, and
+# CUSUM rides the calendar-day rollup. Expected ratios well under k:
+# the k-fold cost is the scan + map-side combine, the shuffled state is
+# fixed-size.
+MLEVAL_QUERIES = [
+    "auc_value_by_event_type",
+    "psi_doclen_drift",
+    "decision_stump_doclen",
+    "cusum_daily_changepoint",
+]
+MLEVAL_TABLES = ("events", "documents")
 
 
 def replicate(
@@ -557,6 +572,7 @@ def main() -> None:
         "setsimskew": (SETSIM_QUERIES, SETSIM_TABLES, None, None),
         "round8b": (R8B_QUERIES, R8B_TABLES, None, None),
         "round8c": (R8C_QUERIES, R8C_TABLES, None, R8C_FK_BASES),
+        "mleval": (MLEVAL_QUERIES, MLEVAL_TABLES, None, None),
     }.get(family, (QUERIES, TABLES, None, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
