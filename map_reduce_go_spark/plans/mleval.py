@@ -521,3 +521,137 @@ def cusum_daily_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cusum").cast("long").alias("cusum_scaled"),
         (F.abs(F.col("cusum")) == F.col("mx")).alias("is_peak"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected, exact-integer mid-ranks)
+# --------------------------------------------------------------------------
+
+# Shared Spark/DuckDB final expression: Pearson over the CENTERED doubled
+# mid-ranks. All three sums are exact integers (decimal-38 / HUGEINT);
+# the one float appears here, in identical expression text both engines.
+_SPEARMAN6 = (
+    "round(CAST(sxy AS DOUBLE)"
+    " / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))), 6)"
+)
+
+
+@register(
+    "spearman_quantity_price",
+    oracle=f"""
+    WITH fact AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM fact),
+    gx AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM fact GROUP BY x),
+    rx AS (
+      SELECT x, n,
+             2 * (CAST(sum(n) OVER (ORDER BY x) AS BIGINT) - n)
+               + n + 1 - (nn + 1) AS c
+      FROM gx, tot
+    ),
+    gy AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM fact GROUP BY y),
+    ry AS (
+      SELECT y, n,
+             2 * (CAST(sum(n) OVER (ORDER BY y) AS BIGINT) - n)
+               + n + 1 - (nn + 1) AS c
+      FROM gy, tot
+    ),
+    sums AS (
+      SELECT
+        (SELECT sum(CAST(n AS HUGEINT) * c * c) FROM rx) AS sxx,
+        (SELECT sum(CAST(n AS HUGEINT) * c * c) FROM ry) AS syy,
+        (SELECT sum(CAST(rx.c AS HUGEINT) * ry.c)
+         FROM fact f JOIN rx ON f.x = rx.x JOIN ry ON f.y = ry.y) AS sxy
+    )
+    SELECT t.nn AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM gx) AS n_distinct_qty,
+           (SELECT CAST(count(*) AS BIGINT) FROM gy) AS n_distinct_price,
+           {_SPEARMAN6} AS spearman6
+    FROM sums, tot t
+    """,
+)
+def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between order-line
+    quantity and extended price — the monotonic-association screen a
+    feature-audit pass runs where Pearson would be distorted by heavy
+    tails. Ranks are mid-ranks (ties share their average position), the
+    exact tie-corrected estimator.
+
+    Exact-integer discipline: doubled mid-ranks 2R = 2·cb + n + 1 are
+    integers even under ties, and CENTERING by the analytic mean
+    2·(nn+1)/2 (the mid-rank mean is (nn+1)/2 regardless of ties) keeps
+    every sum a true integer while shrinking magnitudes from ~nn³ to
+    ~nn³/4 — Σc², Σcxcy stay inside decimal(38) through ~10⁹ rows, and
+    Σc = 0 exactly, so the Pearson cross-term vanishes by construction.
+    The single float is the shared round-6dp template over the three
+    integer sums.
+
+    Scale shape: one fact scan cached into the (x, y) integer-cents
+    pairs; per-column rank tables are grouped rollups ranked via the
+    distributed-prefix idiom (no single-partition window); the quantity
+    rank table (≤ distinct quantities) broadcasts, the price rank table
+    joins the fact co-keyed on the price shuffle; all three sums are
+    map-side combinable. Price ranks join at distinct-price
+    cardinality — at 100 TB quantize the score (integer cents already
+    are) or pre-bucket as the PSI deciles do; the plan shape is
+    unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = tracked_cache(
+        li.select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    tot = fact.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    d38 = "decimal(38,0)"
+
+    def ranks(col: str) -> DataFrame:
+        g = fact.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        cum = _prefix_over(g, col, ("n",))
+        return cum.crossJoin(F.broadcast(tot)).select(
+            col,
+            "n",
+            (
+                2 * (F.col("cum_n") - F.col("n"))
+                + F.col("n")
+                + 1
+                - (F.col("nn") + 1)
+            ).alias("c"),
+        )
+
+    rx = tracked_cache(ranks("x"))
+    ry = tracked_cache(ranks("y"))
+
+    def selfsum(r: DataFrame, alias: str) -> DataFrame:
+        return r.agg(
+            F.sum(
+                F.col("n").cast(d38) * F.col("c").cast(d38) * F.col("c")
+            ).alias(alias)
+        )
+
+    sxy = (
+        fact.join(F.broadcast(rx.select("x", F.col("c").alias("cx"))), "x")
+        .join(ry.select("y", F.col("c").alias("cy")), "y")
+        .agg(F.sum(F.col("cx").cast(d38) * F.col("cy")).alias("sxy"))
+    )
+    nx = rx.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_qty"))
+    ny = ry.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_price"))
+    return (
+        sxy.crossJoin(F.broadcast(selfsum(rx, "sxx")))
+        .crossJoin(F.broadcast(selfsum(ry, "syy")))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nx))
+        .crossJoin(F.broadcast(ny))
+        .select(
+            F.col("nn").alias("n_rows"),
+            "n_distinct_qty",
+            "n_distinct_price",
+            F.expr(_SPEARMAN6).alias("spearman6"),
+        )
+    )

@@ -114,12 +114,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "psi_doclen_drift",
     "decision_stump_doclen",
     "cusum_daily_changepoint",
-    # --- (c) the oldest r4 row, registration order (1 slot left:
-    #     the start of the dedup family) ---
-    "dedup_exact",
-    # (The remaining 40 r4 rows — dedup_simhash, dedup_ngram_jaccard,
-    # dedup_pipeline_exact_then_lsh, dedup_keep_best,
-    # cross_doc_span_dupes,
+    "spearman_quantity_price",
+    # (The remaining 41 r4 rows — dedup_exact, dedup_simhash,
+    # dedup_ngram_jaccard, dedup_pipeline_exact_then_lsh,
+    # dedup_keep_best, cross_doc_span_dupes,
     # lsh_recall_probe, near_dup_cluster_sizes, dedup_incremental_batch,
     # wordcount, inverted_index,
     # generic_mapreduce_wordcount,

@@ -166,3 +166,60 @@ def test_cusum_telescopes_and_peak_is_argmax(spark, sf_dir):
     for r in rows:
         assert r["is_peak"] == (abs(r["cusum_scaled"]) == mx)
     assert any(r["is_peak"] for r in rows)
+
+
+# ---------------------------------------------------------------- spearman
+
+
+def test_spearman_matches_pure_python_midranks(spark, duck, sf_dir):
+    """Recompute tie-corrected Spearman in pure Python: assign mid-ranks
+    with a sort + tie-group walk (no shared code with either engine's
+    grouped-prefix form), then Pearson over the ranks."""
+    xy = duck.execute(
+        "SELECT CAST(l_quantity AS BIGINT),"
+        " CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem"
+    ).fetchall()
+    nn = len(xy)
+
+    def midranks(vals):
+        order = sorted(range(nn), key=lambda i: vals[i])
+        ranks = [0.0] * nn
+        i = 0
+        while i < nn:
+            j = i
+            while j < nn and vals[order[j]] == vals[order[i]]:
+                j += 1
+            mid = (i + 1 + j) / 2  # average of positions i+1..j
+            for k in range(i, j):
+                ranks[order[k]] = mid
+            i = j
+        return ranks
+
+    rx = midranks([x for x, _ in xy])
+    ry = midranks([y for _, y in xy])
+    mean = (nn + 1) / 2
+    sxx = sum((r - mean) ** 2 for r in rx)
+    syy = sum((r - mean) ** 2 for r in ry)
+    sxy = sum((a - mean) * (b - mean) for a, b in zip(rx, ry))
+    want = sxy / math.sqrt(sxx * syy)
+    row = _q("spearman_quantity_price", spark, sf_dir).collect()[0]
+    assert row["n_rows"] == nn
+    assert abs(row["spearman6"] - want) < 2e-6
+    assert -1.0 <= row["spearman6"] <= 1.0
+
+
+def test_spearman_centered_ranks_sum_to_zero(spark, sf_dir):
+    """The analytic-centering identity behind the decimal-38 bound: the
+    doubled centered mid-ranks of each column sum to exactly 0 (mid-rank
+    mean is (n+1)/2 regardless of ties), so the Pearson cross-terms
+    vanish by construction — and every window in the plan is partitioned
+    (the distributed-prefix contract extends to this query)."""
+    df = _q("spearman_quantity_price", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = [
+        seg.split(")", 1)[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "expected windows in the spearman plan"
+    for spec in specs:
+        assert spec.startswith("pid#"), spec
