@@ -197,16 +197,19 @@ R8C_FK_BASES = {"l_orderkey": "orders"}
 # feeding a bounded rollup — AUC's rank frame is the distinct-VALUE set
 # (constant under replication, as for a real score column with bounded
 # precision), PSI/stump ride the distinct-n_chars / bucket rollups, and
-# CUSUM rides the calendar-day rollup. Expected ratios well under k:
+# CUSUM rides the calendar-day rollup; Spearman's rank frames are the
+# distinct quantity/price-cent sets. Expected ratios well under k:
 # the k-fold cost is the scan + map-side combine, the shuffled state is
-# fixed-size.
+# fixed-size (Spearman's price-rank join deepens per-value counts, not
+# the rank frame — the bounded-precision-score model).
 MLEVAL_QUERIES = [
     "auc_value_by_event_type",
     "psi_doclen_drift",
     "decision_stump_doclen",
     "cusum_daily_changepoint",
+    "spearman_quantity_price",
 ]
-MLEVAL_TABLES = ("events", "documents")
+MLEVAL_TABLES = ("events", "documents", "lineitem")
 
 
 def replicate(
