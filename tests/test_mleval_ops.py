@@ -223,3 +223,55 @@ def test_spearman_centered_ranks_sum_to_zero(spark, sf_dir):
     assert specs, "expected windows in the spearman plan"
     for spec in specs:
         assert spec.startswith("pid#"), spec
+
+
+# ------------------------------------------------------- _prefix_over
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def keyed_measures(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    keys = draw(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=n, max_size=n, unique=True,
+        )
+    )
+    return [
+        (k, draw(st.integers(min_value=0, max_value=10**6)),
+         draw(st.integers(min_value=0, max_value=10**6)))
+        for k in keys
+    ]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=keyed_measures())
+def test_prefix_over_equals_sequential_cumsum(spark, rows):
+    """The distributed prefix sum shared by AUC, the stump search, and
+    Spearman equals the sequential cumulative sum for arbitrary keyed
+    integer measures — the conformance theorem that lets three oracle
+    greens rest on one helper. Exercises partition boundaries (the
+    broadcast-offset seam) because PREFIX_PARTS=8 usually exceeds the
+    drawn row count, leaving some range partitions empty."""
+    from map_reduce_go_spark.plans.mleval import _prefix_over
+
+    df = spark.createDataFrame(rows, schema="k long, a long, b long")
+    got = {
+        r["k"]: (r["cum_a"], r["cum_b"])
+        for r in _prefix_over(df, "k", ("a", "b")).collect()
+    }
+    ca = cb = 0
+    want = {}
+    for k, a, b in sorted(rows):
+        ca += a
+        cb += b
+        want[k] = (ca, cb)
+    assert got == want
