@@ -275,3 +275,23 @@ def test_prefix_over_equals_sequential_cumsum(spark, rows):
         cb += b
         want[k] = (ca, cb)
     assert got == want
+
+
+def test_mleval_fact_queries_scan_fact_once(spark, sf_dir):
+    """Single-scan discipline: the fact table feeds each query through
+    ONE tracked cache — no fact FileScan outside an InMemoryRelation
+    block (the same contract pagerank and dataset_card carry)."""
+    from map_reduce_go_spark.functions.caching import release_caches
+
+    for name, fact in (
+        ("auc_value_by_event_type", "events"),
+        ("spearman_quantity_price", "lineitem"),
+    ):
+        release_caches()
+        try:
+            df = _q(name, spark, sf_dir)
+            cached = df._jdf.queryExecution().withCachedData().toString()
+            head = cached.split("InMemoryRelation", 1)[0]
+            assert fact not in head, (name, fact)
+        finally:
+            release_caches()
