@@ -193,6 +193,20 @@ _PSI_BUCKET_EXPR = "1 + " + " + ".join(
 )
 
 
+def psi_bucket_assign(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Assign each document to its reference-decile length bucket —
+    (source, bucket) rows. The stream-able core of the PSI drift
+    monitor (the cms_cells_over pattern): ``docs`` may be a BATCH or a
+    STREAMING frame; ``edges`` is the static one-row reference-edge
+    frame, broadcast into a pure map-side CASE ladder, so the running
+    per-(source, bucket) counts are an ordinary streaming aggregation —
+    production drift monitoring over arriving data with no extra
+    machinery. Tested stream==batch in tests/test_streaming.py."""
+    return docs.select("source", "n_chars").crossJoin(
+        F.broadcast(edges)
+    ).select("source", F.expr(_PSI_BUCKET_EXPR).alias("bucket"))
+
+
 @register(
     "psi_doclen_drift",
     oracle=f"""
@@ -275,9 +289,7 @@ def psi_doclen_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, q in enumerate(_PSI_DECILES, start=1)
         ]
     )
-    bucketed = docs.select("source", "n_chars").crossJoin(
-        F.broadcast(edges)
-    ).select("source", F.expr(_PSI_BUCKET_EXPR).alias("bucket"))
+    bucketed = psi_bucket_assign(docs, edges)
     counts = tracked_cache(
         bucketed.groupBy("source", "bucket").agg(
             F.count(F.lit(1)).alias("n_sb")
