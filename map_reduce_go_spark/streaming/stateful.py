@@ -275,3 +275,112 @@ def sessionize_tws(events: DataFrame, watermark_delay: str = "60 days") -> DataF
             timeMode="EventTime",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Online CUSUM drift detector (Page's sequential test) on the
+# StatefulProcessor API — the STREAMING sibling of the batch
+# cusum_daily_changepoint (plans/mleval.py): that one locates a level
+# shift offline over the whole series; this one raises alarms as data
+# arrives, the production drift-monitor loop.
+# --------------------------------------------------------------------------
+
+CUSUM_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("s_hi", LongType()),
+        StructField("s_lo", LongType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s_hi", LongType()),
+        StructField("s_lo", LongType()),
+        StructField("alarms", LongType()),
+    ]
+)
+
+#: Values enter the detector as exact integer micro-units so the state
+#: trajectory is engine- and replay-exact (no float accumulation).
+CUSUM_MICRO = 1_000_000
+
+
+class _OnlineCusumProcessor(StatefulProcessor):
+    """Per-key two-sided CUSUM: S⁺ ← max(0, S⁺ + (v − μ₀ − k)),
+    S⁻ ← max(0, S⁻ + (μ₀ − k − v)); alarm and restart when either side
+    crosses h (Page's test with the standard post-alarm reset). All
+    arithmetic is exact integers in micro-units, so a Python replay of
+    the same value sequence reproduces the state trajectory bit-for-bit.
+
+    Ordering contract: a sequential detector is order-DEFINED, not just
+    order-sensitive — rows are sorted by (ts, event_id) within each
+    micro-batch, and cross-batch order is the source's arrival order
+    (the real-time contract a monitor runs under). State is four ints
+    per key regardless of stream length."""
+
+    def __init__(self, mu0_micro: int, slack_micro: int, h_micro: int):
+        self._mu0 = mu0_micro
+        self._k = slack_micro
+        self._h = h_micro
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("cusum", _CUSUM_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, s_hi, s_lo, alarms = (
+            self._state.get() if self._state.exists() else (0, 0, 0, 0)
+        )
+        frames = [pdf for pdf in rows if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            for v in pdf["value"].tolist():
+                vi = int(round(float(v) * CUSUM_MICRO))
+                s_hi = max(0, s_hi + vi - self._mu0 - self._k)
+                s_lo = max(0, s_lo + self._mu0 - self._k - vi)
+                n += 1
+                if s_hi > self._h or s_lo > self._h:
+                    alarms += 1
+                    s_hi = s_lo = 0
+        self._state.update((n, s_hi, s_lo, alarms))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "s_hi": [s_hi],
+                "s_lo": [s_lo],
+                "n_alarms": [alarms],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def online_cusum_tws(
+    events: DataFrame, mu0: float, slack: float, threshold: float
+) -> DataFrame:
+    """Streaming per-event_type CUSUM drift alarms over the ``value``
+    column. ``mu0`` is the in-control mean, ``slack`` the allowance k
+    (half the smallest shift worth detecting), ``threshold`` the alarm
+    level h — all converted once to exact integer micro-units.
+
+    100 TB story: state is four integers per key (compare the batch
+    sibling's bounded day-rollup); each micro-batch does one in-memory
+    sort of its own rows per key. The detector never buffers history, so
+    a month-long stream costs the same state as a minute-long one."""
+    if not _HAS_TWS:  # pragma: no cover - older Spark
+        raise NotImplementedError("transformWithStateInPandas requires Spark >= 4.0")
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_OnlineCusumProcessor(
+            int(round(mu0 * CUSUM_MICRO)),
+            int(round(slack * CUSUM_MICRO)),
+            int(round(threshold * CUSUM_MICRO)),
+        ),
+        outputStructType=CUSUM_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

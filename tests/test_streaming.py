@@ -847,3 +847,101 @@ def test_streaming_psi_drift_counts_equal_batch(spark, sf_dir, tmp_path):
     assert got == want
     n_sources = docs.select("source").distinct().count()
     assert len(got) <= n_sources * 10  # state bounded by sources x buckets
+
+
+def test_online_cusum_tws_alarms_match_python_replay(spark, tmp_path):
+    """The streaming CUSUM detector's integer state trajectory is
+    replay-exact: feed a planted mean shift (in-control 0.5 for 100
+    rows, then 0.9) one file per micro-batch in mtime order, and the
+    final (n_seen, s_hi, s_lo, n_alarms) per key must equal a pure
+    Python replay of the same sequence — alarms fire repeatedly after
+    the shift (reset-and-re-cross), and the no-shift key never alarms."""
+    import os
+    import uuid
+
+    if not stateful.tws_runtime_available():
+        pytest.skip("TWS protobuf runtime unavailable")
+
+    mu0, slack, threshold = 0.5, 0.1, 2.0
+    rows = []
+    for i in range(200):
+        shifted = 0.9 if i >= 100 else 0.5
+        rows.append((i, i, "drift", shifted))
+        rows.append((1000 + i, i, "steady", 0.5))
+    src = str(tmp_path / "cusum_src")
+    os.makedirs(src)
+    files = []
+    for chunk in range(4):
+        part = rows[chunk * 100:(chunk + 1) * 100]
+        df = spark.createDataFrame(
+            [(eid, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", et, v)
+             for eid, i, et, v in part],
+            schema="event_id long, ts_s string, event_type string, value double",
+        ).selectExpr(
+            "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value"
+        ).coalesce(1)
+        path = f"{src}/chunk{chunk}"
+        df.write.mode("overwrite").parquet(path)
+        files.append(path)
+    # Force FileStreamSource pick order = chunk order via mtimes.
+    for j, path in enumerate(files):
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_700_000_000 + j, 1_700_000_000 + j))
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        name = f"cusum_{uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/chunk*")
+        )
+        q = (
+            stateful.online_cusum_tws(stream, mu0, slack, threshold)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table(name).toPandas()
+        final = {
+            r.event_type: (r.n_seen, r.s_hi, r.s_lo, r.n_alarms)
+            for r in spark.table(name)
+            .orderBy("n_seen")
+            .collect()
+        }  # last update per key wins (n_seen is monotone)
+
+        # Pure-Python replay over the same per-key (ts, event_id) order.
+        m = stateful.CUSUM_MICRO
+        mu, k, h = int(mu0 * m), round(slack * m), int(threshold * m)
+        want = {}
+        for et in ("drift", "steady"):
+            seq = [v for _eid, _i, t, v in rows if t == et]
+            n = s_hi = s_lo = alarms = 0
+            for v in seq:
+                vi = int(round(v * m))
+                s_hi = max(0, s_hi + vi - mu - k)
+                s_lo = max(0, s_lo + mu - k - vi)
+                n += 1
+                if s_hi > h or s_lo > h:
+                    alarms += 1
+                    s_hi = s_lo = 0
+            want[et] = (n, s_hi, s_lo, alarms)
+        assert final == want
+        assert want["steady"][3] == 0
+        assert want["drift"][3] >= 10  # repeated post-shift alarms
+        # Update-mode emission: one row per key per contributing batch.
+        assert len(emitted) <= 4 * 2
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
