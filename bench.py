@@ -37,7 +37,10 @@ NOTES = (
     "suspecting plans. Late r8: suite grew 50->53 headliners "
     "(winnowing/SNM/FIFO, ~1s each cold); the same-run jump 52->64s is "
     "~3s new queries + host variance on the heavy tail (ann_ivf_cosine "
-    "1.8->2.9s with no plan change - inside its recorded 3-run spread)."
+    "1.8->2.9s with no plan change - inside its recorded 3-run spread). "
+    "r8 close: suite is 54 headliners (auc_value_by_event_type joins as "
+    "the model-eval family's fact-scaling canary, ~1.4s cold); compare "
+    "suite seconds round-over-round per query, never by the total."
 )
 
 # Headline set: one per operator family, weighted toward scale-sensitive
