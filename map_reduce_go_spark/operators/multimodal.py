@@ -4,11 +4,14 @@ The container has no image/audio libraries, so the registered fixture
 queries use deterministic stub decodes (oracle-checkable). But
 ``decode_mode="real"`` now EXECUTES for PNG input via the repo's
 pure-Python codec (:mod:`map_reduce_go_spark.functions.png_codec`,
-stdlib zlib only): real pixel decode for feature extraction, real 2-D
+stdlib zlib only) — real pixel decode for feature extraction, real 2-D
 resampling for resize, and per-frame decode over concatenated-PNG
-streams for frame sampling — all covered by
+streams for frame sampling — AND for 16-bit PCM WAV audio via the
+stdlib ``wave`` codec (:mod:`map_reduce_go_spark.functions.wav_codec`):
+real sample decode with an amplitude histogram in feature extraction,
+format-dispatched per blob. All covered by
 ``tests/test_multimodal_real.py``. Formats that genuinely require
-external libraries (JPEG, audio, mp4/webm) still raise
+external libraries (JPEG, mp3/ogg, mp4/webm) still raise
 NotImplementedError at the same seams. The Spark-side plumbing is real
 and tested either way: binary columns, metadata structs, Arrow-batched
 ``mapInPandas`` with a bounded batch size, and a schema that holds at
@@ -129,30 +132,48 @@ def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
                 data = np.frombuffer(blob, dtype=np.uint8)
                 if decode_mode == "real":
                     # Real decode: PNG via the repo's pure-Python codec
-                    # (stdlib zlib). Other formats (JPEG/audio) genuinely
-                    # need external libraries this container lacks.
+                    # (stdlib zlib) and 16-bit PCM WAV via stdlib wave.
+                    # Compressed formats (JPEG/mp3/mp4) genuinely need
+                    # external libraries this container lacks.
                     from map_reduce_go_spark.functions.png_codec import (
                         decode_png,
                         is_png,
                     )
-
-                    if not is_png(bytes(blob)):
-                        raise NotImplementedError(
-                            "real decode supports PNG (pure-Python codec); "
-                            "JPEG/audio need external libraries"
-                        )
-                    px = decode_png(bytes(blob))
-                    h, w = px.shape[:2]
-                    flat = px.reshape(-1)
-                    hist = np.bincount(flat >> 4, minlength=FEATURE_DIM).astype(
-                        np.float64
+                    from map_reduce_go_spark.functions.wav_codec import (
+                        decode_wav,
+                        is_wav,
                     )
+
+                    raw = bytes(blob)
+                    if is_png(raw):
+                        px = decode_png(raw)
+                        h, w = px.shape[:2]
+                        # 16 bins over the 8-bit pixel range (high nibble).
+                        hist = np.bincount(
+                            px.reshape(-1) >> 4, minlength=FEATURE_DIM
+                        ).astype(np.float64)
+                    elif is_wav(raw):
+                        samples, _rate = decode_wav(raw)
+                        h, w = samples.shape  # (n_frames, n_channels)
+                        # 16 bins over the int16 amplitude range: shift to
+                        # uint16 then take the high nibble — the audio
+                        # analog of the pixel histogram.
+                        hist = np.bincount(
+                            (samples.astype(np.int32).reshape(-1) + 32768) >> 12,
+                            minlength=FEATURE_DIM,
+                        ).astype(np.float64)
+                    else:
+                        raise NotImplementedError(
+                            "real decode supports PNG (pure-Python codec) "
+                            "and 16-bit PCM WAV (stdlib wave); compressed "
+                            "formats need external libraries"
+                        )
                     total = hist.sum() or 1.0
                     rows["doc_id"].append(int(doc_id))
                     rows["modality"].append(modality)
                     rows["byte_len"].append(len(data))
-                    rows["fake_width"].append(w)   # real width in real mode
-                    rows["fake_height"].append(h)  # real height in real mode
+                    rows["fake_width"].append(int(w))   # real dims in real mode
+                    rows["fake_height"].append(int(h))  # (channels, frames for audio)
                     rows["features"].append((hist / total).astype(np.float32))
                     rows["bin_counts"].append(hist.astype(np.int32))
                     continue

@@ -3,8 +3,11 @@ PNG round-trips through the pure-Python codec, and all three operators
 (`extract_features`, `resize_images`, `sample_frames`) run their
 ``decode_mode="real"`` branch end-to-end on Spark over spec-conformant
 PNG bytes — with results cross-checked against numpy ground truth.
-JPEG/audio/video-container input still raises NotImplementedError (those
-genuinely need external libraries); that contract is pinned too."""
+16-bit PCM WAV audio decodes through the stdlib wave codec in the same
+real branch (amplitude-histogram features, mixed-format batches).
+JPEG/compressed-audio/video-container input still raises
+NotImplementedError (those genuinely need external libraries); that
+contract is pinned too."""
 
 from __future__ import annotations
 
@@ -182,3 +185,79 @@ def test_png_codec_roundtrip_property(h, w, rgb, ft, seed):
     shape = (h, w, 3) if rgb else (h, w)
     img = rng.integers(0, 256, size=shape, dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(img, filter_type=ft)), img)
+
+
+# ---------------------------------------------------------------- audio
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from map_reduce_go_spark.functions.wav_codec import (
+        decode_wav,
+        encode_wav,
+        is_wav,
+    )
+
+    rng = _rng(11)
+    mono = rng.integers(-32768, 32768, size=200, dtype=np.int16)
+    stereo = rng.integers(-32768, 32768, size=(150, 2), dtype=np.int16)
+    for arr, rate in ((mono, 8000), (stereo, 44100)):
+        blob = encode_wav(arr, rate=rate)
+        assert is_wav(blob)
+        got, got_rate = decode_wav(blob)
+        assert got_rate == rate
+        want = arr[:, None] if arr.ndim == 1 else arr
+        np.testing.assert_array_equal(got, want)
+
+
+def test_wav_decoder_rejects_non_pcm16():
+    import io
+    import wave
+
+    from map_reduce_go_spark.functions.wav_codec import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(bytes(16))
+    with pytest.raises(NotImplementedError):
+        decode_wav(buf.getvalue())
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + bytes(16))
+
+
+def test_extract_features_real_decodes_wav_samples(spark):
+    """The audio seam EXECUTES: 16-bit PCM WAV blobs decode through the
+    stdlib codec inside the Arrow-batched operator, and the 16-bin
+    amplitude histogram matches numpy ground truth — including a mixed
+    PNG+WAV batch (per-blob format dispatch)."""
+    from map_reduce_go_spark.functions.wav_codec import encode_wav
+    from map_reduce_go_spark.operators.multimodal import extract_features
+
+    rng = _rng(12)
+    wavs = {
+        0: rng.integers(-32768, 32768, size=(300, 1), dtype=np.int16),
+        1: rng.integers(-32768, 32768, size=(128, 2), dtype=np.int16),
+    }
+    png = rng.integers(0, 256, size=(6, 7), dtype=np.uint8)
+    items = [(i, encode_wav(a)) for i, a in wavs.items()] + [(2, encode_png(png))]
+    out = {
+        r["doc_id"]: r
+        for r in extract_features(
+            _blob_df(spark, items), decode_mode="real"
+        ).collect()
+    }
+    for i, a in wavs.items():
+        r = out[i]
+        # (n_frames, n_channels) -> width=channels, height=frames
+        assert (r["fake_width"], r["fake_height"]) == (a.shape[1], a.shape[0])
+        hist = np.bincount(
+            (a.astype(np.int32).reshape(-1) + 32768) >> 12, minlength=16
+        )
+        assert list(r["bin_counts"]) == hist.tolist()
+        np.testing.assert_allclose(
+            np.array(r["features"]), hist / hist.sum(), rtol=1e-6
+        )
+    # The PNG in the same batch still routes through the image decoder.
+    assert out[2]["fake_width"] == 7 and out[2]["fake_height"] == 6
