@@ -386,19 +386,40 @@ def sample_frames(blobs: DataFrame, n_frames: int = N_FRAMES, decode_mode: str =
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 if decode_mode == "real":
                     # Real decode: an MJPEG-style concatenated-PNG stream
-                    # (frame = one PNG image, frames back-to-back). Real
+                    # (frame = one PNG image, frames back-to-back), or a
+                    # 16-bit PCM WAV blob sampled as uniform fixed-length
+                    # windows — the audio analog of frame sampling. Real
                     # video containers (mp4/webm) genuinely need
                     # pyav/ffmpeg; the per-frame decode below is real.
                     from map_reduce_go_spark.functions.png_codec import (
                         decode_png,
                         is_png,
                     )
+                    from map_reduce_go_spark.functions.wav_codec import (
+                        decode_wav,
+                        is_wav,
+                    )
 
                     raw = bytes(blob)
+                    if is_wav(raw):
+                        samples, _rate = decode_wav(raw)
+                        ns = max(len(samples), 1)
+                        win = max(ns // n_frames, 1)
+                        for k in range(n_frames):
+                            s0 = (k * ns) // n_frames
+                            window = samples[s0 : s0 + win]
+                            rows["doc_id"].append(int(doc_id))
+                            rows["frame_idx"].append(k)
+                            rows["frame_offset"].append(s0)  # sample index
+                            rows["frame_sha"].append(
+                                hashlib.sha256(window.tobytes()).hexdigest()[:16]
+                            )
+                        continue
                     if not is_png(raw):
                         raise NotImplementedError(
-                            "real decode supports concatenated-PNG streams; "
-                            "mp4/webm need pyav/ffmpeg"
+                            "real decode supports concatenated-PNG streams "
+                            "and PCM WAV window sampling; mp4/webm need "
+                            "pyav/ffmpeg"
                         )
                     sig = raw[:8]
                     offs = []

@@ -261,3 +261,26 @@ def test_extract_features_real_decodes_wav_samples(spark):
         )
     # The PNG in the same batch still routes through the image decoder.
     assert out[2]["fake_width"] == 7 and out[2]["fake_height"] == 6
+
+
+def test_sample_frames_real_windows_wav_audio(spark):
+    """Audio window sampling: a PCM WAV blob fans out to n uniform
+    fixed-length sample windows with per-window digests — the audio
+    analog of video frame sampling, same schema and fanout contract."""
+    from map_reduce_go_spark.functions.wav_codec import encode_wav
+    from map_reduce_go_spark.operators.multimodal import sample_frames
+
+    rng = _rng(13)
+    samples = rng.integers(-32768, 32768, size=(240, 1), dtype=np.int16)
+    df = _blob_df(spark, [(0, encode_wav(samples))], with_modality=False)
+    rows = sorted(
+        sample_frames(df, n_frames=4, decode_mode="real").collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    win = 240 // 4
+    for k, r in enumerate(rows):
+        s0 = (k * 240) // 4
+        assert r["frame_offset"] == s0
+        want = hashlib.sha256(samples[s0 : s0 + win].tobytes()).hexdigest()[:16]
+        assert r["frame_sha"] == want
