@@ -40,7 +40,12 @@ NOTES = (
     "1.8->2.9s with no plan change - inside its recorded 3-run spread). "
     "r8 close: suite is 54 headliners (auc_value_by_event_type joins as "
     "the model-eval family's fact-scaling canary, ~1.4s cold); compare "
-    "suite seconds round-over-round per query, never by the total."
+    "suite seconds round-over-round per query, never by the total. "
+    "r9 (empty round, byte-identical code): the r8 watch item "
+    "equidepth_histogram_price_approx 0.94->1.34s REVERTED to 0.94s - "
+    "settled as host drift, not plan state; equidepth joins the canary "
+    "set (expected ~0.9-1.0s cold, distributed-rank window plan), so "
+    "future 1.3s-class readings are noise unless the plan test fails."
 )
 
 # Headline set: one per operator family, weighted toward scale-sensitive
@@ -269,6 +274,16 @@ def main() -> None:
         json.dump(full, f, indent=1)
         f.write("\n")
 
+    print(encode_stdout_line(full, results, errors, os.path.basename(out_path)))
+
+
+def encode_stdout_line(
+    full: dict, results: dict, errors: dict, detail: str, budget: int = 1900
+) -> str:
+    """The ONE stdout JSON line, guaranteed <= ``budget`` chars: full
+    precision first, then 2dp coarsening, then worst-N shrink, then (the
+    pathological floor) an empty query map — the line is always
+    parseable, never tail-truncated mid-JSON by the driver."""
     worst = max(results.items(), key=lambda kv: kv[1]) if results else None
     line = {
         "metric": full["metric"],
@@ -278,16 +293,16 @@ def main() -> None:
         "completed": full["completed"],
         "attempted": full["attempted"],
         "worst": list(worst) if worst else None,
-        "detail": os.path.basename(out_path),
+        "detail": detail,
         "sf": full["sf"],
     }
     if errors:
         line["error_queries"] = sorted(errors)  # messages live in the file
     encoded = json.dumps(line)
-    if len(encoded) > 1900:
+    if len(encoded) > budget:
         line["queries"] = {k: round(v, 2) for k, v in results.items()}
         encoded = json.dumps(line)
-    if len(encoded) > 1900:  # last resort: keep the contract parseable
+    if len(encoded) > budget:  # last resort: keep the contract parseable
         # Keep the 2dp coarsening in the fallback too, and shrink the
         # worst-N list until the line fits (long query names could
         # otherwise still overflow a fixed N=30).
@@ -297,10 +312,19 @@ def main() -> None:
             line["queries"] = {k: round(v, 2) for k, v in by_worst[:keep]}
             line["queries_truncated_to_worst"] = keep
             encoded = json.dumps(line)
-            if len(encoded) <= 1900:
+            if len(encoded) <= budget:
                 break
             keep -= 5
-    print(encoded)
+        if len(encoded) > budget:
+            # Even keep=5 overflowed (pathological name/error lengths):
+            # drop the per-query map, error list, and worst-name entirely
+            # and re-encode, so the printed line NEVER exceeds the budget.
+            line["queries"] = {}
+            line["queries_truncated_to_worst"] = 0
+            line["worst"] = None
+            line.pop("error_queries", None)
+            encoded = json.dumps(line)
+    return encoded
 
 
 if __name__ == "__main__":

@@ -108,6 +108,43 @@ def is_png(data: bytes) -> bool:
     return bytes(data[:8]) == _SIGNATURE
 
 
+def png_stream_offsets(data: bytes) -> list[int]:
+    """Split a concatenated-PNG stream structurally: return the byte
+    offsets ``[f0, f1, ..., end]`` such that frame k is
+    ``data[offs[k]:offs[k+1]]``.
+
+    Walks each frame chunk-by-chunk (4-byte length + 4-byte tag +
+    payload + 4-byte CRC) until its IEND chunk; the next frame must
+    begin immediately after. Searching for the 8-byte signature instead
+    (``data.find(sig)``) is WRONG: that byte pattern can legally occur
+    inside zlib-compressed IDAT payload and would mis-split frames —
+    the chunk walk never looks inside payloads, so embedded signatures
+    are harmless.
+    """
+    data = bytes(data)
+    offs: list[int] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 8] != _SIGNATURE:
+            raise ValueError(f"frame at offset {pos} lacks PNG signature")
+        offs.append(pos)
+        pos += 8
+        while True:
+            if pos + 8 > n:
+                raise ValueError("truncated chunk header")
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            end = pos + 12 + length  # header + payload + CRC
+            if end > n:
+                raise ValueError("truncated chunk payload")
+            pos = end
+            if tag == b"IEND":
+                break
+    offs.append(n)
+    return offs
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG to an (H, W) uint8 array (grayscale) or (H, W, 3)
     (RGB). Supports bit depth 8, color types 0/2, no interlace, all five

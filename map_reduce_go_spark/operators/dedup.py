@@ -1823,6 +1823,14 @@ def winnowing_fingerprint_sets(docs: DataFrame) -> DataFrame:
     ).distinct()
 
 
+# The oracle's k-gram expression is GENERATED from SHINGLE_K so the two
+# sides can never silently desynchronize if the constant changes
+# (ADVICE r9: it was previously hardcoded to the 3-gram form).
+_WINNOW_KGRAM_SQL = " || ' ' || ".join(
+    "ws[i]" if j == 0 else f"ws[i+{j}]" for j in range(SHINGLE_K)
+)
+
+
 @register(
     "winnowing_fingerprints",
     oracle=f"""
@@ -1834,8 +1842,8 @@ def winnowing_fingerprint_sets(docs: DataFrame) -> DataFrame:
     ),
     pos_kg AS (
       SELECT doc_id, i AS pos,
-             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-      FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+             {_WINNOW_KGRAM_SQL} AS s
+      FROM w, unnest(generate_series(1, len(ws) - {SHINGLE_K - 1})) AS t(i)
     ),
     comb AS (
       SELECT doc_id, pos,

@@ -394,6 +394,7 @@ def sample_frames(blobs: DataFrame, n_frames: int = N_FRAMES, decode_mode: str =
                     from map_reduce_go_spark.functions.png_codec import (
                         decode_png,
                         is_png,
+                        png_stream_offsets,
                     )
                     from map_reduce_go_spark.functions.wav_codec import (
                         decode_wav,
@@ -421,16 +422,11 @@ def sample_frames(blobs: DataFrame, n_frames: int = N_FRAMES, decode_mode: str =
                             "and PCM WAV window sampling; mp4/webm need "
                             "pyav/ffmpeg"
                         )
-                    sig = raw[:8]
-                    offs = []
-                    i = 0
-                    while True:
-                        j = raw.find(sig, i)
-                        if j < 0:
-                            break
-                        offs.append(j)
-                        i = j + 8
-                    offs.append(len(raw))
+                    # Structural chunk walk (length+tag+payload+CRC to
+                    # IEND per frame) — the 8-byte signature can legally
+                    # occur INSIDE compressed IDAT payload, so splitting
+                    # on raw.find(signature) would mis-split frames.
+                    offs = png_stream_offsets(raw)
                     nf = len(offs) - 1
                     for k in range(n_frames):
                         fi = (k * nf) // n_frames

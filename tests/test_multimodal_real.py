@@ -142,6 +142,96 @@ def test_sample_frames_real_decodes_concatenated_png_stream(spark):
         assert r["frame_offset"] == offs[fi]
 
 
+def _adversarial_png():
+    """A spec-valid grayscale PNG whose IDAT payload contains the 8-byte
+    PNG signature VERBATIM (zlib level 0 = stored blocks, so the pixel
+    bytes — which embed the signature — appear uncompressed inside the
+    chunk). Splitting a concatenated stream by searching for the
+    signature would cut this frame in half; the structural chunk walk
+    must not."""
+    import struct
+    import zlib as _z
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    pixels = b"ab" + sig + b"cdefgh"  # 16 pixel bytes, signature inside
+    raw = b"\x00" + pixels  # filter byte 0 + one scanline
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", _z.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 16, 1, 8, 0, 0, 0, 0)
+    png = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(raw, 0))
+        + chunk(b"IEND", b"")
+    )
+    assert sig in png[8:], "fixture must embed the signature in IDAT"
+    return png, np.frombuffer(pixels, dtype=np.uint8).reshape(1, 16)
+
+
+def test_png_stream_offsets_ignores_embedded_signature():
+    """ADVICE r8/r9 item: the concatenated-stream splitter must walk
+    chunks structurally, because the signature byte pattern can occur
+    inside compressed IDAT payload. The adversarial frame embeds one;
+    offsets must still be exactly the three frame boundaries."""
+    from map_reduce_go_spark.functions.png_codec import png_stream_offsets
+
+    rng = _rng(21)
+    evil, evil_pixels = _adversarial_png()
+    before = encode_png(rng.integers(0, 256, size=(4, 4), dtype=np.uint8))
+    after = encode_png(rng.integers(0, 256, size=(3, 5), dtype=np.uint8))
+    stream = before + evil + after
+    # The naive find()-based split would see 4 "frames" here.
+    assert stream.count(b"\x89PNG\r\n\x1a\n") == 4
+    offs = png_stream_offsets(stream)
+    assert offs == [
+        0,
+        len(before),
+        len(before) + len(evil),
+        len(stream),
+    ]
+    # Every structurally-split frame decodes; the evil one bit-exactly.
+    assert np.array_equal(
+        decode_png(stream[offs[1] : offs[2]]), evil_pixels
+    )
+    # Truncation and mid-stream garbage fail loudly, not silently.
+    with pytest.raises(ValueError):
+        png_stream_offsets(stream[:-2])
+    with pytest.raises(ValueError):
+        png_stream_offsets(before + b"garbage" + after)
+
+
+def test_sample_frames_real_survives_signature_in_idat(spark):
+    """End-to-end: sample_frames real mode over a stream whose middle
+    frame embeds the signature in IDAT still yields the correct
+    per-frame boundaries, offsets, and pixel digests."""
+    from map_reduce_go_spark.operators.multimodal import sample_frames
+
+    rng = _rng(22)
+    evil, evil_pixels = _adversarial_png()
+    f0 = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    f2 = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+    stream = encode_png(f0) + evil + encode_png(f2)
+    df = _blob_df(spark, [(0, stream)], with_modality=False)
+    rows = sorted(
+        sample_frames(df, n_frames=3, decode_mode="real").collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    shas = [
+        hashlib.sha256(a.tobytes()).hexdigest()[:16]
+        for a in (f0, evil_pixels, f2)
+    ]
+    offs = [0, len(encode_png(f0)), len(encode_png(f0)) + len(evil)]
+    assert [r["frame_sha"] for r in rows] == shas
+    assert [r["frame_offset"] for r in rows] == offs
+
+
 def test_real_mode_still_raises_for_foreign_formats(spark):
     from map_reduce_go_spark.operators.multimodal import (
         extract_features,
