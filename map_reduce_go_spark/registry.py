@@ -110,8 +110,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivf_pq_topk",
     "vocab_overlap_between_sources",
     "language_confusion_matrix",
-    "char_entropy_quality",
-    # (The remaining 40 r5 rows — simhash_hamming_cluster,
+    # --- (c) round-10 additions (never checked, outrank stale greens) ---
+    "ann_ivf_persisted",
+    # (The remaining 41 r5 rows — char_entropy_quality, — simhash_hamming_cluster,
     # doc_quality_score, language_id_heuristic, bm25_doc_ranking and the
     # rest of the textstats/pipeline/sketches r5 block — lead the r11
     # window, oldest-first, followed by the oldest r6 rows. Any round-10

@@ -1,0 +1,75 @@
+"""Persisted partition-pruned IVF index (VERDICT r9 brief #3): the
+on-disk index builds once per corpus snapshot, a second session-equivalent
+call reuses it without retraining, the probe scan carries a
+PartitionFilters cell IN (...) predicate (static partition pruning — the
+mirror of test_dynamic_partition_pruning for the ANN path), and the
+persisted search returns bit-identical results to the in-session
+``ann_ivf_cosine``."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def index_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ivf_index"))
+    yield str(tmp_path / "ivf_index")
+
+
+def test_build_is_idempotent_and_versioned(spark, sf_dir, index_env):
+    from map_reduce_go_spark.operators.ann_index import build_ivf_index
+
+    path = build_ivf_index(spark, sf_dir)
+    assert os.path.exists(os.path.join(path, "_INDEX_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "centroids.json"))
+    # Partition layout: one cell=<id> directory per populated cell.
+    cells = [
+        d
+        for d in os.listdir(os.path.join(path, "corpus"))
+        if d.startswith("cell=")
+    ]
+    assert len(cells) >= 2
+    # Second build: marker short-circuits (no retrain, no rewrite).
+    mtime = os.stat(os.path.join(path, _marker := "_INDEX_SUCCESS")).st_mtime_ns
+    assert build_ivf_index(spark, sf_dir) == path
+    assert os.stat(os.path.join(path, _marker)).st_mtime_ns == mtime
+
+
+def test_probe_scan_partition_prunes(spark, sf_dir, index_env):
+    """The probed read must list only the NPROBE cell partitions: the
+    executed plan's scan carries the cell IN (...) PartitionFilters and
+    the other partitions' files are never touched."""
+    from map_reduce_go_spark.operators.ann_index import (
+        build_ivf_index,
+        load_ivf_index,
+    )
+
+    build_ivf_index(spark, sf_dir)
+    corpus, _cents = load_ivf_index(spark, sf_dir)
+    probed = corpus.where(F.col("cell").isin([0, 3]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "cell" in pf and ("IN" in pf or "in(" in pf.lower()), pf
+    # And the filter actually restricts the data read.
+    got = {r["cell"] for r in probed.select("cell").distinct().collect()}
+    assert got <= {0, 3}
+
+
+def test_persisted_search_matches_in_session_ivf(spark, sf_dir, index_env):
+    """Same index semantics ⇒ same answer: the persisted-index search
+    must return exactly ann_ivf_cosine's rows (both are oracle-checked
+    against the same SQL, but the direct equality pins parquet roundtrip
+    + partition pruning as value-neutral)."""
+    from map_reduce_go_spark.operators.ann_index import ann_ivf_persisted
+    from map_reduce_go_spark.operators.similarity import ann_ivf_cosine
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    a = sorted(ann_ivf_persisted(spark, sf_dir).collect(), key=key)
+    b = sorted(ann_ivf_cosine(spark, sf_dir).collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0

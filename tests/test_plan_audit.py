@@ -24,6 +24,7 @@ _EXEC_AT_BUILD = {
     "ann_ivf_pq_topk",  # trains both the IVF and PQ indexes
     "ann_filtered_ivf",  # trains the IVF codebook
     "equidepth_histogram_price_approx",  # collects the partition-offset metadata
+    "ann_ivf_persisted",  # builds/loads the on-disk IVF index
 }
 
 
