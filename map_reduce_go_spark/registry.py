@@ -108,10 +108,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivf_cosine",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
-    "vocab_overlap_between_sources",
-    "language_confusion_matrix",
     # --- (c) round-10 additions (never checked, outrank stale greens) ---
     "ann_ivf_persisted",
+    "cdc_gear_chunk_stats",
+    "multimodal_audio_resample_stub",
     # (The remaining 41 r5 rows — char_entropy_quality, — simhash_hamming_cluster,
     # doc_quality_score, language_id_heuristic, bm25_doc_ranking and the
     # rest of the textstats/pipeline/sketches r5 block — lead the r11

@@ -210,6 +210,20 @@ MLEVAL_QUERIES = [
     "spearman_quantity_price",
 ]
 MLEVAL_TABLES = ("events", "documents", "lineitem")
+# Round-10 family: the gear-CDC path head-to-head with the md5 form
+# (same boundary-statistics contract; the probe records the
+# constant-factor win of table-lookup shift-adds over per-position md5
+# at identical corpus bytes), plus the persisted partition-pruned IVF
+# index (build+probe at 1×, marker-gated reuse means the k× number is a
+# fresh build over the k× corpus — the honest cost; per-query probes
+# against an existing index are the test suite's job). word_salt grows
+# distinct content so CDC boundary positions aren't k identical copies.
+R10_QUERIES = [
+    "cdc_gear_chunk_stats",
+    "cdc_chunk_stats",
+    "ann_ivf_persisted",
+]
+R10_TABLES = ("documents", "embeddings")
 
 
 def replicate(
@@ -576,6 +590,7 @@ def main() -> None:
         "round8b": (R8B_QUERIES, R8B_TABLES, None, None),
         "round8c": (R8C_QUERIES, R8C_TABLES, None, R8C_FK_BASES),
         "mleval": (MLEVAL_QUERIES, MLEVAL_TABLES, None, None),
+        "round10": (R10_QUERIES, R10_TABLES, None, None),
     }.get(family, (QUERIES, TABLES, None, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -587,7 +602,7 @@ def main() -> None:
             out_dir,
             tables=tables,
             extra_shifts=extra,
-            word_salt=(family in ("setsim", "setsimskew", "round6", "round8c")),
+            word_salt=(family in ("setsim", "setsimskew", "round6", "round8c", "round10")),
             fk_bases=fk,
             inject_hot=(family == "setsimskew"),
         )
