@@ -240,6 +240,48 @@ def purchase_click_outer_join(
     )
 
 
+def purchase_click_full_outer_join(
+    events: DataFrame, lookback: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the last stream-join
+    shape (VERDICT r9 brief #8): matched purchase/click pairs, plus
+    unattributed purchases (NULL click columns) AND orphan clicks that
+    led to no purchase within `lookback` (NULL purchase columns) — the
+    two-sided attrition view an attribution audit needs.
+
+    Both sides' NULL rows emit only once the watermark proves no match
+    can still arrive, so each side's buffered state is bounded by
+    (watermark + lookback) exactly as in the inner/left forms; the
+    drained result equals the batch full join (asserted in
+    tests/test_streaming.py with the flush-sentinel drain pattern)."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+    )
+
+
 def daily_distinct_users(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Daily distinct active users (the DAU metric) as a streaming
     aggregation. Streaming DataFrames cannot run COUNT(DISTINCT)

@@ -401,6 +401,57 @@ def test_stream_stream_outer_interval_join_equals_batch(spark, event_source, tmp
     assert null_rows <= got
 
 
+def test_stream_stream_full_outer_interval_join_equals_batch(
+    spark, event_source, tmp_path
+):
+    """FULL OUTER stream-stream interval join: BOTH sides' unmatched rows
+    must surface — purchases with NULL click columns and orphan clicks
+    with NULL purchase columns — and the drained set must equal the
+    batch full join exactly. Same flush-sentinel drain as the left-outer
+    test: two-sided NULL emission trails the global watermark on both
+    inputs."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "events_fo_src")
+    base = spark.read.schema(windows.EVENTS_SCHEMA).parquet(event_source)
+    base.write.mode("overwrite").parquet(src)
+    far = base.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "click", 0.0, "{}"),
+            (-2, far, -1, "purchase", 0.0, "{}"),
+        ],
+        windows.EVENTS_SCHEMA,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    sentinel.write.mode("append").parquet(src)
+
+    name = f"foj_{uuid.uuid4().hex[:8]}"
+    stream = windows.read_event_stream(spark, src)
+    q = (
+        windows.purchase_click_full_outer_join(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(name).collect() if r.user_id != -1}
+    want = {
+        tuple(r)
+        for r in windows.purchase_click_full_outer_join(
+            spark.read.schema(windows.EVENTS_SCHEMA).parquet(src)
+        ).collect()
+        if r.user_id != -1
+    }
+    assert got == want
+    null_click = {t for t in want if t[1] is None}
+    null_purchase = {t for t in want if t[0] is None}
+    assert null_click, "fixture must contain unattributed purchases"
+    assert null_purchase, "fixture must contain orphan clicks"
+    assert null_click <= got and null_purchase <= got
+
+
 def test_microbatch_pacing_with_max_files_per_trigger(spark, event_source):
     """Source throttling: maxFilesPerTrigger must split the drain into
     multiple micro-batches (the backpressure knob that keeps a 100 TB
