@@ -643,12 +643,17 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One shuffle on y carries the (count, Σcx) partial aggregates; cy
     # attaches via the distributed prefix over the SAME rollup, and all
     # y-side sums close over that rollup — no fact-width join on y.
+    # sx stays LONG through the shuffle (a decimal-38 partial agg over
+    # tens of millions of distinct keys is measurably slower): per-y
+    # Σcx is bounded by rows_y · 2nn ≤ 2nn², inside int64 through ~2·10⁹
+    # rows; the d38 widening happens once, in the final metadata-sized
+    # sums.
     gy = (
         fact.join(F.broadcast(rx.select("x", F.col("c").alias("cx"))), "x")
         .groupBy("y")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("cx").cast(d38)).alias("sx"),
+            F.sum("cx").cast("long").alias("sx"),
         )
     )
     ry = tracked_cache(
