@@ -1583,6 +1583,177 @@ def cdc_gear_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gear_chunks(docs: DataFrame, w: int = CDC_WINDOW, divisor: int = CDC_DIVISOR) -> DataFrame:
+    """Explode each document into its content-defined chunks (gear
+    boundaries) with a per-chunk content digest — the unit of chunk-level
+    dedup. One Arrow pass: boundaries via the windowed gear (see
+    :func:`gear_boundary_counts`), chunk digests via the md5 idiom on the
+    chunk text. Emits (doc_id, source, chunk_idx, chunk_chars, dig);
+    expected chunk count is n_chars/{CDC_DIVISOR} per doc, so the fanout
+    is corpus-bytes/64 rows — the honest unit count any chunk store
+    carries."""
+
+    def batches(it):
+        import hashlib
+        import numpy as np
+        import pandas as pd
+
+        gear: dict[int, int] = {}
+
+        def gvals(uniq: "np.ndarray") -> "np.ndarray":
+            out = np.empty(len(uniq), dtype=np.int64)
+            for k, cp in enumerate(uniq):
+                cp = int(cp)
+                if cp not in gear:
+                    gear[cp] = _gear_val(chr(cp))
+                out[k] = gear[cp]
+            return out
+
+        for pdf in it:
+            rows = {
+                "doc_id": [],
+                "source": [],
+                "chunk_idx": [],
+                "chunk_chars": [],
+                "dig": [],
+            }
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                n = len(text)
+                if n < w:
+                    continue
+                cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+                uniq, inv = np.unique(cp, return_inverse=True)
+                g = gvals(uniq)[inv]
+                acc = np.zeros(n - w + 1, dtype=np.int64)
+                for j in range(w):
+                    acc += g[w - 1 - j : n - j] << j
+                cuts = [
+                    k + w
+                    for k in np.nonzero(acc % divisor == 0)[0].tolist()
+                    if k + w < n
+                ] + [n]
+                s = 0
+                for ci, e in enumerate(cuts):
+                    chunk = text[s:e]
+                    rows["doc_id"].append(int(doc_id))
+                    rows["source"].append(source)
+                    rows["chunk_idx"].append(ci)
+                    rows["chunk_chars"].append(e - s)
+                    rows["dig"].append(
+                        int(
+                            hashlib.md5(chunk.encode("utf-8")).hexdigest()[:8],
+                            16,
+                        )
+                    )
+                    s = e
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        batches,
+        schema="doc_id long, source string, chunk_idx int, chunk_chars long, dig long",
+    )
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, n_chars, i,
+             CAST('0x' || substring(md5(substring(text, CAST(i - j AS BIGINT), 1)),
+                                    1, {GEAR_BITS_HEX}) AS BIGINT) << j AS term
+      FROM documents,
+           LATERAL unnest(generate_series({CDC_WINDOW}, CAST(n_chars AS BIGINT))) t(i),
+           LATERAL unnest(generate_series(0, {CDC_WINDOW - 1})) u(j)
+      WHERE n_chars >= {CDC_WINDOW}
+    ),
+    h AS (
+      SELECT doc_id, n_chars, i, sum(term) AS h
+      FROM terms GROUP BY doc_id, n_chars, i
+    ),
+    bounds AS (
+      SELECT doc_id, i FROM h WHERE h % {CDC_DIVISOR} = 0 AND i < n_chars
+      UNION ALL
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS i FROM documents
+      WHERE n_chars >= {CDC_WINDOW}
+    ),
+    marks AS (
+      SELECT doc_id, i AS e,
+             lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS s
+      FROM bounds
+    ),
+    chunks AS (
+      SELECT d.doc_id, d.source, m.e - m.s AS clen,
+             CAST('0x' || substring(
+               md5(substring(d.text, CAST(m.s + 1 AS BIGINT),
+                             CAST(m.e - m.s AS BIGINT))), 1, 8) AS BIGINT) AS dig
+      FROM marks m JOIN documents d USING (doc_id)
+    ),
+    freq AS (SELECT dig, count(*) AS cnt FROM chunks GROUP BY dig)
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(c.clen) AS BIGINT) AS n_chars,
+           CAST(coalesce(sum(CASE WHEN f.cnt > 1 THEN 1 END), 0) AS BIGINT)
+             AS dup_chunks,
+           CAST(coalesce(sum(CASE WHEN f.cnt > 1 THEN c.clen END), 0) AS BIGINT)
+             AS dup_chars,
+           CAST(1000000 * coalesce(sum(CASE WHEN f.cnt > 1 THEN c.clen END), 0)
+                // sum(c.clen) AS BIGINT) AS dup_char_ppm
+    FROM chunks c JOIN freq f ON f.dig = c.dig
+    GROUP BY c.source
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup planning — the reason CDC exists: split every
+    document at content-defined gear boundaries, digest each chunk, and
+    report per source how much chunk mass is DUPLICATED elsewhere in the
+    corpus (a chunk is duplicate if its digest occurs >1 time globally,
+    including within one document). dup_char_ppm is the integer-exact
+    share of characters a chunk store would not re-store — the number a
+    storage/transfer-savings estimate starts from, robust to edits
+    because the boundaries are content-anchored.
+
+    Scale shape: the chunk explode is corpus-bytes/{CDC_DIVISOR} rows of
+    (digest, chars, source); the frequency rollup and the join back are
+    both keyed on the digest — co-partitioned, digest-only shuffles (the
+    dedup_exact discipline: no text ever shuffles); the output is a
+    ≤|sources|-row rollup. The digest frequency table feeds one join, so
+    the chunk frame is cached rather than re-exploded."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars") >= CDC_WINDOW
+    )
+    chunks = tracked_cache(
+        gear_chunks(docs.select("doc_id", "source", "text"))
+    )
+    freq = chunks.groupBy("dig").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.col("cnt") > 1
+    return (
+        chunks.join(freq, "dig")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("chunk_chars").cast("long").alias("n_chars"),
+            F.coalesce(F.sum(F.when(dup, 1)), F.lit(0))
+            .cast("long")
+            .alias("dup_chunks"),
+            F.coalesce(F.sum(F.when(dup, F.col("chunk_chars"))), F.lit(0))
+            .cast("long")
+            .alias("dup_chars"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_chars",
+            "dup_chunks",
+            "dup_chars",
+            F.expr("CAST(1000000 * dup_chars div n_chars AS BIGINT)").alias(
+                "dup_char_ppm"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Feature hashing (the "hashing trick") — fixed-dimension featurization
 # --------------------------------------------------------------------------
