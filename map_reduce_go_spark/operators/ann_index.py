@@ -44,6 +44,7 @@ from map_reduce_go_spark.operators.similarity import (
     _nearest_cells,
     cosine_udf,
     ivf_centroids_for,
+    ivf_train_centroids,
 )
 from map_reduce_go_spark.registry import register
 from map_reduce_go_spark.sources.readers import load_table
@@ -121,19 +122,12 @@ def load_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[li
     return spark.read.parquet(os.path.join(path, "corpus")), centroids
 
 
-@register("ann_ivf_persisted", oracle=_ivf_oracle_sql())
-def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over the PERSISTED index: identical search semantics (and
-    oracle) to ``ann_ivf_cosine``, but the corpus side is the on-disk
-    cell-partitioned parquet and the scan reads ONLY the probed cells —
-    the union of the queries' NPROBE nearest cells, collected as bounded
-    index metadata (≤ N_QUERIES×NPROBE ints) into a literal IN filter
-    that partition-prunes at the file listing, before any row is read.
-
-    At 100 TB with K=4096 cells and NPROBE=8, a probe touches ~0.2% of
-    the corpus bytes; the build cost is amortized across every query
-    against the snapshot instead of re-paid per session."""
-    corpus, centroids = load_ivf_index(spark, sf_dir)
+def _probe_index(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Shared NPROBE search over a loaded cell-partitioned corpus: collect
+    the bounded probe-cell set, prune the scan to those partitions, score
+    with the broadcast query side, rank top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -162,3 +156,119 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("raw_sim", 6).alias("sim"), "rank")
     )
+
+
+@register("ann_ivf_persisted", oracle=_ivf_oracle_sql())
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the PERSISTED index: identical search semantics (and
+    oracle) to ``ann_ivf_cosine``, but the corpus side is the on-disk
+    cell-partitioned parquet and the scan reads ONLY the probed cells —
+    the union of the queries' NPROBE nearest cells, collected as bounded
+    index metadata (≤ N_QUERIES×NPROBE ints) into a literal IN filter
+    that partition-prunes at the file listing, before any row is read.
+
+    At 100 TB with K=4096 cells and NPROBE=8, a probe touches ~0.2% of
+    the corpus bytes; the build cost is amortized across every query
+    against the snapshot instead of re-paid per session."""
+    corpus, centroids = load_ivf_index(spark, sf_dir)
+    return _probe_index(spark, sf_dir, corpus, centroids)
+
+
+# --------------------------------------------------------------------------
+# Incremental index maintenance: append a batch WITHOUT retraining
+# --------------------------------------------------------------------------
+
+#: Incremental split: vectors with vec_id % INCR_MOD == 0 arrive as
+#: "today's batch"; the rest are the base corpus the quantizer trained on.
+INCR_MOD = 5
+
+
+def append_to_ivf_index(
+    spark: SparkSession, path: str, new_vectors: DataFrame, batch_id: str
+) -> None:
+    """Append a vector batch to an existing index WITHOUT retraining: the
+    persisted codebook assigns cells, the batch lands in its OWN
+    cell-partitioned directory (``batch-<id>/``) committed atomically by
+    the parquet job — so a retried append replaces nothing and a crashed
+    one leaves no partial state (no blind ``mode("append")`` into the
+    base corpus, which a retry would duplicate). Readers union the base
+    corpus with every committed batch; cell pruning applies to each scan.
+    Idempotent per batch_id."""
+    batch_dir = os.path.join(path, f"batch-{batch_id}")
+    if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
+        return
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = json.load(f)
+    (
+        new_vectors.select(
+            "vec_id",
+            "embedding",
+            _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
+        )
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(batch_dir)
+    )
+
+
+def load_ivf_index_with_batches(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """Read base corpus + every committed incremental batch (unionByName;
+    each scan keeps its own partition pruning)."""
+    import glob as _glob
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = json.load(f)
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    for b in sorted(_glob.glob(os.path.join(path, "batch-*"))):
+        if os.path.exists(os.path.join(b, "_SUCCESS")):
+            corpus = corpus.unionByName(spark.read.parquet(b))
+    return corpus, centroids
+
+
+@register(
+    "ann_ivf_incremental_probe",
+    oracle=_ivf_oracle_sql(
+        train_rel=f"(SELECT * FROM embeddings WHERE vec_id % {INCR_MOD} <> 0)"
+    ),
+)
+def ann_ivf_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance end to end: the quantizer trains on
+    the BASE corpus only (vec_id % {INCR_MOD} != 0 — "yesterday's"
+    snapshot), today's batch is appended by cell assignment against the
+    frozen codebook (no retrain, no base rewrite), and the probe searches
+    base + batch through the same partition-pruned path. The oracle
+    replays exactly this: seeds/Lloyd means over the base relation, cell
+    assignment over ALL vectors — so the driver value-hashes the full
+    maintenance cycle, not just the search.
+
+    At 100 TB this is the daily-ingest shape: train rarely, assign+append
+    per batch (embarrassingly parallel, one small job), re-train only
+    when drift metrics (see psi_doclen_drift) say the codebook aged out."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(_index_root(), _snapshot_id(sf_dir) + "-incr")
+    if not os.path.exists(os.path.join(path, _MARKER)):
+        base = emb.where(F.col("vec_id") % INCR_MOD != 0).transform(tracked_cache)
+        centroids = ivf_train_centroids(base)
+        (
+            base.select(
+                "vec_id",
+                "embedding",
+                _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
+            )
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(os.path.join(path, "corpus"))
+        )
+        tmp = os.path.join(path, "centroids.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(centroids, f)
+        os.replace(tmp, os.path.join(path, "centroids.json"))
+        with open(os.path.join(path, _MARKER), "w") as f:
+            f.write(_snapshot_id(sf_dir))
+    append_to_ivf_index(
+        spark, path, emb.where(F.col("vec_id") % INCR_MOD == 0), batch_id="1"
+    )
+    corpus, centroids = load_ivf_index_with_batches(spark, path)
+    return _probe_index(spark, sf_dir, corpus, centroids)

@@ -430,14 +430,20 @@ def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
     return [refined.get(i, seeds[i]) for i in range(len(seeds))]
 
 
-def _ivf_build_ctes() -> str:
+def _ivf_build_ctes(
+    train_rel: str = "embeddings", corpus_rel: str = "embeddings"
+) -> str:
     """DuckDB replay of the IVF index BUILD as a CTE chain ending in
     ``corpus(vec_id, embedding, cell)``: deterministic seeds (K lowest
     vec_ids), one Lloyd step with exact decimal means, cell assignment by
     sequential-fold dot/norm (identical association order to the pandas
     kernel). Every float op is order-matched, so any oracle using these
     CTEs sees the same index bit-for-bit. Shared by the IVF-search and
-    SemDedup oracles."""
+    SemDedup oracles. ``train_rel``/``corpus_rel`` parametrize WHICH
+    relation trains the quantizer vs which is assigned into cells (the
+    incremental-index oracle trains on yesterday's base, assigns all);
+    the defaults generate byte-identical SQL to the original shared
+    form."""
 
     def dot(a: str, b: str) -> str:
         return (
@@ -457,13 +463,13 @@ def _ivf_build_ctes() -> str:
     )
     return f"""seeds AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {K_CELLS}) t
+      FROM (SELECT vec_id, embedding FROM {train_rel} ORDER BY vec_id LIMIT {K_CELLS}) t
     ),
     assign0 AS (
       SELECT e.vec_id, e.embedding, s.cell,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY {score("e.embedding", "s.embedding")} DESC, s.cell) AS rk
-      FROM embeddings e CROSS JOIN seeds s
+      FROM {train_rel} e CROSS JOIN seeds s
     ),
     means AS (
       SELECT cell, {mean_cols}
@@ -478,14 +484,18 @@ def _ivf_build_ctes() -> str:
         SELECT e.vec_id, e.embedding, c.cell,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY {score("e.embedding", "c.c")} DESC, c.cell) AS rk
-        FROM embeddings e CROSS JOIN cents c
+        FROM {corpus_rel} e CROSS JOIN cents c
       ) WHERE rk = 1
     )"""
 
 
-def _ivf_oracle_sql() -> str:
+def _ivf_oracle_sql(
+    train_rel: str = "embeddings", corpus_rel: str = "embeddings"
+) -> str:
     """IVF search oracle: the shared index-build CTEs plus NPROBE probing
-    and top-k cosine ranking."""
+    and top-k cosine ranking. Probes always come from the full
+    ``embeddings`` table; ``train_rel`` narrows what trains the quantizer
+    (incremental-index oracle)."""
 
     def dot(a: str, b: str) -> str:
         return (
@@ -497,7 +507,7 @@ def _ivf_oracle_sql() -> str:
         return f"{dot(e, c)} / sqrt({dot(c, c)})"
 
     return f"""
-    WITH {_ivf_build_ctes()},
+    WITH {_ivf_build_ctes(train_rel, corpus_rel)},
     probe AS (
       SELECT vec_id, embedding, cell FROM (
         SELECT e.vec_id, e.embedding, c.cell,

@@ -60,6 +60,53 @@ def test_probe_scan_partition_prunes(spark, sf_dir, index_env):
     assert got <= {0, 3}
 
 
+def test_incremental_append_no_retrain_and_idempotent(spark, sf_dir, index_env):
+    """Incremental maintenance contract: appending a batch must (a) leave
+    the persisted codebook byte-identical (no retrain), (b) land the
+    batch in its own atomically-committed directory (base corpus files
+    untouched), and (c) be a no-op on retry — a duplicate append would
+    silently double every appended vector's search weight."""
+    import json
+
+    from map_reduce_go_spark.operators.ann_index import (
+        INCR_MOD,
+        ann_ivf_incremental_probe,
+        append_to_ivf_index,
+        load_ivf_index_with_batches,
+        _index_root,
+        _snapshot_id,
+    )
+    from map_reduce_go_spark.sources.readers import load_table
+
+    rows = ann_ivf_incremental_probe(spark, sf_dir).collect()
+    assert rows
+    path = os.path.join(_index_root(), _snapshot_id(sf_dir) + "-incr")
+    cents_before = json.load(open(os.path.join(path, "centroids.json")))
+    base_files = sorted(
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(os.path.join(path, "corpus"))
+        for f in fs
+    )
+    # Retry the same batch: marker short-circuits, nothing changes.
+    emb = load_table(spark, sf_dir, "embeddings")
+    newv = emb.where(F.col("vec_id") % INCR_MOD == 0)
+    append_to_ivf_index(spark, path, newv, batch_id="1")
+    assert json.load(open(os.path.join(path, "centroids.json"))) == cents_before
+    assert base_files == sorted(
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(os.path.join(path, "corpus"))
+        for f in fs
+    )
+    corpus, _c = load_ivf_index_with_batches(spark, path)
+    # Base + batch covers the whole corpus exactly once.
+    assert corpus.count() == emb.count()
+    assert corpus.select("vec_id").distinct().count() == emb.count()
+    # Appended vectors are reachable through the pruned search path.
+    appended = {r["vec_id"] for r in newv.select("vec_id").collect()}
+    found = {r["neighbor_id"] for r in rows} | {r["query_id"] for r in rows}
+    assert appended & found, "no appended vector ever surfaced in the probe"
+
+
 def test_persisted_search_matches_in_session_ivf(spark, sf_dir, index_env):
     """Same index semantics ⇒ same answer: the persisted-index search
     must return exactly ann_ivf_cosine's rows (both are oracle-checked

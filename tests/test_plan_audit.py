@@ -25,6 +25,7 @@ _EXEC_AT_BUILD = {
     "ann_filtered_ivf",  # trains the IVF codebook
     "equidepth_histogram_price_approx",  # collects the partition-offset metadata
     "ann_ivf_persisted",  # builds/loads the on-disk IVF index
+    "ann_ivf_incremental_probe",  # builds/appends the on-disk incremental index
 }
 
 
