@@ -40,11 +40,13 @@ from map_reduce_go_spark.operators.similarity import (
     N_QUERIES,
     NPROBE,
     TOP_K,
+    _LSH_ORACLE,
     _ivf_oracle_sql,
     _nearest_cells,
     cosine_udf,
     ivf_centroids_for,
     ivf_train_centroids,
+    lsh_bucket,
 )
 from map_reduce_go_spark.registry import register
 from map_reduce_go_spark.sources.readers import load_table
@@ -172,6 +174,76 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the snapshot instead of re-paid per session."""
     corpus, centroids = load_ivf_index(spark, sf_dir)
     return _probe_index(spark, sf_dir, corpus, centroids)
+
+
+# --------------------------------------------------------------------------
+# Persisted LSH index: bucket-partitioned corpus, training-free
+# --------------------------------------------------------------------------
+
+
+def build_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted random-hyperplane LSH index: corpus written
+    ``partitionBy("bucket")`` (the SCALE.md promise for the LSH path).
+    Training-free — the hyperplanes are deterministic md5-derived
+    constants, so there is no codebook to persist and nothing to drift;
+    the index is pure data layout. Same snapshot versioning and marker
+    commit as the IVF build."""
+    path = os.path.join(_index_root(), _snapshot_id(sf_dir) + "-lsh")
+    if os.path.exists(os.path.join(path, _MARKER)):
+        return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    (
+        emb.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "corpus"))
+    )
+    with open(os.path.join(path, _MARKER), "w") as f:
+        f.write(_snapshot_id(sf_dir))
+    return path
+
+
+@register("ann_lsh_persisted", oracle=_LSH_ORACLE)
+def ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN over the PERSISTED bucket-partitioned index: identical
+    semantics (and oracle) to ``ann_lsh_cosine``, but candidates come
+    from reading ONLY the queries' bucket partitions — with sign-pattern
+    buckets a query probes exactly ONE bucket, so the scan prunes to
+    ≤ N_QUERIES partitions out of 2^{{N_HYPERPLANES}}. The sharpest
+    partition-pruning ratio in the repo: at 100 TB with 16 planes a
+    probe reads ~2^-16 of the corpus bytes per bucket."""
+    path = build_lsh_index(spark, sf_dir)
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        lsh_bucket(F.col("embedding")).alias("q_bucket"),
+    )
+    probed = sorted(
+        {int(r["q_bucket"]) for r in q.select("q_bucket").distinct().collect()}
+    )
+    corpus = corpus.where(F.col("bucket").isin(probed)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v_emb"),
+        "bucket",
+    )
+    scored = corpus.join(
+        F.broadcast(q),
+        (corpus.bucket == q.q_bucket) & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_udf(F.col("q_emb"), F.col("v_emb")).alias("raw_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("raw_sim", 6).alias("sim"), "rank")
+    )
 
 
 # --------------------------------------------------------------------------

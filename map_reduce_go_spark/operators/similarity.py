@@ -254,9 +254,7 @@ def _lsh_bucket_sql(prefix: str = "") -> str:
     return " + ".join(parts)
 
 
-@register(
-    "ann_lsh_cosine",
-    oracle=f"""
+_LSH_ORACLE = f"""
     WITH bucketed AS (
       SELECT vec_id, embedding, ({_lsh_bucket_sql()}) AS bucket FROM embeddings
     )
@@ -271,8 +269,10 @@ def _lsh_bucket_sql(prefix: str = "") -> str:
       JOIN bucketed v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES}
     ) t WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+
+@register("ann_lsh_cosine", oracle=_LSH_ORACLE)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: score only vectors in the query's
     bucket. The hyperplanes are deterministic md5-derived constants and

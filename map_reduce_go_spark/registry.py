@@ -100,20 +100,20 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "shard_balance_audit",
     "eval_contamination_report",
     "length_weighted_sample",
-    # --- (b) the 4 oldest r5-era rows, registration order, filling the
-    #     window to exactly 50 (5 slots went to the r10 additions below;
+    # --- (b) the 3 oldest r5-era rows, registration order, filling the
+    #     window to exactly 50 (6 slots went to the r10 additions below;
     #     the displaced r5 rows rejoin at the head of the r11 window) ---
     "editdist_deletion_join",
     "dedup_minhash_containment",
     "lsh_band_tuning_report",
-    "ann_ivf_cosine",
     # --- (c) round-10 additions (never checked, outrank stale greens) ---
     "ann_ivf_persisted",
     "cdc_gear_chunk_stats",
     "multimodal_audio_resample_stub",
     "cdc_chunk_dedup",
     "ann_ivf_incremental_probe",
-    # (The remaining 45 r5 rows — ann_pq_adc_topk, ann_ivf_pq_topk, vocab_overlap_between_sources,
+    "ann_lsh_persisted",
+    # (The remaining 46 r5 rows — ann_ivf_cosine, ann_pq_adc_topk, ann_ivf_pq_topk, vocab_overlap_between_sources,
     # language_confusion_matrix, char_entropy_quality, simhash_hamming_cluster,
     # doc_quality_score, language_id_heuristic, bm25_doc_ranking and the
     # rest of the textstats/pipeline/sketches r5 block — lead the r11

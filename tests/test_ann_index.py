@@ -60,6 +60,30 @@ def test_probe_scan_partition_prunes(spark, sf_dir, index_env):
     assert got <= {0, 3}
 
 
+def test_lsh_index_prunes_to_query_buckets(spark, sf_dir, index_env):
+    """The persisted LSH index's probe reads only the queries' bucket
+    partitions (PartitionFilters on bucket), and the persisted search
+    equals the in-session ann_lsh_cosine bit for bit."""
+    from map_reduce_go_spark.operators.ann_index import (
+        ann_lsh_persisted,
+        build_lsh_index,
+    )
+    from map_reduce_go_spark.operators.similarity import ann_lsh_cosine
+
+    path = build_lsh_index(spark, sf_dir)
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    probed = corpus.where(F.col("bucket").isin([1, 7]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    a = sorted(ann_lsh_persisted(spark, sf_dir).collect(), key=key)
+    b = sorted(ann_lsh_cosine(spark, sf_dir).collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a
+
+
 def test_incremental_append_no_retrain_and_idempotent(spark, sf_dir, index_env):
     """Incremental maintenance contract: appending a batch must (a) leave
     the persisted codebook byte-identical (no retrain), (b) land the

@@ -26,6 +26,7 @@ _EXEC_AT_BUILD = {
     "equidepth_histogram_price_approx",  # collects the partition-offset metadata
     "ann_ivf_persisted",  # builds/loads the on-disk IVF index
     "ann_ivf_incremental_probe",  # builds/appends the on-disk incremental index
+    "ann_lsh_persisted",  # builds/loads the on-disk LSH index
 }
 
 
