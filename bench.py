@@ -173,6 +173,11 @@ HEADLINE = [
     # persisted-index contract, noted in BENCH_LOCAL notes).
     "cdc_gear_chunk_stats",
     "ann_ivf_persisted",
+    # Classifier inference + calibration in one headliner: the full
+    # corpus pass (explode -> hash-weight codegen -> per-doc sum) plus
+    # the 8-bin reliability rollup. (quality_classifier_score is the
+    # same pass minus the tiny second agg — one headliner covers both.)
+    "classifier_calibration_bins",
 ]
 
 

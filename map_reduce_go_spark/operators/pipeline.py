@@ -1835,3 +1835,179 @@ def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v") * F.col("v")).cast("long").alias("sq_norm"),
         F.sum("cnt").cast("long").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Linear classifier inference + calibration audit
+# --------------------------------------------------------------------------
+
+# Hashed-token linear model (the fastText-/CCNet-style quality-classifier
+# shape): every token hashes to one of CLS_DIM weight slots; the weight
+# itself is a deterministic integer derived from the slot id (Knuth
+# multiplicative hash into [-1000, 1000] milli-units), standing in for a
+# trained coefficient vector. Deterministic weights keep the whole
+# inference pass integer-exact cross-engine while exercising the real
+# production dataflow: explode -> hash -> weight-lookup-free scoring ->
+# per-doc sum. A trained model swaps the weight EXPRESSION for a broadcast
+# map lookup; nothing else changes.
+CLS_DIM = 1024
+_CLS_MULT = 2654435761  # Knuth 2^32 / phi
+
+
+def _cls_weight_sql(tok: str) -> str:
+    """Integer milli-weight of a token's hash slot (DuckDB form)."""
+    return (
+        f"(CAST('0x' || substring(md5({tok}), 1, 8) AS BIGINT) % {CLS_DIM})"
+        f" * {_CLS_MULT} % 2001 - 1000"
+    )
+
+
+_CLS_SCORES_CTE = f"""
+    cls_scores AS (
+      SELECT doc_id, lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum({_cls_weight_sql("tok")}) AS BIGINT) AS raw_score
+      FROM (
+        SELECT doc_id, lang, unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM documents
+      ) GROUP BY doc_id, lang
+      HAVING count(*) > 0
+    )"""
+
+# prob = sigmoid(raw / (250 * sqrt(n_tokens))): the sqrt normalization is
+# the variance-stabilizing scale (raw is a sum of n zero-mean weights, so
+# its sd grows as sqrt(n)); 250 milli-units sets the logit spread to ~2.3.
+_CLS_PROB_SQL = (
+    "round(1.0 / (1.0 + exp(-(CAST(raw_score AS DOUBLE)"
+    " / (250.0 * sqrt(CAST(n_tokens AS DOUBLE)))))), 6)"
+)
+
+
+def _cls_doc_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens, raw_score): one corpus pass — explode to
+    tokens, score each with the codegen'd hash-weight expression, one
+    map-side-combinable per-doc sum. No vocabulary or model state beyond
+    the two literals, so the plan is a pure scan+agg at any corpus size."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("tok"),
+    )
+    w = F.expr(
+        f"(CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % {CLS_DIM})"
+        f" * {_CLS_MULT} % 2001 - 1000"
+    )
+    return (
+        toks.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(w).cast("long").alias("raw_score"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+def _cls_prob_col() -> "F.Column":
+    return F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.col("raw_score").cast("double")
+                    / (F.lit(250.0) * F.sqrt(F.col("n_tokens").cast("double")))
+                )
+            )
+        ),
+        6,
+    )
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH {_CLS_SCORES_CTE}
+    SELECT doc_id, n_tokens, raw_score, {_CLS_PROB_SQL} AS prob
+    FROM cls_scores
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document linear-classifier inference: hashed-token integer
+    milli-weights summed per doc (exact BIGINT), then squashed to a
+    probability by a sqrt-normalized sigmoid. The shape of every
+    quality/domain classifier pass over a pretraining corpus — one
+    explode+agg, weights as a codegen expression (a trained model is a
+    broadcast map; same plan), no Python in the loop. raw_score/n_tokens
+    are the integer ground truth; prob is the only float and is emitted
+    rounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return _cls_doc_scores(docs).select(
+        "doc_id", "n_tokens", "raw_score", _cls_prob_col().alias("prob")
+    )
+
+
+@register(
+    "classifier_calibration_bins",
+    oracle=f"""
+    WITH {_CLS_SCORES_CTE},
+    binned AS (
+      SELECT doc_id, lang, raw_score, n_tokens,
+             {_CLS_PROB_SQL} AS prob,
+             LEAST(GREATEST(
+               (raw_score + 1000 * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)) * 8
+                 // (2000 * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)),
+               0), 7) AS bin
+      FROM cls_scores
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           round(CAST(sum(CAST(prob AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS mean_prob,
+           round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS pos_rate
+    FROM binned GROUP BY bin
+    """,
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the hashed-token classifier against the
+    lang='en' label: 8 score bins, each with its mean predicted
+    probability and observed positive rate — the calibration audit run
+    before a classifier's scores gate a data mixture (a miscalibrated
+    filter silently shifts the mixture).
+
+    Bin edges are INTEGER arithmetic on (raw_score, floor-sqrt n_tokens)
+    — monotone in the sigmoid's logit up to the integer-sqrt
+    approximation, never a float comparison, so bin membership is
+    bit-stable cross-engine (the PSI bucket discipline). Mean predicted
+    probability sums the round-6 probs as DECIMAL(18,6) — exact, hence
+    partition-order independent. Scale shape: one corpus pass into
+    ≤8 groups; map-side combine reduces the shuffle to 8 rows/partition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # `div` truncates toward zero in Spark exactly as DuckDB's integer
+    # `//` does (verified: -5//3 = -1 both sides); negatives only occur
+    # below the GREATEST(0) clamp, so the two agree on every emitted bin.
+    bin_expr = F.expr(
+        "LEAST(GREATEST("
+        "(raw_score + 1000 * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)) * 8"
+        " div (2000 * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)),"
+        " 0), 7)"
+    )
+    binned = _cls_doc_scores(docs).select(
+        "lang",
+        _cls_prob_col().alias("prob"),
+        bin_expr.alias("bin"),
+    )
+    pos = F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long")
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        pos.alias("n_pos"),
+        F.round(
+            F.sum(F.col("prob").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_prob"),
+        F.round(pos.cast("double") / F.count(F.lit(1)), 6).alias("pos_rate"),
+    )

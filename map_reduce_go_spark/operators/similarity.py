@@ -33,6 +33,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math as _math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -797,6 +799,126 @@ def ann_ivf_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias(
                 "recall"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Ranking-quality probe: nDCG@k + MRR of the IVF ranking vs exact
+# --------------------------------------------------------------------------
+
+# Integer-ppm DCG discounts and reciprocal ranks, precomputed in Python so
+# NEITHER engine evaluates a float log at query time: rank membership and
+# every sum stay integer-exact cross-engine (the repo's ppm idiom — same
+# reason rrf_fusion_topk uses floor(1e9/(60+rank))). disc(r) =
+# round(1e6 / log2(r+1)); rel(r) = TOP_K+1-r (graded by exact rank).
+_NDCG_DISC_PPM = {r: round(1_000_000 / _math.log2(r + 1)) for r in range(1, TOP_K + 1)}
+_RR_PPM = {r: 1_000_000 // r for r in range(1, TOP_K + 1)}
+
+
+def _rank_case_sql(rank_expr: str, table: dict[int, int]) -> str:
+    whens = " ".join(f"WHEN {r} THEN {v}" for r, v in table.items())
+    return f"CASE {rank_expr} {whens} ELSE 0 END"
+
+
+def _rank_case_col(rank_col: str, table: dict[int, int]) -> Column:
+    expr = None
+    for r, v in table.items():
+        expr = (expr.when if expr is not None else F.when)(
+            F.col(rank_col) == r, F.lit(v)
+        )
+    return expr.otherwise(F.lit(0))
+
+
+@register(
+    "ann_ranking_quality",
+    oracle=f"""
+    WITH bf AS ({_BF_ORACLE}),
+    ivf AS (SELECT * FROM ({_ivf_oracle_sql()}) t),
+    per_q AS (
+      SELECT i.query_id,
+             CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL
+                  THEN ({TOP_K} + 1 - b.rank) * {_rank_case_sql("i.rank", _NDCG_DISC_PPM)}
+                  ELSE 0 END) AS BIGINT) AS dcg_ppm,
+             CAST(max(CASE WHEN b.rank = 1
+                  THEN {_rank_case_sql("i.rank", _RR_PPM)}
+                  ELSE 0 END) AS BIGINT) AS rr_ppm
+      FROM ivf i LEFT JOIN bf b
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY i.query_id
+    ),
+    ideal AS (
+      SELECT query_id, count(*) AS n_true,
+             CAST(sum(({TOP_K} + 1 - rank) * {_rank_case_sql("rank", _NDCG_DISC_PPM)})
+                  AS BIGINT) AS idcg_ppm
+      FROM bf GROUP BY query_id
+    )
+    SELECT g.query_id, g.n_true,
+           COALESCE(p.dcg_ppm, 0) AS dcg_ppm, g.idcg_ppm,
+           round(CAST(COALESCE(p.dcg_ppm, 0) AS DOUBLE) / g.idcg_ppm, 6) AS ndcg,
+           COALESCE(p.rr_ppm, 0) AS rr_ppm
+    FROM ideal g LEFT JOIN per_q p ON p.query_id = g.query_id
+    """,
+)
+def ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query nDCG@k and MRR of the IVF ranking against the exact
+    brute-force ideal — the ORDER-sensitive acceptance metrics that
+    recall@k cannot see (an index returning the right set in the wrong
+    order has recall 1.0 but degraded nDCG; an index that misses the
+    single true nearest neighbor has rr_ppm < 1e6). Relevance is graded
+    by exact rank (rel = k+1-rank), discounts are precomputed integer
+    ppm constants, so dcg/idcg/rr are all integer-exact cross-engine and
+    the only float is the final rounded ratio.
+
+    Cost shape: both searches are memoized probes over the broadcast
+    query set; the metric itself joins two k×N_QUERIES-row frames — pure
+    index metadata, the same at any corpus size. This is the tuning loop
+    a 100 TB deployment runs on a held-out probe set after every index
+    rebuild (alongside ann_ivf_recall_probe), not a per-query path.
+    """
+    bf = knn_bruteforce_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
+    )
+    ivf = ann_ivf_cosine(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    joined = ivf.join(bf, ["query_id", "neighbor_id"], "left")
+    per_q = joined.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("exact_rank").isNotNull(),
+                (F.lit(TOP_K + 1) - F.col("exact_rank"))
+                * _rank_case_col("rank", _NDCG_DISC_PPM),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg_ppm"),
+        F.max(
+            F.when(F.col("exact_rank") == 1, _rank_case_col("rank", _RR_PPM)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rr_ppm"),
+    )
+    ideal = bf.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(
+            (F.lit(TOP_K + 1) - F.col("exact_rank"))
+            * _rank_case_col("exact_rank", _NDCG_DISC_PPM)
+        )
+        .cast("long")
+        .alias("idcg_ppm"),
+    )
+    return (
+        ideal.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("dcg_ppm", F.lit(0)).alias("dcg_ppm"),
+            "idcg_ppm",
+            F.round(
+                F.coalesce("dcg_ppm", F.lit(0)).cast("double") / F.col("idcg_ppm"), 6
+            ).alias("ndcg"),
+            F.coalesce("rr_ppm", F.lit(0)).alias("rr_ppm"),
         )
     )
 

@@ -100,20 +100,21 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "shard_balance_audit",
     "eval_contamination_report",
     "length_weighted_sample",
-    # --- (b) the 3 oldest r5-era rows, registration order, filling the
-    #     window to exactly 50 (6 slots went to the r10 additions below;
-    #     the displaced r5 rows rejoin at the head of the r11 window) ---
-    "editdist_deletion_join",
-    "dedup_minhash_containment",
-    "lsh_band_tuning_report",
-    # --- (c) round-10 additions (never checked, outrank stale greens) ---
+    # --- (b) round-10 additions (never checked, outrank stale greens;
+    #     all 9 slots after the 41 r4 rows go to them — the r5 rows
+    #     displaced from earlier drafts of this window rejoin at the
+    #     head of the r11 window) ---
     "ann_ivf_persisted",
     "cdc_gear_chunk_stats",
     "multimodal_audio_resample_stub",
     "cdc_chunk_dedup",
     "ann_ivf_incremental_probe",
     "ann_lsh_persisted",
-    # (The remaining 46 r5 rows — ann_ivf_cosine, ann_pq_adc_topk, ann_ivf_pq_topk, vocab_overlap_between_sources,
+    "ann_ranking_quality",
+    "quality_classifier_score",
+    "classifier_calibration_bins",
+    # (The remaining 49 r5 rows — editdist_deletion_join, dedup_minhash_containment,
+    # lsh_band_tuning_report, ann_ivf_cosine, ann_pq_adc_topk, ann_ivf_pq_topk, vocab_overlap_between_sources,
     # language_confusion_matrix, char_entropy_quality, simhash_hamming_cluster,
     # doc_quality_score, language_id_heuristic, bm25_doc_ranking and the
     # rest of the textstats/pipeline/sketches r5 block — lead the r11

@@ -185,3 +185,135 @@ def test_gear_cdc_plan_has_no_explode(spark, sf_dir):
         .toString()
     )
     assert "Generate" in md5_plan  # the contrast the gear path removes
+
+
+# ------------------------------------------------- ranking-quality probe
+
+
+def test_ndcg_matches_pure_python_recompute(spark, sf_dir):
+    """dcg/idcg/ndcg/rr recomputed in pure Python from the two registered
+    rankings (exact and IVF) must equal the operator's output exactly —
+    the metric layer adds nothing beyond the documented formula."""
+    import math
+
+    from map_reduce_go_spark.operators.similarity import TOP_K
+
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in _q("knn_bruteforce_cosine", spark, sf_dir).collect()
+    }
+    ivf = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in _q("ann_ivf_cosine", spark, sf_dir).collect()
+    ]
+    disc = {r: round(1_000_000 / math.log2(r + 1)) for r in range(1, TOP_K + 1)}
+    want = {}
+    for q in {q for q, _ in bf}:
+        n_true = sum(1 for (qq, _) in bf if qq == q)
+        idcg = sum(
+            (TOP_K + 1 - r) * disc[r]
+            for (qq, _), r in bf.items()
+            if qq == q
+        )
+        dcg = sum(
+            (TOP_K + 1 - bf[(qq, nb)]) * disc[rk]
+            for qq, nb, rk in ivf
+            if qq == q and (qq, nb) in bf
+        )
+        rr = max(
+            (1_000_000 // rk for qq, nb, rk in ivf if qq == q and bf.get((qq, nb)) == 1),
+            default=0,
+        )
+        want[q] = (n_true, dcg, idcg, round(dcg / idcg, 6), rr)
+    got = {
+        r["query_id"]: (
+            r["n_true"],
+            r["dcg_ppm"],
+            r["idcg_ppm"],
+            r["ndcg"],
+            r["rr_ppm"],
+        )
+        for r in _q("ann_ranking_quality", spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(0 < v[3] <= 1 for v in got.values())
+
+
+def test_ndcg_is_one_iff_ranking_order_exact(spark, sf_dir):
+    """ndcg == 1 exactly when the IVF list reproduces the exact top-k in
+    order (and then rr_ppm == 1e6): the metric's defining property, and
+    the reason it is the acceptance gate recall cannot replace."""
+    bf = {}
+    for r in _q("knn_bruteforce_cosine", spark, sf_dir).collect():
+        bf.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    ivf = {}
+    for r in _q("ann_ivf_cosine", spark, sf_dir).collect():
+        ivf.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for r in _q("ann_ranking_quality", spark, sf_dir).collect():
+        q = r["query_id"]
+        same = sorted(bf.get(q, [])) == sorted(ivf.get(q, []))
+        assert (r["ndcg"] == 1.0) == same
+        if same:
+            assert r["rr_ppm"] == 1_000_000
+
+
+# ------------------------------------------- classifier score/calibration
+
+
+def _py_cls_score(text: str) -> tuple[int, int]:
+    """(n_tokens, raw_score) recomputed with hashlib — the weight chain
+    the two engines must both produce."""
+    import hashlib
+    import re
+
+    from map_reduce_go_spark.operators.pipeline import _CLS_MULT, CLS_DIM
+
+    toks = re.findall(r"\S+", text)
+    raw = 0
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % CLS_DIM
+        raw += h * _CLS_MULT % 2001 - 1000
+    return len(toks), raw
+
+
+def test_classifier_scores_match_hashlib_recompute(spark, sf_dir):
+    """Integer raw scores equal a pure-Python md5 recomputation over the
+    full corpus — pins the hash-slice/weight arithmetic on both engines
+    via the already-green oracle."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["raw_score"])
+        for r in _q("quality_classifier_score", spark, sf_dir).collect()
+    }
+    want = {d: _py_cls_score(t) for d, t in docs.items()}
+    want = {d: v for d, v in want.items() if v[0] > 0}
+    assert got == want
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir):
+    """The reliability table is a partition of the scored docs: bin ids
+    in [0,7], doc counts sum to the score query's row count, positives
+    never exceed docs, and probabilities are valid."""
+    score_rows = _q("quality_classifier_score", spark, sf_dir).count()
+    rows = _q("classifier_calibration_bins", spark, sf_dir).collect()
+    assert all(0 <= r["bin"] <= 7 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == score_rows
+    assert all(0 <= r["n_pos"] <= r["n_docs"] for r in rows)
+    assert all(0.0 <= r["mean_prob"] <= 1.0 for r in rows)
+    assert all(0.0 <= r["pos_rate"] <= 1.0 for r in rows)
+
+
+def test_calibration_mean_prob_tracks_bin_order(spark, sf_dir):
+    """Bin id is integer-monotone in the logit (up to the documented
+    floor-sqrt approximation), so mean predicted probability must be
+    strictly increasing across the populated bins — the property that
+    makes the table readable as a reliability diagram."""
+    rows = sorted(
+        _q("classifier_calibration_bins", spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    probs = [r["mean_prob"] for r in rows]
+    assert probs == sorted(probs)
