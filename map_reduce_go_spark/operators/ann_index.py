@@ -99,6 +99,12 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
             "embedding",
             _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
         )
+        # repartition on the partition column first: ONE file per cell
+        # instead of (write-tasks x cells) shard fragments — at scale the
+        # small-files explosion, not the data bytes, dominates an
+        # un-clustered partitionBy write. Skewed cells would salt this
+        # into ceil(cell_rows/target) files per cell; one is right here.
+        .repartition("cell")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(os.path.join(path, "corpus"))
@@ -194,6 +200,9 @@ def build_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     emb = load_table(spark, sf_dir, "embeddings")
     (
         emb.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+        # One file per bucket (see build_ivf_index): cluster the write by
+        # the partition column before partitionBy.
+        .repartition("bucket")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(os.path.join(path, "corpus"))
@@ -277,6 +286,7 @@ def append_to_ivf_index(
             "embedding",
             _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
         )
+        .repartition("cell")  # one file per cell per batch (see build_ivf_index)
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(batch_dir)
@@ -329,6 +339,7 @@ def ann_ivf_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "embedding",
                 _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
             )
+            .repartition("cell")  # one file per cell (see build_ivf_index)
             .write.partitionBy("cell")
             .mode("overwrite")
             .parquet(os.path.join(path, "corpus"))

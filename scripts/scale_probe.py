@@ -224,6 +224,20 @@ R10_QUERIES = [
     "ann_ivf_persisted",
 ]
 R10_TABLES = ("documents", "embeddings")
+# Round-10b family: the classifier pair (one corpus pass + bounded
+# rollup — should ride the scan near-flat), the ranking-quality probe
+# (two broadcast-probe searches over the k× corpus + metadata-sized
+# metric joins), and the persisted LSH index (fresh tmp fixture → the
+# k× number is a fresh bucket-partitioned BUILD plus the pruned probe,
+# same honesty rule as ann_ivf_persisted). word_salt grows distinct
+# vocabulary so the classifier's hash-slot distribution isn't k copies.
+R10B_QUERIES = [
+    "quality_classifier_score",
+    "classifier_calibration_bins",
+    "ann_ranking_quality",
+    "ann_lsh_persisted",
+]
+R10B_TABLES = ("documents", "embeddings")
 
 
 def replicate(
@@ -591,6 +605,7 @@ def main() -> None:
         "round8c": (R8C_QUERIES, R8C_TABLES, None, R8C_FK_BASES),
         "mleval": (MLEVAL_QUERIES, MLEVAL_TABLES, None, None),
         "round10": (R10_QUERIES, R10_TABLES, None, None),
+        "round10b": (R10B_QUERIES, R10B_TABLES, None, None),
     }.get(family, (QUERIES, TABLES, None, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -602,7 +617,7 @@ def main() -> None:
             out_dir,
             tables=tables,
             extra_shifts=extra,
-            word_salt=(family in ("setsim", "setsimskew", "round6", "round8c", "round10")),
+            word_salt=(family in ("setsim", "setsimskew", "round6", "round8c", "round10", "round10b")),
             fk_bases=fk,
             inject_hot=(family == "setsimskew"),
         )
