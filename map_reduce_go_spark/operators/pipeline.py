@@ -1883,6 +1883,31 @@ _CLS_PROB_SQL = (
 )
 
 
+def cls_row_scores(docs: DataFrame) -> DataFrame:
+    """STATELESS per-row classifier scoring: (doc_id, lang, n_tokens,
+    raw_score) computed as one higher-order ``aggregate`` fold over the
+    token array — no explode, no groupBy, hence directly streamable
+    (append mode, zero state) for online ingest filtering. Produces the
+    exact same BIGINT raw_score as :func:`_cls_doc_scores` (pinned by
+    test): the batch form trades the HOF's interpreted per-token loop
+    for codegen'd explode+combine throughput, the row form trades
+    throughput for statelessness — same function, two physical shapes.
+    """
+    toks = r"regexp_extract_all(text, '\\S+', 0)"
+    w = (
+        f"(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {CLS_DIM})"
+        f" * {_CLS_MULT} % 2001 - 1000"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr(f"aggregate({toks}, CAST(0 AS BIGINT), (acc, t) -> acc + ({w}))")
+        .cast("long")
+        .alias("raw_score"),
+    ).where(F.col("n_tokens") > 0)
+
+
 def _cls_doc_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, n_tokens, raw_score): one corpus pass — explode to
     tokens, score each with the codegen'd hash-weight expression, one

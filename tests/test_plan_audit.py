@@ -261,3 +261,20 @@ def test_setsim_vocabulary_join_has_no_broadcast_hint(spark, sf_dir):
         "setsim plan carries a join hint again; the frequency side must "
         "stay size-chosen"
     )
+
+
+def test_classifier_is_one_scan_bounded_exchanges(spark, sf_dir):
+    """The classifier family's 100 TB claim made structural: inference is
+    ONE parquet scan + ONE shuffle (the per-doc combine), and the
+    calibration table adds exactly one more (the ≤8-row bin rollup). A
+    second scan or a window would mean the corpus pass stopped being a
+    pass."""
+    qs = all_queries()
+    score = _plan(qs["quality_classifier_score"].fn(spark, sf_dir))
+    assert score.count("Scan parquet") == 1
+    assert score.count("Exchange") == 1
+    assert "windowspecdefinition" not in score
+    bins = _plan(qs["classifier_calibration_bins"].fn(spark, sf_dir))
+    assert bins.count("Scan parquet") == 1
+    assert bins.count("Exchange") == 2
+    assert "windowspecdefinition" not in bins

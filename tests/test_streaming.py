@@ -996,3 +996,60 @@ def test_online_cusum_tws_alarms_match_python_replay(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+
+def test_streaming_classifier_bins_equal_batch(spark, sf_dir, tmp_path):
+    """The quality classifier streams: cls_row_scores is a stateless
+    per-row fold (no explode/groupBy), so scoring runs in append mode
+    with ZERO state, and the 8-bin calibration rollup in complete mode
+    equals the batch bins exactly. Also pins the two physical shapes of
+    the scorer — HOF row fold vs explode+combine — to the same BIGINT
+    raw_score on the full corpus: the online ingest filter and the batch
+    backfill cannot drift."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_go_spark.operators.pipeline import (
+        _cls_doc_scores,
+        cls_row_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_docs = {
+        r["doc_id"]: r["raw_score"] for r in _cls_doc_scores(docs).collect()
+    }
+    row_docs = {
+        r["doc_id"]: r["raw_score"] for r in cls_row_scores(docs).collect()
+    }
+    assert row_docs == batch_docs  # two shapes, one function
+
+    src = str(tmp_path / "cls_docs_src")
+    docs.select("doc_id", "lang", "text").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = "doc_id bigint, lang string, text string"
+    bin_expr = F.expr(
+        "LEAST(GREATEST("
+        "(raw_score + 1000 * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)) * 8"
+        " div (2000 * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)),"
+        " 0), 7)"
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    name = f"cls_{uuid.uuid4().hex[:8]}"
+    windows.run_to_memory(
+        cls_row_scores(stream).select(bin_expr.alias("bin")).groupBy("bin").count(),
+        name,
+        complete=True,
+    )
+    got = {r["bin"]: r["count"] for r in spark.table(name).collect()}
+    want = {
+        r["bin"]: r["count"]
+        for r in cls_row_scores(spark.read.schema(schema).parquet(src))
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .count()
+        .collect()
+    }
+    assert got == want
+    assert sum(got.values()) == len(batch_docs)
