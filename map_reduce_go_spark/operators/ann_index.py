@@ -255,6 +255,41 @@ def ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def append_to_lsh_index(
+    spark: SparkSession, path: str, new_vectors: DataFrame, batch_id: str
+) -> None:
+    """LSH twin of :func:`append_to_ivf_index` — the maintenance story
+    holds for BOTH index families: new vectors are bucketed by the same
+    deterministic hyperplanes (training-free, so there is not even a
+    codebook-staleness question) into their own atomically-committed
+    ``batch-<id>/`` directory. Idempotent per batch_id; readers union
+    base + batches with bucket pruning on each scan."""
+    batch_dir = os.path.join(path, f"batch-{batch_id}")
+    if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
+        return
+    (
+        new_vectors.select(
+            "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+        )
+        .repartition("bucket")  # one file per bucket per batch
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(batch_dir)
+    )
+
+
+def load_lsh_index_with_batches(spark: SparkSession, path: str) -> DataFrame:
+    """Base LSH corpus + every committed batch (unionByName; each scan
+    keeps its own bucket partition pruning)."""
+    import glob as _glob
+
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    for b in sorted(_glob.glob(os.path.join(path, "batch-*"))):
+        if os.path.exists(os.path.join(b, "_SUCCESS")):
+            corpus = corpus.unionByName(spark.read.parquet(b))
+    return corpus
+
+
 # --------------------------------------------------------------------------
 # Incremental index maintenance: append a batch WITHOUT retraining
 # --------------------------------------------------------------------------

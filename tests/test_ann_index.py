@@ -144,3 +144,68 @@ def test_persisted_search_matches_in_session_ivf(spark, sf_dir, index_env):
     b = sorted(ann_ivf_cosine(spark, sf_dir).collect(), key=key)
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) > 0
+
+
+def test_lsh_incremental_append_equals_rebuild(spark, sf_dir, index_env, tmp_path):
+    """LSH maintenance twin of the IVF incremental contract: appending a
+    batch against the training-free hyperplanes must (a) be idempotent
+    per batch_id (the atomic batch-dir rule — a blind mode-append would
+    double rows on retry), and (b) make base+batches carry EXACTLY the
+    (vec_id, bucket) assignment a from-scratch rebuild over the full
+    corpus would produce — the two maintenance paths cannot drift,
+    because bucketing is a pure function of the vector."""
+    from map_reduce_go_spark.operators.ann_index import (
+        append_to_lsh_index,
+        load_lsh_index_with_batches,
+    )
+    from map_reduce_go_spark.operators.similarity import lsh_bucket
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+
+    path = str(tmp_path / "lsh_incr")
+    (
+        base.select(
+            "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+        )
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "corpus"))
+    )
+    append_to_lsh_index(spark, path, batch, "day1")
+    first = os.stat(
+        os.path.join(path, "batch-day1", "_SUCCESS")
+    ).st_mtime_ns
+    append_to_lsh_index(spark, path, batch, "day1")  # retry: no-op
+    assert (
+        os.stat(os.path.join(path, "batch-day1", "_SUCCESS")).st_mtime_ns == first
+    )
+
+    got = {
+        (r["vec_id"], r["bucket"])
+        for r in load_lsh_index_with_batches(spark, path)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    want = {
+        (r["vec_id"], r["bucket"])
+        for r in emb.select(
+            "vec_id", lsh_bucket(F.col("embedding")).alias("bucket")
+        ).collect()
+    }
+    assert got == want
+    # one file per populated bucket per batch (the clustered-write rule)
+    bdirs = [
+        d
+        for d in os.listdir(os.path.join(path, "batch-day1"))
+        if d.startswith("bucket=")
+    ]
+    for d in bdirs:
+        parts = [
+            f
+            for f in os.listdir(os.path.join(path, "batch-day1", d))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, (d, parts)
