@@ -317,3 +317,53 @@ def test_calibration_mean_prob_tracks_bin_order(spark, sf_dir):
     )
     probs = [r["mean_prob"] for r in rows]
     assert probs == sorted(probs)
+
+
+# ------------------------------------------ classifier robustness (hypothesis)
+
+
+def _cls_texts():
+    from hypothesis import strategies as st
+
+    # Arbitrary unicode minus the \S+ edge-ambiguity: hypothesis may draw
+    # any codepoints; the scorer's contract is simply "tokens are \S+
+    # runs", which re and Spark's regexp_extract_all agree on for every
+    # non-surrogate codepoint.
+    token_chars = st.characters(
+        blacklist_categories=("Zs", "Zl", "Zp", "Cc", "Cs")
+    )
+    return st.lists(
+        st.text(alphabet=token_chars, min_size=0, max_size=40),
+        min_size=0,
+        max_size=12,
+    ).map(lambda toks: " ".join(toks))
+
+
+def test_classifier_score_conformance_on_generated_unicode(spark):
+    """Hypothesis conformance: on arbitrary unicode corpora (emoji, CJK,
+    combining marks, empty docs) the Spark scorer equals the hashlib
+    recompute and the zero-token guard drops exactly the all-whitespace
+    docs — the robustness a web-scale corpus pass needs before anyone
+    trusts its probabilities."""
+    from hypothesis import HealthCheck, given, settings
+
+    from map_reduce_go_spark.operators.pipeline import _cls_doc_scores
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=__import__("hypothesis").strategies.lists(_cls_texts(), min_size=1, max_size=8))
+    def inner(texts):
+        rows = [(i, t, "xx") for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, schema="doc_id long, text string, lang string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["raw_score"])
+            for r in _cls_doc_scores(df).collect()
+        }
+        want = {i: _py_cls_score(t) for i, t in enumerate(texts)}
+        want = {i: v for i, v in want.items() if v[0] > 0}
+        assert got == want
+
+    inner()

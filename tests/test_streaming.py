@@ -1053,3 +1053,75 @@ def test_streaming_classifier_bins_equal_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert sum(got.values()) == len(batch_docs)
+
+
+def test_streaming_lsh_index_maintenance_equals_rebuild(spark, sf_dir, tmp_path):
+    """CONTINUOUS index maintenance: an embedding stream appends to the
+    persisted LSH index through foreachBatch — each micro-batch lands as
+    its own atomically-committed bucket-partitioned batch dir (batch_id =
+    the streaming epoch, so foreachBatch's at-least-once retries hit the
+    idempotence guard), and after the stream drains, base + streamed
+    batches carry exactly the (vec_id, bucket) assignment a from-scratch
+    rebuild over everything would produce. This is the 100 TB ingestion
+    story for the vector index: no retrain, no base rewrite, the probe
+    path unions pruned scans."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_go_spark.operators.ann_index import (
+        append_to_lsh_index,
+        load_lsh_index_with_batches,
+    )
+    from map_reduce_go_spark.operators.similarity import lsh_bucket
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+
+    path = str(tmp_path / "lsh_stream")
+    (
+        base.select(
+            "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+        )
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "corpus"))
+    )
+
+    # Arrivals as multiple files -> maxFilesPerTrigger=1 forces several
+    # micro-batches through the maintenance path.
+    src = str(tmp_path / "arrivals")
+    new.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, epoch: append_to_lsh_index(
+                spark, path, batch_df, f"epoch{epoch}"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_dirs = [d for d in os.listdir(path) if d.startswith("batch-epoch")]
+    assert len(batch_dirs) >= 2  # genuinely incremental, not one big batch
+
+    got = {
+        (r["vec_id"], r["bucket"])
+        for r in load_lsh_index_with_batches(spark, path)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    want = {
+        (r["vec_id"], r["bucket"])
+        for r in emb.select(
+            "vec_id", lsh_bucket(F.col("embedding")).alias("bucket")
+        ).collect()
+    }
+    assert got == want
