@@ -50,7 +50,15 @@ NOTES = (
     "+ann_ivf_persisted ~1.2s probe-only — its on-disk index survives "
     "clear_memos BY DESIGN, so only a fixture regeneration re-pays the "
     "build; spearman's cross-sum folded into the price rollup, "
-    "removing the fact-on-price shuffle join)."
+    "removing the fact-on-price shuffle join). "
+    "r10 close: 57 headliners (+classifier_calibration_bins ~0.55s "
+    "cold, the one-scan/two-exchange corpus pass); suite 61.5s cold "
+    "(the 80.1s mid-r10 reading had setsim_prefix_filter_join at 6.1s "
+    "vs 3.9s now on an identical plan — host variance on the heavy "
+    "tail, canary band unchanged); persisted-index builds now cluster "
+    "by the partition column before partitionBy (one file per "
+    "cell/bucket; the un-clustered 32x LSH build was 59.6s, clustered "
+    "3.9s — see SCALE.md)."
 )
 
 # Headline set: one per operator family, weighted toward scale-sensitive

@@ -367,3 +367,27 @@ def test_classifier_score_conformance_on_generated_unicode(spark):
         assert got == want
 
     inner()
+
+
+def test_classifier_shapes_agree_on_null_and_empty_text(spark):
+    """NULL text, empty text, and all-whitespace text must be DROPPED by
+    both physical shapes of the scorer (batch explode+combine and the
+    stateless row fold) — not scored as zero: a web crawl is full of
+    empty payloads, and the two shapes disagreeing on them would split
+    the streamed and backfilled corpora."""
+    from map_reduce_go_spark.operators.pipeline import (
+        _cls_doc_scores,
+        cls_row_scores,
+    )
+
+    rows = [
+        (1, None, "en"),
+        (2, "", "en"),
+        (3, "   \t  ", "fr"),
+        (4, "one real doc", None),
+        (5, "kept", "de"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, lang string")
+    got_batch = {r["doc_id"] for r in _cls_doc_scores(df).collect()}
+    got_row = {r["doc_id"] for r in cls_row_scores(df).collect()}
+    assert got_batch == got_row == {4, 5}
