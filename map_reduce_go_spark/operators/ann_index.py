@@ -290,6 +290,54 @@ def load_lsh_index_with_batches(spark: SparkSession, path: str) -> DataFrame:
     return corpus
 
 
+def compact_index(spark: SparkSession, path: str, part_col: str) -> int:
+    """Fold every committed ``batch-*`` directory into the base corpus —
+    the lifecycle step that keeps incremental maintenance bounded: an
+    index that only ever appends degrades linearly in file count, scan
+    unions, and listing cost, so production compacts on a cadence (the
+    LSM-tree / Delta OPTIMIZE discipline applied to the vector index).
+
+    NO retrain, NO re-assignment: rows already carry their cell/bucket,
+    so compaction is a pure re-cluster — read base + batches, one
+    shuffle on the partition column, write ONE file per partition.
+    Crash-safe by the tmp+rename idiom every writer in this repo uses:
+    the merged corpus lands in ``corpus.compact.tmp``, and only after
+    its _SUCCESS marker exists does the swap (rename old corpus away,
+    rename tmp in, delete batch dirs) run — a crash before the swap
+    leaves the live corpus + batches untouched; a crash mid-swap leaves
+    ``corpus.old`` for manual recovery but never a half-merged live
+    tree. Returns the number of batch directories folded in. No-op
+    (returns 0) when there are no committed batches.
+    """
+    import glob as _glob
+    import shutil
+
+    batches = [
+        b
+        for b in sorted(_glob.glob(os.path.join(path, "batch-*")))
+        if os.path.exists(os.path.join(b, "_SUCCESS"))
+    ]
+    if not batches:
+        return 0
+    merged = spark.read.parquet(os.path.join(path, "corpus"))
+    for b in batches:
+        merged = merged.unionByName(spark.read.parquet(b))
+    tmp = os.path.join(path, "corpus.compact.tmp")
+    (
+        merged.repartition(part_col)  # one file per partition value
+        .write.partitionBy(part_col)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    old = os.path.join(path, "corpus.old")
+    os.rename(os.path.join(path, "corpus"), old)
+    os.rename(tmp, os.path.join(path, "corpus"))
+    for b in batches:
+        shutil.rmtree(b)
+    shutil.rmtree(old)
+    return len(batches)
+
+
 # --------------------------------------------------------------------------
 # Incremental index maintenance: append a batch WITHOUT retraining
 # --------------------------------------------------------------------------

@@ -209,3 +209,83 @@ def test_lsh_incremental_append_equals_rebuild(spark, sf_dir, index_env, tmp_pat
             if f.endswith(".parquet")
         ]
         assert len(parts) == 1, (d, parts)
+
+
+def test_compaction_folds_batches_and_preserves_search(spark, sf_dir, index_env, tmp_path):
+    """Compaction contract, both index families: after compact_index the
+    batch dirs are gone, the corpus layout is one file per partition
+    value, the (vec_id, partition) assignment set is exactly the
+    pre-compaction base+batches set (for LSH: exactly the full-rebuild
+    set), and the IVF codebook is untouched. Since the probe is a pure
+    function of (assignment set, codebook), search results cannot
+    change — compaction is re-clustering, never semantics."""
+    from map_reduce_go_spark.operators.ann_index import (
+        append_to_ivf_index,
+        append_to_lsh_index,
+        build_ivf_index,
+        compact_index,
+        load_ivf_index_with_batches,
+        load_lsh_index_with_batches,
+    )
+    from map_reduce_go_spark.operators.similarity import lsh_bucket
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # --- IVF: build from the full fixture, append a synthetic batch of
+    # shifted ids (vec_id + 10_000_000), compact, re-check.
+    ivf_path = build_ivf_index(spark, sf_dir)
+    batch = emb.limit(40).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, ivf_path, batch, "c1")
+    before, cents = load_ivf_index_with_batches(spark, ivf_path)
+    want_ivf = {
+        (r["vec_id"], r["cell"]) for r in before.select("vec_id", "cell").collect()
+    }
+    assert compact_index(spark, ivf_path, "cell") == 1
+    assert not [d for d in os.listdir(ivf_path) if d.startswith("batch-")]
+    after, cents2 = load_ivf_index_with_batches(spark, ivf_path)
+    got_ivf = {
+        (r["vec_id"], r["cell"]) for r in after.select("vec_id", "cell").collect()
+    }
+    assert got_ivf == want_ivf
+    assert cents2 == cents  # codebook untouched
+    assert compact_index(spark, ivf_path, "cell") == 0  # idempotent no-op
+    for d in os.listdir(os.path.join(ivf_path, "corpus")):
+        if d.startswith("cell="):
+            parts = [
+                f
+                for f in os.listdir(os.path.join(ivf_path, "corpus", d))
+                if f.endswith(".parquet")
+            ]
+            assert len(parts) == 1, (d, parts)
+
+    # --- LSH: base + two appended batches -> compact -> assignment set
+    # equals the full rebuild.
+    lsh_path = str(tmp_path / "lsh_c")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    (
+        base.select(
+            "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+        )
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(lsh_path, "corpus"))
+    )
+    append_to_lsh_index(spark, lsh_path, emb.where(F.col("vec_id") % 3 == 1), "d1")
+    append_to_lsh_index(spark, lsh_path, emb.where(F.col("vec_id") % 3 == 2), "d2")
+    assert compact_index(spark, lsh_path, "bucket") == 2
+    got = {
+        (r["vec_id"], r["bucket"])
+        for r in load_lsh_index_with_batches(spark, lsh_path)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    want = {
+        (r["vec_id"], r["bucket"])
+        for r in emb.select(
+            "vec_id", lsh_bucket(F.col("embedding")).alias("bucket")
+        ).collect()
+    }
+    assert got == want
