@@ -289,3 +289,66 @@ def test_compaction_folds_batches_and_preserves_search(spark, sf_dir, index_env,
         ).collect()
     }
     assert got == want
+
+
+def test_half_committed_build_and_compaction_self_heal(spark, sf_dir, index_env, tmp_path):
+    """Crash-recovery discipline (the reference's atomic-rename contract,
+    applied to the index): (a) a build that crashed AFTER writing the
+    corpus but BEFORE the marker must be treated as absent — the next
+    build re-runs and commits; (b) a compaction that crashed after
+    writing ``corpus.compact.tmp`` but before the swap leaves the live
+    index untouched, and the next compaction overwrites the leftover tmp
+    and completes."""
+    from map_reduce_go_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_index,
+        load_ivf_index_with_batches,
+    )
+
+    path = build_ivf_index(spark, sf_dir)
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(os.path.join(path, "corpus"))
+        .select("vec_id", "cell")
+        .collect()
+    }
+
+    # (a) simulate crash-before-marker: remove the marker only.
+    os.remove(os.path.join(path, "_INDEX_SUCCESS"))
+    assert build_ivf_index(spark, sf_dir) == path
+    assert os.path.exists(os.path.join(path, "_INDEX_SUCCESS"))
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(os.path.join(path, "corpus"))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == want
+
+    # (b) simulate a crashed compaction: stale tmp dir with junk, then a
+    # real batch + compact must succeed and fold it.
+    import pyspark.sql.functions as F2
+
+    stale = os.path.join(path, "corpus.compact.tmp")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk"), "w") as f:
+        f.write("crashed mid-write")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = emb.limit(10).select(
+        (F2.col("vec_id") + 20_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, path, batch, "heal1")
+    before, _ = load_ivf_index_with_batches(spark, path)
+    want2 = {
+        (r["vec_id"], r["cell"]) for r in before.select("vec_id", "cell").collect()
+    }
+    assert compact_index(spark, path, "cell") == 1
+    got2 = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(os.path.join(path, "corpus"))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got2 == want2
+    assert not os.path.exists(stale)
