@@ -339,6 +339,65 @@ def compact_index(spark: SparkSession, path: str, part_col: str) -> int:
 
 
 # --------------------------------------------------------------------------
+# Blue/green codebook refresh: retrain into a NEW version, atomic promote
+# --------------------------------------------------------------------------
+
+_LIVE_POINTER = "LIVE"
+
+
+def refresh_ivf_index(spark: SparkSession, index_dir: str, emb: DataFrame) -> str:
+    """Full codebook REFRESH as a blue/green deployment: when drift
+    metrics (psi_doclen_drift's analog on the embedding space) say the
+    frozen quantizer has aged out, retrain + reassign into a NEW
+    versioned directory (``v-<n+1>/``) while the live version keeps
+    serving, then promote atomically via the tmp+rename of a one-line
+    pointer file. Readers resolve ``live_ivf_version`` at query start;
+    an in-flight probe keeps reading the version it resolved — nothing
+    is ever rewritten in place, and a crashed refresh leaves a garbage
+    ``v-*`` directory but never a broken live index. This is the
+    lifecycle step compaction cannot do: compaction preserves the
+    codebook, refresh replaces it."""
+    versions = [
+        int(d.split("-", 1)[1])
+        for d in os.listdir(index_dir)
+        if d.startswith("v-") and d.split("-", 1)[1].isdigit()
+    ] if os.path.isdir(index_dir) else []
+    nxt = os.path.join(index_dir, f"v-{max(versions, default=0) + 1}")
+    centroids = ivf_train_centroids(emb)
+    (
+        emb.select(
+            "vec_id",
+            "embedding",
+            _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
+        )
+        .repartition("cell")  # one file per cell (see build_ivf_index)
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(nxt, "corpus"))
+    )
+    tmp = os.path.join(nxt, "centroids.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(centroids, f)
+    os.replace(tmp, os.path.join(nxt, "centroids.json"))
+    # Atomic promote: the pointer flip IS the deployment.
+    ptr_tmp = os.path.join(index_dir, _LIVE_POINTER + ".tmp")
+    with open(ptr_tmp, "w") as f:
+        f.write(os.path.basename(nxt))
+    os.replace(ptr_tmp, os.path.join(index_dir, _LIVE_POINTER))
+    return nxt
+
+
+def live_ivf_version(spark: SparkSession, index_dir: str) -> tuple[DataFrame, list[list[float]]]:
+    """Resolve the LIVE pointer and load that version's corpus+codebook."""
+    with open(os.path.join(index_dir, _LIVE_POINTER)) as f:
+        v = f.read().strip()
+    base = os.path.join(index_dir, v)
+    with open(os.path.join(base, "centroids.json")) as f:
+        centroids = json.load(f)
+    return spark.read.parquet(os.path.join(base, "corpus")), centroids
+
+
+# --------------------------------------------------------------------------
 # Incremental index maintenance: append a batch WITHOUT retraining
 # --------------------------------------------------------------------------
 

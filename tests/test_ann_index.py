@@ -352,3 +352,39 @@ def test_half_committed_build_and_compaction_self_heal(spark, sf_dir, index_env,
     }
     assert got2 == want2
     assert not os.path.exists(stale)
+
+
+def test_blue_green_refresh_promotes_atomically(spark, sf_dir, index_env, tmp_path):
+    """Codebook refresh contract: retraining lands in a NEW version dir,
+    the LIVE pointer flips only after the version is fully written, the
+    previous version stays intact (a reader that resolved it keeps
+    working), and a refresh on a drifted corpus actually changes the
+    codebook while cell assignments stay exhaustive."""
+    from map_reduce_go_spark.operators.ann_index import (
+        live_ivf_version,
+        refresh_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "bg_idx")
+    os.makedirs(idx)
+
+    v1 = refresh_ivf_index(spark, idx, emb)
+    assert os.path.basename(v1) == "v-1"
+    corpus1, cents1 = live_ivf_version(spark, idx)
+    n1 = corpus1.count()
+    assert n1 == emb.count()
+
+    # "Drifted" corpus: the lowest-id vectors (the deterministic seed
+    # set) are gone -> the retrained codebook must differ; promote flips
+    # to v-2.
+    drifted = emb.where(F.col("vec_id") >= 3)
+    v2 = refresh_ivf_index(spark, idx, drifted)
+    assert os.path.basename(v2) == "v-2"
+    corpus2, cents2 = live_ivf_version(spark, idx)
+    assert cents2 != cents1
+    assert corpus2.count() == n1 - 3
+    # Old version untouched: its corpus still reads in full.
+    assert spark.read.parquet(os.path.join(v1, "corpus")).count() == n1
+    with open(os.path.join(idx, "LIVE")) as f:
+        assert f.read().strip() == "v-2"
