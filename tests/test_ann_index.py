@@ -388,3 +388,37 @@ def test_blue_green_refresh_promotes_atomically(spark, sf_dir, index_env, tmp_pa
     assert spark.read.parquet(os.path.join(v1, "corpus")).count() == n1
     with open(os.path.join(idx, "LIVE")) as f:
         assert f.read().strip() == "v-2"
+
+
+def test_probe_results_identical_before_and_after_compaction(spark, sf_dir, index_env):
+    """End-to-end answer-stability: run the incremental probe (base +
+    appended batch through the pruned path), then COMPACT the incremental
+    index and run the same search over the folded corpus — every (query,
+    neighbor, sim, rank) row must be bit-identical. Maintenance jobs must
+    be invisible to readers' answers, not merely to assignment sets."""
+    from map_reduce_go_spark.operators.ann_index import (
+        _index_root,
+        _probe_index,
+        _snapshot_id,
+        ann_ivf_incremental_probe,
+        compact_index,
+    )
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    before = sorted(
+        ann_ivf_incremental_probe(spark, sf_dir).collect(), key=key
+    )
+    path = os.path.join(_index_root(), _snapshot_id(sf_dir) + "-incr")
+    assert compact_index(spark, path, "cell") == 1  # the day's batch folded
+    import json as _json
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        cents = _json.load(f)
+    after = sorted(
+        _probe_index(
+            spark, sf_dir, spark.read.parquet(os.path.join(path, "corpus")), cents
+        ).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    assert before
