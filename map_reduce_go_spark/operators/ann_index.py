@@ -90,6 +90,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     corpus snapshot returns immediately (marker present)."""
     path = ivf_index_path(sf_dir)
     if os.path.exists(os.path.join(path, _MARKER)):
+        _heal_index(path)  # finish any crashed compaction swap first
         return path
     emb = load_table(spark, sf_dir, "embeddings").transform(tracked_cache)
     centroids = ivf_centroids_for(sf_dir, emb)
@@ -196,6 +197,7 @@ def build_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     commit as the IVF build."""
     path = os.path.join(_index_root(), _snapshot_id(sf_dir) + "-lsh")
     if os.path.exists(os.path.join(path, _MARKER)):
+        _heal_index(path)  # finish any crashed compaction swap first
         return path
     emb = load_table(spark, sf_dir, "embeddings")
     (
@@ -218,7 +220,8 @@ def ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (and oracle) to ``ann_lsh_cosine``, but candidates come
     from reading ONLY the queries' bucket partitions — with sign-pattern
     buckets a query probes exactly ONE bucket, so the scan prunes to
-    ≤ N_QUERIES partitions out of 2^{{N_HYPERPLANES}}. The sharpest
+    ≤ N_QUERIES partitions out of 2^N_HYPERPLANES (= 256 at this repo's
+    8 hyperplanes; see operators/similarity.py:200). The sharpest
     partition-pruning ratio in the repo: at 100 TB with 16 planes a
     probe reads ~2^-16 of the corpus bytes per bucket."""
     path = build_lsh_index(spark, sf_dir)
@@ -279,15 +282,89 @@ def append_to_lsh_index(
 
 
 def load_lsh_index_with_batches(spark: SparkSession, path: str) -> DataFrame:
-    """Base LSH corpus + every committed batch (unionByName; each scan
-    keeps its own bucket partition pruning)."""
+    """Base LSH corpus + every committed UNFOLDED batch (unionByName;
+    each scan keeps its own bucket partition pruning). Heals a crashed
+    compaction first and skips manifest-folded batches, so an appended
+    vector is counted exactly once in every crash state."""
+    _heal_index(path)
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    for b in _committed_batches(path):
+        corpus = corpus.unionByName(spark.read.parquet(b))
+    return corpus
+
+
+#: Written into the compacted corpus as the LAST step before the swap:
+#: its presence marks the tmp tree complete, and its contents name the
+#: batch directories this fold subsumed — readers and later compactions
+#: skip (and garbage-collect) manifest-listed batches, so a crash that
+#: leaves both the folded corpus and the original batch dirs live can
+#: never double-count a vector. Underscore-prefixed, so Spark's parquet
+#: scan ignores it like ``_SUCCESS``.
+_FOLD_MANIFEST = "_FOLDED_BATCHES.json"
+
+
+def _folded_ids(path: str) -> set[str]:
+    """Batch-dir basenames the live corpus's fold manifest records as
+    already merged in (empty when the corpus was never compacted)."""
+    m = os.path.join(path, "corpus", _FOLD_MANIFEST)
+    if os.path.exists(m):
+        with open(m) as f:
+            return set(json.load(f))
+    return set()
+
+
+def _committed_batches(path: str) -> list[str]:
+    """Committed ``batch-*`` dirs that are NOT already folded into the
+    corpus per its manifest — the only batches readers may union in."""
     import glob as _glob
 
-    corpus = spark.read.parquet(os.path.join(path, "corpus"))
-    for b in sorted(_glob.glob(os.path.join(path, "batch-*"))):
-        if os.path.exists(os.path.join(b, "_SUCCESS")):
-            corpus = corpus.unionByName(spark.read.parquet(b))
-    return corpus
+    folded = _folded_ids(path)
+    return [
+        b
+        for b in sorted(_glob.glob(os.path.join(path, "batch-*")))
+        if os.path.exists(os.path.join(b, "_SUCCESS"))
+        and os.path.basename(b) not in folded
+    ]
+
+
+def _heal_index(path: str) -> None:
+    """Deterministic recovery for every compaction crash window (ADVICE
+    r10): run by each entry point that touches the index, so no session
+    ever serves a missing, half-swapped, or double-counting tree.
+
+    - Crash between ``rename(corpus, corpus.old)`` and
+      ``rename(tmp, corpus)``: no live corpus. If the tmp tree carries
+      the fold manifest (written last — its presence proves the tree is
+      complete) roll FORWARD by finishing the rename; otherwise roll
+      BACK by restoring ``corpus.old``. Either way a corpus is live
+      again before any read, closing the window where ``_INDEX_SUCCESS``
+      marked a corpus-less index valid.
+    - Crash after the swap but before cleanup: the new corpus is live
+      while its folded ``batch-*`` dirs and ``corpus.old`` still exist.
+      The manifest names exactly which batches are garbage — delete
+      them and the old corpus; a stale incomplete tmp is deleted too.
+      Readers double-skip via :func:`_committed_batches`, so even a
+      heal that itself crashes mid-cleanup cannot double-count.
+    """
+    import shutil
+
+    corpus = os.path.join(path, "corpus")
+    tmp = os.path.join(path, "corpus.compact.tmp")
+    old = os.path.join(path, "corpus.old")
+    if not os.path.exists(corpus):
+        if os.path.exists(os.path.join(tmp, _FOLD_MANIFEST)):
+            os.rename(tmp, corpus)  # roll forward: tmp is complete
+        elif os.path.exists(old):
+            os.rename(old, corpus)  # roll back: tmp never completed
+    if not os.path.exists(corpus):
+        return  # index never built; nothing to heal
+    for b in _folded_ids(path):
+        bdir = os.path.join(path, b)
+        if os.path.exists(bdir):
+            shutil.rmtree(bdir)
+    for stale in (old, tmp):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
 
 
 def compact_index(spark: SparkSession, path: str, part_col: str) -> int:
@@ -300,23 +377,24 @@ def compact_index(spark: SparkSession, path: str, part_col: str) -> int:
     NO retrain, NO re-assignment: rows already carry their cell/bucket,
     so compaction is a pure re-cluster — read base + batches, one
     shuffle on the partition column, write ONE file per partition.
-    Crash-safe by the tmp+rename idiom every writer in this repo uses:
-    the merged corpus lands in ``corpus.compact.tmp``, and only after
-    its _SUCCESS marker exists does the swap (rename old corpus away,
-    rename tmp in, delete batch dirs) run — a crash before the swap
-    leaves the live corpus + batches untouched; a crash mid-swap leaves
-    ``corpus.old`` for manual recovery but never a half-merged live
-    tree. Returns the number of batch directories folded in. No-op
-    (returns 0) when there are no committed batches.
+    Crash-safe end to end (ADVICE r10 closed both swap windows): the
+    merged corpus lands in ``corpus.compact.tmp``; the fold manifest
+    (:data:`_FOLD_MANIFEST`, naming the batches folded) is written into
+    the tmp tree LAST, so its presence proves completeness; then the
+    swap runs (rename corpus away, rename tmp in, delete folded batches
+    + old corpus). A crash at ANY point is recovered by
+    :func:`_heal_index` — before the swap the live corpus is untouched;
+    mid-swap the manifest decides roll-forward vs roll-back; after the
+    swap the manifest names the garbage batches so readers skip them
+    and heal deletes them. There is no manual-recovery state and no
+    window where a reader can double-count an appended vector. Returns
+    the number of batch directories folded in; 0 when there are no
+    unfolded committed batches.
     """
-    import glob as _glob
     import shutil
 
-    batches = [
-        b
-        for b in sorted(_glob.glob(os.path.join(path, "batch-*")))
-        if os.path.exists(os.path.join(b, "_SUCCESS"))
-    ]
+    _heal_index(path)
+    batches = _committed_batches(path)
     if not batches:
         return 0
     merged = spark.read.parquet(os.path.join(path, "corpus"))
@@ -329,6 +407,10 @@ def compact_index(spark: SparkSession, path: str, part_col: str) -> int:
         .mode("overwrite")
         .parquet(tmp)
     )
+    # Manifest last: marks the tmp tree complete AND records which batch
+    # dirs the new corpus subsumes (readers skip these from now on).
+    with open(os.path.join(tmp, _FOLD_MANIFEST), "w") as f:
+        json.dump(sorted(os.path.basename(b) for b in batches), f)
     old = os.path.join(path, "corpus.old")
     os.rename(os.path.join(path, "corpus"), old)
     os.rename(tmp, os.path.join(path, "corpus"))
@@ -438,16 +520,16 @@ def append_to_ivf_index(
 def load_ivf_index_with_batches(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, list[list[float]]]:
-    """Read base corpus + every committed incremental batch (unionByName;
-    each scan keeps its own partition pruning)."""
-    import glob as _glob
-
+    """Read base corpus + every committed UNFOLDED incremental batch
+    (unionByName; each scan keeps its own partition pruning). Heals a
+    crashed compaction first and skips manifest-folded batches — exactly-
+    once counting of appended vectors in every crash state."""
+    _heal_index(path)
     with open(os.path.join(path, "centroids.json")) as f:
         centroids = json.load(f)
     corpus = spark.read.parquet(os.path.join(path, "corpus"))
-    for b in sorted(_glob.glob(os.path.join(path, "batch-*"))):
-        if os.path.exists(os.path.join(b, "_SUCCESS")):
-            corpus = corpus.unionByName(spark.read.parquet(b))
+    for b in _committed_batches(path):
+        corpus = corpus.unionByName(spark.read.parquet(b))
     return corpus, centroids
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -630,3 +631,191 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-indexed substring equals the Python byte slice."""
     videos = blobs_from_documents(spark, sf_dir).where(F.col("modality") == "video")
     return sample_frames(videos)
+
+
+# --------------------------------------------------------------------------
+# Row-level quarantine: corrupt/foreign blobs must not fail the task
+# --------------------------------------------------------------------------
+
+QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("status", StringType(), False),
+        StructField("error_class", StringType(), True),
+        StructField("px_w", IntegerType(), True),
+        StructField("px_h", IntegerType(), True),
+        StructField("pix_sum", LongType(), True),
+    ]
+)
+
+#: Planted-corruption geometry: every healthy fixture blob is a
+#: PLANT_W x PLANT_H grayscale PNG whose pixel bytes are the document's
+#: first PLANT_W*PLANT_H UTF-8 bytes, zero-padded — so the decoded pixel
+#: sum equals a SQL-computable function of the text.
+PLANT_W, PLANT_H = 8, 4
+
+
+class _Quarantine(Exception):
+    def __init__(self, error_class: str):
+        super().__init__(error_class)
+        self.error_class = error_class
+
+
+def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture builder for the quarantine path: deterministic per-doc
+    corruption classes over real, spec-conformant PNG bytes (the repo's
+    pure-Python codec), keyed by ``doc_id % 5``:
+
+    - ``0`` — a valid PNG truncated at half its length (signature intact,
+      chunk walk fails mid-IDAT): the classic partially-fetched blob.
+    - ``1`` — JPEG/JFIF magic in front of raw bytes: a foreign container
+      this engine's codecs don't implement.
+    - ``2`` — zero-length payload: the upstream-wrote-nothing case.
+    - ``3``/``4`` — a healthy PLANT_W x PLANT_H grayscale PNG of the
+      document's leading bytes.
+
+    Every 100 TB crawl contains all four shapes; the fixture makes their
+    mix deterministic so the DuckDB oracle can predict each row's fate
+    from the text alone."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from map_reduce_go_spark.functions.png_codec import encode_png
+
+        n_px = PLANT_W * PLANT_H
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                kind = int(doc_id) % 5
+                if kind == 2:
+                    blob = b""
+                elif kind == 1:
+                    blob = b"\xff\xd8\xff\xe0" + raw
+                else:
+                    px = np.zeros(n_px, dtype=np.uint8)
+                    head = np.frombuffer(raw[:n_px], dtype=np.uint8)
+                    px[: len(head)] = head
+                    png = encode_png(px.reshape(PLANT_H, PLANT_W))
+                    blob = png[: len(png) // 2] if kind == 0 else png
+                ids.append(int(doc_id))
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return docs.mapInPandas(
+        batches,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("blob", BinaryType(), True),
+            ]
+        ),
+    )
+
+
+def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
+    """Row-level fault tolerance for the real decode path (VERDICT r10
+    brief #2): a per-blob try/except INSIDE the Arrow batch loop routes
+    each failure to a ``(doc_id, error_class)`` quarantine row instead of
+    failing the task — the row-level analog of the reference
+    coordinator's task re-execution (src/mr/coordinator.go:114-138, where
+    a bad task is retried/reassigned rather than killing the job; here a
+    bad ROW is recorded and skipped, because retrying deterministic
+    corruption is useless). Healthy rows carry real decode facts (pixel
+    dims + pixel sum for PNG; channels/frames + sample sum for WAV), so
+    downstream feature extraction consumes ``status = 'ok'`` rows only
+    and a separate audit sink keeps the quarantined ones.
+
+    Deterministic error classes:
+
+    - ``empty_blob``          zero-length payload (pre-decode check)
+    - ``unsupported_format``  magic matches neither PNG nor WAV — the
+                              same seam that raises NotImplementedError
+                              in the fail-fast operators
+    - ``corrupt_data``        a supported container whose parse or
+                              decompress fails (truncation, bad CRC,
+                              malformed chunks)
+
+    At 100 TB the quarantine output is a first-class table partitioned
+    like the input: re-ingest retries read it, and its error_class
+    histogram is the crawl-health dashboard."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from map_reduce_go_spark.functions.png_codec import decode_png, is_png
+        from map_reduce_go_spark.functions.wav_codec import decode_wav, is_wav
+
+        cols = ("doc_id", "status", "error_class", "px_w", "px_h", "pix_sum")
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                status, err = "ok", None
+                w = h = s = None
+                try:
+                    raw = bytes(blob) if blob is not None else b""
+                    if len(raw) == 0:
+                        raise _Quarantine("empty_blob")
+                    if is_png(raw):
+                        px = decode_png(raw)
+                        h, w = int(px.shape[0]), int(px.shape[1])
+                        s = int(px.astype("int64").sum())
+                    elif is_wav(raw):
+                        samples, _rate = decode_wav(raw)
+                        h, w = int(samples.shape[0]), int(samples.shape[1])
+                        s = int(samples.astype("int64").sum())
+                    else:
+                        raise NotImplementedError("unknown container magic")
+                except _Quarantine as q:
+                    status, err, w, h, s = "quarantined", q.error_class, None, None, None
+                except NotImplementedError:
+                    status, err, w, h, s = "quarantined", "unsupported_format", None, None, None
+                except Exception:  # parse/zlib/struct failures: corrupt row
+                    status, err, w, h, s = "quarantined", "corrupt_data", None, None, None
+                rows["doc_id"].append(int(doc_id))
+                rows["status"].append(status)
+                rows["error_class"].append(err)
+                rows["px_w"].append(w)
+                rows["px_h"].append(h)
+                rows["pix_sum"].append(s)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema=QUARANTINE_SCHEMA)
+
+
+@register(
+    "multimodal_quarantine_audit",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN CAST(doc_id % 5 AS INTEGER) IN (0, 1, 2)
+                THEN 'quarantined' ELSE 'ok' END AS status,
+           CASE CAST(doc_id % 5 AS INTEGER)
+             WHEN 0 THEN 'corrupt_data'
+             WHEN 1 THEN 'unsupported_format'
+             WHEN 2 THEN 'empty_blob'
+             ELSE NULL END AS error_class,
+           CASE WHEN CAST(doc_id % 5 AS INTEGER) IN (3, 4)
+                THEN {PLANT_W} END AS px_w,
+           CASE WHEN CAST(doc_id % 5 AS INTEGER) IN (3, 4)
+                THEN {PLANT_H} END AS px_h,
+           CASE WHEN CAST(doc_id % 5 AS INTEGER) IN (3, 4)
+                THEN CAST(COALESCE(list_sum(list_transform(
+                       range(1, least(length(text), {PLANT_W * PLANT_H}) + 1),
+                       i -> ascii(substring(text, i, 1)))), 0) AS BIGINT)
+           END AS pix_sum
+    FROM documents
+    """,
+)
+def multimodal_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end row-level resilience over a planted-corruption corpus:
+    REAL PNG decode per blob, failures quarantined with a deterministic
+    error class, healthy rows emitting real pixel facts. The oracle
+    predicts every row's fate in SQL because the fixture's corruption is
+    a pure function of doc_id and the pixel payload is the document's
+    leading ASCII bytes (so the decoded pixel sum equals the char-code
+    sum DuckDB computes) — the driver value-hashes the whole
+    decode-or-quarantine decision, not just the happy path."""
+    return decode_blobs_with_quarantine(planted_corrupt_blobs(spark, sf_dir))

@@ -50,78 +50,75 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the checked window. Queries not listed follow in registration order, so
 # the union of checked sets grows round over round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-10 window — executing the rotation VERDICT r9 #1 mandates
-    # (the r9 round was empty, so the planned r9 rotation slipped a
-    # round): retire ALL driver rows older than round 5. After this
-    # window no query's latest driver row predates round 5.
-    # --- (a) ALL 41 remaining r4-era rows, registration order (every
-    #     one re-verified by the LOCAL driver-mimic at sf0.01 AND sf0.1
-    #     each round since, plus 24 independently re-verified by the
-    #     r8/r9 judges — the staleness is of driver rows, not
+    # Round-11 window — executing the rotation VERDICT r10 #1 mandates:
+    # retire ALL driver rows older than round 6. After this window no
+    # query's latest driver row predates round 6, and the ever-checked
+    # union stays = the entire registry.
+    # --- (a) ALL 49 remaining r5-era rows, registration order (each
+    #     re-verified by the LOCAL driver-mimic at sf0.01 AND sf0.1
+    #     every round since r5, and 10 of them independently re-verified
+    #     by the r10 judge — the staleness is of driver rows, not
     #     evidence) ---
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_pipeline_exact_then_lsh",
-    "dedup_keep_best",
-    "cross_doc_span_dupes",
-    "lsh_recall_probe",
-    "near_dup_cluster_sizes",
-    "dedup_incremental_batch",
-    "wordcount",
-    "inverted_index",
-    "generic_mapreduce_wordcount",
-    "per_file_count",
-    "file_projections",
-    "multimodal_blob_meta",
-    "embedding_quality_audit",
-    "corpus_head_coverage",
-    "token_commonness_score",
-    "scalar_regex_functions",
-    "null_handling_functions",
-    "map_functions_probe",
-    "corr_quantity_price",
-    "histogram_price_buckets",
-    "date_arithmetic_functions",
-    "explode_outer_probe",
-    "table_profile_lineitem",
-    "scalar_bitwise_functions",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_sessionize",
-    "funnel_view_click_purchase",
-    "cohort_hourly_retention",
-    "event_transition_matrix",
-    "asof_join_purchase_to_click",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_excess_stock_suppliers",
-    "shard_balance_audit",
-    "eval_contamination_report",
-    "length_weighted_sample",
-    # --- (b) round-10 additions (never checked, outrank stale greens;
-    #     all 9 slots after the 41 r4 rows go to them — the r5 rows
-    #     displaced from earlier drafts of this window rejoin at the
-    #     head of the r11 window) ---
-    "ann_ivf_persisted",
-    "cdc_gear_chunk_stats",
-    "multimodal_audio_resample_stub",
-    "cdc_chunk_dedup",
-    "ann_ivf_incremental_probe",
-    "ann_lsh_persisted",
-    "ann_ranking_quality",
-    "quality_classifier_score",
-    "classifier_calibration_bins",
-    # (The remaining 49 r5 rows — editdist_deletion_join, dedup_minhash_containment,
-    # lsh_band_tuning_report, ann_ivf_cosine, ann_pq_adc_topk, ann_ivf_pq_topk, vocab_overlap_between_sources,
-    # language_confusion_matrix, char_entropy_quality, simhash_hamming_cluster,
-    # doc_quality_score, language_id_heuristic, bm25_doc_ranking and the
-    # rest of the textstats/pipeline/sketches r5 block — lead the r11
-    # window, oldest-first, followed by the oldest r6 rows. Any round-10
-    # additions with no driver row yet must be appended to THIS tuple so
-    # the never-checked invariant in tests/test_registry_contract.py
-    # holds.)
+    "editdist_deletion_join",
+    "dedup_minhash_containment",
+    "lsh_band_tuning_report",
+    "ann_ivf_cosine",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+    "vocab_overlap_between_sources",
+    "language_confusion_matrix",
+    "char_entropy_quality",
+    "word_graph_reachability",
+    "word_graph_triangles",
+    "word_graph_pagerank",
+    "winsorized_doclen_stats",
+    "ols_tokens_vs_chars_by_source",
+    "orders_yoy_growth",
+    "customer_spend_deciles",
+    "null_safe_join_probe",
+    "listagg_supplier_roster",
+    "robust_central_tendency",
+    "unpivot_lineitem_charges",
+    "lateral_top3_customers_per_nation",
+    "morton_zorder_layout_audit",
+    "try_cast_dirty_data",
+    "moment_stats_quantity",
+    "pareto_frontier_parts",
+    "event_dwell_time_by_type",
+    "events_hourly_heatmap",
+    "union_by_name_schema_evolution",
+    "forward_fill_event_values",
+    "dq_hourly_volume_anomalies",
+    "conversion_lag_histogram",
+    "order_month_gapfill",
+    "purchase_click_attribution_outer",
+    "reservoir_sample_per_source",
+    "stratified_sample_mktsegment",
+    "zscore_doclen_by_source",
+    "pipeline_stage_attrition",
+    "token_mixture_temperature",
+    "salted_join_hot_events",
+    "join_key_skew_audit",
+    "upsert_latest_snapshot",
+    "scd2_user_type_history",
+    "dq_referential_integrity",
+    "compaction_planner",
+    "incremental_agg_merge",
+    "equidepth_histogram_price",
+    "orders_rfm_segmentation",
+    "cms_heavy_hitters",
+    "bloom_join_prune_probe",
+    # --- (b) round-11 additions (never checked, must be in the window
+    #     per tests/test_registry_contract.py). The window is exactly 50
+    #     slots, so r11 deliberately registers ONE new query (the
+    #     VERDICT r10 #2 quarantine path) to keep the rotation complete:
+    #     49 r5 rows + 1 addition. Further additions this round would
+    #     silently push an r5 row past the done-bar. ---
+    "multimodal_quarantine_audit",
+    # (After this window the oldest driver rows are the 50 r6 rows —
+    # they lead the r12 window, oldest-first. Any r11 additions with no
+    # driver row yet must be appended to THIS tuple so the never-checked
+    # invariant in tests/test_registry_contract.py holds.)
 )
 
 

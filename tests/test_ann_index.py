@@ -422,3 +422,92 @@ def test_probe_results_identical_before_and_after_compaction(spark, sf_dir, inde
     )
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
     assert before
+
+def test_compaction_crash_windows_heal_exactly_once(spark, sf_dir, index_env):
+    """ADVICE r10 closure — every compaction crash window recovers
+    without double-counting and without manual intervention:
+
+    (a) crash AFTER the tmp->corpus swap but BEFORE cleanup (folded rows
+        and the still-committed batch dirs are BOTH live, plus a
+        non-empty ``corpus.old``): readers must skip the manifest-folded
+        batches — an appended vector is counted exactly once — and the
+        next compact_index garbage-collects the leftovers instead of
+        wedging on ``os.rename(corpus, corpus.old)``;
+    (b) crash BETWEEN ``rename(corpus, old)`` and ``rename(tmp, corpus)``
+        with a COMPLETE tmp (fold manifest present): heal rolls FORWARD,
+        and the index serves the folded assignment set;
+    (c) the same window with an INCOMPLETE tmp (no manifest): heal rolls
+        BACK to the pre-compaction corpus and the batches stay unfolded,
+        so the next compaction simply redoes the fold.
+    """
+    import shutil
+
+    from map_reduce_go_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_index,
+        load_ivf_index_with_batches,
+    )
+
+    path = build_ivf_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = emb.limit(25).select(
+        (F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, path, batch, "w1")
+    before, _ = load_ivf_index_with_batches(spark, path)
+    want = {(r["vec_id"], r["cell"]) for r in before.select("vec_id", "cell").collect()}
+    assert compact_index(spark, path, "cell") == 1
+
+    corpus = os.path.join(path, "corpus")
+    tmp = os.path.join(path, "corpus.compact.tmp")
+    old = os.path.join(path, "corpus.old")
+
+    # --- (a) post-swap, pre-cleanup: resurrect the folded batch dir (same
+    # id, same rows — what the crash leaves behind) and a non-empty old.
+    append_to_ivf_index(spark, path, batch, "w1")
+    os.makedirs(old)
+    with open(os.path.join(old, "leftover"), "w") as f:
+        f.write("pre-compaction corpus the crash never deleted")
+    healed, _ = load_ivf_index_with_batches(spark, path)
+    got = {(r["vec_id"], r["cell"]) for r in healed.select("vec_id", "cell").collect()}
+    assert got == want  # manifest-folded batch skipped: exactly once
+    assert not os.path.exists(old)  # heal garbage-collected it
+    assert not os.path.exists(os.path.join(path, "batch-w1"))
+    assert compact_index(spark, path, "cell") == 0  # nothing unfolded; no wedge
+
+    # --- (b) mid-swap with COMPLETE tmp: corpus renamed away, tmp is the
+    # full folded tree (manifest present) -> roll forward.
+    append_to_ivf_index(spark, path, batch, "w1")  # crash state kept the batch
+    os.rename(corpus, tmp)  # tmp now carries the fold manifest
+    os.makedirs(old)
+    with open(os.path.join(old, "leftover"), "w") as f:
+        f.write("old corpus")
+    assert build_ivf_index(spark, sf_dir) == path  # marker short-circuit heals
+    assert os.path.exists(corpus) and not os.path.exists(tmp)
+    rolled, _ = load_ivf_index_with_batches(spark, path)
+    got = {(r["vec_id"], r["cell"]) for r in rolled.select("vec_id", "cell").collect()}
+    assert got == want
+    assert not os.path.exists(old) and not os.path.exists(os.path.join(path, "batch-w1"))
+
+    # --- (c) mid-swap with INCOMPLETE tmp (no manifest): roll back, then
+    # a later compaction folds the still-pending batch.
+    batch2 = emb.limit(10).select(
+        (F.col("vec_id") + 40_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, path, batch2, "w2")
+    pending, _ = load_ivf_index_with_batches(spark, path)
+    want2 = {(r["vec_id"], r["cell"]) for r in pending.select("vec_id", "cell").collect()}
+    os.rename(corpus, old)  # crash right after the first rename...
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "partial"), "w") as f:
+        f.write("merge job died mid-write")  # ...with an unfinished tmp
+    back, _ = load_ivf_index_with_batches(spark, path)
+    got2 = {(r["vec_id"], r["cell"]) for r in back.select("vec_id", "cell").collect()}
+    assert got2 == want2  # rolled back + batch still unioned in
+    assert os.path.exists(corpus) and not os.path.exists(tmp)
+    assert compact_index(spark, path, "cell") == 1  # redo succeeds
+    final, _ = load_ivf_index_with_batches(spark, path)
+    got3 = {(r["vec_id"], r["cell"]) for r in final.select("vec_id", "cell").collect()}
+    assert got3 == want2
+    shutil.rmtree(path)  # leave no cross-test state on the snapshot path

@@ -1,0 +1,137 @@
+"""Row-level quarantine for the multimodal decode path (VERDICT r10
+brief #2): corrupt/foreign/empty blobs land in a quarantine output with a
+deterministic error class while healthy rows REALLY decode — the task
+never fails. The row-level analog of the reference coordinator's
+bad-task tolerance (src/mr/coordinator.go:114-138)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+from map_reduce_go_spark.functions.png_codec import encode_png
+from map_reduce_go_spark.operators.multimodal import (
+    PLANT_H,
+    PLANT_W,
+    decode_blobs_with_quarantine,
+    extract_features,
+    planted_corrupt_blobs,
+)
+
+_BLOB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("blob", BinaryType(), True),
+    ]
+)
+
+
+def _blob_df(spark, rows):
+    return spark.createDataFrame(rows, schema=_BLOB_SCHEMA)
+
+
+def test_planted_fixture_fates_are_exhaustive(spark, sf_dir):
+    """Every input doc produces exactly one output row; statuses and
+    error classes follow the doc_id % 5 plant; no row is lost and the
+    job completes despite hundreds of planted-bad blobs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = decode_blobs_with_quarantine(planted_corrupt_blobs(spark, sf_dir))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    for doc_id, r in rows.items():
+        kind = doc_id % 5
+        if kind in (0, 1, 2):
+            assert r["status"] == "quarantined", (doc_id, r)
+            want = {0: "corrupt_data", 1: "unsupported_format", 2: "empty_blob"}[kind]
+            assert r["error_class"] == want
+            assert r["px_w"] is None and r["pix_sum"] is None
+        else:
+            assert r["status"] == "ok", (doc_id, r)
+            assert r["error_class"] is None
+            assert (r["px_w"], r["px_h"]) == (PLANT_W, PLANT_H)
+
+
+def test_ok_rows_carry_real_decode_facts(spark, sf_dir):
+    """The healthy rows' pixel sum equals the sum of the document's
+    leading bytes — proof the PNG round-trip actually ran, not a stub."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    out = decode_blobs_with_quarantine(planted_corrupt_blobs(spark, sf_dir))
+    checked = 0
+    for r in out.where(F.col("status") == "ok").collect():
+        raw = docs[r["doc_id"]].encode("utf-8")[: PLANT_W * PLANT_H]
+        assert r["pix_sum"] == sum(raw), r["doc_id"]
+        checked += 1
+    assert checked > 50
+
+
+def test_error_classes_per_corruption_shape(spark):
+    """Hand-built blobs hit each class: bad-CRC PNG (supported container,
+    corrupt payload), foreign magic, empty, plus a 16-bit WAV that must
+    decode on the ok path."""
+    import io
+    import wave
+
+    good = encode_png(np.arange(PLANT_W * PLANT_H, dtype=np.uint8).reshape(PLANT_H, PLANT_W))
+    bad_crc = bytearray(good)
+    # Flip the zlib stream's first header byte inside IDAT (offset =
+    # signature 8 + IHDR 25 + IDAT length/tag 8): decompress fails with
+    # 'incorrect header check' — a supported container, corrupt payload.
+    bad_crc[8 + 25 + 8] ^= 0xFF
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.array([100, -100, 7, 7], dtype=np.int16).tobytes())
+    wav = buf.getvalue()
+    out = {
+        r["doc_id"]: r
+        for r in decode_blobs_with_quarantine(
+            _blob_df(
+                spark,
+                [
+                    (0, bytes(good)),
+                    (1, bytes(bad_crc)),
+                    (2, b"\xff\xd8\xff\xe0 jpeg-ish"),
+                    (3, b""),
+                    (4, None),
+                    (5, wav),
+                ],
+            )
+        ).collect()
+    }
+    assert out[0]["status"] == "ok" and out[0]["pix_sum"] == int(
+        np.arange(PLANT_W * PLANT_H).sum()
+    )
+    assert out[1]["error_class"] == "corrupt_data"
+    assert out[2]["error_class"] == "unsupported_format"
+    assert out[3]["error_class"] == "empty_blob"
+    assert out[4]["error_class"] == "empty_blob"  # NULL blob == wrote nothing
+    assert out[5]["status"] == "ok"
+    assert (out[5]["px_w"], out[5]["px_h"]) == (2, 2)  # (channels, frames)
+    assert out[5]["pix_sum"] == 14
+
+
+def test_quarantine_gates_downstream_real_decode(spark, sf_dir):
+    """The composition a real ingest runs: quarantine front-end splits the
+    corpus, ONLY status='ok' doc_ids flow into extract_features in REAL
+    decode mode — which would have thrown on any planted-bad blob — and
+    every healthy row comes out featurized."""
+    blobs = planted_corrupt_blobs(spark, sf_dir)
+    audit = decode_blobs_with_quarantine(blobs)
+    ok_ids = audit.where(F.col("status") == "ok").select("doc_id")
+    healthy = blobs.join(ok_ids, "doc_id").withColumn("modality", F.lit("image"))
+    feats = extract_features(healthy, decode_mode="real")
+    got = feats.count()
+    assert got == ok_ids.count() and got > 50
+    # Control: real-mode decode over the UNfiltered corpus fails the task
+    # (this is exactly the failure the quarantine path removes).
+    with pytest.raises(Exception):
+        extract_features(
+            blobs.withColumn("modality", F.lit("image")), decode_mode="real"
+        ).count()
