@@ -1125,3 +1125,93 @@ def test_streaming_lsh_index_maintenance_equals_rebuild(spark, sf_dir, tmp_path)
         ).collect()
     }
     assert got == want
+
+def test_streaming_ivf_index_maintenance_equals_rebuild(spark, sf_dir, tmp_path):
+    """IVF twin of the LSH streaming maintenance path (VERDICT r10 brief
+    #3 — the index-lifecycle symmetry): micro-batches append through
+    append_to_ivf_index with epoch batch-ids (foreachBatch at-least-once
+    retries hit the idempotence guard), the quantizer stays FROZEN on the
+    base-corpus codebook, and after the stream drains (a) the assignment
+    set equals a single-shot batch append of the same vectors, and (b)
+    compacting the streamed epochs changes nothing — the full
+    build -> stream -> compact lifecycle is answer-invariant."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_go_spark.operators.ann_index import (
+        _nearest_cells,
+        append_to_ivf_index,
+        compact_index,
+        load_ivf_index_with_batches,
+    )
+    from map_reduce_go_spark.operators.similarity import ivf_train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+
+    path = str(tmp_path / "ivf_stream")
+    centroids = ivf_train_centroids(base)
+    (
+        base.select(
+            "vec_id",
+            "embedding",
+            _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
+        )
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "corpus"))
+    )
+    import json
+
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+    # Arrivals as multiple files -> maxFilesPerTrigger=1 forces several
+    # micro-batches through the maintenance path.
+    src = str(tmp_path / "ivf_arrivals")
+    new.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, epoch: append_to_ivf_index(
+                spark, path, batch_df, f"epoch{epoch}"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ivf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_dirs = [d for d in os.listdir(path) if d.startswith("batch-epoch")]
+    assert len(batch_dirs) >= 2  # genuinely incremental, not one big batch
+
+    streamed, cents = load_ivf_index_with_batches(spark, path)
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in streamed.select("vec_id", "cell").collect()
+    }
+    # Batch-rebuild ground truth: every vector assigned against the SAME
+    # frozen codebook (incremental maintenance never retrains).
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in emb.select(
+            "vec_id", _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell")
+        ).collect()
+    }
+    assert got == want
+    assert cents == centroids  # codebook untouched by streaming appends
+
+    # (b) compaction folds the streamed epochs; assignments unchanged.
+    assert compact_index(spark, path, "cell") == len(batch_dirs)
+    folded, _ = load_ivf_index_with_batches(spark, path)
+    got2 = {
+        (r["vec_id"], r["cell"]) for r in folded.select("vec_id", "cell").collect()
+    }
+    assert got2 == want
+    assert not [d for d in os.listdir(path) if d.startswith("batch-")]
