@@ -221,6 +221,7 @@ MLEVAL_TABLES = ("events", "documents", "lineitem")
 R10_QUERIES = [
     "cdc_gear_chunk_stats",
     "cdc_chunk_stats",
+    "cdc_chunk_dedup",
     "ann_ivf_persisted",
 ]
 R10_TABLES = ("documents", "embeddings")
