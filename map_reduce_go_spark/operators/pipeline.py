@@ -2036,3 +2036,215 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_prob"),
         F.round(pos.cast("double") / F.count(F.lit(1)), 6).alias("pos_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier TRAINING: integer-deterministic gradient descent in-engine
+# --------------------------------------------------------------------------
+
+# The training half of the quality-filter loop (VERDICT r10 #6): fit the
+# hashed-token linear weights IN-ENGINE instead of using the fixed
+# deterministic stand-ins above. The discipline is bpe_merge_steps applied
+# to training: a FIXED number of iterations, every quantity BIGINT-exact,
+# so the whole trajectory — every iteration's weight vector — replays
+# bit-for-bit in a pure-Python oracle (tests/test_classifier_training.py).
+#
+# Label. The fixture's lang column is TOKEN-INDEPENDENT by construction
+# (all five langs draw from the identical 31-token wordlist — verified),
+# so lang='en' is unlearnable from token counts. Training therefore uses a
+# marker-token weak-supervision rule as its label — the fixture stand-in
+# for CCNet's reference-corpus labeling: y = 1 iff the doc mentions the
+# "good" markers strictly more than the "bad" ones. The rule is linearly
+# separable in the slot-count feature space (sign(margin) can express it
+# exactly), so optimizer progress is observable: misclassification drops
+# 183 -> ~36 of 500 at sf0.01 in three iterations.
+#
+# Model: logistic regression on hash-slot counts with the HARD sigmoid
+# (piecewise-linear, slope 1/4 at 0 — the standard quantized-training
+# surrogate). Weights in integer MICRO-units (milli would truncate the
+# per-token gradient of long docs to zero):
+#
+#   z_d      = sum_j w[j] * x_dj                (BIGINT; w micro, x counts)
+#   margin_d = z_d div n_d                      (mean micro-logit)
+#   p_d      = clamp(500 + margin_d div 4000, 0, 1000)  (hard sigmoid, milli)
+#   e_d      = p_d - 1000*y_d                   (residual, milli)
+#   S_y[j]   = sum_{d: y_d=y} (e_d * x_dj * 1000) div n_d   (per-term trunc)
+#   w'[j]    = clamp(w[j] - (S_1[j]*G div N_pos + S_0[j]*G div N_neg),
+#                    -1e6, 1e6)
+#
+# The update is the CLASS-BALANCED mean gradient: without it the class-
+# imbalance term (all residuals start at ±500) drowns the discriminative
+# signal and every weight saturates toward the majority class — measured,
+# not hypothetical. Per-class MEANS (not balanced sums) also bound the
+# update magnitude by 1e6*G independent of corpus size, so the BIGINT
+# accumulators hold to ~1e13 documents per class. Every div truncates
+# toward zero in Spark (`div`), DuckDB (`//`), and the oracle's _tdiv
+# (Python's // FLOORS on negatives — the replay must not use it).
+#
+# Scale shape per iteration: one corpus-sized featurize scan (at 100 TB
+# you write the doc×slot frame to parquet once and loop over that — the
+# persisted-index discipline; fixture-scale rescans keep this function
+# dependency-free), one doc-keyed shuffle join of residuals onto features,
+# one slot-keyed partial agg down to <=CLS_DIM rows. Model state (CLS_DIM
+# ints) is driver-side by design — the IVF-codebook bounded-metadata rule.
+CLS_ITERS = 3
+CLS_TRAIN_GAIN = 16
+CLS_W_CAP = 1_000_000
+CLS_POS_MARKERS = ("fast", "big")
+CLS_NEG_MARKERS = ("slow", "small")
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero division — Spark's ``div`` and DuckDB's
+    ``//``; Python's ``//`` FLOORS, which differs on negatives."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def cls_slot_counts(docs: DataFrame) -> DataFrame:
+    """Featurize + label: (doc_id, y, n_tokens, slot, cnt) — the sparse
+    doc×slot count matrix with the marker-rule label, one explode + two
+    bounded aggs. slot uses the SAME md5 hash as inference so a trained
+    weight vector drops straight into :func:`_cls_doc_scores`'s plan as a
+    broadcast map."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("tok"),
+    )
+    slot = F.expr(f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % {CLS_DIM}")
+    per = toks.groupBy("doc_id", slot.alias("slot")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    pos = F.sum(F.when(F.col("tok").isin(*CLS_POS_MARKERS), 1).otherwise(0))
+    neg = F.sum(F.when(F.col("tok").isin(*CLS_NEG_MARKERS), 1).otherwise(0))
+    lab = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (pos > neg).cast("long").alias("y"),
+    )
+    return per.join(lab, "doc_id")
+
+
+def _cls_weights_df(spark: SparkSession, weights: list[int]) -> DataFrame:
+    return spark.createDataFrame(list(enumerate(weights)), "slot bigint, w bigint")
+
+
+def _cls_margins(feats: DataFrame, wdf: DataFrame) -> DataFrame:
+    """(doc_id, y, n_tokens, margin, p, e) under the given weights.
+    Weights are <=CLS_DIM rows — broadcast by construction. Prediction is
+    the margin SIGN (margin > 0), so a freshly-learned micro-scale signal
+    flips a classification long before the milli-granular p moves."""
+    scored = feats.join(F.broadcast(wdf), "slot")
+    z = scored.groupBy("doc_id", "y", "n_tokens").agg(
+        F.sum(F.col("w") * F.col("cnt")).cast("long").alias("z")
+    )
+    margin = F.expr("z div n_tokens")
+    p = F.least(
+        F.greatest(F.lit(500) + F.expr("(z div n_tokens) div 4000"), F.lit(0)),
+        F.lit(1000),
+    )
+    return z.select(
+        "doc_id",
+        "y",
+        "n_tokens",
+        margin.cast("long").alias("margin"),
+        p.cast("long").alias("p"),
+        (p - 1000 * F.col("y")).cast("long").alias("e"),
+    )
+
+
+def train_quality_classifier(
+    spark: SparkSession, docs: DataFrame, iters: int = CLS_ITERS
+) -> tuple[list[int], list[dict]]:
+    """Fixed-iteration class-balanced integer gradient descent; returns
+    (final weights, per-iteration trajectory). Trajectory entries carry
+    the BIGINT-exact invariants the replay oracle checks: pre-update
+    misclassification count (margin sign vs label) and post-update weight
+    checksums. The per-iteration ``collect()`` is <=CLS_DIM gradient rows
+    — model state, not data (the IVF-codebook rule)."""
+    feats = cls_slot_counts(docs)
+    weights = [0] * CLS_DIM
+    trajectory: list[dict] = []
+    n_pos = n_neg = None
+    for it in range(1, iters + 1):
+        m = _cls_margins(feats, _cls_weights_df(spark, weights))
+        stats = m.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").alias("n_pos"),
+            F.sum(
+                F.when(
+                    ((F.col("margin") > 0) & (F.col("y") == 0))
+                    | ((F.col("margin") <= 0) & (F.col("y") == 1)),
+                    1,
+                ).otherwise(0)
+            ).alias("miss"),
+        ).collect()[0]
+        if n_pos is None:
+            n_pos = int(stats["n_pos"])
+            n_neg = int(stats["n_docs"]) - n_pos
+        grad = (
+            # feats already carries y and n_tokens; the residual frame is
+            # corpus-cardinality, so this doc-keyed join is deliberately
+            # NOT broadcast-hinted — it is the one fact-sized shuffle an
+            # iteration genuinely needs (AQE may still broadcast it at
+            # fixture scale).
+            feats.join(m.select("doc_id", "e").alias("err"), "doc_id")
+            .select(
+                "slot",
+                "y",
+                F.expr("(e * cnt * 1000) div n_tokens").cast("long").alias("t"),
+            )
+            .groupBy("slot")
+            .agg(
+                F.sum(F.when(F.col("y") == 1, F.col("t")).otherwise(0)).alias("sp"),
+                F.sum(F.when(F.col("y") == 0, F.col("t")).otherwise(0)).alias("sn"),
+            )
+            .collect()
+        )
+        g = {int(r["slot"]): (int(r["sp"]), int(r["sn"])) for r in grad}
+        weights = [
+            max(
+                -CLS_W_CAP,
+                min(
+                    CLS_W_CAP,
+                    w
+                    - (
+                        _trunc_div(g.get(j, (0, 0))[0] * CLS_TRAIN_GAIN, n_pos)
+                        + _trunc_div(g.get(j, (0, 0))[1] * CLS_TRAIN_GAIN, n_neg)
+                    ),
+                ),
+            )
+            for j, w in enumerate(weights)
+        ]
+        trajectory.append(
+            {
+                "iter": it,
+                "misclassified": int(stats["miss"]),
+                "w_sum": sum(weights),
+                "w_abs_sum": sum(abs(w) for w in weights),
+                "w_nnz": sum(1 for w in weights if w != 0),
+            }
+        )
+    return weights, trajectory
+
+
+def classifier_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document scores under the LEARNED weights: the end-to-end
+    train-then-score loop (CCNet's quality-filter shape with the training
+    half no longer stubbed). Emits the integer ground truth (learned
+    micro-margin, milli-probability) plus the float probability for
+    human eyes. Deliberately UNREGISTERED in round 11: the driver window
+    is exactly 50 slots and the r11 rotation needs 49 of them (see
+    registry.py) — r12 registers this with an unrolled-SQL oracle; until
+    then tests/test_classifier_training.py replays the trajectory and
+    this output integer-exactly in pure Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights, _traj = train_quality_classifier(spark, docs)
+    m = _cls_margins(cls_slot_counts(docs), _cls_weights_df(spark, weights))
+    return m.select(
+        "doc_id",
+        "y",
+        "n_tokens",
+        F.col("margin").alias("learned_margin"),
+        F.col("p").alias("learned_p_milli"),
+        (F.col("p") / F.lit(1000.0)).alias("learned_prob"),
+    )
