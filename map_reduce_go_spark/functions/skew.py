@@ -139,14 +139,21 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs), then the count HISTOGRAM → one summary row. The audit's input
     is the key histogram — orders of magnitude smaller than the fact
     table — which is what makes running it before every big join cheap
-    enough to automate; hot_share_ppm over ~1/parallelism is the signal
-    that a plain hash join will straggle and salting (functions/skew.py)
-    or AQE skew-split should take over.
+    enough to automate; feed the signature to :func:`skew_decision` for
+    the documented strategy call (the playbook tests/test_skew_playbook.py
+    proves end to end).
     """
     from map_reduce_go_spark.sources.readers import load_table
 
     orders = load_table(spark, sf_dir, "orders")
-    hist = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+    return key_skew_signature(orders, "o_custkey")
+
+
+def key_skew_signature(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew signature of ``df[key_col]`` — the reusable core of
+    ``join_key_skew_audit`` (identical columns), runnable against ANY
+    prospective join key."""
+    hist = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
     return hist.agg(
@@ -167,6 +174,51 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000000) * F.max("cnt") / F.sum("cnt").cast("double")
         ).cast("long").alias("hot_share_ppm"),
     )
+
+
+def skew_decision(
+    n_rows: int,
+    max_cnt: int,
+    p99_cnt: int,
+    parallelism: int = 32,
+) -> str:
+    """The documented playbook step between the skew audit and the join
+    strategy — SCALE.md's decision procedure as an executable function
+    (VERDICT r10 #8). Inputs are three integers off the
+    :func:`key_skew_signature` row; the verdict is one of:
+
+    - ``"plain"`` — no key's row count exceeds an average shuffle
+      partition (n_rows/parallelism): a plain hash join balances by
+      construction, nothing to mitigate.
+    - ``"aqe"``  — partitions can run hot, but the hottest SINGLE key is
+      within SKEW_SINGLE_KEY_FACTOR of the p99 key: the oversized
+      partition is an ensemble of ordinary keys, which AQE's skew-join
+      split rebalances at runtime (it splits by partition range, so
+      multi-key partitions split cleanly).
+    - ``"salt"`` — one key alone is both bigger than an average partition
+      AND a SKEW_SINGLE_KEY_FACTOR outlier over p99: every row of that
+      key hashes to the same partition no matter how AQE splits
+      neighbours, so only rewriting the key itself (salted_join) spreads
+      it.
+
+    All-integer comparisons — the decision is reproducible across
+    engines and retries, like every other threshold in this repo.
+    """
+    avg_partition_rows = _trunc_div_pos(n_rows, parallelism)
+    if max_cnt <= avg_partition_rows:
+        return "plain"
+    if max_cnt <= SKEW_SINGLE_KEY_FACTOR * p99_cnt:
+        return "aqe"
+    return "salt"
+
+
+def _trunc_div_pos(a: int, b: int) -> int:
+    return a // b if b else a
+
+
+#: A hottest key this many times over the p99 key is a single-key
+#: pathology (salting territory), not an ensemble AQE can split.
+SKEW_SINGLE_KEY_FACTOR = 8
 
 
 @register(

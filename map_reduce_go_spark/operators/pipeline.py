@@ -2248,3 +2248,95 @@ def classifier_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("learned_p_milli"),
         (F.col("p") / F.lit(1000.0)).alias("learned_prob"),
     )
+
+
+def _cls_train_oracle_sql(iters: int = CLS_ITERS) -> str:
+    """Unrolled DuckDB replay of the ENTIRE training loop + forward pass —
+    the oracle classifier_train_scores registers with in r12 (pre-validated
+    against the engine in tests/test_classifier_training.py this round).
+    One CTE chain per iteration: margins under w_{i-1}, residuals,
+    per-class slot gradients, clamped weight update — every division the
+    truncating ``//``, every sum cast to BIGINT before dividing (DuckDB
+    sums to HUGEINT)."""
+    slot = f"CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % {CLS_DIM}"
+    pos = ", ".join(f"'{t}'" for t in CLS_POS_MARKERS)
+    neg = ", ".join(f"'{t}'" for t in CLS_NEG_MARKERS)
+    ctes = [
+        f"""toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+      FROM documents
+    ),
+    feats0 AS (
+      SELECT doc_id, {slot} AS slot, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY doc_id, slot
+    ),
+    lab AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CASE WHEN sum(CASE WHEN tok IN ({pos}) THEN 1 ELSE 0 END)
+                       > sum(CASE WHEN tok IN ({neg}) THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS y
+      FROM toks GROUP BY doc_id
+    ),
+    f AS (
+      SELECT feats0.doc_id, slot, cnt, lab.n_tokens, lab.y
+      FROM feats0 JOIN lab ON feats0.doc_id = lab.doc_id
+    ),
+    cls_n AS (
+      SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      FROM lab
+    ),
+    w0 AS (SELECT DISTINCT slot, CAST(0 AS BIGINT) AS w FROM f)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""m{i} AS (
+      SELECT f.doc_id, f.y, f.n_tokens,
+             CAST(sum(w{i - 1}.w * f.cnt) AS BIGINT) // f.n_tokens AS margin
+      FROM f JOIN w{i - 1} ON f.slot = w{i - 1}.slot
+      GROUP BY f.doc_id, f.y, f.n_tokens
+    ),
+    e{i} AS (
+      SELECT doc_id,
+             LEAST(GREATEST(500 + margin // 4000, 0), 1000) - 1000 * y AS e
+      FROM m{i}
+    ),
+    g{i} AS (
+      SELECT f.slot,
+             CAST(sum(CASE WHEN f.y = 1
+                      THEN (e{i}.e * f.cnt * 1000) // f.n_tokens
+                      ELSE 0 END) AS BIGINT) AS sp,
+             CAST(sum(CASE WHEN f.y = 0
+                      THEN (e{i}.e * f.cnt * 1000) // f.n_tokens
+                      ELSE 0 END) AS BIGINT) AS sn
+      FROM f JOIN e{i} ON f.doc_id = e{i}.doc_id
+      GROUP BY f.slot
+    ),
+    w{i} AS (
+      SELECT w{i - 1}.slot,
+             GREATEST(-{CLS_W_CAP}, LEAST({CLS_W_CAP},
+               w{i - 1}.w - ((g{i}.sp * {CLS_TRAIN_GAIN}) // cls_n.n_pos
+                             + (g{i}.sn * {CLS_TRAIN_GAIN}) // cls_n.n_neg)
+             )) AS w
+      FROM w{i - 1} JOIN g{i} ON w{i - 1}.slot = g{i}.slot, cls_n
+    )"""
+        )
+    fin = iters + 1
+    ctes.append(
+        f"""m{fin} AS (
+      SELECT f.doc_id, f.y, f.n_tokens,
+             CAST(sum(w{iters}.w * f.cnt) AS BIGINT) // f.n_tokens AS margin
+      FROM f JOIN w{iters} ON f.slot = w{iters}.slot
+      GROUP BY f.doc_id, f.y, f.n_tokens
+    )"""
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT doc_id, CAST(y AS BIGINT) AS y, n_tokens,
+           CAST(margin AS BIGINT) AS learned_margin,
+           CAST(LEAST(GREATEST(500 + margin // 4000, 0), 1000) AS BIGINT)
+             AS learned_p_milli,
+           CAST(LEAST(GREATEST(500 + margin // 4000, 0), 1000) AS DOUBLE)
+             / 1000.0 AS learned_prob
+    FROM m{fin}
+    """

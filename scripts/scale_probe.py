@@ -578,6 +578,120 @@ def hot_shingle_stats(spark, sf_dir: str) -> dict:
     return {"hot_doc_count": hot_docs, "hot_in_prefix": int(row["hot_in_prefix"])}
 
 
+def skew_playbook_probe(spark, sf_dir: str) -> dict:
+    """VERDICT r10 #8 — the skew playbook measured end to end over the
+    events fact with a planted single hot key (event_id % 10 < 3, i.e.
+    30% of rows, remapped to join_key -1; the replicator's event_id shift
+    is a multiple of 10, so the plant survives replication exactly):
+    audit signature -> skew_decision -> the strategies timed on identical
+    data. Broadcast is disabled for the join arms (a broadcast join has
+    no shuffle to skew — the playbook is about the shuffle-join regime);
+    AQE confs are toggled per arm and restored. Every arm runs the SAME
+    payload-preserving aggregate (sum of props lengths), for two reasons:
+    identical bytes make the timings comparable, and a bare count() lets
+    column pruning strip the payload so the hot partition falls under the
+    skew-detection byte threshold — AQE then correctly (but confusingly)
+    skips the split. That pruning interaction is itself a playbook fact:
+    skew mitigation triggers on SHUFFLED BYTES, not row counts. Row
+    counts asserted equal across arms — mitigation must never change
+    answers."""
+    import time as _t
+
+    from map_reduce_go_spark.functions.skew import (
+        key_skew_signature,
+        salted_join,
+        skew_decision,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 3, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("join_key"),
+        F.col("props").alias("payload"),
+    )
+    # Plain (un-aggregated) dim side: user ids are NOT shifted by the
+    # replicator, so 0..1499 plus the planted -1 covers every key at any
+    # k. Bare shuffle input — an aggregate here would disable AQE's skew
+    # split (OptimizeSkewedJoin pattern-matches
+    # SMJ(Sort(Shuffle), Sort(Shuffle)) only; tests/test_skew_playbook.py).
+    dim = (
+        spark.range(1500)
+        .select(F.col("id").alias("join_key"), F.lit(1).alias("attr"))
+        .unionAll(
+            spark.range(1).select(
+                (F.col("id") - 1).alias("join_key"), F.lit(1).alias("attr")
+            )
+        )
+    )
+    t0 = _t.time()
+    sig = key_skew_signature(ev, "join_key").collect()[0]
+    t_audit = round(_t.time() - t0, 2)
+    decision = skew_decision(sig["n_rows"], sig["max_cnt"], sig["p99_cnt"], 32)
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {}
+    for kk in keys:
+        try:
+            saved[kk] = conf.get(kk)
+        except Exception:
+            saved[kk] = None
+
+    def timed(mk):
+        # The payload-preserving probe: identical bytes in every arm.
+        df = mk().groupBy().agg(
+            F.sum(F.length("payload")).alias("payload_bytes"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        t = _t.time()
+        row = df.collect()[0]
+        return df, int(row["n"]), round(_t.time() - t, 2)
+
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        _, n_plain, t_plain = timed(lambda: ev.join(dim, "join_key"))
+        _, n_salt, t_salt = timed(lambda: salted_join(ev, dim, on=["join_key"]))
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+        df_aqe, n_aqe, t_aqe = timed(lambda: ev.join(dim, "join_key"))
+        aqe_skew = (
+            "skew=true" in df_aqe._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        for kk, v in saved.items():
+            if v is None:
+                conf.unset(kk)
+            else:
+                conf.set(kk, v)
+    assert n_plain == n_salt == n_aqe, (n_plain, n_salt, n_aqe)
+    return {
+        "n_rows": int(sig["n_rows"]),
+        "hot_share_ppm": int(sig["hot_share_ppm"]),
+        "decision": decision,
+        "audit_s": t_audit,
+        "plain_join_noaqe_s": t_plain,
+        "salted_join_s": t_salt,
+        "plain_join_aqe_s": t_aqe,
+        "aqe_skew_split_fired": bool(aqe_skew),
+        "rows_equal": True,
+    }
+
+
 def _n_probe_queries(spark, sf_dir: str) -> int:
     from map_reduce_go_spark.operators.similarity import N_QUERIES
 
@@ -612,6 +726,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = tempfile.mkdtemp(prefix="sfbig_")
     try:
+        if family == "skewjoin":
+            replicate(spark, k, out_dir, tables=("events",))
+            print(
+                json.dumps(
+                    {
+                        "k": k,
+                        "family": family,
+                        "base": skew_playbook_probe(spark, BASE),
+                        "big": skew_playbook_probe(spark, out_dir),
+                    }
+                )
+            )
+            return
         replicate(
             spark,
             k,

@@ -167,3 +167,23 @@ def test_featurize_matches_inference_hash(spark, sf_dir):
     assert sample <= set(range(CLS_DIM))
     py_slots = {s for _, _, _, c in _featurize(sf_dir) for s in c}
     assert sample == py_slots
+
+
+def test_unrolled_sql_oracle_matches_engine(spark, sf_dir):
+    """The r12-registration dry run: the unrolled DuckDB CTE chain —
+    featurize, three gradient iterations, forward pass — must match the
+    distributed training end to end under the driver's canonical compare."""
+    import duckdb
+
+    from map_reduce_go_spark.operators.pipeline import _cls_train_oracle_sql
+    from tests.oracle_compare import compare
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    compare(
+        classifier_train_scores(spark, sf_dir),
+        con.sql(_cls_train_oracle_sql()),
+        "classifier_train_scores",
+    )
