@@ -63,8 +63,10 @@ NOTES = (
     "#5 (the md5 O(window)/byte form was the suite's #3 cost and its "
     "per-position explode is a deliberate oracle-semantics constant, "
     "not a plan to re-measure cold; it stays registered and "
-    "driver-green, and SCALE.md keeps both CDC forms' ratio rows) — "
-    "suite is 56 headliners."
+    "driver-green, and SCALE.md keeps both CDC forms' ratio rows); "
+    "multimodal_quarantine_audit joins (~0.6s cold at sf0.1: real "
+    "per-blob PNG encode+decode through mapInPandas — the "
+    "blobs-decoded-per-second canary) — suite is 57 headliners."
 )
 
 # Headline set: one per operator family, weighted toward scale-sensitive
@@ -196,6 +198,11 @@ HEADLINE = [
     # the 8-bin reliability rollup. (quality_classifier_score is the
     # same pass minus the tiny second agg — one headliner covers both.)
     "classifier_calibration_bins",
+    # Round-11 addition: the quarantine decode — real per-blob PNG work
+    # (encode the planted fixture, decode-or-classify every blob) through
+    # Arrow-batched mapInPandas; the suite's blobs-decoded-per-second
+    # canary and its only deliberately-Python hot loop.
+    "multimodal_quarantine_audit",
 ]
 
 

@@ -232,6 +232,14 @@ R10_TABLES = ("documents", "embeddings")
 # k× number is a fresh bucket-partitioned BUILD plus the pruned probe,
 # same honesty rule as ann_ivf_persisted). word_salt grows distinct
 # vocabulary so the classifier's hash-slot distribution isn't k copies.
+# Round-11 family: the quarantine decode path — real per-blob PNG work in
+# mapInPandas (Python-side by necessity, Arrow-batched by design), where
+# the scale axis is blobs decoded per second. word_salt grows distinct
+# text so planted-PNG pixel payloads differ per replica.
+R11_QUERIES = [
+    "multimodal_quarantine_audit",
+]
+R11_TABLES = ("documents",)
 R10B_QUERIES = [
     "quality_classifier_score",
     "classifier_calibration_bins",
@@ -721,6 +729,7 @@ def main() -> None:
         "mleval": (MLEVAL_QUERIES, MLEVAL_TABLES, None, None),
         "round10": (R10_QUERIES, R10_TABLES, None, None),
         "round10b": (R10B_QUERIES, R10B_TABLES, None, None),
+        "round11": (R11_QUERIES, R11_TABLES, None, None),
     }.get(family, (QUERIES, TABLES, None, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -745,7 +754,7 @@ def main() -> None:
             out_dir,
             tables=tables,
             extra_shifts=extra,
-            word_salt=(family in ("setsim", "setsimskew", "round6", "round8c", "round10", "round10b")),
+            word_salt=(family in ("setsim", "setsimskew", "round6", "round8c", "round10", "round10b", "round11")),
             fk_bases=fk,
             inject_hot=(family == "setsimskew"),
         )

@@ -135,3 +135,36 @@ def test_quarantine_gates_downstream_real_decode(spark, sf_dir):
         extract_features(
             blobs.withColumn("modality", F.lit("image")), decode_mode="real"
         ).count()
+
+
+def test_streaming_quarantine_equals_batch(spark, sf_dir, tmp_path):
+    """The quarantine decoder is STATELESS (pure per-row mapInPandas), so
+    it drops into Structured Streaming append mode unchanged — the ingest
+    shape where row-level quarantine actually runs. Planted blobs arrive
+    as multiple files (several micro-batches); the drained decode-or-
+    quarantine output must equal the batch pass over the same corpus
+    exactly, bad rows and all."""
+    blobs = planted_corrupt_blobs(spark, sf_dir)
+    src = str(tmp_path / "blob_arrivals")
+    blobs.repartition(3).write.parquet(src)
+    out_dir = str(tmp_path / "quarantine_out")
+
+    stream = (
+        spark.readStream.schema(blobs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        decode_blobs_with_quarantine(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    key = lambda r: tuple(r)  # noqa: E731
+    got = sorted(map(key, spark.read.parquet(out_dir).collect()))
+    want = sorted(map(key, decode_blobs_with_quarantine(blobs).collect()))
+    assert got == want and len(got) > 0
