@@ -365,6 +365,20 @@ def _heal_index(path: str) -> None:
     for stale in (old, tmp):
         if os.path.exists(stale):
             shutil.rmtree(stale)
+    # Every manifest-listed dir is now confirmed gone — CLEAR the manifest
+    # (atomic replace). A stale manifest would otherwise shadow a FUTURE
+    # batch that legitimately reuses a folded id (daily epoch ids cycle):
+    # readers would skip it forever — silent data loss, worse than the
+    # duplication the manifest exists to prevent. Crash ordering is safe
+    # both ways: dirs-deleted + manifest-still-listing = readers skip
+    # nothing (dirs are gone); the reverse order can't happen because the
+    # clear runs strictly after the deletes.
+    m = os.path.join(path, "corpus", _FOLD_MANIFEST)
+    if os.path.exists(m) and _folded_ids(path):
+        mt = m + ".tmp"
+        with open(mt, "w") as f:
+            json.dump([], f)
+        os.replace(mt, m)
 
 
 def compact_index(spark: SparkSession, path: str, part_col: str) -> int:
@@ -417,6 +431,9 @@ def compact_index(spark: SparkSession, path: str, part_col: str) -> int:
     for b in batches:
         shutil.rmtree(b)
     shutil.rmtree(old)
+    # Cleanup succeeded: heal clears the now-satisfied manifest so a
+    # future batch reusing a folded id is not shadowed (see _heal_index).
+    _heal_index(path)
     return len(batches)
 
 

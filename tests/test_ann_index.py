@@ -464,8 +464,19 @@ def test_compaction_crash_windows_heal_exactly_once(spark, sf_dir, index_env):
     old = os.path.join(path, "corpus.old")
 
     # --- (a) post-swap, pre-cleanup: resurrect the folded batch dir (same
-    # id, same rows — what the crash leaves behind) and a non-empty old.
+    # id, same rows), the manifest naming it (cleanup had not yet run, so
+    # the crash leaves the manifest LISTING the batch — a completed
+    # compaction clears it), and a non-empty old.
+    import json as _json
+
+    def _write_manifest(dirpath, ids):
+        from map_reduce_go_spark.operators.ann_index import _FOLD_MANIFEST
+
+        with open(os.path.join(dirpath, _FOLD_MANIFEST), "w") as mf:
+            _json.dump(ids, mf)
+
     append_to_ivf_index(spark, path, batch, "w1")
+    _write_manifest(corpus, ["batch-w1"])
     os.makedirs(old)
     with open(os.path.join(old, "leftover"), "w") as f:
         f.write("pre-compaction corpus the crash never deleted")
@@ -479,7 +490,8 @@ def test_compaction_crash_windows_heal_exactly_once(spark, sf_dir, index_env):
     # --- (b) mid-swap with COMPLETE tmp: corpus renamed away, tmp is the
     # full folded tree (manifest present) -> roll forward.
     append_to_ivf_index(spark, path, batch, "w1")  # crash state kept the batch
-    os.rename(corpus, tmp)  # tmp now carries the fold manifest
+    os.rename(corpus, tmp)
+    _write_manifest(tmp, ["batch-w1"])  # tmp = the complete folded tree
     os.makedirs(old)
     with open(os.path.join(old, "leftover"), "w") as f:
         f.write("old corpus")
@@ -510,4 +522,49 @@ def test_compaction_crash_windows_heal_exactly_once(spark, sf_dir, index_env):
     final, _ = load_ivf_index_with_batches(spark, path)
     got3 = {(r["vec_id"], r["cell"]) for r in final.select("vec_id", "cell").collect()}
     assert got3 == want2
+    shutil.rmtree(path)  # leave no cross-test state on the snapshot path
+
+def test_folded_batch_id_is_reusable_after_cleanup(spark, sf_dir, index_env, tmp_path):
+    """The fold manifest must not OUTLIVE the batches it names: once
+    compaction's cleanup (or heal) has deleted the folded dirs, the
+    manifest is cleared — so a future batch that legitimately reuses a
+    folded id (epoch ids cycle) is read normally instead of silently
+    shadowed forever. During the crash window the manifest still guards
+    against double-counting (previous test); after cleanup it must not
+    guard against anything."""
+    import json as _json
+
+    from map_reduce_go_spark.operators.ann_index import (
+        _FOLD_MANIFEST,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_index,
+        load_ivf_index_with_batches,
+    )
+
+    path = build_ivf_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    day1 = emb.limit(20).select(
+        (F.col("vec_id") + 50_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, path, day1, "epoch7")
+    assert compact_index(spark, path, "cell") == 1
+    with open(os.path.join(path, "corpus", _FOLD_MANIFEST)) as f:
+        assert _json.load(f) == []  # satisfied manifest cleared
+    # A NEW batch reusing the folded id must be visible to readers.
+    day2 = emb.limit(10).select(
+        (F.col("vec_id") + 60_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, path, day2, "epoch7")
+    got = {
+        r["vec_id"]
+        for r in load_ivf_index_with_batches(spark, path)[0]
+        .where(F.col("vec_id") >= 50_000_000)
+        .select("vec_id")
+        .collect()
+    }
+    want = {r["vec_id"] for r in day1.unionByName(day2).select("vec_id").collect()}
+    assert got == want  # day1 folded in, day2 via its (reused-id) batch dir
+    import shutil
+
     shutil.rmtree(path)  # leave no cross-test state on the snapshot path
