@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_go_spark.functions.intmath import trunc_div
 from map_reduce_go_spark.registry import register
 from map_reduce_go_spark.sources.readers import load_table
 
@@ -204,16 +205,14 @@ def skew_decision(
     All-integer comparisons — the decision is reproducible across
     engines and retries, like every other threshold in this repo.
     """
-    avg_partition_rows = _trunc_div_pos(n_rows, parallelism)
+    if parallelism <= 0:
+        raise ValueError(f"parallelism must be positive, got {parallelism}")
+    avg_partition_rows = trunc_div(n_rows, parallelism)
     if max_cnt <= avg_partition_rows:
         return "plain"
     if max_cnt <= SKEW_SINGLE_KEY_FACTOR * p99_cnt:
         return "aqe"
     return "salt"
-
-
-def _trunc_div_pos(a: int, b: int) -> int:
-    return a // b if b else a
 
 
 #: A hottest key this many times over the p99 key is a single-key
@@ -280,3 +279,63 @@ def partkey_skew_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def skew_lab_confs(
+    spark: SparkSession,
+    *,
+    aqe: bool,
+    factor: str = "2",
+    threshold: str = "4MB",
+    advisory: str = "4MB",
+):
+    """Save/toggle/restore the AQE + broadcast confs the skew playbook's
+    measurements depend on — ONE definition shared by the probe
+    (scripts/scale_probe.py --family=skewjoin) and the tests
+    (tests/test_skew_playbook.py), so the two can never drift into
+    measuring different regimes. Broadcast is always disabled inside the
+    block (a broadcast join has no shuffle to skew); ``aqe`` selects the
+    plain-shuffle vs skew-split arm, with detection thresholds scaled to
+    the caller's data bytes."""
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        if aqe:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor", factor
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                threshold,
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory
+            )
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -266,7 +266,11 @@ def append_to_lsh_index(
     deterministic hyperplanes (training-free, so there is not even a
     codebook-staleness question) into their own atomically-committed
     ``batch-<id>/`` directory. Idempotent per batch_id; readers union
-    base + batches with bucket pruning on each scan."""
+    base + batches with bucket pruning on each scan. Heals first: a
+    batch id reused after a fold whose cleanup crashed would otherwise
+    hit the idempotence guard on the STALE folded dir and be silently
+    swallowed (then deleted by the next heal) — permanent loss."""
+    _heal_index(path)
     batch_dir = os.path.join(path, f"batch-{batch_id}")
     if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
         return
@@ -303,14 +307,43 @@ def load_lsh_index_with_batches(spark: SparkSession, path: str) -> DataFrame:
 _FOLD_MANIFEST = "_FOLDED_BATCHES.json"
 
 
+def _read_manifest(mpath: str) -> list[str] | None:
+    """Parse a fold manifest; None when absent OR unreadable/garbage.
+    Presence alone is never trusted — the swap decision and the folded-id
+    set both require a VALID parse."""
+    if not os.path.exists(mpath):
+        return None
+    try:
+        with open(mpath) as f:
+            ids = json.load(f)
+        return [str(x) for x in ids]
+    except (ValueError, OSError):
+        return None
+
+
 def _folded_ids(path: str) -> set[str]:
     """Batch-dir basenames the live corpus's fold manifest records as
-    already merged in (empty when the corpus was never compacted)."""
+    already merged in (empty when the corpus was never compacted).
+
+    A present-but-unparseable manifest is a LOUD error: without it we
+    cannot know which batch dirs are folded, and guessing either way is
+    silent corruption (skipping none double-counts; skipping all drops
+    real appends). Practically unreachable — the manifest is fsynced
+    before the swap renames — but if storage ever serves a torn file,
+    failing with the repair instruction beats wrong answers (the
+    connected-components loud-failure discipline)."""
     m = os.path.join(path, "corpus", _FOLD_MANIFEST)
-    if os.path.exists(m):
-        with open(m) as f:
-            return set(json.load(f))
-    return set()
+    if not os.path.exists(m):
+        return set()
+    ids = _read_manifest(m)
+    if ids is None:
+        raise RuntimeError(
+            f"unreadable fold manifest {m}: cannot tell folded batches from "
+            "live ones. Repair: if the corpus is known to contain every "
+            "batch dir's rows, delete those batch dirs and rewrite the "
+            "manifest as []; otherwise restore the index from its builder."
+        )
+    return set(ids)
 
 
 def _committed_batches(path: str) -> list[str]:
@@ -325,6 +358,18 @@ def _committed_batches(path: str) -> list[str]:
         if os.path.exists(os.path.join(b, "_SUCCESS"))
         and os.path.basename(b) not in folded
     ]
+
+
+def _write_manifest_fsync(mpath: str, ids: list[str]) -> None:
+    """tmp-write + fsync + atomic replace: the manifest's contents must be
+    durable BEFORE any rename that depends on them becomes durable (a
+    power loss must never surface a present-but-torn manifest)."""
+    mt = mpath + ".tmp"
+    with open(mt, "w") as f:
+        json.dump(ids, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mt, mpath)
 
 
 def _heal_index(path: str) -> None:
@@ -352,7 +397,10 @@ def _heal_index(path: str) -> None:
     tmp = os.path.join(path, "corpus.compact.tmp")
     old = os.path.join(path, "corpus.old")
     if not os.path.exists(corpus):
-        if os.path.exists(os.path.join(tmp, _FOLD_MANIFEST)):
+        # Roll forward only on a VALID manifest (a torn/garbage file is
+        # not proof of completeness — prefer rolling back to the old
+        # corpus, whose batches are still unfolded and re-compactable).
+        if _read_manifest(os.path.join(tmp, _FOLD_MANIFEST)) is not None:
             os.rename(tmp, corpus)  # roll forward: tmp is complete
         elif os.path.exists(old):
             os.rename(old, corpus)  # roll back: tmp never completed
@@ -375,10 +423,7 @@ def _heal_index(path: str) -> None:
     # clear runs strictly after the deletes.
     m = os.path.join(path, "corpus", _FOLD_MANIFEST)
     if os.path.exists(m) and _folded_ids(path):
-        mt = m + ".tmp"
-        with open(mt, "w") as f:
-            json.dump([], f)
-        os.replace(mt, m)
+        _write_manifest_fsync(m, [])
 
 
 def compact_index(spark: SparkSession, path: str, part_col: str) -> int:
@@ -423,8 +468,11 @@ def compact_index(spark: SparkSession, path: str, part_col: str) -> int:
     )
     # Manifest last: marks the tmp tree complete AND records which batch
     # dirs the new corpus subsumes (readers skip these from now on).
-    with open(os.path.join(tmp, _FOLD_MANIFEST), "w") as f:
-        json.dump(sorted(os.path.basename(b) for b in batches), f)
+    # fsynced: its contents must be durable before the swap renames are.
+    _write_manifest_fsync(
+        os.path.join(tmp, _FOLD_MANIFEST),
+        sorted(os.path.basename(b) for b in batches),
+    )
     old = os.path.join(path, "corpus.old")
     os.rename(os.path.join(path, "corpus"), old)
     os.rename(tmp, os.path.join(path, "corpus"))
@@ -515,7 +563,11 @@ def append_to_ivf_index(
     one leaves no partial state (no blind ``mode("append")`` into the
     base corpus, which a retry would duplicate). Readers union the base
     corpus with every committed batch; cell pruning applies to each scan.
-    Idempotent per batch_id."""
+    Idempotent per batch_id. Heals first: a batch id reused after a fold
+    whose cleanup crashed would otherwise hit the idempotence guard on
+    the STALE folded dir and be silently swallowed (then deleted by the
+    next heal) — permanent loss."""
+    _heal_index(path)
     batch_dir = os.path.join(path, f"batch-{batch_id}")
     if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
         return

@@ -2094,11 +2094,9 @@ CLS_POS_MARKERS = ("fast", "big")
 CLS_NEG_MARKERS = ("slow", "small")
 
 
-def _trunc_div(a: int, b: int) -> int:
-    """Truncate-toward-zero division — Spark's ``div`` and DuckDB's
-    ``//``; Python's ``//`` FLOORS, which differs on negatives."""
-    q = abs(a) // abs(b)
-    return q if (a >= 0) == (b >= 0) else -q
+# Truncate-toward-zero division (Spark div / DuckDB //): shared helper —
+# the same function the skew decision uses (functions/intmath.py).
+from map_reduce_go_spark.functions.intmath import trunc_div as _trunc_div  # noqa: E402
 
 
 def cls_slot_counts(docs: DataFrame) -> DataFrame:
@@ -2160,13 +2158,21 @@ def train_quality_classifier(
     the BIGINT-exact invariants the replay oracle checks: pre-update
     misclassification count (margin sign vs label) and post-update weight
     checksums. The per-iteration ``collect()`` is <=CLS_DIM gradient rows
-    — model state, not data (the IVF-codebook rule)."""
-    feats = cls_slot_counts(docs)
+    — model state, not data (the IVF-codebook rule).
+
+    Materialization discipline: the featurize frame is localCheckpointed
+    ONCE (the loop's stable input — at 100 TB this is the parquet
+    checkpoint of the doc×slot matrix; rescanning the corpus per action
+    would tokenize it 2×iters+2 times), and each iteration's margins
+    frame is checkpointed once so its two consumers (the stats row and
+    the gradient join) share one computation instead of re-running the
+    doc aggregation."""
+    feats = cls_slot_counts(docs).localCheckpoint()
     weights = [0] * CLS_DIM
     trajectory: list[dict] = []
     n_pos = n_neg = None
     for it in range(1, iters + 1):
-        m = _cls_margins(feats, _cls_weights_df(spark, weights))
+        m = _cls_margins(feats, _cls_weights_df(spark, weights)).localCheckpoint()
         stats = m.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("y").alias("n_pos"),

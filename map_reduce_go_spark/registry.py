@@ -116,9 +116,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #     silently push an r5 row past the done-bar. ---
     "multimodal_quarantine_audit",
     # (After this window the oldest driver rows are the 50 r6 rows —
-    # they lead the r12 window, oldest-first. Any r11 additions with no
-    # driver row yet must be appended to THIS tuple so the never-checked
-    # invariant in tests/test_registry_contract.py holds.)
+    # they lead the r12 window, oldest-first. Planned r12 registration:
+    # classifier_train_scores (operators/pipeline.py — training loop,
+    # Python replay test, and the unrolled-SQL oracle
+    # `_cls_train_oracle_sql` are ALL already landed and green; its
+    # registration costs one slot, so 49 r6 rows + it fill the window
+    # and the 50th r6 row leads r13). Any additions with no driver row
+    # yet must be appended to THIS tuple so the never-checked invariant
+    # in tests/test_registry_contract.py holds.)
 )
 
 

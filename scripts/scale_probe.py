@@ -638,23 +638,6 @@ def skew_playbook_probe(spark, sf_dir: str) -> dict:
     t_audit = round(_t.time() - t0, 2)
     decision = skew_decision(sig["n_rows"], sig["max_cnt"], sig["p99_cnt"], 32)
 
-    conf = spark.conf
-    keys = (
-        "spark.sql.adaptive.enabled",
-        "spark.sql.adaptive.skewJoin.enabled",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold",
-    )
-    saved = {}
-    for kk in keys:
-        try:
-            saved[kk] = conf.get(kk)
-        except Exception:
-            saved[kk] = None
-
     def timed(mk):
         # The payload-preserving probe: identical bytes in every arm.
         df = mk().groupBy().agg(
@@ -665,27 +648,16 @@ def skew_playbook_probe(spark, sf_dir: str) -> dict:
         row = df.collect()[0]
         return df, int(row["n"]), round(_t.time() - t, 2)
 
-    try:
-        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        conf.set("spark.sql.adaptive.enabled", "false")
+    from map_reduce_go_spark.functions.skew import skew_lab_confs
+
+    with skew_lab_confs(spark, aqe=False):
         _, n_plain, t_plain = timed(lambda: ev.join(dim, "join_key"))
         _, n_salt, t_salt = timed(lambda: salted_join(ev, dim, on=["join_key"]))
-        conf.set("spark.sql.adaptive.enabled", "true")
-        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB")
-        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+    with skew_lab_confs(spark, aqe=True):
         df_aqe, n_aqe, t_aqe = timed(lambda: ev.join(dim, "join_key"))
         aqe_skew = (
             "skew=true" in df_aqe._jdf.queryExecution().executedPlan().toString()
         )
-    finally:
-        for kk, v in saved.items():
-            if v is None:
-                conf.unset(kk)
-            else:
-                conf.set(kk, v)
     assert n_plain == n_salt == n_aqe, (n_plain, n_salt, n_aqe)
     return {
         "n_rows": int(sig["n_rows"]),

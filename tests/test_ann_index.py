@@ -568,3 +568,101 @@ def test_folded_batch_id_is_reusable_after_cleanup(spark, sf_dir, index_env, tmp
     import shutil
 
     shutil.rmtree(path)  # leave no cross-test state on the snapshot path
+
+def test_append_heals_first_so_reused_id_in_crash_window_is_not_swallowed(
+    spark, sf_dir, index_env
+):
+    """Review-finding regression: an append whose batch id collides with a
+    STALE folded dir (compaction crashed after the swap, before cleanup)
+    must not be swallowed by the idempotence guard — append heals first,
+    the stale dir and manifest go away, and the NEW vectors land."""
+    import json as _json
+    import shutil
+
+    from map_reduce_go_spark.operators.ann_index import (
+        _FOLD_MANIFEST,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_index,
+        load_ivf_index_with_batches,
+    )
+
+    path = build_ivf_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    day1 = emb.limit(15).select(
+        (F.col("vec_id") + 70_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, path, day1, "cycle3")
+    assert compact_index(spark, path, "cell") == 1
+    # Reconstruct the post-swap pre-cleanup crash: stale folded dir back
+    # on disk + manifest naming it (compaction's crash leaves both).
+    append_to_ivf_index(spark, path, day1, "cycle3")
+    with open(os.path.join(path, "corpus", _FOLD_MANIFEST), "w") as f:
+        _json.dump(["batch-cycle3"], f)
+    # New day's data legitimately reuses the cycled id — must NOT be
+    # swallowed by the stale dir's _SUCCESS.
+    day2 = emb.limit(10).select(
+        (F.col("vec_id") + 80_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, path, day2, "cycle3")
+    got = {
+        r["vec_id"]
+        for r in load_ivf_index_with_batches(spark, path)[0]
+        .where(F.col("vec_id") >= 70_000_000)
+        .select("vec_id")
+        .collect()
+    }
+    want = {r["vec_id"] for r in day1.unionByName(day2).select("vec_id").collect()}
+    assert got == want, "day2 lost or day1 double-counted"
+    shutil.rmtree(path)  # leave no cross-test state on the snapshot path
+
+
+def test_garbage_manifest_rolls_back_and_live_reads_fail_loud(
+    spark, sf_dir, index_env, tmp_path
+):
+    """Torn-manifest durability cases: (a) a mid-swap tmp whose manifest
+    is garbage is NOT rolled forward (presence is not proof — heal
+    restores corpus.old, whose batches are still unfolded and
+    re-compactable); (b) a garbage manifest on a LIVE corpus fails loud
+    with the repair instruction rather than guessing (either guess is
+    silent corruption)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from map_reduce_go_spark.operators.ann_index import (
+        _FOLD_MANIFEST,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_index,
+        load_ivf_index_with_batches,
+    )
+
+    path = build_ivf_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = emb.limit(12).select(
+        (F.col("vec_id") + 90_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, path, batch, "t1")
+    before, _ = load_ivf_index_with_batches(spark, path)
+    want = {(r["vec_id"], r["cell"]) for r in before.select("vec_id", "cell").collect()}
+
+    corpus = os.path.join(path, "corpus")
+    tmp = os.path.join(path, "corpus.compact.tmp")
+    old = os.path.join(path, "corpus.old")
+    # (a) mid-swap with a TORN tmp manifest: must roll BACK, not forward.
+    os.rename(corpus, old)
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, _FOLD_MANIFEST), "w") as f:
+        f.write('["batch-t1"')  # truncated JSON — power loss mid-write
+    back, _ = load_ivf_index_with_batches(spark, path)
+    got = {(r["vec_id"], r["cell"]) for r in back.select("vec_id", "cell").collect()}
+    assert got == want  # old corpus restored, batch still unioned
+    assert compact_index(spark, path, "cell") == 1  # fold redone cleanly
+
+    # (b) garbage manifest on the LIVE corpus: loud error, names the file.
+    with open(os.path.join(corpus, _FOLD_MANIFEST), "w") as f:
+        f.write("{not json")
+    with _pytest.raises(RuntimeError, match="unreadable fold manifest"):
+        load_ivf_index_with_batches(spark, path)
+    shutil.rmtree(path)  # leave no cross-test state on the snapshot path

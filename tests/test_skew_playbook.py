@@ -82,28 +82,11 @@ def test_aqe_skew_split_fires_on_ensemble_case(spark):
     (multi-key) partition, AQE skew thresholds scaled to fixture bytes —
     the executed plan must carry the skew=true marker on the join, i.e.
     the runtime re-plan the decision procedure counts on actually
-    happens. Thresholds are restored afterwards."""
-    conf = spark.conf
-    saved = {
-        k: conf.get(k)
-        for k in (
-            "spark.sql.adaptive.enabled",
-            "spark.sql.adaptive.skewJoin.enabled",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            "spark.sql.autoBroadcastJoinThreshold",
-            "spark.sql.adaptive.autoBroadcastJoinThreshold",
-        )
-    }
-    try:
-        conf.set("spark.sql.adaptive.enabled", "true")
-        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
-        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
-        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    happens. Conf toggling/restoration is the shared skew_lab_confs
+    contextmanager — the same one the scale probe uses."""
+    from map_reduce_go_spark.functions.skew import skew_lab_confs
+
+    with skew_lab_confs(spark, aqe=True, threshold="16KB", advisory="8KB"):
         n = 60_000
         ev = _planted_hot_events(spark, n=n)
         # The dim side must be a BARE shuffle input: OptimizeSkewedJoin
@@ -129,9 +112,3 @@ def test_aqe_skew_split_fires_on_ensemble_case(spark):
         assert len(joined.collect()) == n
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan[:2000]
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                conf.unset(k)
-            else:
-                conf.set(k, v)
