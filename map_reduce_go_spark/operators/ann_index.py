@@ -534,6 +534,40 @@ def refresh_ivf_index(spark: SparkSession, index_dir: str, emb: DataFrame) -> st
     return nxt
 
 
+def gc_ivf_versions(index_dir: str, keep: int = 2) -> list[str]:
+    """Retire old blue/green versions: delete every ``v-<n>`` directory
+    older than the newest ``keep`` (default: the LIVE version plus its
+    predecessor — an in-flight probe that resolved the pointer just
+    before a promote keeps reading the previous version, so it must
+    outlive one refresh cycle; anything older is unreachable). Also
+    completes the refresh lifecycle's crash story: a refresh that died
+    mid-write left a garbage ``v-*`` tree the pointer never referenced —
+    this is where it gets collected. Never touches the version the LIVE
+    pointer names, even if ``keep`` would (a corrupted pointer fails
+    loudly in live_ivf_version, not silently here). Returns the deleted
+    directory names."""
+    import shutil
+
+    if not os.path.isdir(index_dir):
+        return []
+    live = None
+    ptr = os.path.join(index_dir, _LIVE_POINTER)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            live = f.read().strip()
+    versions = sorted(
+        (
+            int(d.split("-", 1)[1])
+            for d in os.listdir(index_dir)
+            if d.startswith("v-") and d.split("-", 1)[1].isdigit()
+        ),
+    )
+    doomed = [f"v-{n}" for n in versions[:-keep] if f"v-{n}" != live]
+    for d in doomed:
+        shutil.rmtree(os.path.join(index_dir, d))
+    return doomed
+
+
 def live_ivf_version(spark: SparkSession, index_dir: str) -> tuple[DataFrame, list[list[float]]]:
     """Resolve the LIVE pointer and load that version's corpus+codebook."""
     with open(os.path.join(index_dir, _LIVE_POINTER)) as f:

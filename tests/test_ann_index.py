@@ -666,3 +666,41 @@ def test_garbage_manifest_rolls_back_and_live_reads_fail_loud(
     with _pytest.raises(RuntimeError, match="unreadable fold manifest"):
         load_ivf_index_with_batches(spark, path)
     shutil.rmtree(path)  # leave no cross-test state on the snapshot path
+
+def test_version_gc_keeps_live_plus_previous(spark, sf_dir, index_env, tmp_path):
+    """Blue/green lifecycle completion: after several refreshes, GC
+    deletes every version except the live one and its predecessor (the
+    one an in-flight reader may still hold), never the LIVE target even
+    under an aggressive keep, and collects a crashed refresh's orphan
+    v-dir that the pointer never referenced."""
+    import os as _os
+
+    from map_reduce_go_spark.operators.ann_index import (
+        gc_ivf_versions,
+        live_ivf_version,
+        refresh_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "gc_idx")
+    _os.makedirs(idx)
+    refresh_ivf_index(spark, idx, emb)
+    refresh_ivf_index(spark, idx, emb.where(F.col("vec_id") >= 2))
+    refresh_ivf_index(spark, idx, emb.where(F.col("vec_id") >= 4))
+    # Simulate a crashed refresh: v-4 exists but the pointer was never
+    # flipped to it (LIVE still names v-3).
+    _os.makedirs(_os.path.join(idx, "v-4", "corpus"), exist_ok=True)
+    with open(_os.path.join(idx, "LIVE")) as f:
+        assert f.read().strip() == "v-3"
+
+    deleted = gc_ivf_versions(idx)  # keep newest 2 => v-3 (live) + v-4 stay
+    assert sorted(deleted) == ["v-1", "v-2"]
+    left = sorted(d for d in _os.listdir(idx) if d.startswith("v-"))
+    assert left == ["v-3", "v-4"]
+    # Aggressive keep=1 dooms v-3 by age (v-4 is newest) — but v-3 is the
+    # LIVE target, so GC must refuse it.
+    deleted2 = gc_ivf_versions(idx, keep=1)
+    assert deleted2 == []
+    # The live version must still resolve.
+    corpus, cents = live_ivf_version(spark, idx)
+    assert corpus.count() > 0 and cents
