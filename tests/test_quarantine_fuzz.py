@@ -1,0 +1,118 @@
+"""Property tests for the round-11 surfaces.
+
+The quarantine operator's whole contract is "no input bytes can kill the
+task" — a claim that deserves adversarial fuzz, not just the planted
+fixture: random blobs, format-magic-prefixed garbage, truncations of
+valid files at every byte offset. And the integer helpers' cross-engine
+identity (trunc_div == DuckDB's ``//`` == Spark's ``div``) is load-bearing
+for every replayed trajectory, so it gets checked against DuckDB itself
+over adversarial operand pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from map_reduce_go_spark.functions.intmath import trunc_div
+from map_reduce_go_spark.functions.png_codec import encode_png
+from map_reduce_go_spark.operators.multimodal import decode_blobs_with_quarantine
+
+_STATUSES = {"ok", "quarantined"}
+_CLASSES = {None, "empty_blob", "unsupported_format", "corrupt_data"}
+
+
+def _decode_all(spark, blobs: list[bytes | None]):
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    df = spark.createDataFrame(
+        list(enumerate(blobs)),
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("blob", BinaryType(), True),
+            ]
+        ),
+    )
+    return decode_blobs_with_quarantine(df).collect()
+
+
+def test_fuzz_random_blobs_never_fail_the_task(spark):
+    """512 adversarial blobs in one pass: pure random bytes, PNG/WAV/JPEG
+    magic over garbage, and every-offset truncations of a valid PNG —
+    exactly one output row per input, status/error_class from the closed
+    sets, ok rows only when the decode genuinely succeeded."""
+    rng = np.random.default_rng(42)
+    png = encode_png(np.arange(32, dtype=np.uint8).reshape(4, 8))
+    blobs: list[bytes | None] = [None, b""]
+    blobs += [rng.bytes(int(n)) for n in rng.integers(1, 400, size=160)]
+    blobs += [b"\x89PNG\r\n\x1a\n" + rng.bytes(int(n)) for n in rng.integers(0, 200, size=120)]
+    blobs += [b"RIFF" + rng.bytes(int(n)) + b"WAVE" for n in rng.integers(4, 60, size=80)]
+    blobs += [b"\xff\xd8\xff\xe0" + rng.bytes(int(n)) for n in rng.integers(0, 60, size=40)]
+    blobs += [bytes(png[:k]) for k in range(len(png))]  # every truncation point
+    blobs += [bytes(png)]  # and the one valid file
+    rows = _decode_all(spark, blobs)
+    assert len(rows) == len(blobs)
+    ok = 0
+    for r in rows:
+        assert r["status"] in _STATUSES
+        assert r["error_class"] in _CLASSES
+        assert (r["status"] == "ok") == (r["error_class"] is None)
+        if r["status"] == "ok":
+            ok += 1
+            assert r["px_w"] is not None and r["pix_sum"] is not None
+    assert ok >= 1  # the intact PNG decoded
+    # Any prefix cut BEFORE the end of the IDAT payload must quarantine
+    # (pixel data incomplete). Cuts after that may legitimately decode:
+    # the codec is lenient about the trailing IDAT CRC and IEND, like
+    # most real decoders — pixel bytes are all present.
+    by_id = {r["doc_id"]: r for r in rows}
+    first_trunc = len(blobs) - len(png) - 1
+    idat_payload_end = len(png) - 16  # minus IDAT CRC (4) and IEND (12)
+    for k in range(idat_payload_end):
+        assert by_id[first_trunc + k]["status"] == "quarantined", k
+
+
+@given(
+    a=st.integers(min_value=-(2**62), max_value=2**62),
+    b=st.integers(min_value=-(2**31), max_value=2**31).filter(lambda x: x != 0),
+)
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_trunc_div_matches_python_definition(a: int, b: int):
+    q = trunc_div(a, b)
+    # Defining properties of truncation toward zero: |q| = |a| div |b|,
+    # remainder strictly smaller than the divisor, quotient sign = the
+    # operands' sign product. (q*b <= a would be FLOOR division — the
+    # semantics this helper exists to avoid.)
+    assert abs(q) == abs(a) // abs(b)
+    r = a - q * b
+    assert abs(r) < abs(b)
+    if r != 0:
+        assert (r > 0) == (a > 0)  # remainder carries the dividend's sign
+    # Sign: q is zero or has the sign of a/b.
+    if q != 0:
+        assert (q > 0) == ((a > 0) == (b > 0))
+
+
+def test_trunc_div_matches_duckdb_floor_div_semantics():
+    """The identity every replayed trajectory leans on, checked against
+    the actual engine: DuckDB's BIGINT ``//`` equals trunc_div on an
+    adversarial operand grid (negatives, near-boundary, exact multiples)."""
+    import duckdb
+
+    vals_a = [-13, -12, -7, -5, -1, 0, 1, 5, 7, 12, 13, 10**12 + 7, -(10**12) - 7]
+    vals_b = [-7, -4, -3, -1, 1, 3, 4, 7, 1000]
+    pairs = [(a, b) for a in vals_a for b in vals_b]
+    rel = duckdb.sql(
+        "SELECT a, b, CAST(a AS BIGINT) // CAST(b AS BIGINT) AS q FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in pairs)
+        + ") t(a, b)"
+    )
+    for a, b, q in rel.fetchall():
+        assert trunc_div(a, b) == q, (a, b, q)
+
+
+def test_trunc_div_rejects_zero_divisor():
+    with pytest.raises(ZeroDivisionError):
+        trunc_div(5, 0)
