@@ -672,6 +672,26 @@ def skew_playbook_probe(spark, sf_dir: str) -> dict:
     }
 
 
+def cls_train_probe(spark, sf_dir: str) -> dict:
+    """Scale probe for the in-engine classifier training loop (r11,
+    unregistered until r12): full fixed-iteration training at this scale,
+    reporting wall time and the miss trajectory. The loop's scale axes:
+    one corpus featurize (localCheckpointed once), per iteration one
+    doc-keyed residual join + one slot-keyed agg to <=CLS_DIM rows."""
+    import time as _t
+
+    from map_reduce_go_spark.operators.pipeline import train_quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = _t.time()
+    _w, traj = train_quality_classifier(spark, docs)
+    return {
+        "train_s": round(_t.time() - t0, 2),
+        "n_docs": docs.count(),
+        "miss_trajectory": [t["misclassified"] for t in traj],
+    }
+
+
 def _n_probe_queries(spark, sf_dir: str) -> int:
     from map_reduce_go_spark.operators.similarity import N_QUERIES
 
@@ -707,6 +727,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = tempfile.mkdtemp(prefix="sfbig_")
     try:
+        if family == "clstrain":
+            # VERBATIM replication (no word_salt): the marker-token label
+            # must survive into replicas (salting rewrites every word, so
+            # replica docs would all label negative and the probe would
+            # measure a destroyed-label artifact, not the loop). Verbatim
+            # k copies also make a sharp invariance check: per-class MEAN
+            # gradients are identical over k copies, so the weight
+            # trajectory must match base exactly and the per-iteration
+            # miss counts must be exactly k-fold base's.
+            replicate(spark, k, out_dir, tables=("documents",), word_salt=False)
+            print(
+                json.dumps(
+                    {
+                        "k": k,
+                        "family": family,
+                        "base": cls_train_probe(spark, BASE),
+                        "big": cls_train_probe(spark, out_dir),
+                    }
+                )
+            )
+            return
         if family == "skewjoin":
             replicate(spark, k, out_dir, tables=("events",))
             print(
