@@ -265,14 +265,19 @@ def append_to_lsh_index(
     holds for BOTH index families: new vectors are bucketed by the same
     deterministic hyperplanes (training-free, so there is not even a
     codebook-staleness question) into their own atomically-committed
-    ``batch-<id>/`` directory. Idempotent per batch_id; readers union
-    base + batches with bucket pruning on each scan. Heals first: a
-    batch id reused after a fold whose cleanup crashed would otherwise
-    hit the idempotence guard on the STALE folded dir and be silently
-    swallowed (then deleted by the next heal) — permanent loss."""
+    ``batch-<id>/`` directory. Idempotent per batch_id FOREVER — the
+    dir's _SUCCESS guards the pre-fold window and the committed-batch
+    ledger guards after compaction deletes the dir, so a streaming
+    restart replaying an already-folded epoch still no-ops instead of
+    double-counting. Corollary: batch ids must never be recycled for
+    new data (epochs/dates are naturally monotonic) — a recycled id is
+    indistinguishable from a redelivery and is skipped."""
     _heal_index(path)
     batch_dir = os.path.join(path, f"batch-{batch_id}")
+    if f"batch-{batch_id}" in _ledger_ids(path):
+        return  # ever-committed: this is a redelivery
     if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
+        _ledger_add(path, {f"batch-{batch_id}"})  # backfill pre-ledger commit
         return
     (
         new_vectors.select(
@@ -283,6 +288,7 @@ def append_to_lsh_index(
         .mode("overwrite")
         .parquet(batch_dir)
     )
+    _ledger_add(path, {f"batch-{batch_id}"})
 
 
 def load_lsh_index_with_batches(spark: SparkSession, path: str) -> DataFrame:
@@ -316,9 +322,15 @@ def _read_manifest(mpath: str) -> list[str] | None:
     try:
         with open(mpath) as f:
             ids = json.load(f)
-        return [str(x) for x in ids]
     except (ValueError, OSError):
         return None
+    # Type-check, not just parse-check: corruption that happens to parse
+    # as a JSON string would iterate into characters (bogus "folded ids"
+    # that roll an incomplete tree forward), and a scalar would raise an
+    # undesigned TypeError out of every entry point.
+    if not isinstance(ids, list) or not all(isinstance(x, str) for x in ids):
+        return None
+    return ids
 
 
 def _folded_ids(path: str) -> set[str]:
@@ -372,6 +384,55 @@ def _write_manifest_fsync(mpath: str, ids: list[str]) -> None:
     os.replace(mt, mpath)
 
 
+#: Index-root ledger of every batch id EVER committed (append-time entry,
+#: re-asserted before any folded dir is deleted). The idempotence guard
+#: that survives compaction: a batch dir's _SUCCESS disappears when the
+#: fold's cleanup runs, but a redelivered append (streaming restart
+#: replaying its last foreachBatch epoch) must still no-op — without the
+#: ledger it would rewrite the batch and double every vector the fold
+#: already merged. Corollary contract: batch ids are NEVER recycled
+#: (streaming epochs and date partitions are naturally monotonic); the
+#: ledger is why reuse cannot work, and the docstrings say so. Bounded:
+#: one short string per batch ever committed — metadata, not data.
+_LEDGER = "_COMMITTED_BATCHES.json"
+
+
+def _ledger_ids(path: str) -> set[str]:
+    lpath = os.path.join(path, _LEDGER)
+    if not os.path.exists(lpath):
+        return set()
+    try:
+        with open(lpath) as f:
+            ids = json.load(f)
+    except (ValueError, OSError):
+        ids = None
+    if not isinstance(ids, list) or not all(isinstance(x, str) for x in ids):
+        raise RuntimeError(
+            f"unreadable committed-batch ledger {lpath}: appends cannot tell "
+            "a redelivery from new data. Repair: rewrite it as the JSON list "
+            "of every batch-<id> ever committed to this index (at minimum, "
+            "the ids of all existing batch-* dirs plus all folded ones)."
+        )
+    return set(ids)
+
+
+def _ledger_add(path: str, ids: set[str]) -> None:
+    """Union ids into the ledger, fsync + atomic replace (the durability
+    contract mirrors the fold manifest: the ledger entry must be durable
+    BEFORE any action that depends on it — deleting a folded dir, or
+    skipping a redelivered append)."""
+    if not ids:
+        return
+    merged = sorted(_ledger_ids(path) | ids)
+    lpath = os.path.join(path, _LEDGER)
+    lt = lpath + ".tmp"
+    with open(lt, "w") as f:
+        json.dump(merged, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(lt, lpath)
+
+
 def _heal_index(path: str) -> None:
     """Deterministic recovery for every compaction crash window (ADVICE
     r10): run by each entry point that touches the index, so no session
@@ -406,7 +467,12 @@ def _heal_index(path: str) -> None:
             os.rename(old, corpus)  # roll back: tmp never completed
     if not os.path.exists(corpus):
         return  # index never built; nothing to heal
-    for b in _folded_ids(path):
+    folded = _folded_ids(path)
+    # Invariant: a batch dir is only deleted AFTER its id is in the
+    # committed-batch ledger — else a redelivered append of a folded
+    # batch would rewrite it and double-count.
+    _ledger_add(path, folded)
+    for b in folded:
         bdir = os.path.join(path, b)
         if os.path.exists(bdir):
             shutil.rmtree(bdir)
@@ -476,6 +542,8 @@ def compact_index(spark: SparkSession, path: str, part_col: str) -> int:
     old = os.path.join(path, "corpus.old")
     os.rename(os.path.join(path, "corpus"), old)
     os.rename(tmp, os.path.join(path, "corpus"))
+    # Ledger before delete (see _heal_index's invariant).
+    _ledger_add(path, {os.path.basename(b) for b in batches})
     for b in batches:
         shutil.rmtree(b)
     shutil.rmtree(old)
@@ -504,12 +572,21 @@ def refresh_ivf_index(spark: SparkSession, index_dir: str, emb: DataFrame) -> st
     ``v-*`` directory but never a broken live index. This is the
     lifecycle step compaction cannot do: compaction preserves the
     codebook, refresh replaces it."""
-    versions = [
-        int(d.split("-", 1)[1])
-        for d in os.listdir(index_dir)
-        if d.startswith("v-") and d.split("-", 1)[1].isdigit()
-    ] if os.path.isdir(index_dir) else []
-    nxt = os.path.join(index_dir, f"v-{max(versions, default=0) + 1}")
+    import shutil
+
+    live_n = (
+        _live_version_number(index_dir) if os.path.isdir(index_dir) else None
+    ) or 0
+    if os.path.isdir(index_dir):
+        # Collect a crashed refresh's orphans: any v-dir NEWER than the
+        # live version was never promoted, so under the one-refresher
+        # contract it is garbage from a refresh that died mid-write.
+        # Deleting it here (not in GC, which cannot tell an orphan from
+        # an in-flight build) also keeps version numbers collision-free.
+        for n in _version_numbers(index_dir):
+            if n > live_n:
+                shutil.rmtree(os.path.join(index_dir, f"v-{n}"))
+    nxt = os.path.join(index_dir, f"v-{live_n + 1}")
     centroids = ivf_train_centroids(emb)
     (
         emb.select(
@@ -534,35 +611,62 @@ def refresh_ivf_index(spark: SparkSession, index_dir: str, emb: DataFrame) -> st
     return nxt
 
 
+def _live_version_number(index_dir: str) -> int | None:
+    """Parse the LIVE pointer to its version number; None when nothing
+    has ever been promoted; loud error on a corrupt pointer (guessing a
+    live version is how a GC deletes the wrong tree)."""
+    ptr = os.path.join(index_dir, _LIVE_POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        live = f.read().strip()
+    if not (live.startswith("v-") and live.split("-", 1)[1].isdigit()):
+        raise RuntimeError(
+            f"corrupt LIVE pointer in {index_dir}: {live!r}. Repair: write "
+            "the intended version directory name (e.g. 'v-3') to the file."
+        )
+    return int(live.split("-", 1)[1])
+
+
+def _version_numbers(index_dir: str) -> list[int]:
+    return sorted(
+        int(d.split("-", 1)[1])
+        for d in os.listdir(index_dir)
+        if d.startswith("v-") and d.split("-", 1)[1].isdigit()
+    )
+
+
 def gc_ivf_versions(index_dir: str, keep: int = 2) -> list[str]:
-    """Retire old blue/green versions: delete every ``v-<n>`` directory
-    older than the newest ``keep`` (default: the LIVE version plus its
-    predecessor — an in-flight probe that resolved the pointer just
-    before a promote keeps reading the previous version, so it must
-    outlive one refresh cycle; anything older is unreachable). Also
-    completes the refresh lifecycle's crash story: a refresh that died
-    mid-write left a garbage ``v-*`` tree the pointer never referenced —
-    this is where it gets collected. Never touches the version the LIVE
-    pointer names, even if ``keep`` would (a corrupted pointer fails
-    loudly in live_ivf_version, not silently here). Returns the deleted
-    directory names."""
+    """Retire old blue/green versions. Retention policy, in order:
+
+    - the LIVE version is never deleted;
+    - versions NEWER than live are never deleted by GC — a dir above the
+      live version is either a refresh in flight or a crashed refresh's
+      orphan, and GC cannot tell those apart (``refresh_ivf_index``
+      itself collects orphans above live before it starts, under the
+      one-refresher-at-a-time contract — same single-writer assumption
+      as compaction);
+    - of the PROMOTED history (live and older), the newest ``keep`` are
+      retained: ``keep=2`` holds live + its immediate predecessor, which
+      an in-flight probe that resolved the pointer just before a promote
+      may still be scanning. Everything older is unreachable.
+
+    Counting the keep window over promoted versions only (not raw
+    version numbers) is the point: an orphan above live must never eat a
+    retention slot and get the live predecessor deleted out from under a
+    reader. Raises on ``keep < 1``; returns the deleted dir names."""
     import shutil
 
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
     if not os.path.isdir(index_dir):
         return []
-    live = None
-    ptr = os.path.join(index_dir, _LIVE_POINTER)
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            live = f.read().strip()
-    versions = sorted(
-        (
-            int(d.split("-", 1)[1])
-            for d in os.listdir(index_dir)
-            if d.startswith("v-") and d.split("-", 1)[1].isdigit()
-        ),
-    )
-    doomed = [f"v-{n}" for n in versions[:-keep] if f"v-{n}" != live]
+    live_n = _live_version_number(index_dir)
+    if live_n is None:
+        return []  # nothing promoted: every version is a build in flight
+    promoted = [n for n in _version_numbers(index_dir) if n <= live_n]
+    retained = set(promoted[-keep:]) | {live_n}
+    doomed = [f"v-{n}" for n in promoted if n not in retained]
     for d in doomed:
         shutil.rmtree(os.path.join(index_dir, d))
     return doomed
@@ -597,13 +701,19 @@ def append_to_ivf_index(
     one leaves no partial state (no blind ``mode("append")`` into the
     base corpus, which a retry would duplicate). Readers union the base
     corpus with every committed batch; cell pruning applies to each scan.
-    Idempotent per batch_id. Heals first: a batch id reused after a fold
-    whose cleanup crashed would otherwise hit the idempotence guard on
-    the STALE folded dir and be silently swallowed (then deleted by the
-    next heal) — permanent loss."""
+    Idempotent per batch_id FOREVER — the dir's _SUCCESS guards the
+    pre-fold window and the committed-batch ledger guards after
+    compaction deletes the dir, so a streaming restart replaying an
+    already-folded epoch still no-ops instead of double-counting.
+    Corollary: batch ids must never be recycled for new data
+    (epochs/dates are naturally monotonic) — a recycled id is
+    indistinguishable from a redelivery and is skipped."""
     _heal_index(path)
     batch_dir = os.path.join(path, f"batch-{batch_id}")
+    if f"batch-{batch_id}" in _ledger_ids(path):
+        return  # ever-committed: this is a redelivery
     if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
+        _ledger_add(path, {f"batch-{batch_id}"})  # backfill pre-ledger commit
         return
     with open(os.path.join(path, "centroids.json")) as f:
         centroids = json.load(f)
@@ -618,6 +728,7 @@ def append_to_ivf_index(
         .mode("overwrite")
         .parquet(batch_dir)
     )
+    _ledger_add(path, {f"batch-{batch_id}"})
 
 
 def load_ivf_index_with_batches(

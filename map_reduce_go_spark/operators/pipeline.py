@@ -2166,7 +2166,8 @@ def train_quality_classifier(
     would tokenize it 2×iters+2 times), and each iteration's margins
     frame is checkpointed once so its two consumers (the stats row and
     the gradient join) share one computation instead of re-running the
-    doc aggregation."""
+    doc aggregation; both are unpersisted when done (checkpoint blocks
+    must not outlive the call in a long-lived session)."""
     feats = cls_slot_counts(docs).localCheckpoint()
     weights = [0] * CLS_DIM
     trajectory: list[dict] = []
@@ -2206,6 +2207,7 @@ def train_quality_classifier(
             )
             .collect()
         )
+        m.unpersist()  # checkpoint blocks die with the iteration
         g = {int(r["slot"]): (int(r["sp"]), int(r["sn"])) for r in grad}
         weights = [
             max(
@@ -2230,6 +2232,10 @@ def train_quality_classifier(
                 "w_nnz": sum(1 for w in weights if w != 0),
             }
         )
+    # Release the featurize checkpoint: a long-lived session (the driver
+    # loop runs ~250 queries) must not accumulate dead storage blocks per
+    # training call.
+    feats.unpersist()
     return weights, trajectory
 
 

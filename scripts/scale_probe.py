@@ -728,14 +728,17 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="sfbig_")
     try:
         if family == "clstrain":
-            # VERBATIM replication (no word_salt): the marker-token label
-            # must survive into replicas (salting rewrites every word, so
-            # replica docs would all label negative and the probe would
-            # measure a destroyed-label artifact, not the loop). Verbatim
-            # k copies also make a sharp invariance check: per-class MEAN
-            # gradients are identical over k copies, so the weight
-            # trajectory must match base exactly and the per-iteration
-            # miss counts must be exactly k-fold base's.
+            # word_salt=False replication: replicas keep the 1x WORD
+            # MULTISET per doc (the scramble mode permutes word order but
+            # substitutes nothing), so the marker-token label survives —
+            # word_salt would suffix every word and relabel all replicas
+            # negative, measuring a destroyed-label artifact. Preserved
+            # multisets also make a sharp invariance check: the featurize
+            # (slot COUNTS) and the count-based label are order-blind, so
+            # per-class MEAN gradients see identical operands at any k and
+            # the per-iteration miss counts must be exactly k-fold base's.
+            # (An order-SENSITIVE feature — n-grams, shingles — would NOT
+            # inherit this invariance under scramble replication.)
             replicate(spark, k, out_dir, tables=("documents",), word_salt=False)
             print(
                 json.dumps(

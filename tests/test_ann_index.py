@@ -457,6 +457,11 @@ def test_compaction_crash_windows_heal_exactly_once(spark, sf_dir, index_env):
     append_to_ivf_index(spark, path, batch, "w1")
     before, _ = load_ivf_index_with_batches(spark, path)
     want = {(r["vec_id"], r["cell"]) for r in before.select("vec_id", "cell").collect()}
+    # Stash the committed batch dir: the crash states below need the
+    # STALE FOLDED DIR back on disk, and the append API (correctly)
+    # no-ops on redelivered ids now that the ledger exists.
+    stash = os.path.join(path, "stash-w1")  # non-batch-* name: invisible
+    shutil.copytree(os.path.join(path, "batch-w1"), stash)  # to readers/heal
     assert compact_index(spark, path, "cell") == 1
 
     corpus = os.path.join(path, "corpus")
@@ -475,7 +480,7 @@ def test_compaction_crash_windows_heal_exactly_once(spark, sf_dir, index_env):
         with open(os.path.join(dirpath, _FOLD_MANIFEST), "w") as mf:
             _json.dump(ids, mf)
 
-    append_to_ivf_index(spark, path, batch, "w1")
+    shutil.copytree(stash, os.path.join(path, "batch-w1"))
     _write_manifest(corpus, ["batch-w1"])
     os.makedirs(old)
     with open(os.path.join(old, "leftover"), "w") as f:
@@ -489,7 +494,7 @@ def test_compaction_crash_windows_heal_exactly_once(spark, sf_dir, index_env):
 
     # --- (b) mid-swap with COMPLETE tmp: corpus renamed away, tmp is the
     # full folded tree (manifest present) -> roll forward.
-    append_to_ivf_index(spark, path, batch, "w1")  # crash state kept the batch
+    shutil.copytree(stash, os.path.join(path, "batch-w1"))  # crash kept the dir
     os.rename(corpus, tmp)
     _write_manifest(tmp, ["batch-w1"])  # tmp = the complete folded tree
     os.makedirs(old)
@@ -524,18 +529,21 @@ def test_compaction_crash_windows_heal_exactly_once(spark, sf_dir, index_env):
     assert got3 == want2
     shutil.rmtree(path)  # leave no cross-test state on the snapshot path
 
-def test_folded_batch_id_is_reusable_after_cleanup(spark, sf_dir, index_env, tmp_path):
-    """The fold manifest must not OUTLIVE the batches it names: once
-    compaction's cleanup (or heal) has deleted the folded dirs, the
-    manifest is cleared — so a future batch that legitimately reuses a
-    folded id (epoch ids cycle) is read normally instead of silently
-    shadowed forever. During the crash window the manifest still guards
-    against double-counting (previous test); after cleanup it must not
-    guard against anything."""
+def test_redelivered_batch_noops_forever_and_new_ids_land(
+    spark, sf_dir, index_env, tmp_path
+):
+    """The committed-batch ledger contract (review finding): idempotence
+    must survive compaction. A redelivered append of an already-FOLDED
+    batch id (streaming restart replaying its last epoch after the fold
+    deleted the batch dir) no-ops — no rewritten dir, no double count —
+    while a genuinely new batch under a NEW id lands normally. Batch ids
+    are never recycled by contract; the ledger is why recycling cannot
+    work."""
     import json as _json
+    import shutil
 
     from map_reduce_go_spark.operators.ann_index import (
-        _FOLD_MANIFEST,
+        _LEDGER,
         append_to_ivf_index,
         build_ivf_index,
         compact_index,
@@ -548,34 +556,42 @@ def test_folded_batch_id_is_reusable_after_cleanup(spark, sf_dir, index_env, tmp
         (F.col("vec_id") + 50_000_000).alias("vec_id"), "embedding"
     )
     append_to_ivf_index(spark, path, day1, "epoch7")
+    with open(os.path.join(path, _LEDGER)) as f:
+        assert "batch-epoch7" in _json.load(f)  # ledgered at commit
+    before, _ = load_ivf_index_with_batches(spark, path)
+    want = {(r["vec_id"], r["cell"]) for r in before.select("vec_id", "cell").collect()}
     assert compact_index(spark, path, "cell") == 1
-    with open(os.path.join(path, "corpus", _FOLD_MANIFEST)) as f:
-        assert _json.load(f) == []  # satisfied manifest cleared
-    # A NEW batch reusing the folded id must be visible to readers.
+    assert not os.path.exists(os.path.join(path, "batch-epoch7"))
+
+    # Redelivery of the folded epoch: MUST no-op (the pre-ledger behavior
+    # was to rewrite the dir and double every vector).
+    append_to_ivf_index(spark, path, day1, "epoch7")
+    assert not os.path.exists(os.path.join(path, "batch-epoch7"))
+    after, _ = load_ivf_index_with_batches(spark, path)
+    got = {(r["vec_id"], r["cell"]) for r in after.select("vec_id", "cell").collect()}
+    assert got == want  # exactly once, forever
+
+    # A NEW batch under a NEW id lands normally.
     day2 = emb.limit(10).select(
         (F.col("vec_id") + 60_000_000).alias("vec_id"), "embedding"
     )
-    append_to_ivf_index(spark, path, day2, "epoch7")
-    got = {
+    append_to_ivf_index(spark, path, day2, "epoch8")
+    final, _ = load_ivf_index_with_batches(spark, path)
+    ids = {
         r["vec_id"]
-        for r in load_ivf_index_with_batches(spark, path)[0]
-        .where(F.col("vec_id") >= 50_000_000)
-        .select("vec_id")
-        .collect()
+        for r in final.where(F.col("vec_id") >= 50_000_000).select("vec_id").collect()
     }
-    want = {r["vec_id"] for r in day1.unionByName(day2).select("vec_id").collect()}
-    assert got == want  # day1 folded in, day2 via its (reused-id) batch dir
-    import shutil
-
+    want_ids = {r["vec_id"] for r in day1.unionByName(day2).select("vec_id").collect()}
+    assert ids == want_ids
     shutil.rmtree(path)  # leave no cross-test state on the snapshot path
 
-def test_append_heals_first_so_reused_id_in_crash_window_is_not_swallowed(
-    spark, sf_dir, index_env
-):
-    """Review-finding regression: an append whose batch id collides with a
-    STALE folded dir (compaction crashed after the swap, before cleanup)
-    must not be swallowed by the idempotence guard — append heals first,
-    the stale dir and manifest go away, and the NEW vectors land."""
+
+def test_redelivery_into_crash_window_stays_exactly_once(spark, sf_dir, index_env):
+    """The hard case the ledger exists for: compaction crashed after the
+    swap (stale folded dir + manifest naming it still on disk), and the
+    SAME batch is redelivered before any heal ran. The append must no-op
+    — previously heal-first deleted the stale dir, the _SUCCESS guard
+    missed, and the rewrite double-counted every folded vector."""
     import json as _json
     import shutil
 
@@ -589,31 +605,26 @@ def test_append_heals_first_so_reused_id_in_crash_window_is_not_swallowed(
 
     path = build_ivf_index(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    day1 = emb.limit(15).select(
+    batch = emb.limit(15).select(
         (F.col("vec_id") + 70_000_000).alias("vec_id"), "embedding"
     )
-    append_to_ivf_index(spark, path, day1, "cycle3")
+    append_to_ivf_index(spark, path, batch, "cycle3")
+    stash = os.path.join(path, "stash-c3")
+    shutil.copytree(os.path.join(path, "batch-cycle3"), stash)
+    before, _ = load_ivf_index_with_batches(spark, path)
+    want = {(r["vec_id"], r["cell"]) for r in before.select("vec_id", "cell").collect()}
     assert compact_index(spark, path, "cell") == 1
     # Reconstruct the post-swap pre-cleanup crash: stale folded dir back
-    # on disk + manifest naming it (compaction's crash leaves both).
-    append_to_ivf_index(spark, path, day1, "cycle3")
+    # on disk + manifest naming it.
+    shutil.copytree(stash, os.path.join(path, "batch-cycle3"))
     with open(os.path.join(path, "corpus", _FOLD_MANIFEST), "w") as f:
         _json.dump(["batch-cycle3"], f)
-    # New day's data legitimately reuses the cycled id — must NOT be
-    # swallowed by the stale dir's _SUCCESS.
-    day2 = emb.limit(10).select(
-        (F.col("vec_id") + 80_000_000).alias("vec_id"), "embedding"
-    )
-    append_to_ivf_index(spark, path, day2, "cycle3")
-    got = {
-        r["vec_id"]
-        for r in load_ivf_index_with_batches(spark, path)[0]
-        .where(F.col("vec_id") >= 70_000_000)
-        .select("vec_id")
-        .collect()
-    }
-    want = {r["vec_id"] for r in day1.unionByName(day2).select("vec_id").collect()}
-    assert got == want, "day2 lost or day1 double-counted"
+    # Redelivery lands in the crash window: must stay exactly-once.
+    append_to_ivf_index(spark, path, batch, "cycle3")
+    got_df, _ = load_ivf_index_with_batches(spark, path)
+    got = {(r["vec_id"], r["cell"]) for r in got_df.select("vec_id", "cell").collect()}
+    assert got == want, "redelivered folded batch double-counted or lost"
+    assert not os.path.exists(os.path.join(path, "batch-cycle3"))  # healed away
     shutil.rmtree(path)  # leave no cross-test state on the snapshot path
 
 
@@ -668,12 +679,16 @@ def test_garbage_manifest_rolls_back_and_live_reads_fail_loud(
     shutil.rmtree(path)  # leave no cross-test state on the snapshot path
 
 def test_version_gc_keeps_live_plus_previous(spark, sf_dir, index_env, tmp_path):
-    """Blue/green lifecycle completion: after several refreshes, GC
-    deletes every version except the live one and its predecessor (the
-    one an in-flight reader may still hold), never the LIVE target even
-    under an aggressive keep, and collects a crashed refresh's orphan
-    v-dir that the pointer never referenced."""
+    """Corrected blue/green retention policy (review finding): the keep
+    window counts PROMOTED versions only — an orphan above live must
+    never eat a retention slot and get the live predecessor deleted out
+    from under an in-flight reader; GC never touches versions above live
+    (in-flight vs orphan is indistinguishable there); the next REFRESH
+    collects the orphan under the one-refresher contract; keep<1 is an
+    error, and the LIVE target survives any keep."""
     import os as _os
+
+    import pytest as _pytest
 
     from map_reduce_go_spark.operators.ann_index import (
         gc_ivf_versions,
@@ -687,20 +702,33 @@ def test_version_gc_keeps_live_plus_previous(spark, sf_dir, index_env, tmp_path)
     refresh_ivf_index(spark, idx, emb)
     refresh_ivf_index(spark, idx, emb.where(F.col("vec_id") >= 2))
     refresh_ivf_index(spark, idx, emb.where(F.col("vec_id") >= 4))
-    # Simulate a crashed refresh: v-4 exists but the pointer was never
-    # flipped to it (LIVE still names v-3).
+    # Simulate a crashed refresh: v-4 exists but was never promoted.
     _os.makedirs(_os.path.join(idx, "v-4", "corpus"), exist_ok=True)
     with open(_os.path.join(idx, "LIVE")) as f:
         assert f.read().strip() == "v-3"
 
-    deleted = gc_ivf_versions(idx)  # keep newest 2 => v-3 (live) + v-4 stay
-    assert sorted(deleted) == ["v-1", "v-2"]
+    with _pytest.raises(ValueError):
+        gc_ivf_versions(idx, keep=0)
+
+    # keep=2 over PROMOTED history {1,2,3}: v-1 goes, the predecessor
+    # v-2 stays (in-flight readers), the orphan v-4 is NOT GC'd and does
+    # NOT consume a slot.
+    assert gc_ivf_versions(idx) == ["v-1"]
+    left = sorted(d for d in _os.listdir(idx) if d.startswith("v-"))
+    assert left == ["v-2", "v-3", "v-4"]
+
+    # keep=1: only live survives of the promoted set; orphan untouched.
+    assert gc_ivf_versions(idx, keep=1) == ["v-2"]
     left = sorted(d for d in _os.listdir(idx) if d.startswith("v-"))
     assert left == ["v-3", "v-4"]
-    # Aggressive keep=1 dooms v-3 by age (v-4 is newest) — but v-3 is the
-    # LIVE target, so GC must refuse it.
-    deleted2 = gc_ivf_versions(idx, keep=1)
-    assert deleted2 == []
-    # The live version must still resolve.
     corpus, cents = live_ivf_version(spark, idx)
     assert corpus.count() > 0 and cents
+
+    # The next refresh collects the orphan v-4 and takes its number.
+    v4 = refresh_ivf_index(spark, idx, emb.where(F.col("vec_id") >= 6))
+    assert _os.path.basename(v4) == "v-4"
+    with open(_os.path.join(idx, "LIVE")) as f:
+        assert f.read().strip() == "v-4"
+    corpus4, _ = live_ivf_version(spark, idx)
+    assert corpus4.count() == emb.where(F.col("vec_id") >= 6).count()
+
