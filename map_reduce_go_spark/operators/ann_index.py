@@ -384,53 +384,49 @@ def _write_manifest_fsync(mpath: str, ids: list[str]) -> None:
     os.replace(mt, mpath)
 
 
-#: Index-root ledger of every batch id EVER committed (append-time entry,
-#: re-asserted before any folded dir is deleted). The idempotence guard
-#: that survives compaction: a batch dir's _SUCCESS disappears when the
-#: fold's cleanup runs, but a redelivered append (streaming restart
-#: replaying its last foreachBatch epoch) must still no-op — without the
-#: ledger it would rewrite the batch and double every vector the fold
-#: already merged. Corollary contract: batch ids are NEVER recycled
-#: (streaming epochs and date partitions are naturally monotonic); the
-#: ledger is why reuse cannot work, and the docstrings say so. Bounded:
-#: one short string per batch ever committed — metadata, not data.
-_LEDGER = "_COMMITTED_BATCHES.json"
+#: Index-root ledger DIRECTORY of every batch id EVER committed: one
+#: empty marker file per id (entry at append commit, re-asserted before
+#: any folded dir is deleted). The idempotence guard that survives
+#: compaction: a batch dir's _SUCCESS disappears when the fold's cleanup
+#: runs, but a redelivered append (streaming restart replaying its last
+#: foreachBatch epoch) must still no-op — without the ledger it would
+#: rewrite the batch and double every vector the fold already merged.
+#: One FILE per id, not one JSON list: adds are single atomic creates
+#: with nothing to read-modify-write, so a reader's heal re-asserting
+#: folded ids can never lose a concurrent appender's fresh entry (and
+#: there is no parseable state to corrupt). Corollary contract: batch
+#: ids are NEVER recycled — and because a fresh streaming checkpoint
+#: restarts epoch numbering at 0, foreachBatch callers must NAMESPACE
+#: the id by the stream's identity, e.g. ``f"{app_id}-{epoch}"`` (the
+#: same (txnAppId, txnVersion) key Delta's idempotent writes use).
+#: Bounded: one empty file per batch ever committed — metadata, not data.
+_LEDGER_DIR = "committed-batches"
 
 
 def _ledger_ids(path: str) -> set[str]:
-    lpath = os.path.join(path, _LEDGER)
-    if not os.path.exists(lpath):
+    ldir = os.path.join(path, _LEDGER_DIR)
+    if not os.path.isdir(ldir):
         return set()
-    try:
-        with open(lpath) as f:
-            ids = json.load(f)
-    except (ValueError, OSError):
-        ids = None
-    if not isinstance(ids, list) or not all(isinstance(x, str) for x in ids):
-        raise RuntimeError(
-            f"unreadable committed-batch ledger {lpath}: appends cannot tell "
-            "a redelivery from new data. Repair: rewrite it as the JSON list "
-            "of every batch-<id> ever committed to this index (at minimum, "
-            "the ids of all existing batch-* dirs plus all folded ones)."
-        )
-    return set(ids)
+    return set(os.listdir(ldir))
 
 
 def _ledger_add(path: str, ids: set[str]) -> None:
-    """Union ids into the ledger, fsync + atomic replace (the durability
-    contract mirrors the fold manifest: the ledger entry must be durable
-    BEFORE any action that depends on it — deleting a folded dir, or
-    skipping a redelivered append)."""
+    """Record ids as ever-committed: one atomic marker-file create per
+    id, fsynced (the entry must be durable BEFORE any action that
+    depends on it — deleting a folded dir, or skipping a redelivered
+    append). Append-only and race-free by construction: concurrent
+    adders touch disjoint files."""
     if not ids:
         return
-    merged = sorted(_ledger_ids(path) | ids)
-    lpath = os.path.join(path, _LEDGER)
-    lt = lpath + ".tmp"
-    with open(lt, "w") as f:
-        json.dump(merged, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(lt, lpath)
+    ldir = os.path.join(path, _LEDGER_DIR)
+    os.makedirs(ldir, exist_ok=True)
+    for i in ids:
+        fp = os.path.join(ldir, i)
+        if os.path.exists(fp):
+            continue
+        with open(fp, "w") as f:
+            f.flush()
+            os.fsync(f.fileno())
 
 
 def _heal_index(path: str) -> None:
@@ -480,13 +476,13 @@ def _heal_index(path: str) -> None:
         if os.path.exists(stale):
             shutil.rmtree(stale)
     # Every manifest-listed dir is now confirmed gone — CLEAR the manifest
-    # (atomic replace). A stale manifest would otherwise shadow a FUTURE
-    # batch that legitimately reuses a folded id (daily epoch ids cycle):
-    # readers would skip it forever — silent data loss, worse than the
-    # duplication the manifest exists to prevent. Crash ordering is safe
-    # both ways: dirs-deleted + manifest-still-listing = readers skip
-    # nothing (dirs are gone); the reverse order can't happen because the
-    # clear runs strictly after the deletes.
+    # (atomic replace). The manifest is a crash-window artifact: once its
+    # dirs are deleted (and their ids are in the committed-batch ledger,
+    # which is what actually guards redeliveries forever), keeping the
+    # list around is pure staleness. Crash ordering is safe both ways:
+    # dirs-deleted + manifest-still-listing = readers skip nothing (the
+    # dirs are gone); the reverse order can't happen because the clear
+    # runs strictly after the deletes.
     m = os.path.join(path, "corpus", _FOLD_MANIFEST)
     if os.path.exists(m) and _folded_ids(path):
         _write_manifest_fsync(m, [])
@@ -673,10 +669,14 @@ def gc_ivf_versions(index_dir: str, keep: int = 2) -> list[str]:
 
 
 def live_ivf_version(spark: SparkSession, index_dir: str) -> tuple[DataFrame, list[list[float]]]:
-    """Resolve the LIVE pointer and load that version's corpus+codebook."""
-    with open(os.path.join(index_dir, _LIVE_POINTER)) as f:
-        v = f.read().strip()
-    base = os.path.join(index_dir, v)
+    """Resolve the LIVE pointer and load that version's corpus+codebook.
+    Pointer parsing goes through the validating helper, so a corrupt
+    pointer fails with the same repair-instruction error on the read
+    path as on refresh/GC."""
+    live_n = _live_version_number(index_dir)
+    if live_n is None:
+        raise FileNotFoundError(f"no LIVE pointer in {index_dir}")
+    base = os.path.join(index_dir, f"v-{live_n}")
     with open(os.path.join(base, "centroids.json")) as f:
         centroids = json.load(f)
     return spark.read.parquet(os.path.join(base, "corpus")), centroids

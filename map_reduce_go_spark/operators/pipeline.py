@@ -2172,8 +2172,27 @@ def train_quality_classifier(
     weights = [0] * CLS_DIM
     trajectory: list[dict] = []
     n_pos = n_neg = None
+    # Exception-safe release: a failed action mid-iteration must not pin
+    # checkpoint blocks for the session's lifetime (the driver loop runs
+    # ~250 queries per session and may catch-and-continue).
+    live_frames: list = [feats]
+    try:
+        return _train_loop(
+            spark, feats, weights, trajectory, iters, live_frames
+        )
+    finally:
+        for fr in live_frames:
+            try:
+                fr.unpersist()
+            except Exception:
+                pass
+
+
+def _train_loop(spark, feats, weights, trajectory, iters, live_frames):
+    n_pos = n_neg = None
     for it in range(1, iters + 1):
         m = _cls_margins(feats, _cls_weights_df(spark, weights)).localCheckpoint()
+        live_frames.append(m)
         stats = m.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("y").alias("n_pos"),
@@ -2208,6 +2227,7 @@ def train_quality_classifier(
             .collect()
         )
         m.unpersist()  # checkpoint blocks die with the iteration
+        live_frames.remove(m)
         g = {int(r["slot"]): (int(r["sp"]), int(r["sn"])) for r in grad}
         weights = [
             max(
@@ -2232,10 +2252,7 @@ def train_quality_classifier(
                 "w_nnz": sum(1 for w in weights if w != 0),
             }
         )
-    # Release the featurize checkpoint: a long-lived session (the driver
-    # loop runs ~250 queries) must not accumulate dead storage blocks per
-    # training call.
-    feats.unpersist()
+    # feats (still in live_frames) is released by the caller's finally.
     return weights, trajectory
 
 

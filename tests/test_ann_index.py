@@ -543,7 +543,7 @@ def test_redelivered_batch_noops_forever_and_new_ids_land(
     import shutil
 
     from map_reduce_go_spark.operators.ann_index import (
-        _LEDGER,
+        _LEDGER_DIR,
         append_to_ivf_index,
         build_ivf_index,
         compact_index,
@@ -556,8 +556,8 @@ def test_redelivered_batch_noops_forever_and_new_ids_land(
         (F.col("vec_id") + 50_000_000).alias("vec_id"), "embedding"
     )
     append_to_ivf_index(spark, path, day1, "epoch7")
-    with open(os.path.join(path, _LEDGER)) as f:
-        assert "batch-epoch7" in _json.load(f)  # ledgered at commit
+    # Ledgered at commit: one marker FILE per id (atomic, race-free adds).
+    assert os.path.exists(os.path.join(path, _LEDGER_DIR, "batch-epoch7"))
     before, _ = load_ivf_index_with_batches(spark, path)
     want = {(r["vec_id"], r["cell"]) for r in before.select("vec_id", "cell").collect()}
     assert compact_index(spark, path, "cell") == 1

@@ -95,7 +95,7 @@ def test_trunc_div_matches_python_definition(a: int, b: int):
         assert (q > 0) == ((a > 0) == (b > 0))
 
 
-def test_trunc_div_matches_duckdb_floor_div_semantics():
+def test_trunc_div_matches_duckdb_trunc_div_semantics():
     """The identity every replayed trajectory leans on, checked against
     the actual engine: DuckDB's BIGINT ``//`` equals trunc_div on an
     adversarial operand grid (negatives, near-boundary, exact multiples)."""

@@ -1097,10 +1097,14 @@ def test_streaming_lsh_index_maintenance_equals_rebuild(spark, sf_dir, tmp_path)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    # Batch id namespaced by the STREAM's identity, not the bare epoch:
+    # a fresh checkpoint restarts epochs at 0, and the index's committed-
+    # batch ledger treats a seen id as a redelivery forever — the
+    # (txnAppId, txnVersion) discipline of Delta's idempotent writes.
     q = (
         stream.writeStream.foreachBatch(
             lambda batch_df, epoch: append_to_lsh_index(
-                spark, path, batch_df, f"epoch{epoch}"
+                spark, path, batch_df, f"lshstream1-epoch{epoch}"
             )
         )
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -1109,7 +1113,7 @@ def test_streaming_lsh_index_maintenance_equals_rebuild(spark, sf_dir, tmp_path)
     )
     q.awaitTermination()
 
-    batch_dirs = [d for d in os.listdir(path) if d.startswith("batch-epoch")]
+    batch_dirs = [d for d in os.listdir(path) if d.startswith("batch-lshstream1-epoch")]
     assert len(batch_dirs) >= 2  # genuinely incremental, not one big batch
 
     got = {
@@ -1176,10 +1180,12 @@ def test_streaming_ivf_index_maintenance_equals_rebuild(spark, sf_dir, tmp_path)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    # Stream-scoped batch ids (see the LSH twin above): epochs reset with
+    # a new checkpoint, the ledger never forgets.
     q = (
         stream.writeStream.foreachBatch(
             lambda batch_df, epoch: append_to_ivf_index(
-                spark, path, batch_df, f"epoch{epoch}"
+                spark, path, batch_df, f"ivfstream1-epoch{epoch}"
             )
         )
         .option("checkpointLocation", str(tmp_path / "ivf_ckpt"))
@@ -1188,7 +1194,7 @@ def test_streaming_ivf_index_maintenance_equals_rebuild(spark, sf_dir, tmp_path)
     )
     q.awaitTermination()
 
-    batch_dirs = [d for d in os.listdir(path) if d.startswith("batch-epoch")]
+    batch_dirs = [d for d in os.listdir(path) if d.startswith("batch-ivfstream1-epoch")]
     assert len(batch_dirs) >= 2  # genuinely incremental, not one big batch
 
     streamed, cents = load_ivf_index_with_batches(spark, path)
