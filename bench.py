@@ -66,7 +66,13 @@ NOTES = (
     "driver-green, and SCALE.md keeps both CDC forms' ratio rows); "
     "multimodal_quarantine_audit joins (~0.6s cold at sf0.1: real "
     "per-blob PNG encode+decode through mapInPandas — the "
-    "blobs-decoded-per-second canary) — suite is 57 headliners."
+    "blobs-decoded-per-second canary) — suite is 57 headliners. "
+    "r11 close: two same-code readings 57.5s and 66.2s — the 8.7s gap "
+    "is spread +0.2-0.8s across ~20 UNRELATED queries (equidepth at its "
+    "documented 1.3s noise reading, canary band 2.44->2.85, all plan "
+    "tests green; the r11-touched ann/quarantine queries are not among "
+    "the top deltas) — host drift after hours of batteries, the r6/r9 "
+    "pattern again. Trust per-query medians across rounds, not totals."
 )
 
 # Headline set: one per operator family, weighted toward scale-sensitive
