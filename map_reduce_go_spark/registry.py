@@ -116,14 +116,37 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #     silently push an r5 row past the done-bar. ---
     "multimodal_quarantine_audit",
     # (After this window the oldest driver rows are the 50 r6 rows —
-    # they lead the r12 window, oldest-first. Planned r12 registration:
-    # classifier_train_scores (operators/pipeline.py — training loop,
-    # Python replay test, and the unrolled-SQL oracle
-    # `_cls_train_oracle_sql` are ALL already landed and green; its
-    # registration costs one slot, so 49 r6 rows + it fill the window
-    # and the 50th r6 row leads r13). Any additions with no driver row
-    # yet must be appended to THIS tuple so the never-checked invariant
-    # in tests/test_registry_contract.py holds.)
+    # they lead the r12 window, oldest-first. The exact list, computed
+    # from CORRECTNESS_r01..r10 latest rows at r11 close, in
+    # registration order: dedup_minhash_lsh, dedup_embedding_cosine,
+    # dedup_clusters, dedup_minhash_lsh_stopfiltered,
+    # setsim_prefix_filter_join, shingle_novelty_per_doc,
+    # embedding_centroids, semdedup_prune, ann_ivf_recall_probe,
+    # embedding_int8_quant_recall, hard_negative_mining, tfidf_top_terms,
+    # bigram_lm_doc_score, pmi_collocations, doclen_log2_histogram,
+    # mad_doclen_by_source, bpe_merge_steps, readability_flesch_by_source,
+    # zipf_tail_slope, word_graph_degree_distribution,
+    # weighted_median_price, chisq_segment_priority_independence,
+    # ship_latency_percentiles_by_priority, basket_part_pairs_topk,
+    # shared_ansi_sql_probe, basket_pair_lift, new_users_daily_cumulative,
+    # order_backlog_daily, rolling_7d_distinct_users,
+    # time_weighted_avg_value_per_user, first_last_touch_attribution,
+    # dau_mau_stickiness, session_path_patterns, token_mixture_planner,
+    # dedup_token_attrition_by_source, negative_sampling_per_order,
+    # quantile_normalization_doclen, benford_first_digit_audit,
+    # snapshot_diff_cdc, revenue_lorenz_gini, ewma_daily_revenue,
+    # order_gap_islands, interval_union_coverage_days, cms_sketch_cells,
+    # kmv_distinct_merge_probe, cms_self_join_size_probe,
+    # k_anonymity_audit, sample_allocation_largest_remainder,
+    # table_checksum_buckets, gdpr_delete_impact.
+    # Planned r12 registration: classifier_train_scores
+    # (operators/pipeline.py — training loop, Python replay test, and the
+    # unrolled-SQL oracle `_cls_train_oracle_sql` are ALL already landed
+    # and green; its registration costs one slot, so 49 r6 rows + it fill
+    # the window and the 50th r6 row, gdpr_delete_impact, leads r13).
+    # Any additions with no driver row yet must be appended to THIS tuple
+    # so the never-checked invariant in tests/test_registry_contract.py
+    # holds.)
 )
 
 
