@@ -293,12 +293,15 @@ def append_to_lsh_index(
 
 def load_lsh_index_with_batches(spark: SparkSession, path: str) -> DataFrame:
     """Base LSH corpus + every committed UNFOLDED batch (unionByName;
-    each scan keeps its own bucket partition pruning). Heals a crashed
-    compaction first and skips manifest-folded batches, so an appended
-    vector is counted exactly once in every crash state."""
-    _heal_index(path)
-    corpus = spark.read.parquet(os.path.join(path, "corpus"))
-    for b in _committed_batches(path):
+    each scan keeps its own bucket partition pruning). STRICTLY
+    READ-ONLY (ADVICE r11): the crash state is resolved by
+    :func:`_resolve_corpus` without touching disk, and manifest-folded
+    batches are skipped — an appended vector is counted exactly once in
+    every crash state, while a compaction running in another process is
+    never disturbed. Destructive recovery belongs to writer entry points."""
+    corpus_dir = _resolve_corpus(path)
+    corpus = spark.read.parquet(corpus_dir)
+    for b in _committed_batches(path, corpus_dir):
         corpus = corpus.unionByName(spark.read.parquet(b))
     return corpus
 
@@ -333,9 +336,46 @@ def _read_manifest(mpath: str) -> list[str] | None:
     return ids
 
 
-def _folded_ids(path: str) -> set[str]:
-    """Batch-dir basenames the live corpus's fold manifest records as
-    already merged in (empty when the corpus was never compacted).
+def _resolve_corpus(path: str) -> str:
+    """READ-ONLY resolution of the effective corpus tree in every
+    compaction crash state — the reader-side twin of :func:`_heal_index`
+    that mutates nothing (ADVICE r11: a reader's heal could rmtree/rename
+    the tmp tree of a compaction running in ANOTHER process; readers have
+    no business doing destructive cleanup, and they don't need it —
+    exactly-once counting comes from the manifest skip alone):
+
+    - live ``corpus`` present: that's the corpus (a concurrent
+      compaction's tmp/old trees are ignored, not deleted);
+    - mid-swap, tmp COMPLETE (valid fold manifest — written last, so a
+      valid parse proves completeness): read the tmp tree as the corpus
+      (the roll-forward view, without performing the rename);
+    - mid-swap, tmp incomplete but ``corpus.old`` present: read the old
+      tree (the roll-back view — its batches are still unfolded and the
+      caller unions them in).
+
+    The destructive recovery (renames, folded-dir GC, manifest clear)
+    still happens, exactly once, at the next WRITER entry point
+    (build_* / append_to_* / compact_index / refresh), which are
+    single-writer by contract."""
+    corpus = os.path.join(path, "corpus")
+    if os.path.exists(corpus):
+        return corpus
+    tmp = os.path.join(path, "corpus.compact.tmp")
+    if _read_manifest(os.path.join(tmp, _FOLD_MANIFEST)) is not None:
+        return tmp
+    old = os.path.join(path, "corpus.old")
+    if os.path.exists(old):
+        return old
+    raise FileNotFoundError(
+        f"no readable corpus under {path}: not built, or every recovery "
+        "source (corpus / complete corpus.compact.tmp / corpus.old) is "
+        "missing — rebuild the index from its builder."
+    )
+
+
+def _folded_ids(path: str, corpus_dir: str | None = None) -> set[str]:
+    """Batch-dir basenames the (resolved) corpus's fold manifest records
+    as already merged in (empty when the corpus was never compacted).
 
     A present-but-unparseable manifest is a LOUD error: without it we
     cannot know which batch dirs are folded, and guessing either way is
@@ -344,7 +384,7 @@ def _folded_ids(path: str) -> set[str]:
     before the swap renames — but if storage ever serves a torn file,
     failing with the repair instruction beats wrong answers (the
     connected-components loud-failure discipline)."""
-    m = os.path.join(path, "corpus", _FOLD_MANIFEST)
+    m = os.path.join(corpus_dir or os.path.join(path, "corpus"), _FOLD_MANIFEST)
     if not os.path.exists(m):
         return set()
     ids = _read_manifest(m)
@@ -358,12 +398,15 @@ def _folded_ids(path: str) -> set[str]:
     return set(ids)
 
 
-def _committed_batches(path: str) -> list[str]:
+def _committed_batches(path: str, corpus_dir: str | None = None) -> list[str]:
     """Committed ``batch-*`` dirs that are NOT already folded into the
-    corpus per its manifest — the only batches readers may union in."""
+    (resolved) corpus per its manifest — the only batches readers may
+    union in. Pass the :func:`_resolve_corpus` result so the folded set
+    matches the tree actually being read (the tmp tree's manifest in the
+    roll-forward view; the old tree's in the roll-back view)."""
     import glob as _glob
 
-    folded = _folded_ids(path)
+    folded = _folded_ids(path, corpus_dir)
     return [
         b
         for b in sorted(_glob.glob(os.path.join(path, "batch-*")))
@@ -431,8 +474,13 @@ def _ledger_add(path: str, ids: set[str]) -> None:
 
 def _heal_index(path: str) -> None:
     """Deterministic recovery for every compaction crash window (ADVICE
-    r10): run by each entry point that touches the index, so no session
-    ever serves a missing, half-swapped, or double-counting tree.
+    r10): run by every WRITER entry point (build_* / append_to_* /
+    compact_index / refresh) — single-writer by contract, so the
+    destructive cleanup below can never race another process's
+    compaction. Readers never call this (ADVICE r11): load_* paths
+    resolve crash states read-only via :func:`_resolve_corpus`, so no
+    session ever serves a missing, half-swapped, or double-counting
+    tree either way.
 
     - Crash between ``rename(corpus, corpus.old)`` and
       ``rename(tmp, corpus)``: no live corpus. If the tmp tree carries
@@ -543,8 +591,10 @@ def compact_index(spark: SparkSession, path: str, part_col: str) -> int:
     for b in batches:
         shutil.rmtree(b)
     shutil.rmtree(old)
-    # Cleanup succeeded: heal clears the now-satisfied manifest so a
-    # future batch reusing a folded id is not shadowed (see _heal_index).
+    # Cleanup succeeded: heal clears the now-satisfied manifest — pure
+    # stale-bookkeeping removal (the committed-batch ledger, not the
+    # manifest, is the permanent redelivery guard; batch ids are never
+    # recycled, per the append_to_* contract).
     _heal_index(path)
     return len(batches)
 
@@ -735,14 +785,17 @@ def load_ivf_index_with_batches(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, list[list[float]]]:
     """Read base corpus + every committed UNFOLDED incremental batch
-    (unionByName; each scan keeps its own partition pruning). Heals a
-    crashed compaction first and skips manifest-folded batches — exactly-
-    once counting of appended vectors in every crash state."""
-    _heal_index(path)
+    (unionByName; each scan keeps its own partition pruning). STRICTLY
+    READ-ONLY (ADVICE r11): crash states are served via
+    :func:`_resolve_corpus` + the manifest skip — exactly-once counting
+    of appended vectors in every crash state, with zero mutation, so a
+    reader can never break a compaction running in another process.
+    Destructive recovery runs at the next writer entry point."""
+    corpus_dir = _resolve_corpus(path)
     with open(os.path.join(path, "centroids.json")) as f:
         centroids = json.load(f)
-    corpus = spark.read.parquet(os.path.join(path, "corpus"))
-    for b in _committed_batches(path):
+    corpus = spark.read.parquet(corpus_dir)
+    for b in _committed_batches(path, corpus_dir):
         corpus = corpus.unionByName(spark.read.parquet(b))
     return corpus, centroids
 

@@ -2171,7 +2171,6 @@ def train_quality_classifier(
     feats = cls_slot_counts(docs).localCheckpoint()
     weights = [0] * CLS_DIM
     trajectory: list[dict] = []
-    n_pos = n_neg = None
     # Exception-safe release: a failed action mid-iteration must not pin
     # checkpoint blocks for the session's lifetime (the driver loop runs
     # ~250 queries per session and may catch-and-continue).
@@ -2207,6 +2206,21 @@ def _train_loop(spark, feats, weights, trajectory, iters, live_frames):
         if n_pos is None:
             n_pos = int(stats["n_pos"])
             n_neg = int(stats["n_docs"]) - n_pos
+            if n_pos == 0 or n_neg == 0:
+                # Degenerate marker-rule label (ADVICE r11): a corpus
+                # slice where every doc lands on one side of the
+                # cnt(fast,big) > cnt(slow,small) rule has nothing to
+                # separate — the class-balanced update would divide by
+                # the empty class. Name the actual problem instead of
+                # surfacing a bare ZeroDivisionError from _trunc_div.
+                raise ValueError(
+                    "train_quality_classifier: marker-rule label is "
+                    f"degenerate on this corpus (n_pos={n_pos}, "
+                    f"n_neg={n_neg} of {int(stats['n_docs'])} docs) — "
+                    "class-balanced gradient needs both classes; check "
+                    "that the corpus slice contains both marker-majority "
+                    "kinds of documents"
+                )
         grad = (
             # feats already carries y and n_tokens; the residual frame is
             # corpus-cardinality, so this doc-keyed join is deliberately
@@ -2261,11 +2275,11 @@ def classifier_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-then-score loop (CCNet's quality-filter shape with the training
     half no longer stubbed). Emits the integer ground truth (learned
     micro-margin, milli-probability) plus the float probability for
-    human eyes. Deliberately UNREGISTERED in round 11: the driver window
-    is exactly 50 slots and the r11 rotation needs 49 of them (see
-    registry.py) — r12 registers this with an unrolled-SQL oracle; until
-    then tests/test_classifier_training.py replays the trajectory and
-    this output integer-exactly in pure Python."""
+    human eyes. Registered in round 12 (the r11 window had no free slot)
+    with the unrolled-SQL replay oracle ``_cls_train_oracle_sql`` —
+    registration happens below the oracle builder's definition;
+    tests/test_classifier_training.py additionally replays the trajectory
+    and this output integer-exactly in pure Python."""
     docs = load_table(spark, sf_dir, "documents")
     weights, _traj = train_quality_classifier(spark, docs)
     m = _cls_margins(cls_slot_counts(docs), _cls_weights_df(spark, weights))
@@ -2369,3 +2383,11 @@ def _cls_train_oracle_sql(iters: int = CLS_ITERS) -> str:
              / 1000.0 AS learned_prob
     FROM m{fin}
     """
+
+
+# Registered here (not via decorator) because the oracle builder above
+# must exist first; pre-validated engine==oracle in
+# tests/test_classifier_training.py::test_unrolled_sql_oracle_matches_engine.
+register("classifier_train_scores", oracle=_cls_train_oracle_sql())(
+    classifier_train_scores
+)

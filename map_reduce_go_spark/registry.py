@@ -50,103 +50,78 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the checked window. Queries not listed follow in registration order, so
 # the union of checked sets grows round over round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-11 window — executing the rotation VERDICT r10 #1 mandates:
-    # retire ALL driver rows older than round 6. After this window no
-    # query's latest driver row predates round 6, and the ever-checked
-    # union stays = the entire registry.
-    # --- (a) ALL 49 remaining r5-era rows, registration order (each
-    #     re-verified by the LOCAL driver-mimic at sf0.01 AND sf0.1
-    #     every round since r5, and 10 of them independently re-verified
-    #     by the r10 judge — the staleness is of driver rows, not
-    #     evidence) ---
-    "editdist_deletion_join",
-    "dedup_minhash_containment",
-    "lsh_band_tuning_report",
-    "ann_ivf_cosine",
-    "ann_pq_adc_topk",
-    "ann_ivf_pq_topk",
-    "vocab_overlap_between_sources",
-    "language_confusion_matrix",
-    "char_entropy_quality",
-    "word_graph_reachability",
-    "word_graph_triangles",
-    "word_graph_pagerank",
-    "winsorized_doclen_stats",
-    "ols_tokens_vs_chars_by_source",
-    "orders_yoy_growth",
-    "customer_spend_deciles",
-    "null_safe_join_probe",
-    "listagg_supplier_roster",
-    "robust_central_tendency",
-    "unpivot_lineitem_charges",
-    "lateral_top3_customers_per_nation",
-    "morton_zorder_layout_audit",
-    "try_cast_dirty_data",
-    "moment_stats_quantity",
-    "pareto_frontier_parts",
-    "event_dwell_time_by_type",
-    "events_hourly_heatmap",
-    "union_by_name_schema_evolution",
-    "forward_fill_event_values",
-    "dq_hourly_volume_anomalies",
-    "conversion_lag_histogram",
-    "order_month_gapfill",
-    "purchase_click_attribution_outer",
-    "reservoir_sample_per_source",
-    "stratified_sample_mktsegment",
-    "zscore_doclen_by_source",
-    "pipeline_stage_attrition",
-    "token_mixture_temperature",
-    "salted_join_hot_events",
-    "join_key_skew_audit",
-    "upsert_latest_snapshot",
-    "scd2_user_type_history",
-    "dq_referential_integrity",
-    "compaction_planner",
-    "incremental_agg_merge",
-    "equidepth_histogram_price",
-    "orders_rfm_segmentation",
-    "cms_heavy_hitters",
-    "bloom_join_prune_probe",
-    # --- (b) round-11 additions (never checked, must be in the window
-    #     per tests/test_registry_contract.py). The window is exactly 50
-    #     slots, so r11 deliberately registers ONE new query (the
-    #     VERDICT r10 #2 quarantine path) to keep the rotation complete:
-    #     49 r5 rows + 1 addition. Further additions this round would
-    #     silently push an r5 row past the done-bar. ---
-    "multimodal_quarantine_audit",
-    # (After this window the oldest driver rows are the 50 r6 rows —
-    # they lead the r12 window, oldest-first. The exact list, computed
-    # from CORRECTNESS_r01..r10 latest rows at r11 close, in
-    # registration order: dedup_minhash_lsh, dedup_embedding_cosine,
-    # dedup_clusters, dedup_minhash_lsh_stopfiltered,
-    # setsim_prefix_filter_join, shingle_novelty_per_doc,
-    # embedding_centroids, semdedup_prune, ann_ivf_recall_probe,
-    # embedding_int8_quant_recall, hard_negative_mining, tfidf_top_terms,
-    # bigram_lm_doc_score, pmi_collocations, doclen_log2_histogram,
-    # mad_doclen_by_source, bpe_merge_steps, readability_flesch_by_source,
-    # zipf_tail_slope, word_graph_degree_distribution,
-    # weighted_median_price, chisq_segment_priority_independence,
-    # ship_latency_percentiles_by_priority, basket_part_pairs_topk,
-    # shared_ansi_sql_probe, basket_pair_lift, new_users_daily_cumulative,
-    # order_backlog_daily, rolling_7d_distinct_users,
-    # time_weighted_avg_value_per_user, first_last_touch_attribution,
-    # dau_mau_stickiness, session_path_patterns, token_mixture_planner,
-    # dedup_token_attrition_by_source, negative_sampling_per_order,
-    # quantile_normalization_doclen, benford_first_digit_audit,
-    # snapshot_diff_cdc, revenue_lorenz_gini, ewma_daily_revenue,
-    # order_gap_islands, interval_union_coverage_days, cms_sketch_cells,
-    # kmv_distinct_merge_probe, cms_self_join_size_probe,
-    # k_anonymity_audit, sample_allocation_largest_remainder,
-    # table_checksum_buckets, gdpr_delete_impact.
-    # Planned r12 registration: classifier_train_scores
-    # (operators/pipeline.py — training loop, Python replay test, and the
-    # unrolled-SQL oracle `_cls_train_oracle_sql` are ALL already landed
-    # and green; its registration costs one slot, so 49 r6 rows + it fill
-    # the window and the 50th r6 row, gdpr_delete_impact, leads r13).
-    # Any additions with no driver row yet must be appended to THIS tuple
-    # so the never-checked invariant in tests/test_registry_contract.py
-    # holds.)
+    # Round-12 window — executing the rotation VERDICT r11 #1 pinned at
+    # r11 close (registry comment + CORRECTNESS_r01..r11 latest-round
+    # computation): the 50 r6-era rows are the oldest remaining driver
+    # rows; 49 of them lead this window oldest-first (registration
+    # order), and the 50th slot goes to the ONE new registration this
+    # round — classifier_train_scores (the in-engine training loop landed
+    # and pre-validated in r11, the only capability without a driver
+    # row). The 50th r6 row, gdpr_delete_impact, is the DOCUMENTED slip:
+    # it leads the r13 window (it was independently oracle-spot-checked
+    # by the r11 judge this session, so its evidence is fresh even though
+    # its driver row stays r6 until r13).
+    # --- (a) 49 of the 50 r6-era rows, registration order ---
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_minhash_lsh_stopfiltered",
+    "setsim_prefix_filter_join",
+    "shingle_novelty_per_doc",
+    "embedding_centroids",
+    "semdedup_prune",
+    "ann_ivf_recall_probe",
+    "embedding_int8_quant_recall",
+    "hard_negative_mining",
+    "tfidf_top_terms",
+    "bigram_lm_doc_score",
+    "pmi_collocations",
+    "doclen_log2_histogram",
+    "mad_doclen_by_source",
+    "bpe_merge_steps",
+    "readability_flesch_by_source",
+    "zipf_tail_slope",
+    "word_graph_degree_distribution",
+    "weighted_median_price",
+    "chisq_segment_priority_independence",
+    "ship_latency_percentiles_by_priority",
+    "basket_part_pairs_topk",
+    "shared_ansi_sql_probe",
+    "basket_pair_lift",
+    "new_users_daily_cumulative",
+    "order_backlog_daily",
+    "rolling_7d_distinct_users",
+    "time_weighted_avg_value_per_user",
+    "first_last_touch_attribution",
+    "dau_mau_stickiness",
+    "session_path_patterns",
+    "token_mixture_planner",
+    "dedup_token_attrition_by_source",
+    "negative_sampling_per_order",
+    "quantile_normalization_doclen",
+    "benford_first_digit_audit",
+    "snapshot_diff_cdc",
+    "revenue_lorenz_gini",
+    "ewma_daily_revenue",
+    "order_gap_islands",
+    "interval_union_coverage_days",
+    "cms_sketch_cells",
+    "kmv_distinct_merge_probe",
+    "cms_self_join_size_probe",
+    "k_anonymity_audit",
+    "sample_allocation_largest_remainder",
+    "table_checksum_buckets",
+    # --- (b) round-12 addition (never checked, must be in the window
+    #     per tests/test_registry_contract.py): the training half of the
+    #     quality-filter loop, registered with the unrolled-SQL replay
+    #     oracle pre-validated in r11
+    #     (tests/test_classifier_training.py::test_unrolled_sql_oracle_matches_engine). ---
+    "classifier_train_scores",
+    # (After this window the only pre-r7 driver row is gdpr_delete_impact
+    # (r6) — it leads the r13 window, followed by the 49 r7-era rows
+    # oldest-first. Any additions with no driver row yet must be appended
+    # to THIS tuple so the never-checked invariant in
+    # tests/test_registry_contract.py holds.)
 )
 
 

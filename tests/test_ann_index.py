@@ -424,21 +424,26 @@ def test_probe_results_identical_before_and_after_compaction(spark, sf_dir, inde
     assert before
 
 def test_compaction_crash_windows_heal_exactly_once(spark, sf_dir, index_env):
-    """ADVICE r10 closure — every compaction crash window recovers
-    without double-counting and without manual intervention:
+    """ADVICE r10 closure, reader side re-cut per ADVICE r11: every
+    compaction crash window serves exactly-once answers to READ-ONLY
+    loads (which must mutate nothing — a reader may be racing a live
+    compaction in another process), and the next WRITER entry point
+    performs the destructive recovery:
 
     (a) crash AFTER the tmp->corpus swap but BEFORE cleanup (folded rows
         and the still-committed batch dirs are BOTH live, plus a
-        non-empty ``corpus.old``): readers must skip the manifest-folded
-        batches — an appended vector is counted exactly once — and the
-        next compact_index garbage-collects the leftovers instead of
-        wedging on ``os.rename(corpus, corpus.old)``;
+        non-empty ``corpus.old``): readers skip the manifest-folded
+        batches — an appended vector is counted exactly once — while
+        leaving the leftovers on disk; the next compact_index
+        garbage-collects them instead of wedging on
+        ``os.rename(corpus, corpus.old)``;
     (b) crash BETWEEN ``rename(corpus, old)`` and ``rename(tmp, corpus)``
-        with a COMPLETE tmp (fold manifest present): heal rolls FORWARD,
-        and the index serves the folded assignment set;
-    (c) the same window with an INCOMPLETE tmp (no manifest): heal rolls
-        BACK to the pre-compaction corpus and the batches stay unfolded,
-        so the next compaction simply redoes the fold.
+        with a COMPLETE tmp (fold manifest present): readers serve the
+        roll-forward VIEW without performing the rename; the next writer
+        entry rolls forward for real;
+    (c) the same window with an INCOMPLETE tmp (no manifest): readers
+        serve the roll-back view (old corpus + unfolded batches) without
+        renaming; the next compaction rolls back and redoes the fold.
     """
     import shutil
 
@@ -488,9 +493,12 @@ def test_compaction_crash_windows_heal_exactly_once(spark, sf_dir, index_env):
     healed, _ = load_ivf_index_with_batches(spark, path)
     got = {(r["vec_id"], r["cell"]) for r in healed.select("vec_id", "cell").collect()}
     assert got == want  # manifest-folded batch skipped: exactly once
-    assert not os.path.exists(old)  # heal garbage-collected it
-    assert not os.path.exists(os.path.join(path, "batch-w1"))
+    # Read-only contract: the reader left every leftover in place.
+    assert os.path.exists(old)
+    assert os.path.exists(os.path.join(path, "batch-w1"))
     assert compact_index(spark, path, "cell") == 0  # nothing unfolded; no wedge
+    assert not os.path.exists(old)  # the WRITER garbage-collected it
+    assert not os.path.exists(os.path.join(path, "batch-w1"))
 
     # --- (b) mid-swap with COMPLETE tmp: corpus renamed away, tmp is the
     # full folded tree (manifest present) -> roll forward.
@@ -500,6 +508,12 @@ def test_compaction_crash_windows_heal_exactly_once(spark, sf_dir, index_env):
     os.makedirs(old)
     with open(os.path.join(old, "leftover"), "w") as f:
         f.write("old corpus")
+    # Read-only roll-FORWARD view: the complete tmp (valid manifest)
+    # serves the folded answer set with no rename performed.
+    fwd, _ = load_ivf_index_with_batches(spark, path)
+    got = {(r["vec_id"], r["cell"]) for r in fwd.select("vec_id", "cell").collect()}
+    assert got == want
+    assert os.path.exists(tmp) and not os.path.exists(corpus)  # untouched
     assert build_ivf_index(spark, sf_dir) == path  # marker short-circuit heals
     assert os.path.exists(corpus) and not os.path.exists(tmp)
     rolled, _ = load_ivf_index_with_batches(spark, path)
@@ -521,9 +535,13 @@ def test_compaction_crash_windows_heal_exactly_once(spark, sf_dir, index_env):
         f.write("merge job died mid-write")  # ...with an unfinished tmp
     back, _ = load_ivf_index_with_batches(spark, path)
     got2 = {(r["vec_id"], r["cell"]) for r in back.select("vec_id", "cell").collect()}
-    assert got2 == want2  # rolled back + batch still unioned in
+    assert got2 == want2  # roll-back VIEW + batch still unioned in
+    # Read-only contract: no rename happened; the crash state persists
+    # until a writer entry point runs.
+    assert not os.path.exists(corpus)
+    assert os.path.exists(tmp) and os.path.exists(old)
+    assert compact_index(spark, path, "cell") == 1  # heals (rolls back) + redoes
     assert os.path.exists(corpus) and not os.path.exists(tmp)
-    assert compact_index(spark, path, "cell") == 1  # redo succeeds
     final, _ = load_ivf_index_with_batches(spark, path)
     got3 = {(r["vec_id"], r["cell"]) for r in final.select("vec_id", "cell").collect()}
     assert got3 == want2
@@ -628,15 +646,59 @@ def test_redelivery_into_crash_window_stays_exactly_once(spark, sf_dir, index_en
     shutil.rmtree(path)  # leave no cross-test state on the snapshot path
 
 
+def test_reader_never_disturbs_concurrent_compaction(spark, sf_dir, index_env):
+    """ADVICE r11 (medium): the index dir is designed for cross-session
+    reuse, and a reader in one session must never delete or rename the
+    tmp tree of a compaction RUNNING in another process. Model the race
+    directly: live corpus present + an INCOMPLETE corpus.compact.tmp
+    (the concurrent compactor is mid-write, manifest not yet written).
+    A load must serve the live view and leave the tmp tree byte-for-byte
+    alone — the old heal-on-load rmtree'd it, failing that compaction
+    mid-swap."""
+    import shutil
+
+    from map_reduce_go_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        load_ivf_index_with_batches,
+    )
+
+    path = build_ivf_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = emb.limit(8).select(
+        (F.col("vec_id") + 80_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, path, batch, "live1")
+    want_df, _ = load_ivf_index_with_batches(spark, path)
+    want = {(r["vec_id"], r["cell"]) for r in want_df.select("vec_id", "cell").collect()}
+
+    # "Another process" is mid-compaction: partial tmp, no manifest yet.
+    tmp = os.path.join(path, "corpus.compact.tmp")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00000.parquet.inprogress"), "w") as f:
+        f.write("concurrent compactor still writing")
+    old = os.path.join(path, "corpus.old")  # not created: swap not started
+
+    got_df, _ = load_ivf_index_with_batches(spark, path)
+    got = {(r["vec_id"], r["cell"]) for r in got_df.select("vec_id", "cell").collect()}
+    assert got == want  # live view, batch included exactly once
+    # The reader left the in-flight compaction's state untouched.
+    assert os.path.exists(os.path.join(tmp, "part-00000.parquet.inprogress"))
+    assert not os.path.exists(old)
+    assert os.path.exists(os.path.join(path, "batch-live1"))
+    shutil.rmtree(path)  # leave no cross-test state on the snapshot path
+
+
 def test_garbage_manifest_rolls_back_and_live_reads_fail_loud(
     spark, sf_dir, index_env, tmp_path
 ):
     """Torn-manifest durability cases: (a) a mid-swap tmp whose manifest
-    is garbage is NOT rolled forward (presence is not proof — heal
-    restores corpus.old, whose batches are still unfolded and
-    re-compactable); (b) a garbage manifest on a LIVE corpus fails loud
-    with the repair instruction rather than guessing (either guess is
-    silent corruption)."""
+    is garbage is NOT rolled forward (presence is not proof) — the
+    read-only load serves the corpus.old view, and the next writer
+    (compact_index) restores corpus.old for real, whose batches are
+    still unfolded and re-compactable; (b) a garbage manifest on a LIVE
+    corpus fails loud with the repair instruction rather than guessing
+    (either guess is silent corruption)."""
     import shutil
 
     import pytest as _pytest

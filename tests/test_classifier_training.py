@@ -187,3 +187,15 @@ def test_unrolled_sql_oracle_matches_engine(spark, sf_dir):
         con.sql(_cls_train_oracle_sql()),
         "classifier_train_scores",
     )
+
+
+def test_degenerate_single_class_label_fails_loud(spark, sf_dir):
+    """ADVICE r11: a corpus slice where the marker rule yields one class
+    must raise a descriptive error naming the degeneracy — not a bare
+    ZeroDivisionError out of _trunc_div — before any gradient math runs."""
+    one_sided = spark.createDataFrame(
+        [(i, "fast big fast big traffic") for i in range(8)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="degenerate.*n_pos=8, n_neg=0"):
+        train_quality_classifier(spark, one_sided)
