@@ -31,6 +31,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -274,8 +275,8 @@ def append_to_lsh_index(
     indistinguishable from a redelivery and is skipped."""
     _heal_index(path)
     batch_dir = os.path.join(path, f"batch-{batch_id}")
-    if f"batch-{batch_id}" in _ledger_ids(path):
-        return  # ever-committed: this is a redelivery
+    if _ledger_contains(path, f"batch-{batch_id}"):
+        return  # ever-committed (marker or watermark): this is a redelivery
     if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
         _ledger_add(path, {f"batch-{batch_id}"})  # backfill pre-ledger commit
         return
@@ -442,15 +443,111 @@ def _write_manifest_fsync(mpath: str, ids: list[str]) -> None:
 #: restarts epoch numbering at 0, foreachBatch callers must NAMESPACE
 #: the id by the stream's identity, e.g. ``f"{app_id}-{epoch}"`` (the
 #: same (txnAppId, txnVersion) key Delta's idempotent writes use).
-#: Bounded: one empty file per batch ever committed — metadata, not data.
+#: BOUNDED (VERDICT r11 #2): "never forgets" no longer means "one file
+#: per epoch forever" — compaction folds each stream's contiguous
+#: committed-epoch prefix into a per-stream HIGH-WATERMARK file
+#: (``watermark-<stream>`` holding the largest epoch N such that every
+#: epoch 0..N is committed), then deletes the absorbed marker files.
+#: Membership = residual marker present OR epoch <= stream watermark,
+#: so redelivery idempotence is unchanged while the ledger's file count
+#: stays O(streams + uncompacted epochs) instead of O(epochs ever) —
+#: ~526k marker files/year at 1 epoch/min otherwise, with a directory
+#: listing on every append. Ids that don't match the ``<stream>-epoch<n>``
+#: shape (ad-hoc dates, test ids) are never absorbed and stay as markers;
+#: they are bounded by construction (daily batches, not per-minute epochs).
 _LEDGER_DIR = "committed-batches"
+
+#: Marker-file shape a watermark can absorb: ``batch-<stream>-epoch<n>``
+#: (the stream-scoped id contract foreachBatch callers follow).
+_EPOCH_MARKER_RE = re.compile(r"^batch-(.+)-epoch(\d+)$")
+_WATERMARK_PREFIX = "watermark-"
 
 
 def _ledger_ids(path: str) -> set[str]:
+    """RESIDUAL marker files only (excludes watermark files). Not a
+    membership test — absorbed epochs are covered by watermarks; use
+    :func:`_ledger_contains` to ask about a specific id."""
     ldir = os.path.join(path, _LEDGER_DIR)
     if not os.path.isdir(ldir):
         return set()
-    return set(os.listdir(ldir))
+    return {f for f in os.listdir(ldir) if not f.startswith(_WATERMARK_PREFIX)}
+
+
+def _ledger_watermarks(path: str) -> dict[str, int]:
+    """stream -> highest absorbed epoch, from the per-stream watermark
+    files (empty when the ledger was never compacted)."""
+    ldir = os.path.join(path, _LEDGER_DIR)
+    if not os.path.isdir(ldir):
+        return {}
+    out: dict[str, int] = {}
+    for f in os.listdir(ldir):
+        if not f.startswith(_WATERMARK_PREFIX):
+            continue
+        with open(os.path.join(ldir, f)) as fh:
+            txt = fh.read().strip()
+        if not txt.isdigit():
+            raise RuntimeError(
+                f"corrupt ledger watermark {os.path.join(ldir, f)!r}: "
+                f"expected a non-negative integer, got {txt!r} — the "
+                "absorbed-epoch bound is unknown; restore the file or "
+                "rebuild the index."
+            )
+        out[f[len(_WATERMARK_PREFIX):]] = int(txt)
+    return out
+
+
+def _ledger_contains(path: str, marker: str) -> bool:
+    """Has this batch id EVER been committed? True if its residual marker
+    file exists, or its stream's watermark has absorbed its epoch."""
+    if os.path.exists(os.path.join(path, _LEDGER_DIR, marker)):
+        return True
+    m = _EPOCH_MARKER_RE.match(marker)
+    if not m:
+        return False
+    return int(m.group(2)) <= _ledger_watermarks(path).get(m.group(1), -1)
+
+
+def _compact_ledger(path: str) -> None:
+    """Fold each stream's contiguous committed-epoch prefix into its
+    high-watermark file, then delete the absorbed markers — run at
+    compaction (writer-only, like every destructive step). Durability
+    order mirrors the fold manifest: the advanced watermark is fsynced
+    and atomically replaced BEFORE any absorbed marker is deleted, so a
+    crash between the two leaves both records (membership still
+    correct), never neither. Contiguity starts at epoch 0 (fresh
+    checkpoints restart numbering there) or at the existing watermark;
+    a gap stops absorption — the markers above it stay residual files,
+    which is the safe failure mode (extra files, never a false
+    'already committed')."""
+    ldir = os.path.join(path, _LEDGER_DIR)
+    if not os.path.isdir(ldir):
+        return
+    epochs: dict[str, set[int]] = {}
+    for f in os.listdir(ldir):
+        m = _EPOCH_MARKER_RE.match(f)
+        if m:
+            epochs.setdefault(m.group(1), set()).add(int(m.group(2)))
+    marks = _ledger_watermarks(path)
+    for stream, present in epochs.items():
+        w = marks.get(stream, -1)
+        new_w = w
+        while new_w + 1 in present:
+            new_w += 1
+        if new_w == w:
+            continue
+        wpath = os.path.join(ldir, _WATERMARK_PREFIX + stream)
+        wt = wpath + ".tmp"
+        with open(wt, "w") as fh:
+            fh.write(str(new_w))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(wt, wpath)
+        for e in sorted(present):
+            if w < e <= new_w:
+                try:
+                    os.remove(os.path.join(ldir, f"batch-{stream}-epoch{e}"))
+                except FileNotFoundError:
+                    pass  # a previous crash already removed it
 
 
 def _ledger_add(path: str, ids: set[str]) -> None:
@@ -465,8 +562,8 @@ def _ledger_add(path: str, ids: set[str]) -> None:
     os.makedirs(ldir, exist_ok=True)
     for i in ids:
         fp = os.path.join(ldir, i)
-        if os.path.exists(fp):
-            continue
+        if os.path.exists(fp) or _ledger_contains(path, i):
+            continue  # marker present, or already absorbed by a watermark
         with open(fp, "w") as f:
             f.flush()
             os.fsync(f.fileno())
@@ -596,6 +693,11 @@ def compact_index(spark: SparkSession, path: str, part_col: str) -> int:
     # manifest, is the permanent redelivery guard; batch ids are never
     # recycled, per the append_to_* contract).
     _heal_index(path)
+    # Fold the ledger itself (VERDICT r11 #2): absorb each stream's
+    # contiguous committed-epoch prefix into its high-watermark file so
+    # marker-file count stays bounded by compaction cadence, not by
+    # epochs-ever.
+    _compact_ledger(path)
     return len(batches)
 
 
@@ -760,8 +862,8 @@ def append_to_ivf_index(
     indistinguishable from a redelivery and is skipped."""
     _heal_index(path)
     batch_dir = os.path.join(path, f"batch-{batch_id}")
-    if f"batch-{batch_id}" in _ledger_ids(path):
-        return  # ever-committed: this is a redelivery
+    if _ledger_contains(path, f"batch-{batch_id}"):
+        return  # ever-committed (marker or watermark): this is a redelivery
     if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
         _ledger_add(path, {f"batch-{batch_id}"})  # backfill pre-ledger commit
         return

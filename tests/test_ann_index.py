@@ -794,3 +794,118 @@ def test_version_gc_keeps_live_plus_previous(spark, sf_dir, index_env, tmp_path)
     corpus4, _ = live_ivf_version(spark, idx)
     assert corpus4.count() == emb.where(F.col("vec_id") >= 6).count()
 
+
+
+def test_ledger_watermark_bounds_files_and_keeps_redelivery_noop(
+    spark, sf_dir, index_env
+):
+    """VERDICT r11 #2 — the committed-batch ledger must not grow one
+    marker file per epoch forever. Compaction folds each stream's
+    contiguous committed-epoch prefix into a per-stream high-watermark
+    file and deletes the absorbed markers; membership (and therefore
+    redelivery idempotence) is unchanged:
+
+    - after compaction the ledger holds ONE watermark file for the
+      stream (plus residual non-epoch ids), not N epoch markers;
+    - a redelivery BELOW the watermark (its marker file long gone, its
+      batch dir folded away) still no-ops — exactly-once forever;
+    - a NEW epoch above the watermark lands normally and is absorbed by
+      the next compaction.
+    """
+    import shutil
+
+    from map_reduce_go_spark.operators.ann_index import (
+        _LEDGER_DIR,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_index,
+        load_ivf_index_with_batches,
+    )
+
+    path = build_ivf_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_epochs = 4
+    for e in range(n_epochs):
+        batch = emb.limit(5).select(
+            (F.col("vec_id") + 100_000_000 + 1000 * e).alias("vec_id"), "embedding"
+        )
+        append_to_ivf_index(spark, path, batch, f"wmstream-epoch{e}")
+    # One ad-hoc (non-epoch) id: must survive folding as a residual marker.
+    adhoc = emb.limit(3).select(
+        (F.col("vec_id") + 110_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, path, adhoc, "manual-backfill-day1")
+
+    ldir = os.path.join(path, _LEDGER_DIR)
+    assert len(os.listdir(ldir)) == n_epochs + 1  # unbounded shape, pre-fold
+    before, _ = load_ivf_index_with_batches(spark, path)
+    want = {(r["vec_id"], r["cell"]) for r in before.select("vec_id", "cell").collect()}
+
+    assert compact_index(spark, path, "cell") == n_epochs + 1
+    names = sorted(os.listdir(ldir))
+    assert names == ["batch-manual-backfill-day1", "watermark-wmstream"]
+    with open(os.path.join(ldir, "watermark-wmstream")) as f:
+        assert f.read().strip() == str(n_epochs - 1)
+
+    # Redelivery BELOW the watermark: marker file gone, batch dir folded
+    # away — the watermark alone must no-op it.
+    replay = emb.limit(5).select(
+        (F.col("vec_id") + 100_000_000 + 1000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, path, replay, "wmstream-epoch1")
+    assert not os.path.exists(os.path.join(path, "batch-wmstream-epoch1"))
+    after, _ = load_ivf_index_with_batches(spark, path)
+    got = {(r["vec_id"], r["cell"]) for r in after.select("vec_id", "cell").collect()}
+    assert got == want  # exactly once, via the watermark
+
+    # New epoch above the watermark lands; the next compaction advances
+    # the watermark and the marker count stays flat.
+    nxt = emb.limit(5).select(
+        (F.col("vec_id") + 120_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivf_index(spark, path, nxt, f"wmstream-epoch{n_epochs}")
+    assert compact_index(spark, path, "cell") == 1
+    assert sorted(os.listdir(ldir)) == [
+        "batch-manual-backfill-day1",
+        "watermark-wmstream",
+    ]
+    with open(os.path.join(ldir, "watermark-wmstream")) as f:
+        assert f.read().strip() == str(n_epochs)
+    shutil.rmtree(path)  # leave no cross-test state on the snapshot path
+
+
+def test_ledger_watermark_never_absorbs_past_a_gap(spark, sf_dir, index_env):
+    """A gap in the committed-epoch sequence stops absorption: epochs
+    above the gap stay as residual marker files (the safe failure mode —
+    extra files, never a false 'already committed'), and a later commit
+    of the missing epoch lets the next fold absorb the whole run."""
+    import shutil
+
+    from map_reduce_go_spark.operators.ann_index import (
+        _LEDGER_DIR,
+        _compact_ledger,
+        _ledger_add,
+        _ledger_contains,
+    )
+
+    path = os.path.join(os.environ["SPARK_GRAFT_INDEX_DIR"], "gap-ledger")
+    os.makedirs(os.path.join(path, "corpus"), exist_ok=True)
+    _ledger_add(path, {"batch-s-epoch0", "batch-s-epoch1", "batch-s-epoch3"})
+    _compact_ledger(path)
+    ldir = os.path.join(path, _LEDGER_DIR)
+    assert sorted(os.listdir(ldir)) == ["batch-s-epoch3", "watermark-s"]
+    with open(os.path.join(ldir, "watermark-s")) as f:
+        assert f.read().strip() == "1"
+    assert _ledger_contains(path, "batch-s-epoch0")      # absorbed
+    assert _ledger_contains(path, "batch-s-epoch3")      # residual marker
+    assert not _ledger_contains(path, "batch-s-epoch2")  # the gap: NOT committed
+    assert not _ledger_contains(path, "batch-s-epoch4")
+
+    # The missing epoch lands later: the next fold absorbs through it.
+    _ledger_add(path, {"batch-s-epoch2"})
+    _compact_ledger(path)
+    assert sorted(os.listdir(ldir)) == ["watermark-s"]
+    with open(os.path.join(ldir, "watermark-s")) as f:
+        assert f.read().strip() == "3"
+    assert _ledger_contains(path, "batch-s-epoch2")
+    shutil.rmtree(path)
