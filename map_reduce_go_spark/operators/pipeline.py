@@ -2151,7 +2151,10 @@ def _cls_margins(feats: DataFrame, wdf: DataFrame) -> DataFrame:
 
 
 def train_quality_classifier(
-    spark: SparkSession, docs: DataFrame, iters: int = CLS_ITERS
+    spark: SparkSession,
+    docs: DataFrame,
+    iters: int = CLS_ITERS,
+    feats_path: str | None = None,
 ) -> tuple[list[int], list[dict]]:
     """Fixed-iteration class-balanced integer gradient descent; returns
     (final weights, per-iteration trajectory). Trajectory entries carry
@@ -2160,21 +2163,39 @@ def train_quality_classifier(
     checksums. The per-iteration ``collect()`` is <=CLS_DIM gradient rows
     — model state, not data (the IVF-codebook rule).
 
-    Materialization discipline: the featurize frame is localCheckpointed
-    ONCE (the loop's stable input — at 100 TB this is the parquet
-    checkpoint of the doc×slot matrix; rescanning the corpus per action
-    would tokenize it 2×iters+2 times), and each iteration's margins
-    frame is checkpointed once so its two consumers (the stats row and
-    the gradient join) share one computation instead of re-running the
-    doc aggregation; both are unpersisted when done (checkpoint blocks
-    must not outlive the call in a long-lived session)."""
-    feats = cls_slot_counts(docs).localCheckpoint()
+    Materialization discipline: the featurize frame is materialized
+    ONCE as the loop's stable input — rescanning the corpus per action
+    would tokenize it 2×iters+2 times. Two forms (VERDICT r11 #3):
+
+    - ``feats_path=None`` (default): ``localCheckpoint()`` — executor
+      blocks, zero external state, right for fixture-scale and for the
+      registered query (no side-effect paths in the driver contract).
+    - ``feats_path="..."``: the doc×slot matrix is written to parquet
+      once and every iteration reads THAT — the persisted-index
+      discipline. At 100 TB this is the production form: the featurize
+      is durable (an executor loss re-reads parquet instead of
+      re-tokenizing the corpus) and the training loop's input is
+      decoupled from the corpus scan entirely. The weight trajectory is
+      bit-identical between the two forms (integer arithmetic over
+      order-free sums; tests/test_classifier_training.py asserts it).
+
+    Each iteration's margins frame is checkpointed once so its two
+    consumers (the stats row and the gradient join) share one
+    computation instead of re-running the doc aggregation; all live
+    frames are unpersisted when done (checkpoint blocks must not
+    outlive the call in a long-lived session)."""
+    if feats_path is not None:
+        cls_slot_counts(docs).write.mode("overwrite").parquet(feats_path)
+        feats = spark.read.parquet(feats_path)
+        live_frames: list = []  # parquet-backed: nothing pinned in memory
+    else:
+        feats = cls_slot_counts(docs).localCheckpoint()
+        live_frames = [feats]
     weights = [0] * CLS_DIM
     trajectory: list[dict] = []
     # Exception-safe release: a failed action mid-iteration must not pin
     # checkpoint blocks for the session's lifetime (the driver loop runs
     # ~250 queries per session and may catch-and-continue).
-    live_frames: list = [feats]
     try:
         return _train_loop(
             spark, feats, weights, trajectory, iters, live_frames

@@ -21,6 +21,7 @@ O(N²) by definition; the probe's LSH/IVF queries ARE its scale path).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -673,22 +674,37 @@ def skew_playbook_probe(spark, sf_dir: str) -> dict:
 
 
 def cls_train_probe(spark, sf_dir: str) -> dict:
-    """Scale probe for the in-engine classifier training loop (r11,
-    unregistered until r12): full fixed-iteration training at this scale,
-    reporting wall time and the miss trajectory. The loop's scale axes:
-    one corpus featurize (localCheckpointed once), per iteration one
-    doc-keyed residual join + one slot-keyed agg to <=CLS_DIM rows."""
+    """Scale probe for the in-engine classifier training loop: full
+    fixed-iteration training at this scale in BOTH materialization forms
+    (r12) — localCheckpoint (fixture/driver form) vs persist-once parquet
+    featurize (the 100 TB form, VERDICT r11 #3) — reporting both walls,
+    the miss trajectory, and that the two trajectories are identical.
+    The loop's scale axes: one corpus featurize (materialized once), per
+    iteration one doc-keyed residual join + one slot-keyed agg to
+    <=CLS_DIM rows."""
+    import shutil
+    import tempfile
     import time as _t
 
     from map_reduce_go_spark.operators.pipeline import train_quality_classifier
 
     docs = load_table(spark, sf_dir, "documents")
     t0 = _t.time()
-    _w, traj = train_quality_classifier(spark, docs)
+    w_mem, traj = train_quality_classifier(spark, docs)
+    mem_s = _t.time() - t0
+    fp = tempfile.mkdtemp(prefix="clstrain-feats-") + "/feats"
+    try:
+        t0 = _t.time()
+        w_pq, traj_pq = train_quality_classifier(spark, docs, feats_path=fp)
+        pq_s = _t.time() - t0
+    finally:
+        shutil.rmtree(os.path.dirname(fp), ignore_errors=True)
     return {
-        "train_s": round(_t.time() - t0, 2),
+        "train_s": round(mem_s, 2),
+        "train_parquet_feats_s": round(pq_s, 2),
         "n_docs": docs.count(),
         "miss_trajectory": [t["misclassified"] for t in traj],
+        "trajectory_identical_across_forms": (w_mem, traj) == (w_pq, traj_pq),
     }
 
 

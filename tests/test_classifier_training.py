@@ -199,3 +199,21 @@ def test_degenerate_single_class_label_fails_loud(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="degenerate.*n_pos=8, n_neg=0"):
         train_quality_classifier(spark, one_sided)
+
+
+def test_parquet_featurize_trajectory_bit_identical(spark, sf_dir, tmp_path):
+    """VERDICT r11 #3 — the persist-once parquet featurize (the 100 TB
+    form: write the doc×slot matrix once, loop iterations over the
+    parquet) must replay the in-memory form's weight trajectory
+    bit-for-bit: same final weights, same per-iteration miss counts and
+    weight checksums. Integer arithmetic over order-free sums makes the
+    materialization route value-neutral; this pins it."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w_mem, traj_mem = train_quality_classifier(spark, docs)
+    fp = str(tmp_path / "feats")
+    w_pq, traj_pq = train_quality_classifier(spark, docs, feats_path=fp)
+    assert w_pq == w_mem
+    assert traj_pq == traj_mem
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(fp, "_SUCCESS"))  # actually persisted
