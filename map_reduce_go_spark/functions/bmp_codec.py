@@ -1,0 +1,117 @@
+"""Minimal pure-Python BMP codec (encode + decode), stdlib-only.
+
+The third REAL container behind the multimodal quarantine dispatch
+(VERDICT r11 #7): PNG and WAV were the two formats the dispatch was
+built with, and a format seam proven on exactly the formats it was
+shaped around proves little — BMP (Windows DIB, a public format) is
+deliberately different in every structural way: little-endian where PNG
+is big-endian, palette-indexed where PNG carries raw samples, bottom-up
+row order, 4-byte row padding, and no compression or checksums at all.
+
+Scope — exactly enough to execute real bytes:
+
+- ``encode_bmp``: 8-bit grayscale (H, W) uint8 array as an uncompressed
+  BI_RGB DIB with a 256-entry linear gray palette; opens in any viewer.
+- ``decode_bmp``: 8-bit uncompressed BI_RGB with a gray palette —
+  the inverse of the encoder, validating the structural fields it
+  depends on.
+
+Deliberately out of scope: other bit depths (1/4/16/24/32), RLE
+compression, top-down (negative-height) images — ``ValueError`` seams
+(→ quarantined as ``corrupt_data``-class structural failures would be
+wrong; these are well-formed-but-unimplemented, so the decoder raises
+``NotImplementedError`` → ``unsupported_format``, matching the
+operators' honest-seam discipline). Truncated or malformed bytes raise
+``ValueError`` → ``corrupt_data``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_FILE_HEADER_LEN = 14
+_INFO_HEADER_LEN = 40
+_PALETTE_LEN = 256 * 4
+
+
+def is_bmp(raw: bytes) -> bool:
+    return len(raw) >= 2 and raw[:2] == b"BM"
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (H, W) uint8 grayscale array as an 8-bit BI_RGB BMP."""
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8 or arr.ndim != 2:
+        raise ValueError("encode_bmp expects an (H, W) uint8 array")
+    h, w = arr.shape
+    stride = (w + 3) & ~3  # rows padded to 4 bytes
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    offset = _FILE_HEADER_LEN + _INFO_HEADER_LEN + _PALETTE_LEN
+    image_size = stride * h
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", offset + image_size, 0, 0, offset
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        _INFO_HEADER_LEN,
+        w,
+        h,  # positive: bottom-up row order, the BMP default
+        1,  # planes
+        8,  # bits per pixel
+        0,  # BI_RGB: uncompressed
+        image_size,
+        2835,  # 72 DPI in px/metre
+        2835,
+        256,  # palette entries used
+        0,
+    )
+    pad = b"\x00" * (stride - w)
+    rows = b"".join(arr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    return file_header + info_header + palette + rows
+
+
+def decode_bmp(raw: bytes) -> np.ndarray:
+    """Decode an 8-bit uncompressed BMP to an (H, W) uint8 array.
+
+    ValueError for malformed/truncated bytes (quarantine class
+    ``corrupt_data``); NotImplementedError for well-formed files using
+    features outside this codec's scope (``unsupported_format``)."""
+    if not is_bmp(raw):
+        raise ValueError("not a BMP: missing BM signature")
+    if len(raw) < _FILE_HEADER_LEN + _INFO_HEADER_LEN:
+        raise ValueError("truncated BMP: header incomplete")
+    _sig, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", raw, 0)
+    (
+        hdr_size,
+        w,
+        h,
+        planes,
+        bpp,
+        compression,
+        _img_size,
+        _xppm,
+        _yppm,
+        _used,
+        _important,
+    ) = struct.unpack_from("<IiiHHIIiiII", raw, _FILE_HEADER_LEN)
+    if hdr_size < _INFO_HEADER_LEN:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    if planes != 1 or w <= 0 or w > 1 << 20 or abs(h) > 1 << 20 or h == 0:
+        raise ValueError("malformed BMP dimensions")
+    if bpp != 8:
+        raise NotImplementedError(f"BMP bit depth {bpp} not implemented (8 only)")
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} not implemented")
+    if h < 0:
+        raise NotImplementedError("top-down BMP not implemented")
+    stride = (w + 3) & ~3
+    need = offset + stride * h
+    if offset < _FILE_HEADER_LEN + _INFO_HEADER_LEN or len(raw) < need:
+        raise ValueError("truncated BMP: pixel array incomplete")
+    out = np.empty((h, w), dtype=np.uint8)
+    for y in range(h):
+        start = offset + (h - 1 - y) * stride  # bottom-up → top-down
+        out[y] = np.frombuffer(raw, dtype=np.uint8, count=w, offset=start)
+    return out

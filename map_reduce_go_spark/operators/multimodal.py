@@ -133,9 +133,14 @@ def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
                 data = np.frombuffer(blob, dtype=np.uint8)
                 if decode_mode == "real":
                     # Real decode: PNG via the repo's pure-Python codec
-                    # (stdlib zlib) and 16-bit PCM WAV via stdlib wave.
-                    # Compressed formats (JPEG/mp3/mp4) genuinely need
-                    # external libraries this container lacks.
+                    # (stdlib zlib), 8-bit BMP (pure struct/numpy), and
+                    # 16-bit PCM WAV via stdlib wave. Compressed formats
+                    # (JPEG/mp3/mp4) genuinely need external libraries
+                    # this container lacks.
+                    from map_reduce_go_spark.functions.bmp_codec import (
+                        decode_bmp,
+                        is_bmp,
+                    )
                     from map_reduce_go_spark.functions.png_codec import (
                         decode_png,
                         is_png,
@@ -146,8 +151,8 @@ def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
                     )
 
                     raw = bytes(blob)
-                    if is_png(raw):
-                        px = decode_png(raw)
+                    if is_png(raw) or is_bmp(raw):
+                        px = decode_png(raw) if is_png(raw) else decode_bmp(raw)
                         h, w = px.shape[:2]
                         # 16 bins over the 8-bit pixel range (high nibble).
                         hist = np.bincount(
@@ -165,9 +170,9 @@ def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
                         ).astype(np.float64)
                     else:
                         raise NotImplementedError(
-                            "real decode supports PNG (pure-Python codec) "
-                            "and 16-bit PCM WAV (stdlib wave); compressed "
-                            "formats need external libraries"
+                            "real decode supports PNG (pure-Python codec), "
+                            "8-bit BMP, and 16-bit PCM WAV (stdlib wave); "
+                            "compressed formats need external libraries"
                         )
                     total = hist.sum() or 1.0
                     rows["doc_id"].append(int(doc_id))
@@ -663,8 +668,8 @@ class _Quarantine(Exception):
 
 def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture builder for the quarantine path: deterministic per-doc
-    corruption classes over real, spec-conformant PNG bytes (the repo's
-    pure-Python codec), keyed by ``doc_id % 5``:
+    corruption classes over real, spec-conformant image bytes (the
+    repo's pure-Python codecs), keyed by ``doc_id % 6``:
 
     - ``0`` — a valid PNG truncated at half its length (signature intact,
       chunk walk fails mid-IDAT): the classic partially-fetched blob.
@@ -673,16 +678,22 @@ def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``2`` — zero-length payload: the upstream-wrote-nothing case.
     - ``3``/``4`` — a healthy PLANT_W x PLANT_H grayscale PNG of the
       document's leading bytes.
+    - ``5`` — the SAME pixels as a healthy 8-bit BMP (r12: the third
+      real container — proves the decode dispatch generalizes beyond
+      the two formats it was built with; identical px/pix_sum facts
+      through a structurally alien container: little-endian, palette,
+      bottom-up rows, no checksums).
 
-    Every 100 TB crawl contains all four shapes; the fixture makes their
-    mix deterministic so the DuckDB oracle can predict each row's fate
-    from the text alone."""
+    Every 100 TB crawl contains all these shapes; the fixture makes
+    their mix deterministic so the DuckDB oracle can predict each row's
+    fate from the text alone."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        from map_reduce_go_spark.functions.bmp_codec import encode_bmp
         from map_reduce_go_spark.functions.png_codec import encode_png
 
         n_px = PLANT_W * PLANT_H
@@ -690,7 +701,7 @@ def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, blobs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = (text or "").encode("utf-8")
-                kind = int(doc_id) % 5
+                kind = int(doc_id) % 6
                 if kind == 2:
                     blob = b""
                 elif kind == 1:
@@ -699,8 +710,12 @@ def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     px = np.zeros(n_px, dtype=np.uint8)
                     head = np.frombuffer(raw[:n_px], dtype=np.uint8)
                     px[: len(head)] = head
-                    png = encode_png(px.reshape(PLANT_H, PLANT_W))
-                    blob = png[: len(png) // 2] if kind == 0 else png
+                    img = px.reshape(PLANT_H, PLANT_W)
+                    if kind == 5:
+                        blob = encode_bmp(img)
+                    else:
+                        png = encode_png(img)
+                        blob = png[: len(png) // 2] if kind == 0 else png
                 ids.append(int(doc_id))
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
@@ -732,9 +747,12 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
     Deterministic error classes:
 
     - ``empty_blob``          zero-length payload (pre-decode check)
-    - ``unsupported_format``  magic matches neither PNG nor WAV — the
-                              same seam that raises NotImplementedError
-                              in the fail-fast operators
+    - ``unsupported_format``  magic matches none of PNG/WAV/BMP, or a
+                              recognized container uses features outside
+                              the codec's scope (e.g. 24-bit or RLE
+                              BMP) — the same seam that raises
+                              NotImplementedError in the fail-fast
+                              operators
     - ``corrupt_data``        a supported container whose parse or
                               decompress fails (truncation, bad CRC,
                               malformed chunks)
@@ -746,6 +764,7 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
+        from map_reduce_go_spark.functions.bmp_codec import decode_bmp, is_bmp
         from map_reduce_go_spark.functions.png_codec import decode_png, is_png
         from map_reduce_go_spark.functions.wav_codec import decode_wav, is_wav
 
@@ -767,6 +786,10 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
                         samples, _rate = decode_wav(raw)
                         h, w = int(samples.shape[0]), int(samples.shape[1])
                         s = int(samples.astype("int64").sum())
+                    elif is_bmp(raw):
+                        px = decode_bmp(raw)
+                        h, w = int(px.shape[0]), int(px.shape[1])
+                        s = int(px.astype("int64").sum())
                     else:
                         raise NotImplementedError("unknown container magic")
                 except _Quarantine as q:
@@ -790,18 +813,18 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
     "multimodal_quarantine_audit",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN CAST(doc_id % 5 AS INTEGER) IN (0, 1, 2)
+           CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (0, 1, 2)
                 THEN 'quarantined' ELSE 'ok' END AS status,
-           CASE CAST(doc_id % 5 AS INTEGER)
+           CASE CAST(doc_id % 6 AS INTEGER)
              WHEN 0 THEN 'corrupt_data'
              WHEN 1 THEN 'unsupported_format'
              WHEN 2 THEN 'empty_blob'
              ELSE NULL END AS error_class,
-           CASE WHEN CAST(doc_id % 5 AS INTEGER) IN (3, 4)
+           CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (3, 4, 5)
                 THEN {PLANT_W} END AS px_w,
-           CASE WHEN CAST(doc_id % 5 AS INTEGER) IN (3, 4)
+           CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (3, 4, 5)
                 THEN {PLANT_H} END AS px_h,
-           CASE WHEN CAST(doc_id % 5 AS INTEGER) IN (3, 4)
+           CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (3, 4, 5)
                 THEN CAST(COALESCE(list_sum(list_transform(
                        range(1, least(length(text), {PLANT_W * PLANT_H}) + 1),
                        i -> ascii(substring(text, i, 1)))), 0) AS BIGINT)
@@ -811,8 +834,10 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
 )
 def multimodal_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end row-level resilience over a planted-corruption corpus:
-    REAL PNG decode per blob, failures quarantined with a deterministic
-    error class, healthy rows emitting real pixel facts. The oracle
+    REAL decode per blob across THREE containers (PNG, WAV, BMP — the
+    BMP class added r12 proves the dispatch is format-general), failures
+    quarantined with a deterministic error class, healthy rows emitting
+    real pixel facts. The oracle
     predicts every row's fate in SQL because the fixture's corruption is
     a pure function of doc_id and the pixel payload is the document's
     leading ASCII bytes (so the decoded pixel sum equals the char-code

@@ -34,14 +34,16 @@ def _blob_df(spark, rows):
 
 def test_planted_fixture_fates_are_exhaustive(spark, sf_dir):
     """Every input doc produces exactly one output row; statuses and
-    error classes follow the doc_id % 5 plant; no row is lost and the
+    error classes follow the doc_id % 6 plant (classes 3/4 healthy PNG,
+    5 healthy BMP — the r12 third container); no row is lost and the
     job completes despite hundreds of planted-bad blobs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = decode_blobs_with_quarantine(planted_corrupt_blobs(spark, sf_dir))
     rows = {r["doc_id"]: r for r in out.collect()}
     assert len(rows) == docs.count()
+    assert any(doc_id % 6 == 5 for doc_id in rows)  # BMP class populated
     for doc_id, r in rows.items():
-        kind = doc_id % 5
+        kind = doc_id % 6
         if kind in (0, 1, 2):
             assert r["status"] == "quarantined", (doc_id, r)
             want = {0: "corrupt_data", 1: "unsupported_format", 2: "empty_blob"}[kind]

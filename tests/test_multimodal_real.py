@@ -413,3 +413,72 @@ def test_sample_frames_real_windows_wav_audio(spark):
         assert r["frame_offset"] == s0
         want = hashlib.sha256(samples[s0 : s0 + win].tobytes()).hexdigest()[:16]
         assert r["frame_sha"] == want
+
+
+# ------------------------------------------------------------------ BMP
+
+
+def test_bmp_roundtrip_and_padding():
+    """encode->decode is the identity for 8-bit grayscale, including
+    widths that force 4-byte row padding (the BMP quirk PNG doesn't
+    have) — and the bytes carry a real BM header any viewer accepts."""
+    from map_reduce_go_spark.functions.bmp_codec import (
+        decode_bmp,
+        encode_bmp,
+        is_bmp,
+    )
+
+    for h, w in [(4, 8), (3, 5), (1, 1), (7, 13)]:  # 5/13: padded strides
+        img = (np.arange(h * w, dtype=np.uint8) * 7).reshape(h, w)
+        raw = encode_bmp(img)
+        assert is_bmp(raw)
+        assert raw[:2] == b"BM"
+        out = decode_bmp(raw)
+        assert out.shape == (h, w)
+        assert np.array_equal(out, img)
+
+
+def test_bmp_decoder_scope_seams():
+    """Out-of-scope features raise NotImplementedError (well-formed,
+    unimplemented -> unsupported_format in the quarantine); malformed
+    bytes raise ValueError (corrupt_data)."""
+    import struct
+
+    import pytest as _pytest
+
+    from map_reduce_go_spark.functions.bmp_codec import decode_bmp, encode_bmp
+
+    good = bytearray(encode_bmp(np.zeros((4, 8), dtype=np.uint8)))
+    deep = bytearray(good)
+    deep[28] = 24  # biBitCount: 24-bit
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(deep))
+    rle = bytearray(good)
+    rle[30] = 1  # biCompression: BI_RLE8
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
+    topdown = bytearray(good)
+    struct.pack_into("<i", topdown, 22, -4)  # negative height
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(topdown))
+    with _pytest.raises(ValueError):
+        decode_bmp(b"not a bmp")
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(good[: len(good) - 3]))  # truncated pixels
+
+
+def test_extract_features_real_decodes_bmp_pixels(spark):
+    """The real feature extractor consumes BMP through the same dispatch
+    as PNG: same pixels -> same histogram either way."""
+    from map_reduce_go_spark.functions.bmp_codec import encode_bmp
+    from map_reduce_go_spark.functions.png_codec import encode_png
+    from map_reduce_go_spark.operators.multimodal import extract_features
+
+    img = (np.arange(32, dtype=np.uint8) * 3).reshape(4, 8)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_png(img)), "image"), (2, bytes(encode_bmp(img)), "image")],
+        "doc_id long, blob binary, modality string",
+    )
+    rows = {r["doc_id"]: r for r in extract_features(df, decode_mode="real").collect()}
+    assert rows[1]["bin_counts"] == rows[2]["bin_counts"]
+    assert (rows[2]["fake_width"], rows[2]["fake_height"]) == (8, 4)

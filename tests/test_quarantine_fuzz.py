@@ -74,6 +74,43 @@ def test_fuzz_random_blobs_never_fail_the_task(spark):
         assert by_id[first_trunc + k]["status"] == "quarantined", k
 
 
+def test_fuzz_bmp_truncations_and_garbage_never_fail_the_task(spark):
+    """BMP twin of the PNG fuzz (the r12 third container): every-offset
+    truncations of a valid 8-bit BMP, BM-magic over garbage, and a
+    well-formed-but-out-of-scope 24-bit header. BMP has no checksums, so
+    the decoder's own bounds checks are the only thing standing between
+    a truncated pixel array and an out-of-range read — exactly what the
+    fuzz exercises. Any cut before the full pixel array quarantines;
+    only the complete file decodes."""
+    rng = np.random.default_rng(7)
+    from map_reduce_go_spark.functions.bmp_codec import encode_bmp
+
+    bmp = encode_bmp(np.arange(32, dtype=np.uint8).reshape(4, 8))
+    blobs: list[bytes | None] = [bytes(bmp[:k]) for k in range(len(bmp))]
+    full_idx = len(blobs)
+    blobs += [bytes(bmp)]
+    blobs += [b"BM" + rng.bytes(int(n)) for n in rng.integers(0, 120, size=60)]
+    # 24-bit header: same geometry, bpp=16 words swapped to 24 at offset
+    # 14+14 (biBitCount) — parses fine, out of codec scope.
+    deep = bytearray(bmp)
+    deep[28] = 24
+    blobs += [bytes(deep)]
+    rows = _decode_all(spark, blobs)
+    assert len(rows) == len(blobs)
+    by_id = {r["doc_id"]: r for r in rows}
+    for k in range(len(bmp)):
+        assert by_id[k]["status"] == "quarantined", k
+        if k >= 2:  # BM magic present: recognized container, bad bytes
+            assert by_id[k]["error_class"] == "corrupt_data", k
+        else:  # 0/1 bytes: not identifiable as any container
+            assert by_id[k]["error_class"] in ("empty_blob", "unsupported_format")
+    assert by_id[full_idx]["status"] == "ok"
+    assert by_id[full_idx]["pix_sum"] == int(np.arange(32).sum())
+    assert by_id[len(blobs) - 1]["error_class"] == "unsupported_format"  # 24-bit
+    for r in rows:
+        assert r["status"] in _STATUSES and r["error_class"] in _CLASSES
+
+
 @given(
     a=st.integers(min_value=-(2**62), max_value=2**62),
     b=st.integers(min_value=-(2**31), max_value=2**31).filter(lambda x: x != 0),
