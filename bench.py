@@ -72,7 +72,24 @@ NOTES = (
     "documented 1.3s noise reading, canary band 2.44->2.85, all plan "
     "tests green; the r11-touched ann/quarantine queries are not among "
     "the top deltas) — host drift after hours of batteries, the r6/r9 "
-    "pattern again. Trust per-query medians across rounds, not totals."
+    "pattern again. Trust per-query medians across rounds, not totals. "
+    "r12: round-over-round comparison is now formalized on the per-query "
+    "COLD MEDIANS in this file's queries/spread fields (VERDICT r11 #8 — "
+    "the 57.5s-vs-66.2s same-code gap proved totals/singles unusable); "
+    "a >25% median delta with a disjoint [min,max] spread is real, "
+    "anything else is host noise. Plan-affecting r12 changes to watch: "
+    "ann_ranking_quality is NOT a headliner but its exact leg is now "
+    "hash-SAMPLED (2/5 queries — expect its ad-hoc timings to drop); "
+    "orders_rfm_segmentation/revenue_lorenz_gini/customer_spend_deciles "
+    "moved to the distributed rank (3 range shuffles + joins replace 3 "
+    "single-partition ntile windows in RFM — a small fixed cost at "
+    "sf0.1, the whole point at 100 TB); quarantine fixture gained the "
+    "BMP class (doc_id%6 — slightly more ok-rows decoded per pass). "
+    "classifier_train_scores (registered r12) is deliberately NOT a "
+    "headliner: it is a multi-action training loop (~7s at sf0.1, "
+    "dominated by fixed per-iteration job overhead); its scale story "
+    "lives in SCALE.md's clstrain probes, and timing it cold in the "
+    "suite would triple-pay the loop for no per-plan signal."
 )
 
 # Headline set: one per operator family, weighted toward scale-sensitive
