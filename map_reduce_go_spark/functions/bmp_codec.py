@@ -35,9 +35,26 @@ _FILE_HEADER_LEN = 14
 _INFO_HEADER_LEN = 40
 _PALETTE_LEN = 256 * 4
 
+#: Known DIB header sizes (public spec): BITMAPCOREHEADER (12),
+#: OS/2 v2 (16/64), BITMAPINFOHEADER (40), v2/v3 (52/56), v4 (108),
+#: v5 (124). Well-formed headers outside the codec's 40+ INFO-family
+#: scope raise NotImplementedError (quarantine class
+#: ``unsupported_format``); anything else is corrupt.
+_CORE_HEADER_SIZES = frozenset({12, 16, 64})
+_INFO_HEADER_SIZES = frozenset({40, 52, 56, 108, 124})
+
 
 def is_bmp(raw: bytes) -> bool:
-    return len(raw) >= 2 and raw[:2] == b"BM"
+    """Sniff a BMP container. 'BM' alone is 2 ASCII bytes — far weaker
+    than PNG's 8-byte or WAV's 12-byte magic, and a text blob starting
+    with 'BM' would misroute into decode_bmp and read as corrupt_data
+    (ADVICE r12). Require a full header's worth of bytes and a
+    plausible little-endian DIB header size at offset 14; ASCII text at
+    that offset decodes to a huge u32, never a known header size."""
+    if len(raw) < _FILE_HEADER_LEN + 12 or raw[:2] != b"BM":
+        return False
+    (hdr_size,) = struct.unpack_from("<I", raw, _FILE_HEADER_LEN)
+    return hdr_size in _CORE_HEADER_SIZES or hdr_size in _INFO_HEADER_SIZES
 
 
 def encode_bmp(img: np.ndarray) -> bytes:
@@ -79,7 +96,19 @@ def decode_bmp(raw: bytes) -> np.ndarray:
     ``corrupt_data``); NotImplementedError for well-formed files using
     features outside this codec's scope (``unsupported_format``)."""
     if not is_bmp(raw):
-        raise ValueError("not a BMP: missing BM signature")
+        raise ValueError("not a BMP: missing BM signature or DIB header")
+    # Classify the DIB header family BEFORE parsing INFO-layout fields:
+    # BITMAPCOREHEADER (12) and the OS/2 v2 sizes are well-formed files
+    # using an unimplemented header variant, not corruption (VERDICT r12
+    # #6 — was ValueError/corrupt_data, wrongly).
+    (hdr_size,) = struct.unpack_from("<I", raw, _FILE_HEADER_LEN)
+    if hdr_size in _CORE_HEADER_SIZES:
+        raise NotImplementedError(
+            f"BMP DIB header size {hdr_size} (CORE/OS2 family) not "
+            "implemented (BITMAPINFOHEADER 40+ only)"
+        )
+    if hdr_size not in _INFO_HEADER_SIZES:
+        raise ValueError(f"unknown DIB header size {hdr_size}")
     if len(raw) < _FILE_HEADER_LEN + _INFO_HEADER_LEN:
         raise ValueError("truncated BMP: header incomplete")
     _sig, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", raw, 0)
@@ -96,8 +125,6 @@ def decode_bmp(raw: bytes) -> np.ndarray:
         _used,
         _important,
     ) = struct.unpack_from("<IiiHHIIiiII", raw, _FILE_HEADER_LEN)
-    if hdr_size < _INFO_HEADER_LEN:
-        raise ValueError(f"unsupported DIB header size {hdr_size}")
     if planes != 1 or w <= 0 or w > 1 << 20 or abs(h) > 1 << 20 or h == 0:
         raise ValueError("malformed BMP dimensions")
     if bpp != 8:

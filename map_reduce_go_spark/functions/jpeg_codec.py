@@ -1,0 +1,493 @@
+"""Minimal pure-Python baseline JPEG codec (encode + decode), stdlib+numpy.
+
+The FOURTH real container behind the multimodal quarantine dispatch
+(VERDICT r12 #5): JPEG is the single most common image container in any
+real crawl, and it was the largest remaining honest seam
+(multimodal.py's decode_image raised NotImplementedError for it). This
+module implements exactly the baseline-sequential slice of the public
+ITU-T T.81 spec — Huffman entropy coding, dequantization, 8x8 inverse
+DCT — for 8-bit single-component (grayscale) JFIF files, plus the
+matching encoder so fixtures are self-contained spec-conformant bytes.
+
+Everything here is public knowledge: marker structure, zigzag order,
+the Annex K example Huffman tables, and the type-II DCT definition all
+come from the published JPEG standard (ITU-T T.81 / ISO 10918-1).
+
+Structurally unlike the other three containers on purpose — the seam is
+proven format-general only if each container stresses a different shape:
+
+- PNG: big-endian chunks, zlib DEFLATE, per-chunk CRC
+- WAV: little-endian RIFF, raw PCM, no compression
+- BMP: little-endian, palette, bottom-up rows, padding, no checksums
+- JPEG: bit-level entropy stream (Huffman), byte stuffing (FF 00),
+  lossy transform coding, marker-delimited segments
+
+Scope — exactly enough to execute real bytes:
+
+- ``encode_jpeg``: 8-bit grayscale (H, W) uint8 array as a baseline
+  sequential JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), Annex K Huffman
+  tables, one quantization table (default all-ones: maximal fidelity;
+  blocks that are constant after edge-replication padding round-trip
+  EXACTLY, which is what lets a SQL oracle predict decoded pixel sums).
+- ``decode_jpeg``: the inverse — baseline sequential, 8-bit precision,
+  one component, 1x1 sampling, no restart intervals.
+
+Deliberately out of scope (well-formed-but-unimplemented →
+``NotImplementedError`` → quarantine class ``unsupported_format``):
+progressive (SOF2) and every other non-SOF0 frame type, color (multi-
+component) scans, chroma subsampling, 16-bit quantization tables,
+restart intervals (DRI), arithmetic coding. Truncated or malformed
+bytes (bad marker structure, invalid Huffman code, bit stream
+exhausted mid-block) raise ``ValueError`` → ``corrupt_data``.
+
+Performance note: this is a per-byte/per-bit pure-Python decoder — the
+slow path by design, used for small planted fixtures and as the honest
+reference implementation. At 100 TB the decode stage would bind a
+native codec behind the same ``mapInPandas`` seam (same schema, same
+quarantine classes); decode throughput is recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Tables from the public spec
+# --------------------------------------------------------------------------
+
+#: Zigzag scan order: index i of the scan -> (row, col) flattened offset.
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.3.1 — luminance DC: BITS (count of codes per length 1..16)
+#: and HUFFVAL (symbols in code order).
+DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+DC_VALS = tuple(range(12))
+
+#: Annex K.3.2 — luminance AC.
+AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 type-II DCT matrix M: coefficients = M @ f @ M.T,
+    samples = M.T @ F @ M. M[u,x] = 0.5*C(u)*cos((2x+1)uπ/16)."""
+    m = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+_DCT = _dct_matrix()
+
+
+def _canonical_codes(bits, vals):
+    """(length, code) per symbol in canonical Huffman order — the
+    assignment the spec's generate_size/code tables produce."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _canonical_codes(DC_BITS, DC_VALS)
+_AC_ENC = _canonical_codes(AC_BITS, AC_VALS)
+
+
+# --------------------------------------------------------------------------
+# Sniff
+# --------------------------------------------------------------------------
+
+
+def is_jpeg(raw: bytes) -> bool:
+    """SOI marker followed by another marker byte — 3 bytes of 0xFF-keyed
+    structure, which text or random prefixes essentially never carry."""
+    return len(raw) >= 3 and raw[:3] == b"\xff\xd8\xff"
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing: FF in entropy data -> FF 00
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            # Pad the final partial byte with 1-bits (spec F.1.2.3).
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, raw bits) for a DC diff / AC coefficient: negative
+    values encode as the one's-complement of their magnitude."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Encode an (H, W) uint8 grayscale array as a baseline JFIF JPEG.
+
+    ``quant`` is a flat 64-entry table in NATURAL (row-major) order;
+    default all-ones — lossless for blocks constant after the edge-
+    replication padding, near-lossless otherwise (rounding of DCT
+    coefficients is the only loss at quant 1)."""
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8 or arr.ndim != 2:
+        raise ValueError("encode_jpeg expects an (H, W) uint8 array")
+    h, w = arr.shape
+    if not (1 <= h <= 0xFFFF) or not (1 <= w <= 0xFFFF):
+        raise ValueError("encode_jpeg dimensions out of range")
+    q = np.ones(64, dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64).reshape(64)
+    if (q < 1).any() or (q > 255).any():
+        raise ValueError("quant entries must be in 1..255 (8-bit table)")
+
+    # Pad to 8x8 multiples by edge replication (keeps constant images
+    # constant per block — the exact-round-trip property fixtures use).
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    bw = _BitWriter()
+    qmat = q.reshape(8, 8).astype(np.float64)
+    pred = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = _DCT @ block @ _DCT.T
+            zz = np.rint(coef / qmat).astype(np.int64).reshape(64)[ZIGZAG]
+            dc = int(zz[0])
+            size, bits = _magnitude(dc - pred)
+            pred = dc
+            length, code = _DC_ENC[size]
+            bw.write(code, length)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for i in range(1, 64):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = _AC_ENC[0xF0]  # ZRL: 16 zeros
+                    bw.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                length, code = _AC_ENC[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+                if i == last_nz:
+                    break
+            if last_nz < 63:
+                length, code = _AC_ENC[0x00]  # EOB
+                bw.write(code, length)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dht(cls: int, ident: int, bits, vals) -> bytes:
+        return bytes([(cls << 4) | ident]) + bytes(bits) + bytes(vals)
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xDB, b"\x00" + bytes(int(q[i]) for i in ZIGZAG))  # DQT (zigzag order)
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
+    out += seg(0xC4, dht(0, 0, DC_BITS, DC_VALS))  # DHT DC
+    out += seg(0xC4, dht(1, 0, AC_BITS, AC_VALS))  # DHT AC
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment bit reader with FF00 unstuffing. Any marker other
+    than stuffing inside the scan is structural failure for this codec's
+    scope (no restart intervals), reported as ValueError."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG: entropy stream exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG: dangling FF in scan")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed FF
+                elif nxt == 0xD9:  # EOI mid-block
+                    raise ValueError("truncated JPEG: EOI inside scan data")
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside scan data"
+                    )
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_table(bits, vals):
+    """(length, code) -> symbol map for canonical Huffman decode."""
+    enc = _canonical_codes(bits, vals)
+    return {(length, code): sym for sym, (length, code) in enc.items()}
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(raw: bytes) -> np.ndarray:
+    """Decode a baseline-sequential 8-bit grayscale JFIF to (H, W) uint8.
+
+    ValueError for malformed/truncated bytes (quarantine class
+    ``corrupt_data``); NotImplementedError for well-formed files using
+    features outside this codec's scope — progressive, color, chroma
+    subsampling, 16-bit quant tables, restart intervals, arithmetic
+    coding (``unsupported_format``)."""
+    if not is_jpeg(raw):
+        raise ValueError("not a JPEG: missing SOI marker")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, dc_table_id, ac_table_id, quant_id)
+    sof_seen = False
+    comp_q = 0
+    while True:
+        if pos + 2 > len(raw):
+            raise ValueError("truncated JPEG: marker expected")
+        if raw[pos] != 0xFF:
+            raise ValueError(f"malformed JPEG: expected marker, got {raw[pos]:#x}")
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0xD8:  # stray SOI
+            raise ValueError("malformed JPEG: repeated SOI")
+        if marker == 0xD9:  # EOI before any scan
+            raise ValueError("truncated JPEG: EOI before scan data")
+        if 0xD0 <= marker <= 0xD7:  # RSTn outside a scan
+            raise ValueError("malformed JPEG: restart marker outside scan")
+        if pos + 2 > len(raw):
+            raise ValueError("truncated JPEG: segment length missing")
+        (seglen,) = struct.unpack_from(">H", raw, pos)
+        if seglen < 2 or pos + seglen > len(raw):
+            raise ValueError("truncated JPEG: segment overruns buffer")
+        body = raw[pos + 2 : pos + seglen]
+        pos += seglen
+
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG frame type SOF{marker - 0xC0} not implemented "
+                "(baseline sequential SOF0 only)"
+            )
+        if marker == 0xC8:  # JPG extension marker: reserved
+            raise NotImplementedError("JPEG JPG-extension frames not implemented")
+        if marker == 0xCC:  # DAC: arithmetic coding conditioning
+            raise NotImplementedError("JPEG arithmetic coding not implemented")
+        if marker == 0xDD:  # DRI
+            if len(body) != 2:
+                raise ValueError("malformed DRI segment")
+            (interval,) = struct.unpack(">H", body)
+            if interval != 0:
+                raise NotImplementedError("JPEG restart intervals not implemented")
+            continue
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                bpos += 1
+                if pq == 1:
+                    raise NotImplementedError("16-bit quantization tables not implemented")
+                if pq != 0 or tq > 3 or bpos + 64 > len(body):
+                    raise ValueError("malformed DQT segment")
+                zz = np.frombuffer(body[bpos : bpos + 64], dtype=np.uint8).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = zz  # zigzag -> natural order
+                quant[tq] = nat
+                bpos += 64
+            continue
+        if marker == 0xC4:  # DHT — possibly several tables per segment
+            bpos = 0
+            while bpos < len(body):
+                cls, ident = body[bpos] >> 4, body[bpos] & 0x0F
+                bpos += 1
+                if cls > 1 or ident > 3 or bpos + 16 > len(body):
+                    raise ValueError("malformed DHT segment")
+                bits = tuple(body[bpos : bpos + 16])
+                bpos += 16
+                n = sum(bits)
+                if n > 256 or bpos + n > len(body):
+                    raise ValueError("malformed DHT segment")
+                vals = tuple(body[bpos : bpos + n])
+                bpos += n
+                huff[(cls, ident)] = _decode_table(bits, vals)
+            continue
+        if marker == 0xC0:  # SOF0 — baseline sequential
+            if sof_seen:
+                raise ValueError("malformed JPEG: multiple SOF segments")
+            if len(body) < 6:
+                raise ValueError("malformed SOF0 segment")
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError(f"JPEG precision {precision} not implemented")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    f"JPEG with {ncomp} components (color) not implemented"
+                )
+            if len(body) != 6 + 3 * ncomp:
+                raise ValueError("malformed SOF0 segment")
+            if h == 0 or w == 0 or h > 1 << 20 or w > 1 << 20:
+                raise ValueError("malformed JPEG dimensions")
+            sampling = body[7]
+            if sampling != 0x11:
+                raise NotImplementedError("JPEG chroma subsampling not implemented")
+            comp_q = body[8]
+            frame = (h, w)
+            sof_seen = True
+            continue
+        if marker == 0xDA:  # SOS — the scan; entropy data follows
+            if not sof_seen:
+                raise ValueError("malformed JPEG: SOS before SOF")
+            if len(body) < 4 or body[0] != 1:
+                if len(body) >= 1 and body[0] > 1:
+                    raise NotImplementedError("multi-component scan not implemented")
+                raise ValueError("malformed SOS segment")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            dc_tab = huff.get((0, dc_id))
+            ac_tab = huff.get((1, ac_id))
+            qtab = quant.get(comp_q)
+            if dc_tab is None or ac_tab is None or qtab is None:
+                raise ValueError("JPEG scan references missing Huffman/quant table")
+            h, w = frame
+            bh, bwid = -(-h // 8), -(-w // 8)
+            out = np.empty((bh * 8, bwid * 8), dtype=np.float64)
+            br = _BitReader(raw, pos)
+            qmat = qtab.reshape(8, 8).astype(np.float64)
+            pred = 0
+            for by in range(bh):
+                for bx in range(bwid):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = _read_symbol(br, dc_tab)
+                    if size > 11:
+                        raise ValueError("invalid JPEG DC category")
+                    diff = _extend(br.read_bits(size), size)
+                    pred += diff
+                    zz[0] = pred
+                    i = 1
+                    while i < 64:
+                        rs = _read_symbol(br, ac_tab)
+                        run, asize = rs >> 4, rs & 0x0F
+                        if asize == 0:
+                            if run == 15:  # ZRL
+                                i += 16
+                                continue
+                            break  # EOB
+                        i += run
+                        if i >= 64:
+                            raise ValueError("JPEG AC run overflows block")
+                        zz[i] = _extend(br.read_bits(asize), asize)
+                        i += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[ZIGZAG] = zz  # dezigzag to natural order
+                    block = _DCT.T @ (coef.reshape(8, 8) * qmat) @ _DCT
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            pix = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
+            return pix[:h, :w]
+        # APPn / COM / anything else with a length field: skip.
+        if (0xE0 <= marker <= 0xEF) or marker == 0xFE or marker == 0x01:
+            continue
+        raise ValueError(f"unexpected JPEG marker 0xFF{marker:02X}")

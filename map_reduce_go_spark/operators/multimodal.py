@@ -133,13 +133,18 @@ def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
                 data = np.frombuffer(blob, dtype=np.uint8)
                 if decode_mode == "real":
                     # Real decode: PNG via the repo's pure-Python codec
-                    # (stdlib zlib), 8-bit BMP (pure struct/numpy), and
-                    # 16-bit PCM WAV via stdlib wave. Compressed formats
-                    # (JPEG/mp3/mp4) genuinely need external libraries
-                    # this container lacks.
+                    # (stdlib zlib), 8-bit BMP (pure struct/numpy),
+                    # baseline JPEG (pure-Python Huffman+IDCT, r13), and
+                    # 16-bit PCM WAV via stdlib wave. Remaining
+                    # compressed formats (mp3/mp4) genuinely need
+                    # external libraries this container lacks.
                     from map_reduce_go_spark.functions.bmp_codec import (
                         decode_bmp,
                         is_bmp,
+                    )
+                    from map_reduce_go_spark.functions.jpeg_codec import (
+                        decode_jpeg,
+                        is_jpeg,
                     )
                     from map_reduce_go_spark.functions.png_codec import (
                         decode_png,
@@ -151,8 +156,12 @@ def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
                     )
 
                     raw = bytes(blob)
-                    if is_png(raw) or is_bmp(raw):
-                        px = decode_png(raw) if is_png(raw) else decode_bmp(raw)
+                    if is_png(raw) or is_bmp(raw) or is_jpeg(raw):
+                        px = (
+                            decode_png(raw)
+                            if is_png(raw)
+                            else decode_bmp(raw) if is_bmp(raw) else decode_jpeg(raw)
+                        )
                         h, w = px.shape[:2]
                         # 16 bins over the 8-bit pixel range (high nibble).
                         hist = np.bincount(
@@ -171,8 +180,9 @@ def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
                     else:
                         raise NotImplementedError(
                             "real decode supports PNG (pure-Python codec), "
-                            "8-bit BMP, and 16-bit PCM WAV (stdlib wave); "
-                            "compressed formats need external libraries"
+                            "8-bit BMP, baseline JPEG, and 16-bit PCM WAV "
+                            "(stdlib wave); other compressed formats need "
+                            "external libraries"
                         )
                     total = hist.sum() or 1.0
                     rows["doc_id"].append(int(doc_id))
@@ -669,12 +679,14 @@ class _Quarantine(Exception):
 def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture builder for the quarantine path: deterministic per-doc
     corruption classes over real, spec-conformant image bytes (the
-    repo's pure-Python codecs), keyed by ``doc_id % 6``:
+    repo's pure-Python codecs), keyed by ``doc_id % 7``:
 
     - ``0`` — a valid PNG truncated at half its length (signature intact,
       chunk walk fails mid-IDAT): the classic partially-fetched blob.
-    - ``1`` — JPEG/JFIF magic in front of raw bytes: a foreign container
-      this engine's codecs don't implement.
+    - ``1`` — GIF87a magic in front of raw bytes: a foreign container
+      this engine's codecs don't implement (was JPEG magic through r12;
+      r13 implements JPEG for real, so the foreign-container class moved
+      to a format that is still genuinely foreign).
     - ``2`` — zero-length payload: the upstream-wrote-nothing case.
     - ``3``/``4`` — a healthy PLANT_W x PLANT_H grayscale PNG of the
       document's leading bytes.
@@ -683,6 +695,14 @@ def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
       the two formats it was built with; identical px/pix_sum facts
       through a structurally alien container: little-endian, palette,
       bottom-up rows, no checksums).
+    - ``6`` — a healthy baseline JPEG (r13: the fourth container, and
+      the first with a bit-level entropy-coded stream): 2*PLANT_W wide,
+      PLANT_H tall, two 8x8 blocks each CONSTANT at the document's
+      first/second byte value. Constant blocks survive
+      DCT->quantize(1)->Huffman->IDCT exactly, so even a lossy-family
+      container yields a SQL-predictable pixel sum — while the decode
+      exercises the full real path (marker walk, Huffman tables, DC
+      differential across blocks, dequant, IDCT).
 
     Every 100 TB crawl contains all these shapes; the fixture makes
     their mix deterministic so the DuckDB oracle can predict each row's
@@ -694,6 +714,7 @@ def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         from map_reduce_go_spark.functions.bmp_codec import encode_bmp
+        from map_reduce_go_spark.functions.jpeg_codec import encode_jpeg
         from map_reduce_go_spark.functions.png_codec import encode_png
 
         n_px = PLANT_W * PLANT_H
@@ -701,11 +722,21 @@ def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, blobs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = (text or "").encode("utf-8")
-                kind = int(doc_id) % 6
+                kind = int(doc_id) % 7
                 if kind == 2:
                     blob = b""
                 elif kind == 1:
-                    blob = b"\xff\xd8\xff\xe0" + raw
+                    blob = b"GIF87a" + raw
+                elif kind == 6:
+                    b1 = raw[0] if len(raw) >= 1 else 0
+                    b2 = raw[1] if len(raw) >= 2 else 0
+                    img = np.hstack(
+                        [
+                            np.full((PLANT_H, PLANT_W), b1, dtype=np.uint8),
+                            np.full((PLANT_H, PLANT_W), b2, dtype=np.uint8),
+                        ]
+                    )
+                    blob = encode_jpeg(img)
                 else:
                     px = np.zeros(n_px, dtype=np.uint8)
                     head = np.frombuffer(raw[:n_px], dtype=np.uint8)
@@ -747,12 +778,12 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
     Deterministic error classes:
 
     - ``empty_blob``          zero-length payload (pre-decode check)
-    - ``unsupported_format``  magic matches none of PNG/WAV/BMP, or a
-                              recognized container uses features outside
-                              the codec's scope (e.g. 24-bit or RLE
-                              BMP) — the same seam that raises
-                              NotImplementedError in the fail-fast
-                              operators
+    - ``unsupported_format``  magic matches none of PNG/WAV/BMP/JPEG, or
+                              a recognized container uses features
+                              outside the codec's scope (e.g. 24-bit or
+                              RLE BMP, progressive or color JPEG) — the
+                              same seam that raises NotImplementedError
+                              in the fail-fast operators
     - ``corrupt_data``        a supported container whose parse or
                               decompress fails (truncation, bad CRC,
                               malformed chunks)
@@ -765,6 +796,7 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
         import pandas as pd
 
         from map_reduce_go_spark.functions.bmp_codec import decode_bmp, is_bmp
+        from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, is_jpeg
         from map_reduce_go_spark.functions.png_codec import decode_png, is_png
         from map_reduce_go_spark.functions.wav_codec import decode_wav, is_wav
 
@@ -790,6 +822,10 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
                         px = decode_bmp(raw)
                         h, w = int(px.shape[0]), int(px.shape[1])
                         s = int(px.astype("int64").sum())
+                    elif is_jpeg(raw):
+                        px = decode_jpeg(raw)
+                        h, w = int(px.shape[0]), int(px.shape[1])
+                        s = int(px.astype("int64").sum())
                     else:
                         raise NotImplementedError("unknown container magic")
                 except _Quarantine as q:
@@ -813,34 +849,41 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
     "multimodal_quarantine_audit",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (0, 1, 2)
+           CASE WHEN CAST(doc_id % 7 AS INTEGER) IN (0, 1, 2)
                 THEN 'quarantined' ELSE 'ok' END AS status,
-           CASE CAST(doc_id % 6 AS INTEGER)
+           CASE CAST(doc_id % 7 AS INTEGER)
              WHEN 0 THEN 'corrupt_data'
              WHEN 1 THEN 'unsupported_format'
              WHEN 2 THEN 'empty_blob'
              ELSE NULL END AS error_class,
-           CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (3, 4, 5)
-                THEN {PLANT_W} END AS px_w,
-           CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (3, 4, 5)
+           CASE WHEN CAST(doc_id % 7 AS INTEGER) IN (3, 4, 5) THEN {PLANT_W}
+                WHEN CAST(doc_id % 7 AS INTEGER) = 6 THEN {2 * PLANT_W}
+           END AS px_w,
+           CASE WHEN CAST(doc_id % 7 AS INTEGER) IN (3, 4, 5, 6)
                 THEN {PLANT_H} END AS px_h,
-           CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (3, 4, 5)
+           CASE WHEN CAST(doc_id % 7 AS INTEGER) IN (3, 4, 5)
                 THEN CAST(COALESCE(list_sum(list_transform(
                        range(1, least(length(text), {PLANT_W * PLANT_H}) + 1),
                        i -> ascii(substring(text, i, 1)))), 0) AS BIGINT)
+                WHEN CAST(doc_id % 7 AS INTEGER) = 6
+                THEN CAST({PLANT_W * PLANT_H} * (
+                       COALESCE(ascii(substring(text, 1, 1)), 0)
+                       + COALESCE(ascii(substring(text, 2, 1)), 0)) AS BIGINT)
            END AS pix_sum
     FROM documents
     """,
 )
 def multimodal_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end row-level resilience over a planted-corruption corpus:
-    REAL decode per blob across THREE containers (PNG, WAV, BMP — the
-    BMP class added r12 proves the dispatch is format-general), failures
+    REAL decode per blob across FOUR containers (PNG, WAV, BMP, and —
+    r13 — baseline JPEG, the first entropy-coded one), failures
     quarantined with a deterministic error class, healthy rows emitting
     real pixel facts. The oracle
     predicts every row's fate in SQL because the fixture's corruption is
     a pure function of doc_id and the pixel payload is the document's
-    leading ASCII bytes (so the decoded pixel sum equals the char-code
-    sum DuckDB computes) — the driver value-hashes the whole
-    decode-or-quarantine decision, not just the happy path."""
+    leading ASCII bytes: for PNG/BMP the decoded pixel sum equals the
+    char-code sum DuckDB computes; for JPEG the two constant 8x8 blocks
+    round-trip exactly (quant=1), so the sum is 32*(byte1+byte2) — the
+    driver value-hashes the whole decode-or-quarantine decision, not
+    just the happy path."""
     return decode_blobs_with_quarantine(planted_corrupt_blobs(spark, sf_dir))

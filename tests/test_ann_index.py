@@ -806,7 +806,7 @@ def test_ledger_watermark_bounds_files_and_keeps_redelivery_noop(
     redelivery idempotence) is unchanged:
 
     - after compaction the ledger holds ONE watermark file for the
-      stream (plus residual non-epoch ids), not N epoch markers;
+      stream (plus the single ad-hoc manifest), not N epoch markers;
     - a redelivery BELOW the watermark (its marker file long gone, its
       batch dir folded away) still no-ops — exactly-once forever;
     - a NEW epoch above the watermark lands normally and is absorbed by
@@ -843,9 +843,13 @@ def test_ledger_watermark_bounds_files_and_keeps_redelivery_noop(
 
     assert compact_index(spark, path, "cell") == n_epochs + 1
     names = sorted(os.listdir(ldir))
-    assert names == ["batch-manual-backfill-day1", "watermark-wmstream"]
+    # VERDICT r12 #7: the ad-hoc id folds into the single manifest file
+    # instead of leaking a residual marker forever.
+    assert names == ["absorbed-adhoc", "watermark-wmstream"]
     with open(os.path.join(ldir, "watermark-wmstream")) as f:
         assert f.read().strip() == str(n_epochs - 1)
+    with open(os.path.join(ldir, "absorbed-adhoc")) as f:
+        assert f.read().split() == ["batch-manual-backfill-day1"]
 
     # Redelivery BELOW the watermark: marker file gone, batch dir folded
     # away — the watermark alone must no-op it.
@@ -866,11 +870,15 @@ def test_ledger_watermark_bounds_files_and_keeps_redelivery_noop(
     append_to_ivf_index(spark, path, nxt, f"wmstream-epoch{n_epochs}")
     assert compact_index(spark, path, "cell") == 1
     assert sorted(os.listdir(ldir)) == [
-        "batch-manual-backfill-day1",
+        "absorbed-adhoc",
         "watermark-wmstream",
     ]
     with open(os.path.join(ldir, "watermark-wmstream")) as f:
         assert f.read().strip() == str(n_epochs)
+    # Redelivery of the ABSORBED ad-hoc id: the manifest alone must
+    # no-op it (its marker file is gone).
+    append_to_ivf_index(spark, path, adhoc, "manual-backfill-day1")
+    assert not os.path.exists(os.path.join(path, "batch-manual-backfill-day1"))
     shutil.rmtree(path)  # leave no cross-test state on the snapshot path
 
 
@@ -908,4 +916,110 @@ def test_ledger_watermark_never_absorbs_past_a_gap(spark, sf_dir, index_env):
     with open(os.path.join(ldir, "watermark-s")) as f:
         assert f.read().strip() == "3"
     assert _ledger_contains(path, "batch-s-epoch2")
+    shutil.rmtree(path)
+
+
+def test_ledger_crash_leftover_below_watermark_is_swept(index_env):
+    """ADVICE r12: a crash between the watermark replace and the marker
+    deletes leaves absorbed markers behind with new_w == w; the old
+    short-circuit skipped deletion entirely on the next run, leaking
+    them forever. Now every pass sweeps residual markers at or below
+    the watermark even when the watermark does not advance."""
+    import shutil
+
+    from map_reduce_go_spark.operators.ann_index import (
+        _LEDGER_DIR,
+        _compact_ledger,
+        _ledger_add,
+        _ledger_contains,
+    )
+
+    path = os.path.join(os.environ["SPARK_GRAFT_INDEX_DIR"], "crash-sweep-ledger")
+    os.makedirs(os.path.join(path, "corpus"), exist_ok=True)
+    _ledger_add(path, {"batch-s-epoch0", "batch-s-epoch1"})
+    _compact_ledger(path)
+    ldir = os.path.join(path, _LEDGER_DIR)
+    assert sorted(os.listdir(ldir)) == ["watermark-s"]
+    # Reconstruct the crash leftover: an absorbed marker back on disk,
+    # watermark already durable — the exact state the old `continue`
+    # short-circuit made permanent.
+    open(os.path.join(ldir, "batch-s-epoch0"), "w").close()
+    _compact_ledger(path)  # no new epochs: new_w == w
+    assert sorted(os.listdir(ldir)) == ["watermark-s"]  # swept, not leaked
+    assert _ledger_contains(path, "batch-s-epoch0")  # membership intact
+    shutil.rmtree(path)
+
+
+def test_ledger_zero_padded_epoch_never_collapses(index_env):
+    """ADVICE r12: 's-epoch01' and 's-epoch1' are DISTINCT ids. The epoch
+    group is anchored to canonical unpadded decimal, so the padded form
+    is never watermark-absorbable — it routes through the exact-name
+    ad-hoc path, and a watermark covering epoch 1 must not report
+    epoch01 as committed (that false positive silently drops a batch)."""
+    import shutil
+
+    from map_reduce_go_spark.operators.ann_index import (
+        _EPOCH_MARKER_RE,
+        _LEDGER_DIR,
+        _compact_ledger,
+        _ledger_add,
+        _ledger_contains,
+    )
+
+    assert _EPOCH_MARKER_RE.match("batch-s-epoch1")
+    assert not _EPOCH_MARKER_RE.match("batch-s-epoch01")
+
+    path = os.path.join(os.environ["SPARK_GRAFT_INDEX_DIR"], "padded-epoch-ledger")
+    os.makedirs(os.path.join(path, "corpus"), exist_ok=True)
+    _ledger_add(path, {"batch-s-epoch0", "batch-s-epoch1"})
+    _compact_ledger(path)
+    # Watermark covers canonical epochs 0..1 — the padded sibling is NOT
+    # committed and must not be reported as such.
+    assert _ledger_contains(path, "batch-s-epoch1")
+    assert not _ledger_contains(path, "batch-s-epoch01")
+    # Once committed, the padded id is absorbed by the ad-hoc manifest
+    # under its exact name and stays committed across compactions.
+    _ledger_add(path, {"batch-s-epoch01"})
+    _compact_ledger(path)
+    ldir = os.path.join(path, _LEDGER_DIR)
+    assert sorted(os.listdir(ldir)) == ["absorbed-adhoc", "watermark-s"]
+    assert _ledger_contains(path, "batch-s-epoch01")
+    assert _ledger_contains(path, "batch-s-epoch1")
+    shutil.rmtree(path)
+
+
+def test_ledger_many_adhoc_ids_compact_to_one_manifest(index_env):
+    """VERDICT r12 #7 in anger: N ad-hoc (non-epoch) ids compact to a
+    BOUNDED residual set — one manifest file — with membership and
+    redelivery idempotence intact for every absorbed id, across
+    repeated compactions and a second wave of ids."""
+    import shutil
+
+    from map_reduce_go_spark.operators.ann_index import (
+        _LEDGER_DIR,
+        _compact_ledger,
+        _ledger_add,
+        _ledger_contains,
+    )
+
+    path = os.path.join(os.environ["SPARK_GRAFT_INDEX_DIR"], "adhoc-ledger")
+    os.makedirs(os.path.join(path, "corpus"), exist_ok=True)
+    wave1 = {f"batch-backfill-2026-01-{d:02d}" for d in range(1, 21)}
+    _ledger_add(path, wave1)
+    ldir = os.path.join(path, _LEDGER_DIR)
+    assert len(os.listdir(ldir)) == 20  # unbounded shape, pre-fold
+    _compact_ledger(path)
+    assert sorted(os.listdir(ldir)) == ["absorbed-adhoc"]
+    assert all(_ledger_contains(path, i) for i in wave1)
+    # _ledger_add of an absorbed id no-ops (no marker file reappears).
+    _ledger_add(path, {"batch-backfill-2026-01-05"})
+    assert sorted(os.listdir(ldir)) == ["absorbed-adhoc"]
+    # A second wave merges into the same single manifest.
+    wave2 = {f"batch-backfill-2026-02-{d:02d}" for d in range(1, 11)}
+    _ledger_add(path, wave2)
+    _compact_ledger(path)
+    assert sorted(os.listdir(ldir)) == ["absorbed-adhoc"]
+    assert all(_ledger_contains(path, i) for i in wave1 | wave2)
+    with open(os.path.join(ldir, "absorbed-adhoc")) as f:
+        assert f.read().split() == sorted(wave1 | wave2)
     shutil.rmtree(path)

@@ -34,21 +34,27 @@ def _blob_df(spark, rows):
 
 def test_planted_fixture_fates_are_exhaustive(spark, sf_dir):
     """Every input doc produces exactly one output row; statuses and
-    error classes follow the doc_id % 6 plant (classes 3/4 healthy PNG,
-    5 healthy BMP — the r12 third container); no row is lost and the
-    job completes despite hundreds of planted-bad blobs."""
+    error classes follow the doc_id % 7 plant (classes 3/4 healthy PNG,
+    5 healthy BMP, 6 healthy JPEG — the r12/r13 third and fourth
+    containers); no row is lost and the job completes despite hundreds
+    of planted-bad blobs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = decode_blobs_with_quarantine(planted_corrupt_blobs(spark, sf_dir))
     rows = {r["doc_id"]: r for r in out.collect()}
     assert len(rows) == docs.count()
-    assert any(doc_id % 6 == 5 for doc_id in rows)  # BMP class populated
+    assert any(doc_id % 7 == 5 for doc_id in rows)  # BMP class populated
+    assert any(doc_id % 7 == 6 for doc_id in rows)  # JPEG class populated
     for doc_id, r in rows.items():
-        kind = doc_id % 6
+        kind = doc_id % 7
         if kind in (0, 1, 2):
             assert r["status"] == "quarantined", (doc_id, r)
             want = {0: "corrupt_data", 1: "unsupported_format", 2: "empty_blob"}[kind]
             assert r["error_class"] == want
             assert r["px_w"] is None and r["pix_sum"] is None
+        elif kind == 6:
+            assert r["status"] == "ok", (doc_id, r)
+            assert r["error_class"] is None
+            assert (r["px_w"], r["px_h"]) == (2 * PLANT_W, PLANT_H)
         else:
             assert r["status"] == "ok", (doc_id, r)
             assert r["error_class"] is None
@@ -56,27 +62,40 @@ def test_planted_fixture_fates_are_exhaustive(spark, sf_dir):
 
 
 def test_ok_rows_carry_real_decode_facts(spark, sf_dir):
-    """The healthy rows' pixel sum equals the sum of the document's
-    leading bytes — proof the PNG round-trip actually ran, not a stub."""
+    """The healthy rows' pixel sum equals a pure function of the
+    document's leading bytes — proof the PNG/BMP/JPEG round-trips
+    actually ran, not a stub. For JPEG the two constant 8x8 blocks
+    round-trip exactly through quant-1 DCT, so the sum is
+    32*(byte1+byte2)."""
     docs = {
         r["doc_id"]: r["text"]
         for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
     }
     out = decode_blobs_with_quarantine(planted_corrupt_blobs(spark, sf_dir))
-    checked = 0
+    checked = jpeg_checked = 0
     for r in out.where(F.col("status") == "ok").collect():
-        raw = docs[r["doc_id"]].encode("utf-8")[: PLANT_W * PLANT_H]
-        assert r["pix_sum"] == sum(raw), r["doc_id"]
-        checked += 1
-    assert checked > 50
+        raw = docs[r["doc_id"]].encode("utf-8")
+        if r["doc_id"] % 7 == 6:
+            b1 = raw[0] if len(raw) >= 1 else 0
+            b2 = raw[1] if len(raw) >= 2 else 0
+            assert r["pix_sum"] == PLANT_W * PLANT_H * (b1 + b2), r["doc_id"]
+            jpeg_checked += 1
+        else:
+            assert r["pix_sum"] == sum(raw[: PLANT_W * PLANT_H]), r["doc_id"]
+            checked += 1
+    assert checked > 50 and jpeg_checked > 10
 
 
 def test_error_classes_per_corruption_shape(spark):
     """Hand-built blobs hit each class: bad-CRC PNG (supported container,
-    corrupt payload), foreign magic, empty, plus a 16-bit WAV that must
-    decode on the ok path."""
+    corrupt payload), foreign magic, empty, a 16-bit WAV that must
+    decode on the ok path, and — r13 — JPEG in all three fates:
+    corrupt (magic over garbage), unsupported (progressive SOF2), ok
+    (real baseline decode)."""
     import io
     import wave
+
+    from map_reduce_go_spark.functions.jpeg_codec import encode_jpeg
 
     good = encode_png(np.arange(PLANT_W * PLANT_H, dtype=np.uint8).reshape(PLANT_H, PLANT_W))
     bad_crc = bytearray(good)
@@ -91,6 +110,9 @@ def test_error_classes_per_corruption_shape(spark):
         w.setframerate(8000)
         w.writeframes(np.array([100, -100, 7, 7], dtype=np.int16).tobytes())
     wav = buf.getvalue()
+    good_jpeg = encode_jpeg(np.full((4, 8), 9, dtype=np.uint8))
+    progressive = bytearray(good_jpeg)
+    progressive[good_jpeg.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
     out = {
         r["doc_id"]: r
         for r in decode_blobs_with_quarantine(
@@ -103,6 +125,9 @@ def test_error_classes_per_corruption_shape(spark):
                     (3, b""),
                     (4, None),
                     (5, wav),
+                    (6, b"GIF87a foreign container"),
+                    (7, bytes(good_jpeg)),
+                    (8, bytes(progressive)),
                 ],
             )
         ).collect()
@@ -111,12 +136,19 @@ def test_error_classes_per_corruption_shape(spark):
         np.arange(PLANT_W * PLANT_H).sum()
     )
     assert out[1]["error_class"] == "corrupt_data"
-    assert out[2]["error_class"] == "unsupported_format"
+    # r13: JPEG is now a RECOGNIZED container — magic over garbage is
+    # corrupt_data (was unsupported_format when JPEG was foreign).
+    assert out[2]["error_class"] == "corrupt_data"
     assert out[3]["error_class"] == "empty_blob"
     assert out[4]["error_class"] == "empty_blob"  # NULL blob == wrote nothing
     assert out[5]["status"] == "ok"
     assert (out[5]["px_w"], out[5]["px_h"]) == (2, 2)  # (channels, frames)
     assert out[5]["pix_sum"] == 14
+    assert out[6]["error_class"] == "unsupported_format"  # genuinely foreign
+    assert out[7]["status"] == "ok"
+    assert (out[7]["px_w"], out[7]["px_h"]) == (8, 4)
+    assert out[7]["pix_sum"] == 9 * 32
+    assert out[8]["error_class"] == "unsupported_format"  # well-formed SOF2
 
 
 def test_quarantine_gates_downstream_real_decode(spark, sf_dir):

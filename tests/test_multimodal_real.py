@@ -5,9 +5,10 @@ PNG round-trips through the pure-Python codec, and all three operators
 PNG bytes — with results cross-checked against numpy ground truth.
 16-bit PCM WAV audio decodes through the stdlib wave codec in the same
 real branch (amplitude-histogram features, mixed-format batches).
-JPEG/compressed-audio/video-container input still raises
-NotImplementedError (those genuinely need external libraries); that
-contract is pinned too."""
+8-bit BMP (r12) and baseline JPEG (r13) decode through their own
+pure-Python codecs in the same dispatch. Genuinely foreign containers
+(GIF, compressed audio, video) still raise NotImplementedError (those
+need external libraries); that contract is pinned too."""
 
 from __future__ import annotations
 
@@ -240,9 +241,11 @@ def test_real_mode_still_raises_for_foreign_formats(spark):
     )
     from pyspark.errors.exceptions.captured import PythonException
 
-    jpeg_ish = b"\xff\xd8\xff\xe0" + bytes(64)
-    df3 = _blob_df(spark, [(0, jpeg_ish)])
-    df2 = _blob_df(spark, [(0, jpeg_ish)], with_modality=False)
+    # GIF: a real container none of the repo's codecs implement (JPEG
+    # stopped being foreign in r13 — extract_features now decodes it).
+    foreign = b"GIF87a" + bytes(64)
+    df3 = _blob_df(spark, [(0, foreign)])
+    df2 = _blob_df(spark, [(0, foreign)], with_modality=False)
     for frame in (
         extract_features(df3, decode_mode="real"),
         resize_images(df2, decode_mode="real"),
@@ -465,6 +468,43 @@ def test_bmp_decoder_scope_seams():
         decode_bmp(b"not a bmp")
     with _pytest.raises(ValueError):
         decode_bmp(bytes(good[: len(good) - 3]))  # truncated pixels
+    # VERDICT r12 #6: BITMAPCOREHEADER (DIB size 12) is a well-formed-
+    # but-unimplemented header VARIANT -> NotImplementedError
+    # (unsupported_format), not ValueError (corrupt_data). Same for the
+    # OS/2 v2 sizes; a size outside every known family stays corrupt.
+    core = bytearray(good)
+    struct.pack_into("<I", core, 14, 12)
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(core))
+    os2 = bytearray(good)
+    struct.pack_into("<I", os2, 14, 64)
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(os2))
+    junk_hdr = bytearray(good)
+    struct.pack_into("<I", junk_hdr, 14, 17)  # no known DIB family
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(junk_hdr))
+
+
+def test_bmp_sniff_rejects_bm_prefixed_text():
+    """ADVICE r12: 'BM' is 2 ASCII bytes — real crawls contain text that
+    starts with it ('BMW dealers...'). The hardened sniff requires a
+    plausible little-endian DIB header size at offset 14, which ASCII
+    text never produces, so such blobs route to unsupported_format
+    instead of misparsing inside decode_bmp as corrupt_data."""
+    from map_reduce_go_spark.functions.bmp_codec import encode_bmp, is_bmp
+
+    assert not is_bmp(b"BM")
+    assert not is_bmp(b"BMW dealers in greater Boston have announced a sale")
+    assert not is_bmp(b"BM" + b" " * 100)
+    assert is_bmp(encode_bmp(np.zeros((4, 8), dtype=np.uint8)))
+    # Core-family header sizes still sniff as BMP (decode classifies
+    # them unsupported_format, the honest class for a real container).
+    import struct as _struct
+
+    core = bytearray(encode_bmp(np.zeros((4, 8), dtype=np.uint8)))
+    _struct.pack_into("<I", core, 14, 12)
+    assert is_bmp(bytes(core))
 
 
 def test_extract_features_real_decodes_bmp_pixels(spark):
@@ -482,3 +522,120 @@ def test_extract_features_real_decodes_bmp_pixels(spark):
     rows = {r["doc_id"]: r for r in extract_features(df, decode_mode="real").collect()}
     assert rows[1]["bin_counts"] == rows[2]["bin_counts"]
     assert (rows[2]["fake_width"], rows[2]["fake_height"]) == (8, 4)
+
+
+# ----------------------------------------------------------------- JPEG
+
+
+def test_jpeg_roundtrip_exact_on_constant_blocks():
+    """Constant 8x8 blocks survive DCT -> quantize(1) -> Huffman -> IDCT
+    exactly (the DC coefficient 8*(c-128) is an integer; every AC
+    coefficient is exactly zero) — the property the quarantine fixture's
+    SQL oracle leans on. Multi-block images also exercise the DC
+    DIFFERENTIAL path between blocks."""
+    from map_reduce_go_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        is_jpeg,
+    )
+
+    for vals in [(0,), (65,), (255,), (65, 200), (1, 254, 128, 7)]:
+        img = np.hstack([np.full((4, 8), v, dtype=np.uint8) for v in vals])
+        raw = encode_jpeg(img)
+        assert is_jpeg(raw)
+        out = decode_jpeg(raw)
+        assert out.shape == img.shape
+        assert np.array_equal(out, img), vals
+
+
+def test_jpeg_near_lossless_at_quant_one_and_lossy_at_std_table():
+    """Arbitrary images: at quant=1 the only loss is coefficient
+    rounding (max |err| <= 1 observed; bound loosely at 2); with the
+    spec's example luminance table the decode is genuinely lossy —
+    proving the quantization path does real work, not a bypass."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(19, 27), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (19, 27)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+    std_q = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+         49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
+    )
+    lossy = decode_jpeg(encode_jpeg(img, quant=std_q))
+    err = np.abs(lossy.astype(int) - img.astype(int)).max()
+    assert err > 2  # real quantization loss
+    # And the quant table travels in the bytes: decode honors it, so a
+    # smooth image reconstructs closely even through the lossy table.
+    smooth = np.tile(np.arange(8, dtype=np.uint8) * 2 + 100, (8, 1))
+    near = decode_jpeg(encode_jpeg(smooth, quant=std_q))
+    assert int(np.abs(near.astype(int) - smooth.astype(int)).max()) <= 24
+
+
+def test_jpeg_decoder_scope_seams():
+    """Well-formed-but-unimplemented -> NotImplementedError
+    (unsupported_format); malformed -> ValueError (corrupt_data)."""
+    import struct as _struct
+
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((4, 8), 50, dtype=np.uint8))
+    sof_at = good.find(b"\xff\xc0")
+
+    progressive = bytearray(good)
+    progressive[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(progressive))
+
+    precision12 = bytearray(good)
+    precision12[sof_at + 4] = 12
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(precision12))
+
+    dri = bytearray(good)
+    # Insert a DRI segment with a nonzero restart interval before SOF.
+    dri[sof_at:sof_at] = _struct.pack(">BBHH", 0xFF, 0xDD, 4, 8)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(dri))
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) - 8])  # truncated mid-entropy
+    garbage_marker = bytearray(good)
+    garbage_marker[sof_at + 1] = 0x0F  # not a marker byte at all
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(garbage_marker))
+
+
+def test_jpeg_sniff_needs_marker_structure():
+    from map_reduce_go_spark.functions.jpeg_codec import encode_jpeg, is_jpeg
+
+    assert not is_jpeg(b"")
+    assert not is_jpeg(b"\xff\xd8")  # SOI alone: no following marker byte
+    assert not is_jpeg(b"\xff\xd8ab")  # SOI + non-marker garbage
+    assert is_jpeg(b"\xff\xd8\xff\xe0 anything")
+    assert is_jpeg(encode_jpeg(np.zeros((1, 1), dtype=np.uint8)))
+
+
+def test_extract_features_real_decodes_jpeg_pixels(spark):
+    """The real feature extractor consumes JPEG through the same dispatch
+    as PNG/BMP: same (constant-block) pixels -> same histogram."""
+    from map_reduce_go_spark.functions.jpeg_codec import encode_jpeg
+    from map_reduce_go_spark.functions.png_codec import encode_png
+    from map_reduce_go_spark.operators.multimodal import extract_features
+
+    img = np.hstack(
+        [np.full((4, 8), 65, np.uint8), np.full((4, 8), 200, np.uint8)]
+    )
+    df = spark.createDataFrame(
+        [(1, bytes(encode_png(img)), "image"), (2, bytes(encode_jpeg(img)), "image")],
+        "doc_id long, blob binary, modality string",
+    )
+    rows = {r["doc_id"]: r for r in extract_features(df, decode_mode="real").collect()}
+    assert rows[1]["bin_counts"] == rows[2]["bin_counts"]
+    assert (rows[2]["fake_width"], rows[2]["fake_height"]) == (16, 4)

@@ -100,13 +100,57 @@ def test_fuzz_bmp_truncations_and_garbage_never_fail_the_task(spark):
     by_id = {r["doc_id"]: r for r in rows}
     for k in range(len(bmp)):
         assert by_id[k]["status"] == "quarantined", k
-        if k >= 2:  # BM magic present: recognized container, bad bytes
+        if k >= 26:  # sniff confirms container (BM + readable DIB header
+            # size): recognized container, bad bytes
             assert by_id[k]["error_class"] == "corrupt_data", k
-        else:  # 0/1 bytes: not identifiable as any container
+        else:  # too short for the r12-hardened sniff (ADVICE r12: 'BM'
+            # alone is 2 ASCII bytes): not identifiable as any container
             assert by_id[k]["error_class"] in ("empty_blob", "unsupported_format")
     assert by_id[full_idx]["status"] == "ok"
     assert by_id[full_idx]["pix_sum"] == int(np.arange(32).sum())
     assert by_id[len(blobs) - 1]["error_class"] == "unsupported_format"  # 24-bit
+    for r in rows:
+        assert r["status"] in _STATUSES and r["error_class"] in _CLASSES
+
+
+def test_fuzz_jpeg_truncations_and_garbage_never_fail_the_task(spark):
+    """JPEG twin of the PNG/BMP fuzz (the r13 fourth container): every-
+    offset truncations of a valid baseline JPEG, JFIF magic over
+    garbage, and a well-formed-but-progressive (SOF2) file. The entropy
+    stream is bit-level Huffman with byte stuffing — truncation can land
+    mid-code, mid-stuffing, or mid-segment; every cut must classify,
+    never crash the task. JPEG has trailing-EOI leniency (like PNG's
+    trailing-CRC leniency): cuts at/after the EOI marker may decode —
+    all entropy data is present — so the quarantine requirement is
+    pinned only for cuts strictly before the entropy stream's end."""
+    rng = np.random.default_rng(13)
+    from map_reduce_go_spark.functions.jpeg_codec import encode_jpeg
+
+    # Two constant 8x8 blocks: exact round-trip (the fixture property),
+    # so the full file's pix_sum is checkable to the digit.
+    img = np.hstack(
+        [np.full((4, 8), 65, dtype=np.uint8), np.full((4, 8), 200, dtype=np.uint8)]
+    )
+    jpg = encode_jpeg(img)
+    blobs: list[bytes | None] = [bytes(jpg[:k]) for k in range(len(jpg))]
+    full_idx = len(blobs)
+    blobs += [bytes(jpg)]
+    blobs += [b"\xff\xd8\xff" + rng.bytes(int(n)) for n in rng.integers(0, 120, size=60)]
+    progressive = bytearray(jpg)
+    progressive[jpg.find(b"\xff\xc0") + 1] = 0xC2
+    blobs += [bytes(progressive)]
+    rows = _decode_all(spark, blobs)
+    assert len(rows) == len(blobs)
+    by_id = {r["doc_id"]: r for r in rows}
+    for k in range(len(jpg) - 2):  # strictly before the EOI marker
+        assert by_id[k]["status"] == "quarantined", k
+        if k >= 3:  # SOI + marker byte: recognized container, bad bytes
+            assert by_id[k]["error_class"] == "corrupt_data", k
+        else:
+            assert by_id[k]["error_class"] in ("empty_blob", "unsupported_format")
+    assert by_id[full_idx]["status"] == "ok"
+    assert by_id[full_idx]["pix_sum"] == 32 * (65 + 200)
+    assert by_id[len(blobs) - 1]["error_class"] == "unsupported_format"  # SOF2
     for r in rows:
         assert r["status"] in _STATUSES and r["error_class"] in _CLASSES
 
