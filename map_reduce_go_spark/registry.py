@@ -49,79 +49,84 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # plus every query whose check previously failed or was rows-only — into
 # the checked window. Queries not listed follow in registration order, so
 # the union of checked sets grows round over round.
+# QUEUE-JUMP RULE (VERDICT r12 #2): a query whose fn, oracle, or fixture
+# changes AFTER its latest driver row jumps the rotation queue — its old
+# green hash no longer certifies the code that will ship, so it re-hashes
+# in the NEXT window regardless of row age. This round that pulls
+# ann_ranking_quality (r10 row; exact-leg oracle re-sampled in r12) and
+# multimodal_quarantine_audit (r11 row; BMP fixture class added r12, JPEG
+# class + %7 re-keying added THIS round) into the r13 window ahead of
+# four r7-era rows.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-12 window — executing the rotation VERDICT r11 #1 pinned at
-    # r11 close (registry comment + CORRECTNESS_r01..r11 latest-round
-    # computation): the 50 r6-era rows are the oldest remaining driver
-    # rows; 49 of them lead this window oldest-first (registration
-    # order), and the 50th slot goes to the ONE new registration this
-    # round — classifier_train_scores (the in-engine training loop landed
-    # and pre-validated in r11, the only capability without a driver
-    # row). The 50th r6 row, gdpr_delete_impact, is the DOCUMENTED slip:
-    # it leads the r13 window (it was independently oracle-spot-checked
-    # by the r11 judge this session, so its evidence is fresh even though
-    # its driver row stays r6 until r13).
-    # --- (a) 49 of the 50 r6-era rows, registration order ---
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_minhash_lsh_stopfiltered",
-    "setsim_prefix_filter_join",
-    "shingle_novelty_per_doc",
-    "embedding_centroids",
-    "semdedup_prune",
-    "ann_ivf_recall_probe",
-    "embedding_int8_quant_recall",
-    "hard_negative_mining",
-    "tfidf_top_terms",
-    "bigram_lm_doc_score",
-    "pmi_collocations",
-    "doclen_log2_histogram",
-    "mad_doclen_by_source",
-    "bpe_merge_steps",
-    "readability_flesch_by_source",
-    "zipf_tail_slope",
-    "word_graph_degree_distribution",
-    "weighted_median_price",
-    "chisq_segment_priority_independence",
-    "ship_latency_percentiles_by_priority",
-    "basket_part_pairs_topk",
-    "shared_ansi_sql_probe",
-    "basket_pair_lift",
-    "new_users_daily_cumulative",
-    "order_backlog_daily",
-    "rolling_7d_distinct_users",
-    "time_weighted_avg_value_per_user",
-    "first_last_touch_attribution",
-    "dau_mau_stickiness",
-    "session_path_patterns",
-    "token_mixture_planner",
-    "dedup_token_attrition_by_source",
-    "negative_sampling_per_order",
-    "quantile_normalization_doclen",
-    "benford_first_digit_audit",
-    "snapshot_diff_cdc",
-    "revenue_lorenz_gini",
-    "ewma_daily_revenue",
-    "order_gap_islands",
-    "interval_union_coverage_days",
-    "cms_sketch_cells",
-    "kmv_distinct_merge_probe",
-    "cms_self_join_size_probe",
-    "k_anonymity_audit",
-    "sample_allocation_largest_remainder",
-    "table_checksum_buckets",
-    # --- (b) round-12 addition (never checked, must be in the window
-    #     per tests/test_registry_contract.py): the training half of the
-    #     quality-filter loop, registered with the unrolled-SQL replay
-    #     oracle pre-validated in r11
-    #     (tests/test_classifier_training.py::test_unrolled_sql_oracle_matches_engine). ---
-    "classifier_train_scores",
-    # (After this window the only pre-r7 driver row is gdpr_delete_impact
-    # (r6) — it leads the r13 window, followed by the 49 r7-era rows
-    # oldest-first. Any additions with no driver row yet must be appended
-    # to THIS tuple so the never-checked invariant in
-    # tests/test_registry_contract.py holds.)
+    # Round-13 window — executing the rotation VERDICT r12 #1 pinned at
+    # r12 close, amended by the queue-jump rule above. Composition:
+    # --- (a) the documented r12 slip: the ONLY pre-r7 driver row ---
+    "gdpr_delete_impact",
+    # --- (b) round-13 addition (never checked, must be in the window
+    #     per tests/test_registry_contract.py): the KV-store capstone —
+    #     reference src/models/kv.go:40-54 Get/Put/Append semantics as a
+    #     batch fold (VERDICT r12 #8); streaming twin is pytest-only. ---
+    "kv_apply_log",
+    # --- (c) queue-jumpers: semantics changed after their latest row ---
+    "ann_ranking_quality",
+    "multimodal_quarantine_audit",
+    # --- (d) 46 of the 50 r7-era rows, oldest-first in registration
+    #     order (computed from CORRECTNESS_r01..r12 latest rows) ---
+    "multimodal_feature_stub",
+    "multimodal_resize_stub",
+    "multimodal_frame_sample",
+    "knn_bruteforce_cosine",
+    "ann_lsh_cosine",
+    "ann_filtered_ivf",
+    "text_quality_stats",
+    "language_guess",
+    "token_counts",
+    "doc_fingerprint",
+    "token_positions",
+    "top_bigrams",
+    "doc_repetition_stats",
+    "bpe_pair_counts",
+    "bm25_doc_ranking",
+    "llr_keyness_by_source",
+    "min_count_vocab_curve",
+    "source_lang_entropy",
+    "q1_pricing_summary",
+    "agg_stats_per_nation",
+    "count_distinct_custkey",
+    "approx_distinct_probe",
+    "rollup_lineitem_flags",
+    "cube_orders_status_priority",
+    "grouping_sets_nation_segment",
+    "conditional_agg_pivot",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "semi_join_customers_with_purchases",
+    "anti_join_parts_never_ordered",
+    "outer_join_nation_customer_counts",
+    "window_topk_parts_per_brand",
+    "window_running_customer_spend",
+    "top20_orders_by_price",
+    "set_ops_nation_presence",
+    "distinct_sorted_segments",
+    "scalar_string_functions",
+    "scalar_datetime_functions",
+    "scalar_math_functions",
+    "array_functions_showcase",
+    "json_extract_events",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "median_price_per_segment",
+    "correlated_subquery_above_nation_avg",
+    # (r14 window, pinned by name: the FOUR r7-era rows displaced by the
+    # queue-jumpers and the new registration — weekly_activity_bitmap,
+    # churn_weekly_rates, doc_chunking_fixed_tokens,
+    # equidepth_histogram_price_approx — lead it, followed by the r9-era
+    # rows oldest-first in registration order. Any additions with no
+    # driver row yet must be appended to THIS tuple so the never-checked
+    # invariant in tests/test_registry_contract.py holds, and any query
+    # whose fn/oracle/fixture changes after its latest driver row jumps
+    # into the next window per the rule above.)
 )
 
 
