@@ -89,7 +89,27 @@ NOTES = (
     "headliner: it is a multi-action training loop (~7s at sf0.1, "
     "dominated by fixed per-iteration job overhead); its scale story "
     "lives in SCALE.md's clstrain probes, and timing it cold in the "
-    "suite would triple-pay the loop for no per-plan signal."
+    "suite would triple-pay the loop for no per-plan signal. "
+    "r13: the semdedup_prune r12 watch item (2.33->2.87 cold median, "
+    "+23%) is ADJUDICATED, verdict = cold-measurement variance of a "
+    "build-dominated leg, not a plan regression: the plan is "
+    "git-verified unchanged since r10, a clean r13 median-of-5 "
+    "reproduces r12's number exactly (2.859 vs 2.87, inside r12's "
+    "recorded spread), and the cold cost decomposes 53% memoized IVF "
+    "build (two k-means training jobs; warm median 1.34s) / 47% "
+    "within-cell prune — so round-to-round deltas concentrate in fixed "
+    "training-job JVM overhead the memo amortizes in any real session. "
+    "Expected band: cold 2.6-3.4s, warm ~1.3s; plan-test failure, not "
+    "a timing reading, is the regression signal. Plan-affecting r13 "
+    "changes to watch: the quarantine fixture re-keys to doc_id%7 "
+    "with a real JPEG class 6 (pure-Python Huffman+IDCT decode per "
+    "blob — expect multimodal_quarantine_audit ~+0.2-0.4s cold for "
+    "the extra decode work) and the foreign-magic class is now GIF; "
+    "the distrank/prefix fan-out derives from shuffle.partitions (32 "
+    "here vs the old constant 8 — more, smaller range tasks; hash-"
+    "invariance is probe-asserted in SCALE.md's distrank table); "
+    "kv_apply_log (registered r13) is a two-shuffle key fold, ~1s "
+    "class, not a headliner."
 )
 
 # Headline set: one per operator family, weighted toward scale-sensitive

@@ -29,14 +29,43 @@ from pyspark.sql import functions as F
 
 from map_reduce_go_spark.functions.caching import tracked_cache
 
-#: Range-partition fan-out for the rank shuffle. Sized like
-#: mleval.PREFIX_PARTS: enough to parallelize, small enough that the
-#: per-partition count collect is metadata.
-RANK_PARTS = 8
+#: Floor for the derived range-partition fan-out: enough to parallelize
+#: even when the session's shuffle-partition conf is tiny (local test
+#: sessions), small enough that the per-partition count collect stays
+#: metadata at any setting.
+RANK_PARTS_MIN = 8
+
+#: Session conf overriding the derived fan-out explicitly
+#: (``spark.conf.set("spark.graft.rank.parts", "64")``). The global
+#: rank is HASH-INVARIANT in this knob (offsets are exact metadata at
+#: any fan-out — asserted per-probe in scripts/scale_probe.py's
+#: distrank family), so it tunes throughput only, never results.
+RANK_PARTS_CONF = "spark.graft.rank.parts"
+
+
+def range_parts(spark, parts: int | None = None) -> int:
+    """Derive the rank/prefix shuffle fan-out (VERDICT r12 #3 — a
+    constant 8 was the one remaining fixed degree-of-parallelism in a
+    100 TB-facing idiom). Precedence: explicit ``parts`` argument, then
+    the ``spark.graft.rank.parts`` session conf, then the session's
+    ``spark.sql.shuffle.partitions`` — the same knob that sizes every
+    other shuffle in the job, so on a real cluster (thousands of
+    shuffle partitions) the rank shuffle fans out with the rest of the
+    plan instead of funneling into 8 tasks. Floored at RANK_PARTS_MIN."""
+    if parts is not None:
+        return max(1, int(parts))
+    conf = spark.conf.get(RANK_PARTS_CONF, None)
+    if conf:
+        return max(1, int(conf))
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    return max(RANK_PARTS_MIN, shuffle)
 
 
 def dist_row_number(
-    df: DataFrame, order_by: list[Column], out: str = "i"
+    df: DataFrame,
+    order_by: list[Column],
+    out: str = "i",
+    parts: int | None = None,
 ) -> tuple[DataFrame, int]:
     """(df + global 1-based ``out`` row number, total row count).
 
@@ -44,10 +73,12 @@ def dist_row_number(
     module docstring). The returned count is driver-side metadata (the
     offset collect already paid for it), so callers needing ``n`` embed
     it as a literal instead of planning a ``count() OVER ()`` — which
-    would itself be a single-partition window."""
+    would itself be a single-partition window. ``parts`` tunes the
+    range-shuffle fan-out (default derived per :func:`range_parts`);
+    the result is bit-identical at any setting."""
     spark = df.sparkSession
     ranged = tracked_cache(
-        df.repartitionByRange(RANK_PARTS, *order_by).withColumn(
+        df.repartitionByRange(range_parts(spark, parts), *order_by).withColumn(
             "pid", F.spark_partition_id()
         )
     )

@@ -1953,7 +1953,8 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SNM_WINDOW = 5  # compare each record to the next SNM_WINDOW-1 in key order
 SNM_KEY_CHARS = 24  # blocking key: first chars of the normalized text
-_SNM_RANK_PARTS = 8  # range partitions for the distributed global rank
+# The distributed global rank's fan-out derives per session from
+# functions.distrank.range_parts (VERDICT r12 #3).
 _SNM_MIN_J_PPM = 250_000  # report pairs with token-set Jaccard >= 0.25
 
 
@@ -2029,6 +2030,8 @@ def sorted_neighborhood_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame
     dedup_sorted_neighborhood for the plan-shape contract. Split out so
     tests can drive it over constructed corpora with known duplicates
     (the driver fixtures contain none)."""
+    from map_reduce_go_spark.functions.distrank import range_parts
+
     key = F.substring(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""),
         1,
@@ -2036,7 +2039,9 @@ def sorted_neighborhood_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame
     )
     ranged = (
         docs.select("doc_id", key.alias("k"))
-        .repartitionByRange(_SNM_RANK_PARTS, F.asc("k"), F.asc("doc_id"))
+        .repartitionByRange(
+            range_parts(docs.sparkSession), F.asc("k"), F.asc("doc_id")
+        )
         .withColumn("pid", F.spark_partition_id())
         .transform(tracked_cache)
     )

@@ -1673,9 +1673,9 @@ def readability_flesch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Head ranks excluded from the Zipf tail fit (the head deviates from the
 # power law by construction; the tail is the claim being measured).
 ZIPF_HEAD_RANKS = 10
-# Partition count for the distributed vocabulary rank (the equidepth
-# idiom); sized so each range partition holds vocabulary/8 tokens.
-ZIPF_RANK_PARTS = 8
+# The distributed vocabulary rank's fan-out derives per session from
+# functions.distrank.range_parts (VERDICT r12 #3: follows
+# spark.sql.shuffle.partitions / the spark.graft.rank.parts override).
 
 
 @register(
@@ -1745,9 +1745,11 @@ def zipf_tail_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("f"))
     )
+    from map_reduce_go_spark.functions.distrank import range_parts
+
     ranged = (
         freq.repartitionByRange(
-            ZIPF_RANK_PARTS, F.desc("f"), F.asc("token")
+            range_parts(spark), F.desc("f"), F.asc("token")
         )
         .withColumn("pid", F.spark_partition_id())
         .transform(tracked_cache)

@@ -36,10 +36,11 @@ from map_reduce_go_spark.functions.caching import tracked_cache
 from map_reduce_go_spark.registry import register
 from map_reduce_go_spark.sources.readers import load_table
 
-#: Range partitions for the distributed prefix-sum over distinct score /
-#: threshold values. Sized like ZIPF_RANK_PARTS: enough to parallelize,
-#: small enough that the per-partition offset collect is metadata.
-PREFIX_PARTS = 8
+#: Range-partition fan-out for the distributed prefix-sum: derived per
+#: session from functions.distrank.range_parts (VERDICT r12 #3 — the
+#: old constant 8 capped the prefix shuffle's parallelism regardless of
+#: cluster size; now it follows spark.sql.shuffle.partitions or the
+#: spark.graft.rank.parts override, hash-invariantly).
 
 #: PSI reference cohort and Laplace smoothing: counts+1 over 10 deciles
 #: (denominator +10) so empty buckets contribute a finite, engine-exact
@@ -56,11 +57,13 @@ def _prefix_over(
     broadcast cumulative offsets (the equidepth/zipf idiom: the collect
     is one row per PARTITION, never per data row). ``df`` must be one
     row per distinct ``order_col`` value (a grouped rollup)."""
+    from map_reduce_go_spark.functions.distrank import range_parts
+
     spark = df.sparkSession
     ranged = tracked_cache(
-        df.repartitionByRange(PREFIX_PARTS, F.asc(order_col)).withColumn(
-            "pid", F.spark_partition_id()
-        )
+        df.repartitionByRange(
+            range_parts(spark), F.asc(order_col)
+        ).withColumn("pid", F.spark_partition_id())
     )
     per_pid = ranged.groupBy("pid").agg(
         *[F.sum(m).alias(m) for m in measures]

@@ -248,6 +248,20 @@ R10B_QUERIES = [
     "ann_lsh_persisted",
 ]
 R10B_TABLES = ("documents", "embeddings")
+# Round-13 family (VERDICT r12 #3): the distributed-rank adopters. The
+# scale axis is CUSTOMERS RANKED, so o_custkey shifts per replica (the
+# default shifts only o_orderkey, which would grow orders-per-customer
+# instead of the rank frame). The probe also sweeps the derived fan-out
+# knob (spark.graft.rank.parts) on the RFM plan at K× and asserts the
+# canonical result hash is INVARIANT while the timings move — the proof
+# the knob tunes throughput, never answers.
+DISTRANK_QUERIES = [
+    "orders_rfm_segmentation",
+    "revenue_lorenz_gini",
+    "customer_spend_deciles",
+]
+DISTRANK_TABLES = ("orders",)
+DISTRANK_EXTRA_SHIFTS = {"orders": ["o_custkey"]}
 
 
 def replicate(
@@ -419,6 +433,40 @@ def time_queries(spark, sf_dir: str, queries=QUERIES) -> dict[str, float]:
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
         release_caches()
+    return out
+
+
+def distrank_parts_probe(spark, sf_dir: str) -> dict:
+    """VERDICT r12 #3 'the knob works' leg: run the RFM plan (three
+    distributed-rank legs over one cached rollup) under two fan-out
+    settings of spark.graft.rank.parts. The timings may move (that is
+    the knob's job); the canonical result hash MUST NOT — asserted here,
+    in the probe itself, so the SCALE.md table carries the invariance
+    fact, not a promise."""
+    import hashlib
+
+    from map_reduce_go_spark.functions.caching import release_caches
+    from map_reduce_go_spark.functions.distrank import RANK_PARTS_CONF
+    from tests.oracle_compare import canonical_rows
+
+    fn = all_queries()["orders_rfm_segmentation"].fn
+    out: dict = {}
+    hashes = {}
+    for parts in (8, 32):
+        spark.conf.set(RANK_PARTS_CONF, str(parts))
+        try:
+            t0 = time.perf_counter()
+            pdf = fn(spark, sf_dir).toPandas()
+            out[f"rfm_parts{parts}_s"] = round(time.perf_counter() - t0, 2)
+        finally:
+            spark.conf.unset(RANK_PARTS_CONF)
+            release_caches()
+        hashes[parts] = hashlib.md5(
+            repr(canonical_rows(pdf)).encode()
+        ).hexdigest()
+    assert len(set(hashes.values())) == 1, f"fan-out changed results: {hashes}"
+    out["hash_invariant"] = True
+    out["result_hash"] = hashes[8][:16]
     return out
 
 
@@ -738,6 +786,7 @@ def main() -> None:
         "round10": (R10_QUERIES, R10_TABLES, None, None),
         "round10b": (R10B_QUERIES, R10B_TABLES, None, None),
         "round11": (R11_QUERIES, R11_TABLES, None, None),
+        "distrank": (DISTRANK_QUERIES, DISTRANK_TABLES, DISTRANK_EXTRA_SHIFTS, None),
     }.get(family, (QUERIES, TABLES, None, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -807,6 +856,8 @@ def main() -> None:
         if family == "setsimskew":
             out["prefix_buckets_big"] = setsim_prefix_bucket_stats(spark, out_dir)
             out["hot_shingle_big"] = hot_shingle_stats(spark, out_dir)
+        if family == "distrank":
+            out["parts_knob_big"] = distrank_parts_probe(spark, out_dir)
         print(json.dumps(out))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -10,9 +10,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from map_reduce_go_spark.functions.distrank import (
-    RANK_PARTS,
+    RANK_PARTS_CONF,
+    RANK_PARTS_MIN,
     dist_row_number,
     ntile_from_rank,
+    range_parts,
 )
 
 
@@ -74,7 +76,9 @@ def test_dist_row_number_parallelism_is_real(spark):
     one range partition carries data (the whole point vs the global
     window)."""
     df = _frame(spark, 1000)
-    ranged = df.repartitionByRange(RANK_PARTS, F.asc("k"), F.asc("uid"))
+    ranged = df.repartitionByRange(
+        range_parts(spark), F.asc("k"), F.asc("uid")
+    )
     nonempty = (
         ranged.withColumn("pid", F.spark_partition_id())
         .groupBy("pid")
@@ -82,3 +86,35 @@ def test_dist_row_number_parallelism_is_real(spark):
         .count()
     )
     assert nonempty > 1
+
+
+def test_range_parts_derivation_precedence(spark):
+    """VERDICT r12 #3: the fan-out is derived, not a constant. Explicit
+    argument wins, then the spark.graft.rank.parts conf, then the
+    session's shuffle-partition conf (floored at RANK_PARTS_MIN) — so a
+    1000-executor session with shuffle.partitions=2000 fans the rank
+    shuffle to 2000 without touching any code."""
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert range_parts(spark) == max(RANK_PARTS_MIN, shuffle)
+    assert range_parts(spark, parts=3) == 3
+    spark.conf.set(RANK_PARTS_CONF, "17")
+    try:
+        assert range_parts(spark) == 17
+        assert range_parts(spark, parts=5) == 5  # explicit still wins
+    finally:
+        spark.conf.unset(RANK_PARTS_CONF)
+    assert range_parts(spark) == max(RANK_PARTS_MIN, shuffle)
+
+
+@pytest.mark.parametrize("parts", [1, 2, 19, 64])
+def test_dist_row_number_hash_invariant_in_parts(spark, parts):
+    """The knob tunes throughput only: global ranks are bit-identical at
+    ANY fan-out (offsets are exact metadata), including parts=1 (the
+    degenerate single-range case) and parts >> rows (empty partitions)."""
+    df = _frame(spark, 200)
+    order = [F.asc("k"), F.desc("uid")]
+    base, n0 = dist_row_number(df, order, out="i", parts=8)
+    want = {r["uid"]: r["i"] for r in base.collect()}
+    got_df, n = dist_row_number(df, order, out="i", parts=parts)
+    assert n == n0
+    assert {r["uid"]: r["i"] for r in got_df.collect()} == want

@@ -259,8 +259,9 @@ def test_prefix_over_equals_sequential_cumsum(spark, rows):
     Spearman equals the sequential cumulative sum for arbitrary keyed
     integer measures — the conformance theorem that lets three oracle
     greens rest on one helper. Exercises partition boundaries (the
-    broadcast-offset seam) because PREFIX_PARTS=8 usually exceeds the
-    drawn row count, leaving some range partitions empty."""
+    broadcast-offset seam) because the derived fan-out (range_parts:
+    at least 8, usually shuffle.partitions) exceeds the drawn row
+    count, leaving some range partitions empty."""
     from map_reduce_go_spark.plans.mleval import _prefix_over
 
     df = spark.createDataFrame(rows, schema="k long, a long, b long")
