@@ -361,6 +361,11 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG: EOI before scan data")
         if 0xD0 <= marker <= 0xD7:  # RSTn outside a scan
             raise ValueError("malformed JPEG: restart marker outside scan")
+        if marker == 0x01:  # TEM: standalone, no length field
+            continue
+        if marker == 0xFF:  # fill byte before a marker (spec B.1.1.2)
+            pos -= 1  # re-sync: treat the second FF as the marker prefix
+            continue
         if pos + 2 > len(raw):
             raise ValueError("truncated JPEG: segment length missing")
         (seglen,) = struct.unpack_from(">H", raw, pos)
@@ -487,7 +492,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                     out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
             pix = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
             return pix[:h, :w]
-        # APPn / COM / anything else with a length field: skip.
-        if (0xE0 <= marker <= 0xEF) or marker == 0xFE or marker == 0x01:
+        # APPn / COM: skip the payload.
+        if (0xE0 <= marker <= 0xEF) or marker == 0xFE:
             continue
         raise ValueError(f"unexpected JPEG marker 0xFF{marker:02X}")

@@ -254,3 +254,88 @@ def kv_running_state(log_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# The same KV state on the Spark 4 StatefulProcessor API
+# (transformWithStateInPandas) — the repo's TWS discipline
+# (streaming/stateful.py): real code behind tws_runtime_available();
+# needs the RocksDB state store provider + a protobuf runtime.
+# --------------------------------------------------------------------------
+
+from map_reduce_go_spark.streaming.stateful import (  # noqa: E402
+    _HAS_TWS,
+    StatefulProcessor,
+    tws_runtime_available,  # noqa: F401  (re-exported for tests)
+)
+
+_KV_TWS_STATE = StructType(
+    [
+        StructField("value", StringType()),
+        StructField("last_put_seq", LongType()),
+        StructField("n_applied", LongType()),
+        StructField("n_gets", LongType()),
+        StructField("max_seq", LongType()),
+    ]
+)
+
+
+class _KvStateProcessor(StatefulProcessor):
+    """Keyed KV state as a named ValueState — semantics identical to
+    :func:`_kv_update`; what TWS adds operationally at 100 TB is several
+    named states per processor, timers for key TTL (an LRU KV would
+    expire cold keys), and RocksDB-checkpointed state."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("kv", _KV_TWS_STATE)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (k,) = key
+        value, last_put_seq, n_applied, n_gets, max_seq = (
+            self._state.get() if self._state.exists() else ("", None, 0, 0, -1)
+        )
+        shard = ord(k[0]) % N_SHARDS
+        out = {c: [] for c in ("kind", "seq", "value", "n_applied", "n_gets")}
+        chunks = list(rows)
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(pdf):
+            for _, r in pdf.sort_values("seq").iterrows():
+                op, seq, val = r["op"], int(r["seq"]), r["val"]
+                max_seq = max(max_seq, seq)
+                if op == "get":
+                    n_gets += 1
+                    out["kind"].append("get")
+                    out["seq"].append(seq)
+                    out["value"].append(value)
+                    out["n_applied"].append(n_applied)
+                    out["n_gets"].append(n_gets)
+                elif op == "put":
+                    value, last_put_seq, n_applied = val, seq, 1
+                else:
+                    value = value + val
+                    n_applied += 1
+        self._state.update((value, last_put_seq, n_applied, n_gets, max_seq))
+        out["kind"].append("state")
+        out["seq"].append(max_seq)
+        out["value"].append(value)
+        out["n_applied"].append(n_applied)
+        out["n_gets"].append(n_gets)
+        n = len(out["kind"])
+        yield pd.DataFrame({"key": [k] * n, **out, "shard": [shard] * n})
+
+    def close(self) -> None:
+        pass
+
+
+def kv_running_state_tws(log_stream: DataFrame) -> DataFrame:
+    """:func:`kv_running_state` on transformWithStateInPandas — same
+    output contract (get reads + max-seq snapshots), RocksDB-backed
+    named state."""
+    if not _HAS_TWS:  # pragma: no cover - older Spark
+        raise NotImplementedError("transformWithStateInPandas requires Spark >= 4.0")
+    return log_stream.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_KvStateProcessor(),
+        outputStructType=KV_STREAM_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

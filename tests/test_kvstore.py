@@ -114,11 +114,10 @@ def test_kv_fold_matches_step_model_on_derived_log(spark, sf_dir):
     assert got == want and len(got) > 50
 
 
-def test_kv_streaming_state_equals_batch_fold(spark, sf_dir, tmp_path):
-    """Drain the op-log through the applyInPandasWithState twin in
-    THREE seq-ordered micro-batches: the last 'state' snapshot per key
-    must equal the batch fold exactly, and every streamed get read must
-    equal the porcupine model's sequential read at that seq."""
+def _drain_kv_stream(spark, sf_dir, tmp_path, make_query):
+    """Shared drain-and-check for both streaming APIs: feed the op-log
+    in three seq-ordered micro-batches, return (output_df, model_final,
+    model_reads)."""
     log = kv_op_log(spark, sf_dir).collect()
     log_rows = sorted(
         ((r["key"], r["seq"], r["op"], r["val"]) for r in log), key=lambda o: o[1]
@@ -147,18 +146,21 @@ def test_kv_streaming_state_equals_batch_fold(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
+    name = f"kv_stream_out_{os.path.basename(str(tmp_path))[-8:]}"
     q = (
-        kv_running_state(stream)
+        make_query(stream)
         .writeStream.format("memory")
-        .queryName("kv_stream_out")
+        .queryName(name)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    out = spark.table("kv_stream_out")
+    return spark.table(name), want_final, want_reads
 
+
+def _assert_kv_stream_matches_model(out, want_final, want_reads):
     # Final state: a key's snapshots carry the max seq processed, which
     # is monotone under the ordered-log contract (n_applied is not — it
     # resets on put), so the max-seq snapshot is the last one.
@@ -182,6 +184,53 @@ def test_kv_streaming_state_equals_batch_fold(spark, sf_dir, tmp_path):
     }
     want_read_map = {(k, s): v for k, s, v in want_reads}
     assert got_reads == want_read_map and len(got_reads) > 100
+
+
+def test_kv_streaming_state_equals_batch_fold(spark, sf_dir, tmp_path):
+    """Drain the op-log through the applyInPandasWithState twin in
+    THREE seq-ordered micro-batches: the last 'state' snapshot per key
+    must equal the batch fold exactly, and every streamed get read must
+    equal the porcupine model's sequential read at that seq."""
+    out, want_final, want_reads = _drain_kv_stream(
+        spark, sf_dir, tmp_path, kv_running_state
+    )
+    _assert_kv_stream_matches_model(out, want_final, want_reads)
+
+
+def test_kv_streaming_state_tws_equals_batch_fold(spark, sf_dir, tmp_path):
+    """The Spark 4 StatefulProcessor (transformWithStateInPandas)
+    variant: same contract, RocksDB-backed named state. Skips where the
+    protobuf runtime TWS's state protocol needs is absent; the
+    semantics are still executed by the applyInPandasWithState test."""
+    import pytest as _pytest
+
+    from map_reduce_go_spark.operators.kvstore import (
+        kv_running_state_tws,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        _pytest.skip(
+            "no protobuf runtime for transformWithStateInPandas; the KV "
+            "state semantics are executed by "
+            "test_kv_streaming_state_equals_batch_fold on the "
+            "applyInPandasWithState API"
+        )
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out, want_final, want_reads = _drain_kv_stream(
+            spark, sf_dir, tmp_path, kv_running_state_tws
+        )
+        _assert_kv_stream_matches_model(out, want_final, want_reads)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
 
 
 def test_kv_fold_plan_is_key_partitioned_no_cartesian(spark, sf_dir):

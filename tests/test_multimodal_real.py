@@ -612,6 +612,24 @@ def test_jpeg_decoder_scope_seams():
         decode_jpeg(bytes(garbage_marker))
 
 
+def test_jpeg_standalone_markers_and_fill_bytes():
+    """Spec edges real encoders emit: TEM (0xFF01, standalone — no
+    length field) and 0xFF fill bytes before a marker (B.1.1.2) must
+    parse through, not misread as a length-prefixed segment; an all-FF
+    tail terminates as truncated instead of looping."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    img = np.hstack(
+        [np.full((4, 8), 65, np.uint8), np.full((4, 8), 200, np.uint8)]
+    )
+    raw = encode_jpeg(img)
+    dqt_at = raw.find(b"\xff\xdb")
+    padded = raw[:dqt_at] + b"\xff\x01" + b"\xff\xff\xff" + raw[dqt_at + 1 :]
+    assert np.array_equal(decode_jpeg(padded), img)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff" + b"\xff" * 200)
+
+
 def test_jpeg_sniff_needs_marker_structure():
     from map_reduce_go_spark.functions.jpeg_codec import encode_jpeg, is_jpeg
 
