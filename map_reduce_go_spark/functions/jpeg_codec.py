@@ -32,12 +32,18 @@ Scope — exactly enough to execute real bytes:
 - ``decode_jpeg``: the inverse — baseline sequential, 8-bit precision,
   one component, 1x1 sampling, no restart intervals.
 
+Restart intervals (DRI + RSTn markers — what real encoders emit for
+error resilience, and the unit a parallel decoder splits on) are
+implemented: the encoder can emit them (``restart_interval=``), the
+decoder byte-aligns at each boundary, checks the cyclic marker number,
+and resets the DC predictor.
+
 Deliberately out of scope (well-formed-but-unimplemented →
 ``NotImplementedError`` → quarantine class ``unsupported_format``):
 progressive (SOF2) and every other non-SOF0 frame type, color (multi-
 component) scans, chroma subsampling, 16-bit quantization tables,
-restart intervals (DRI), arithmetic coding. Truncated or malformed
-bytes (bad marker structure, invalid Huffman code, bit stream
+arithmetic coding. Truncated or malformed bytes (bad marker structure,
+invalid Huffman code, out-of-sequence restart marker, bit stream
 exhausted mid-block) raise ``ValueError`` → ``corrupt_data``.
 
 Performance note: this is a per-byte/per-bit pure-Python decoder — the
@@ -169,11 +175,20 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing: FF in entropy data -> FF 00
                 self.buf.append(0x00)
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
+        """Pad the current partial byte with 1-bits (spec F.1.2.3) —
+        restart markers are byte-aligned in the entropy stream."""
         if self.nbits:
-            # Pad the final partial byte with 1-bits (spec F.1.2.3).
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)
+
+    def write_marker(self, marker: int) -> None:
+        self.byte_align()
+        self.buf.append(0xFF)  # marker prefix: NOT byte-stuffed
+        self.buf.append(marker)
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.buf)
 
 
@@ -186,13 +201,20 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an (H, W) uint8 grayscale array as a baseline JFIF JPEG.
 
     ``quant`` is a flat 64-entry table in NATURAL (row-major) order;
     default all-ones — lossless for blocks constant after the edge-
     replication padding, near-lossless otherwise (rounding of DCT
-    coefficients is the only loss at quant 1)."""
+    coefficients is the only loss at quant 1). ``restart_interval`` > 0
+    emits a DRI segment and byte-aligned RST0..7 markers every that
+    many MCUs, resetting DC prediction — the error-resilience /
+    parallel-decode unit real encoders produce."""
     arr = np.asarray(img)
     if arr.dtype != np.uint8 or arr.ndim != 2:
         raise ValueError("encode_jpeg expects an (H, W) uint8 array")
@@ -208,11 +230,20 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
 
+    if not (0 <= restart_interval <= 0xFFFF):
+        raise ValueError("restart_interval out of range")
     bw = _BitWriter()
     qmat = q.reshape(8, 8).astype(np.float64)
     pred = 0
+    mcu = 0
+    rst = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.write_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                pred = 0  # DC prediction resets at each restart boundary
+            mcu += 1
             block = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
             coef = _DCT @ block @ _DCT.T
             zz = np.rint(coef / qmat).astype(np.int64).reshape(64)[ZIGZAG]
@@ -258,6 +289,8 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
     out += seg(0xC4, dht(0, 0, DC_BITS, DC_VALS))  # DHT DC
     out += seg(0xC4, dht(1, 0, AC_BITS, AC_VALS))  # DHT AC
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     out += entropy
     out += b"\xff\xd9"  # EOI
@@ -309,6 +342,20 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def read_restart_marker(self) -> int:
+        """Byte-align (discard pad bits) and consume one RSTn marker;
+        returns n in 0..7. Anything else is structural failure."""
+        self.nbits = 0  # drop the encoder's 1-bit padding
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG: restart marker expected")
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("malformed JPEG: restart marker expected")
+        n = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return n
+
 
 def _decode_table(bits, vals):
     """(length, code) -> symbol map for canonical Huffman decode."""
@@ -345,9 +392,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
-    frame = None  # (h, w, dc_table_id, ac_table_id, quant_id)
+    frame = None  # (h, w)
     sof_seen = False
     comp_q = 0
+    restart_interval = 0
     while True:
         if pos + 2 > len(raw):
             raise ValueError("truncated JPEG: marker expected")
@@ -383,12 +431,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             raise NotImplementedError("JPEG JPG-extension frames not implemented")
         if marker == 0xCC:  # DAC: arithmetic coding conditioning
             raise NotImplementedError("JPEG arithmetic coding not implemented")
-        if marker == 0xDD:  # DRI
+        if marker == 0xDD:  # DRI: restart every <interval> MCUs
             if len(body) != 2:
                 raise ValueError("malformed DRI segment")
-            (interval,) = struct.unpack(">H", body)
-            if interval != 0:
-                raise NotImplementedError("JPEG restart intervals not implemented")
+            (restart_interval,) = struct.unpack(">H", body)
             continue
         if marker == 0xDB:  # DQT — possibly several tables per segment
             bpos = 0
@@ -463,8 +509,20 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             br = _BitReader(raw, pos)
             qmat = qtab.reshape(8, 8).astype(np.float64)
             pred = 0
+            mcu = 0
+            rst_expect = 0
             for by in range(bh):
                 for bx in range(bwid):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        got = br.read_restart_marker()
+                        if got != rst_expect:
+                            raise ValueError(
+                                f"restart marker out of sequence: RST{got}, "
+                                f"expected RST{rst_expect}"
+                            )
+                        rst_expect = (rst_expect + 1) % 8
+                        pred = 0  # DC prediction resets per restart interval
+                    mcu += 1
                     zz = np.zeros(64, dtype=np.int64)
                     size = _read_symbol(br, dc_tab)
                     if size > 11:

@@ -579,8 +579,6 @@ def test_jpeg_near_lossless_at_quant_one_and_lossy_at_std_table():
 def test_jpeg_decoder_scope_seams():
     """Well-formed-but-unimplemented -> NotImplementedError
     (unsupported_format); malformed -> ValueError (corrupt_data)."""
-    import struct as _struct
-
     from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
 
     good = encode_jpeg(np.full((4, 8), 50, dtype=np.uint8))
@@ -596,12 +594,6 @@ def test_jpeg_decoder_scope_seams():
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(precision12))
 
-    dri = bytearray(good)
-    # Insert a DRI segment with a nonzero restart interval before SOF.
-    dri[sof_at:sof_at] = _struct.pack(">BBHH", 0xFF, 0xDD, 4, 8)
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(dri))
-
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg at all")
     with pytest.raises(ValueError):
@@ -610,6 +602,34 @@ def test_jpeg_decoder_scope_seams():
     garbage_marker[sof_at + 1] = 0x0F  # not a marker byte at all
     with pytest.raises(ValueError):
         decode_jpeg(bytes(garbage_marker))
+
+
+def test_jpeg_restart_intervals_roundtrip_and_sequence_check():
+    """DRI + RSTn (what real encoders emit; the unit a parallel decoder
+    splits on): byte-aligned restart markers with cyclic numbering and
+    DC-prediction reset. Constant-block images stay EXACT through every
+    interval (the reset is symmetric encoder/decoder); an out-of-
+    sequence marker — the classic mid-stream corruption — is corrupt
+    data, not a wrong image."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    vals = list(range(10, 250, 24))  # 10 blocks -> markers wrap past RST7
+    img = np.hstack([np.full((4, 8), v, np.uint8) for v in vals])
+    rng = np.random.default_rng(9)
+    noisy = rng.integers(0, 256, size=(12, 28), dtype=np.uint8)
+    for ri in (1, 2, 3, 5, 9):
+        raw = encode_jpeg(img, restart_interval=ri)
+        if ri == 1:
+            assert raw.count(b"\xff\xd0") >= 1 and b"\xff\xdd" in raw
+        assert np.array_equal(decode_jpeg(raw), img), ri
+        out = decode_jpeg(encode_jpeg(noisy, restart_interval=ri))
+        assert int(np.abs(out.astype(int) - noisy.astype(int)).max()) <= 2
+
+    raw = encode_jpeg(img[:, : 4 * 8], restart_interval=1)
+    swapped = bytearray(raw)
+    swapped[raw.find(b"\xff\xd0") + 1] = 0xD5
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(swapped))
 
 
 def test_jpeg_standalone_markers_and_fill_bytes():
