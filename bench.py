@@ -92,15 +92,17 @@ NOTES = (
     "suite would triple-pay the loop for no per-plan signal. "
     "r13: the semdedup_prune r12 watch item (2.33->2.87 cold median, "
     "+23%) is ADJUDICATED, verdict = cold-measurement variance of a "
-    "build-dominated leg, not a plan regression: the plan is "
-    "git-verified unchanged since r10, a clean r13 median-of-5 "
-    "reproduces r12's number exactly (2.859 vs 2.87, inside r12's "
-    "recorded spread), and the cold cost decomposes 53% memoized IVF "
-    "build (two k-means training jobs; warm median 1.34s) / 47% "
-    "within-cell prune — so round-to-round deltas concentrate in fixed "
-    "training-job JVM overhead the memo amortizes in any real session. "
-    "Expected band: cold 2.6-3.4s, warm ~1.3s; plan-test failure, not "
-    "a timing reading, is the regression signal. Plan-affecting r13 "
+    "build-dominated leg, not a plan regression. Evidence: the plan is "
+    "git-verified unchanged since r10; within one r13 session a "
+    "median-of-5 read 2.859 (matching r12) and the round-close suite "
+    "run read 2.315 (matching r11) on IDENTICAL code — the same-code "
+    "swing spans the whole disputed range; and the cold cost "
+    "decomposes 53% memoized IVF build (two k-means training jobs; "
+    "warm median 1.34s) / 47% within-cell prune, so the variance "
+    "concentrates in fixed training-job JVM overhead the memo "
+    "amortizes in any real session. Expected band: cold 2.2-3.4s, "
+    "warm ~1.3s; plan-test failure, not a timing reading, is the "
+    "regression signal. Plan-affecting r13 "
     "changes to watch: the quarantine fixture re-keys to doc_id%7 "
     "with a real JPEG class 6 (pure-Python Huffman+IDCT decode per "
     "blob — expect multimodal_quarantine_audit ~+0.2-0.4s cold for "
