@@ -103,10 +103,11 @@ NOTES = (
     "amortizes in any real session. Expected band: cold 2.2-3.4s, "
     "warm ~1.3s; plan-test failure, not a timing reading, is the "
     "regression signal. Plan-affecting r13 "
-    "changes to watch: the quarantine fixture re-keys to doc_id%7 "
+    "changes to watch: the quarantine fixture re-keys to doc_id%8 "
     "with a real JPEG class 6 (pure-Python Huffman+IDCT decode per "
     "blob — expect multimodal_quarantine_audit ~+0.2-0.4s cold for "
-    "the extra decode work) and the foreign-magic class is now GIF; "
+    "the extra decode work) and a G.711 u-law WAV class 7 (table-"
+    "lookup decode, negligible cost), the foreign-magic class is GIF; "
     "the distrank/prefix fan-out derives from shuffle.partitions (32 "
     "here vs the old constant 8 — more, smaller range tasks; hash-"
     "invariance is probe-asserted in SCALE.md's distrank table); "

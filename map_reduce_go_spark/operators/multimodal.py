@@ -6,12 +6,14 @@ queries use deterministic stub decodes (oracle-checkable). But
 pure-Python codec (:mod:`map_reduce_go_spark.functions.png_codec`,
 stdlib zlib only) — real pixel decode for feature extraction, real 2-D
 resampling for resize, and per-frame decode over concatenated-PNG
-streams for frame sampling — AND for 16-bit PCM WAV audio via the
-stdlib ``wave`` codec (:mod:`map_reduce_go_spark.functions.wav_codec`):
-real sample decode with an amplitude histogram in feature extraction,
-format-dispatched per blob. All covered by
+streams for frame sampling — AND for WAV audio via the pure-Python
+RIFF codec (:mod:`map_reduce_go_spark.functions.wav_codec`): 16-bit
+PCM plus, as of r13, G.711 u-law/A-law and IMA ADPCM (pure-integer
+public specs) — real sample decode with an amplitude histogram in
+feature extraction, format-dispatched per blob. 8-bit BMP and baseline
+JPEG decode through their own pure-Python codecs. All covered by
 ``tests/test_multimodal_real.py``. Formats that genuinely require
-external libraries (JPEG, mp3/ogg, mp4/webm) still raise
+external libraries (perceptual audio codecs, mp4/webm) still raise
 NotImplementedError at the same seams. The Spark-side plumbing is real
 and tested either way: binary columns, metadata structs, Arrow-batched
 ``mapInPandas`` with a bounded batch size, and a schema that holds at
@@ -135,8 +137,9 @@ def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
                     # Real decode: PNG via the repo's pure-Python codec
                     # (stdlib zlib), 8-bit BMP (pure struct/numpy),
                     # baseline JPEG (pure-Python Huffman+IDCT, r13), and
-                    # 16-bit PCM WAV via stdlib wave. Remaining
-                    # compressed formats (mp3/mp4) genuinely need
+                    # WAV — 16-bit PCM plus, r13, G.711 u-law/A-law and
+                    # IMA ADPCM (pure-integer public specs). Remaining
+                    # perceptual codecs (mp3/mp4/ogg) genuinely need
                     # external libraries this container lacks.
                     from map_reduce_go_spark.functions.bmp_codec import (
                         decode_bmp,
@@ -180,9 +183,9 @@ def extract_features(blobs: DataFrame, decode_mode: str = "stub") -> DataFrame:
                     else:
                         raise NotImplementedError(
                             "real decode supports PNG (pure-Python codec), "
-                            "8-bit BMP, baseline JPEG, and 16-bit PCM WAV "
-                            "(stdlib wave); other compressed formats need "
-                            "external libraries"
+                            "8-bit BMP, baseline JPEG, and WAV (16-bit PCM, "
+                            "G.711 u-law/A-law, IMA ADPCM); perceptual "
+                            "codecs need external libraries"
                         )
                     total = hist.sum() or 1.0
                     rows["doc_id"].append(int(doc_id))
@@ -395,12 +398,13 @@ def resample_audio(
     :func:`resize_images` on the WAV path (VERDICT r8/r9 brief: the
     image/audio asymmetry in multimodal).
 
-    Real mode decodes 16-bit PCM WAV (stdlib codec), downmixes channels
+    Real mode decodes WAV — 16-bit PCM plus (r13) G.711 u-law/A-law and
+    IMA ADPCM through the pure-integer codec — downmixes channels
     by integer floor-mean, and nearest-neighbor resamples to ``out_rate``
     (output length ``n_in * out_rate // in_rate``, index stride
     ``(k * n_in) // n_out`` — the resize grid arithmetic in 1-D).
-    Compressed audio (mp3/ogg/flac) raises NotImplementedError at the
-    same seam. Stub mode runs the IDENTICAL downmix+stride math over the
+    Perceptual-codec audio (mp3/ogg/flac) raises NotImplementedError at
+    the same seam. Stub mode runs the IDENTICAL downmix+stride math over the
     raw byte stream read as interleaved 2-channel unsigned 8-bit — fully
     deterministic, so the registered query's oracle replays it in SQL.
     All integer arithmetic end to end: no resampling filter state, no
@@ -436,8 +440,9 @@ def resample_audio(
                     raw = bytes(blob)
                     if not is_wav(raw):
                         raise NotImplementedError(
-                            "real decode supports 16-bit PCM WAV; compressed "
-                            "audio needs external codecs"
+                            "real decode supports WAV (16-bit PCM, G.711, "
+                            "IMA ADPCM); perceptual codecs need external "
+                            "decoders"
                         )
                     frames, in_rate = decode_wav(raw)
                     # Downmix: integer floor-mean across channels (exact,
@@ -670,6 +675,17 @@ QUARANTINE_SCHEMA = StructType(
 PLANT_W, PLANT_H = 8, 4
 
 
+def _mulaw_val_sql(byte_expr: str) -> str:
+    """DuckDB: the ITU-T G.711 u-law expansion of one compressed byte —
+    with u = 255 - b (the bitwise complement), magnitude
+    ((u%16)*8 + 132) << ((u//16)%8), bias -132, sign from u >= 128.
+    Verified equal to the codec's 256-entry decode table for every byte
+    (tests/test_multimodal_real.py)."""
+    u = f"(255 - {byte_expr})"
+    t = f"((({u} % 16) * 8 + 132) * (1 << (({u} // 16) % 8)))"
+    return f"(CASE WHEN {u} >= 128 THEN 132 - {t} ELSE {t} - 132 END)"
+
+
 class _Quarantine(Exception):
     def __init__(self, error_class: str):
         super().__init__(error_class)
@@ -678,8 +694,8 @@ class _Quarantine(Exception):
 
 def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture builder for the quarantine path: deterministic per-doc
-    corruption classes over real, spec-conformant image bytes (the
-    repo's pure-Python codecs), keyed by ``doc_id % 7``:
+    corruption classes over real, spec-conformant image/audio bytes (the
+    repo's pure-Python codecs), keyed by ``doc_id % 8``:
 
     - ``0`` — a valid PNG truncated at half its length (signature intact,
       chunk walk fails mid-IDAT): the classic partially-fetched blob.
@@ -703,6 +719,13 @@ def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
       container yields a SQL-predictable pixel sum — while the decode
       exercises the full real path (marker walk, Huffman tables, DC
       differential across blocks, dequant, IDCT).
+    - ``7`` — a healthy G.711 u-law mono WAV (r13: the fifth container,
+      and the first AUDIO one in the fixture): the compressed payload is
+      the document's first PLANT_W*PLANT_H bytes zero-padded, so the
+      decoded int16 sample sum is the ITU-T G.711 expansion formula
+      applied per byte — pure integer arithmetic the oracle replays in
+      SQL (:func:`_mulaw_val_sql`), proving the quarantine decode is
+      format-general across modalities, not just image containers.
 
     Every 100 TB crawl contains all these shapes; the fixture makes
     their mix deterministic so the DuckDB oracle can predict each row's
@@ -716,17 +739,21 @@ def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from map_reduce_go_spark.functions.bmp_codec import encode_bmp
         from map_reduce_go_spark.functions.jpeg_codec import encode_jpeg
         from map_reduce_go_spark.functions.png_codec import encode_png
+        from map_reduce_go_spark.functions.wav_codec import wrap_g711_payload
 
         n_px = PLANT_W * PLANT_H
         for pdf in it:
             ids, blobs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = (text or "").encode("utf-8")
-                kind = int(doc_id) % 7
+                kind = int(doc_id) % 8
                 if kind == 2:
                     blob = b""
                 elif kind == 1:
                     blob = b"GIF87a" + raw
+                elif kind == 7:
+                    payload = raw[:n_px] + bytes(n_px - min(len(raw), n_px))
+                    blob = wrap_g711_payload(payload, "mulaw", 8_000, 1)
                 elif kind == 6:
                     b1 = raw[0] if len(raw) >= 1 else 0
                     b2 = raw[1] if len(raw) >= 2 else 0
@@ -781,9 +808,10 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
     - ``unsupported_format``  magic matches none of PNG/WAV/BMP/JPEG, or
                               a recognized container uses features
                               outside the codec's scope (e.g. 24-bit or
-                              RLE BMP, progressive or color JPEG) — the
-                              same seam that raises NotImplementedError
-                              in the fail-fast operators
+                              RLE BMP, progressive JPEG, float-PCM or
+                              perceptual-codec WAV tags) — the same seam
+                              that raises NotImplementedError in the
+                              fail-fast operators
     - ``corrupt_data``        a supported container whose parse or
                               decompress fails (truncation, bad CRC,
                               malformed chunks)
@@ -849,41 +877,53 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
     "multimodal_quarantine_audit",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN CAST(doc_id % 7 AS INTEGER) IN (0, 1, 2)
+           CASE WHEN CAST(doc_id % 8 AS INTEGER) IN (0, 1, 2)
                 THEN 'quarantined' ELSE 'ok' END AS status,
-           CASE CAST(doc_id % 7 AS INTEGER)
+           CASE CAST(doc_id % 8 AS INTEGER)
              WHEN 0 THEN 'corrupt_data'
              WHEN 1 THEN 'unsupported_format'
              WHEN 2 THEN 'empty_blob'
              ELSE NULL END AS error_class,
-           CASE WHEN CAST(doc_id % 7 AS INTEGER) IN (3, 4, 5) THEN {PLANT_W}
-                WHEN CAST(doc_id % 7 AS INTEGER) = 6 THEN {2 * PLANT_W}
+           CASE WHEN CAST(doc_id % 8 AS INTEGER) IN (3, 4, 5) THEN {PLANT_W}
+                WHEN CAST(doc_id % 8 AS INTEGER) = 6 THEN {2 * PLANT_W}
+                WHEN CAST(doc_id % 8 AS INTEGER) = 7 THEN 1
            END AS px_w,
-           CASE WHEN CAST(doc_id % 7 AS INTEGER) IN (3, 4, 5, 6)
-                THEN {PLANT_H} END AS px_h,
-           CASE WHEN CAST(doc_id % 7 AS INTEGER) IN (3, 4, 5)
+           CASE WHEN CAST(doc_id % 8 AS INTEGER) IN (3, 4, 5, 6)
+                THEN {PLANT_H}
+                WHEN CAST(doc_id % 8 AS INTEGER) = 7 THEN {PLANT_W * PLANT_H}
+           END AS px_h,
+           CASE WHEN CAST(doc_id % 8 AS INTEGER) IN (3, 4, 5)
                 THEN CAST(COALESCE(list_sum(list_transform(
                        range(1, least(length(text), {PLANT_W * PLANT_H}) + 1),
                        i -> ascii(substring(text, i, 1)))), 0) AS BIGINT)
-                WHEN CAST(doc_id % 7 AS INTEGER) = 6
+                WHEN CAST(doc_id % 8 AS INTEGER) = 6
                 THEN CAST({PLANT_W * PLANT_H} * (
                        COALESCE(ascii(substring(text, 1, 1)), 0)
                        + COALESCE(ascii(substring(text, 2, 1)), 0)) AS BIGINT)
+                WHEN CAST(doc_id % 8 AS INTEGER) = 7
+                THEN CAST(list_sum(list_transform(
+                       range(1, {PLANT_W * PLANT_H} + 1),
+                       i -> {_mulaw_val_sql(
+                           "COALESCE(ascii(substring(text,"
+                           " CAST(i AS BIGINT), 1)), 0)"
+                       )})) AS BIGINT)
            END AS pix_sum
     FROM documents
     """,
 )
 def multimodal_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end row-level resilience over a planted-corruption corpus:
-    REAL decode per blob across FOUR containers (PNG, WAV, BMP, and —
-    r13 — baseline JPEG, the first entropy-coded one), failures
+    REAL decode per blob across FIVE container classes (PNG, BMP,
+    baseline JPEG — the first entropy-coded one, r13 — and, also r13,
+    G.711 u-law WAV, the first compressed AUDIO one), failures
     quarantined with a deterministic error class, healthy rows emitting
-    real pixel facts. The oracle
+    real pixel/sample facts. The oracle
     predicts every row's fate in SQL because the fixture's corruption is
-    a pure function of doc_id and the pixel payload is the document's
+    a pure function of doc_id and the payload is the document's
     leading ASCII bytes: for PNG/BMP the decoded pixel sum equals the
     char-code sum DuckDB computes; for JPEG the two constant 8x8 blocks
-    round-trip exactly (quant=1), so the sum is 32*(byte1+byte2) — the
-    driver value-hashes the whole decode-or-quarantine decision, not
-    just the happy path."""
+    round-trip exactly (quant=1), so the sum is 32*(byte1+byte2); for
+    u-law WAV the oracle applies the actual ITU-T G.711 expansion
+    arithmetic per compressed byte — the driver value-hashes the whole
+    decode-or-quarantine decision, not just the happy path."""
     return decode_blobs_with_quarantine(planted_corrupt_blobs(spark, sf_dir))

@@ -55,8 +55,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # in the NEXT window regardless of row age. This round that pulls
 # ann_ranking_quality (r10 row; exact-leg oracle re-sampled in r12) and
 # multimodal_quarantine_audit (r11 row; BMP fixture class added r12, JPEG
-# class + %7 re-keying added THIS round) into the r13 window ahead of
-# four r7-era rows.
+# class + G.711 u-law WAV class + %8 re-keying added THIS round) into the
+# r13 window ahead of four r7-era rows.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-13 window — executing the rotation VERDICT r12 #1 pinned at
     # r12 close, amended by the queue-jump rule above. Composition:

@@ -34,18 +34,19 @@ def _blob_df(spark, rows):
 
 def test_planted_fixture_fates_are_exhaustive(spark, sf_dir):
     """Every input doc produces exactly one output row; statuses and
-    error classes follow the doc_id % 7 plant (classes 3/4 healthy PNG,
-    5 healthy BMP, 6 healthy JPEG — the r12/r13 third and fourth
-    containers); no row is lost and the job completes despite hundreds
-    of planted-bad blobs."""
+    error classes follow the doc_id % 8 plant (classes 3/4 healthy PNG,
+    5 healthy BMP, 6 healthy JPEG, 7 healthy G.711 u-law WAV — the
+    r12/r13 third through fifth containers); no row is lost and the job
+    completes despite hundreds of planted-bad blobs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = decode_blobs_with_quarantine(planted_corrupt_blobs(spark, sf_dir))
     rows = {r["doc_id"]: r for r in out.collect()}
     assert len(rows) == docs.count()
-    assert any(doc_id % 7 == 5 for doc_id in rows)  # BMP class populated
-    assert any(doc_id % 7 == 6 for doc_id in rows)  # JPEG class populated
+    assert any(doc_id % 8 == 5 for doc_id in rows)  # BMP class populated
+    assert any(doc_id % 8 == 6 for doc_id in rows)  # JPEG class populated
+    assert any(doc_id % 8 == 7 for doc_id in rows)  # u-law WAV populated
     for doc_id, r in rows.items():
-        kind = doc_id % 7
+        kind = doc_id % 8
         if kind in (0, 1, 2):
             assert r["status"] == "quarantined", (doc_id, r)
             want = {0: "corrupt_data", 1: "unsupported_format", 2: "empty_blob"}[kind]
@@ -55,6 +56,11 @@ def test_planted_fixture_fates_are_exhaustive(spark, sf_dir):
             assert r["status"] == "ok", (doc_id, r)
             assert r["error_class"] is None
             assert (r["px_w"], r["px_h"]) == (2 * PLANT_W, PLANT_H)
+        elif kind == 7:
+            assert r["status"] == "ok", (doc_id, r)
+            assert r["error_class"] is None
+            # (channels, frames): mono, one sample per planted byte.
+            assert (r["px_w"], r["px_h"]) == (1, PLANT_W * PLANT_H)
         else:
             assert r["status"] == "ok", (doc_id, r)
             assert r["error_class"] is None
@@ -62,28 +68,37 @@ def test_planted_fixture_fates_are_exhaustive(spark, sf_dir):
 
 
 def test_ok_rows_carry_real_decode_facts(spark, sf_dir):
-    """The healthy rows' pixel sum equals a pure function of the
-    document's leading bytes — proof the PNG/BMP/JPEG round-trips
+    """The healthy rows' pixel/sample sum equals a pure function of the
+    document's leading bytes — proof the PNG/BMP/JPEG/WAV round-trips
     actually ran, not a stub. For JPEG the two constant 8x8 blocks
     round-trip exactly through quant-1 DCT, so the sum is
-    32*(byte1+byte2)."""
+    32*(byte1+byte2); for u-law WAV the sum is the G.711 decode table
+    applied to the planted (zero-padded) bytes."""
+    from map_reduce_go_spark.functions.wav_codec import mulaw_decode
+
     docs = {
         r["doc_id"]: r["text"]
         for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
     }
+    n_px = PLANT_W * PLANT_H
     out = decode_blobs_with_quarantine(planted_corrupt_blobs(spark, sf_dir))
-    checked = jpeg_checked = 0
+    checked = jpeg_checked = wav_checked = 0
     for r in out.where(F.col("status") == "ok").collect():
         raw = docs[r["doc_id"]].encode("utf-8")
-        if r["doc_id"] % 7 == 6:
+        if r["doc_id"] % 8 == 6:
             b1 = raw[0] if len(raw) >= 1 else 0
             b2 = raw[1] if len(raw) >= 2 else 0
-            assert r["pix_sum"] == PLANT_W * PLANT_H * (b1 + b2), r["doc_id"]
+            assert r["pix_sum"] == n_px * (b1 + b2), r["doc_id"]
             jpeg_checked += 1
+        elif r["doc_id"] % 8 == 7:
+            payload = raw[:n_px] + bytes(n_px - min(len(raw), n_px))
+            want = int(mulaw_decode(payload).astype("int64").sum())
+            assert r["pix_sum"] == want, r["doc_id"]
+            wav_checked += 1
         else:
-            assert r["pix_sum"] == sum(raw[: PLANT_W * PLANT_H]), r["doc_id"]
+            assert r["pix_sum"] == sum(raw[:n_px]), r["doc_id"]
             checked += 1
-    assert checked > 50 and jpeg_checked > 10
+    assert checked > 50 and jpeg_checked > 10 and wav_checked > 10
 
 
 def test_error_classes_per_corruption_shape(spark):
@@ -91,11 +106,19 @@ def test_error_classes_per_corruption_shape(spark):
     corrupt payload), foreign magic, empty, a 16-bit WAV that must
     decode on the ok path, and — r13 — JPEG in all three fates:
     corrupt (magic over garbage), unsupported (progressive SOF2), ok
-    (real baseline decode)."""
+    (real baseline decode); plus the non-PCM WAV fates: A-law decodes
+    on the ok path, a float-PCM format tag is unsupported_format (the
+    stdlib-wave era classified every non-PCM tag corrupt), and a
+    truncated G.711 data chunk is corrupt_data."""
     import io
+    import struct
     import wave
 
     from map_reduce_go_spark.functions.jpeg_codec import encode_jpeg
+    from map_reduce_go_spark.functions.wav_codec import (
+        alaw_decode,
+        encode_wav_g711,
+    )
 
     good = encode_png(np.arange(PLANT_W * PLANT_H, dtype=np.uint8).reshape(PLANT_H, PLANT_W))
     bad_crc = bytearray(good)
@@ -113,6 +136,15 @@ def test_error_classes_per_corruption_shape(spark):
     good_jpeg = encode_jpeg(np.full((4, 8), 9, dtype=np.uint8))
     progressive = bytearray(good_jpeg)
     progressive[good_jpeg.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
+    alaw = encode_wav_g711(np.array([1000, -1000], dtype=np.int16), "alaw")
+    # Float-PCM (format tag 3): well-formed container, unimplemented tag.
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    float_wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(float_fmt) + 8 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(float_fmt)) + float_fmt
+        + b"data" + struct.pack("<I", 8) + bytes(8)
+    )
+    truncated_g711 = alaw[: len(alaw) - 1]  # data chunk shorter than header
     out = {
         r["doc_id"]: r
         for r in decode_blobs_with_quarantine(
@@ -128,6 +160,9 @@ def test_error_classes_per_corruption_shape(spark):
                     (6, b"GIF87a foreign container"),
                     (7, bytes(good_jpeg)),
                     (8, bytes(progressive)),
+                    (9, alaw),
+                    (10, float_wav),
+                    (11, truncated_g711),
                 ],
             )
         ).collect()
@@ -149,6 +184,13 @@ def test_error_classes_per_corruption_shape(spark):
     assert (out[7]["px_w"], out[7]["px_h"]) == (8, 4)
     assert out[7]["pix_sum"] == 9 * 32
     assert out[8]["error_class"] == "unsupported_format"  # well-formed SOF2
+    assert out[9]["status"] == "ok"
+    assert (out[9]["px_w"], out[9]["px_h"]) == (1, 2)
+    assert out[9]["pix_sum"] == int(
+        alaw_decode(alaw[-2:]).astype("int64").sum()
+    )
+    assert out[10]["error_class"] == "unsupported_format"  # float-PCM tag
+    assert out[11]["error_class"] == "corrupt_data"  # truncated data chunk
 
 
 def test_quarantine_gates_downstream_real_decode(spark, sf_dir):

@@ -677,3 +677,246 @@ def test_extract_features_real_decodes_jpeg_pixels(spark):
     rows = {r["doc_id"]: r for r in extract_features(df, decode_mode="real").collect()}
     assert rows[1]["bin_counts"] == rows[2]["bin_counts"]
     assert (rows[2]["fake_width"], rows[2]["fake_height"]) == (16, 4)
+
+
+# --------------------------------------------------------------------------
+# Non-PCM WAV (r13): G.711 u-law/A-law + IMA ADPCM, pure-integer codecs
+# --------------------------------------------------------------------------
+
+
+def test_g711_tables_invert_exactly():
+    """The companding round-trip encode(decode(byte)) == byte for every
+    code word — u-law excepts 0x7F, the non-canonical negative zero
+    (both 0x7F and 0xFF decode to 0; the encoder emits the canonical
+    0xFF). This is the property that makes G.711 a lossless transport
+    for already-companded corpora."""
+    from map_reduce_go_spark.functions.wav_codec import (
+        alaw_decode,
+        alaw_encode,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    all_bytes = bytes(range(256))
+    mu = mulaw_decode(all_bytes)
+    assert mulaw_encode(mu) == bytes(
+        b if b != 0x7F else 0xFF for b in range(256)
+    )
+    assert alaw_encode(alaw_decode(all_bytes)) == all_bytes
+    # Spec landmarks: u-law full-scale is +/-32124; 0xFF is +0.
+    assert int(mu.max()) == 32124 and int(mu.min()) == -32124
+    assert int(mu[0xFF]) == 0
+
+
+def test_mulaw_sql_formula_matches_decode_table():
+    """The quarantine oracle replays the G.711 expansion in DuckDB
+    (_mulaw_val_sql). Pin the SQL arithmetic to the codec table for all
+    256 byte values — if either side drifts, the driver hash breaks, so
+    this test localizes the fault."""
+    import duckdb
+
+    from map_reduce_go_spark.functions.wav_codec import _MULAW_DECODE
+    from map_reduce_go_spark.operators.multimodal import _mulaw_val_sql
+
+    rows = duckdb.sql(
+        f"SELECT b, {_mulaw_val_sql('b')} AS v FROM range(0, 256) t(b)"
+    ).fetchall()
+    for b, v in rows:
+        assert v == int(_MULAW_DECODE[b]), b
+
+
+def test_g711_wav_roundtrip_and_quantization_bound():
+    """encode_wav_g711 -> decode_wav reproduces each sample to within the
+    segment's quantization step, and a decode->encode->decode cycle is a
+    fixed point (idempotent requantization)."""
+    from map_reduce_go_spark.functions.wav_codec import (
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    rng = _rng(5)
+    x = rng.integers(-32000, 32000, size=(300, 2), dtype=np.int16)
+    for law in ("mulaw", "alaw"):
+        got, rate = decode_wav(encode_wav_g711(x, law, rate=8000))
+        assert rate == 8000 and got.shape == x.shape
+        # Largest segment step: 2048 (mu-law seg 7) / 1024 (A-law seg 7);
+        # half-step rounding keeps the error under the full step.
+        assert int(np.abs(got.astype(np.int64) - x.astype(np.int64)).max()) <= 2048
+        again, _ = decode_wav(encode_wav_g711(got, law, rate=8000))
+        np.testing.assert_array_equal(again, got)
+
+
+def test_ima_adpcm_decode_matches_sequential_reference():
+    """The vectorized-container decode must equal a LITERAL sequential
+    port of the IMA spec's step model (independent re-implementation in
+    the test, the KV-test discipline) — stereo, multi-block, index
+    carried across blocks."""
+    from map_reduce_go_spark.functions.wav_codec import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    rng = _rng(17)
+    spb = 505
+    x = (rng.integers(-15000, 15000, size=(2 * spb, 2))).astype(np.int16)
+    blob = encode_wav_ima_adpcm(x, rate=11025, samples_per_block=spb)
+    got, rate = decode_wav(blob)
+    assert rate == 11025 and got.shape == x.shape
+
+    # Sequential reference: walk the container by hand.
+    import struct as st_
+
+    def ref_decode(data: bytes, ch: int, block_align: int) -> list[list[int]]:
+        out: list[list[int]] = []
+        for b0 in range(0, len(data), block_align):
+            block = data[b0 : b0 + block_align]
+            preds, idxs = [], []
+            for c in range(ch):
+                p, i, _ = st_.unpack_from("<hBB", block, 4 * c)
+                preds.append(p)
+                idxs.append(i)
+            out.append(list(preds))
+            streams: list[list[int]] = [[] for _ in range(ch)]
+            body = block[4 * ch :]
+            for w in range(len(body) // (4 * ch)):
+                for c in range(ch):
+                    for byte in body[(w * ch + c) * 4 : (w * ch + c) * 4 + 4]:
+                        streams[c] += [byte & 0xF, byte >> 4]
+            for k in range(len(streams[0])):
+                frame = []
+                for c in range(ch):
+                    nib = streams[c][k]
+                    step = _IMA_STEP_TABLE[idxs[c]]
+                    diff = step >> 3
+                    if nib & 4:
+                        diff += step
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 1:
+                        diff += step >> 2
+                    preds[c] += -diff if nib & 8 else diff
+                    preds[c] = max(-32768, min(32767, preds[c]))
+                    idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX_TABLE[nib]))
+                    frame.append(preds[c])
+                out.append(frame)
+        return out
+
+    # Pull fmt/data back out of the container for the reference walk.
+    fmt_off = blob.find(b"fmt ") + 8
+    ch = st_.unpack_from("<H", blob, fmt_off + 2)[0]
+    block_align = st_.unpack_from("<H", blob, fmt_off + 12)[0]
+    data_off = blob.find(b"data") + 8
+    ref = ref_decode(blob[data_off:], ch, block_align)
+    np.testing.assert_array_equal(got, np.array(ref, dtype=np.int16))
+
+
+def test_ima_adpcm_constant_signal_is_exact():
+    """A constant signal is an ADPCM fixed point: the header carries the
+    first sample verbatim and every zero nibble at step index 0 moves the
+    predictor by step>>3 = 0 — so decode == input EXACTLY, the property
+    a planted fixture could lean on."""
+    from map_reduce_go_spark.functions.wav_codec import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    for v in (-32768, -1234, 0, 7, 32767):
+        x = np.full(505, v, dtype=np.int16)
+        got, _ = decode_wav(encode_wav_ima_adpcm(x))
+        np.testing.assert_array_equal(got[:, 0], x)
+
+
+def test_ima_adpcm_tracks_smooth_signal():
+    """On a band-limited signal the adaptive step keeps reconstruction
+    error small relative to full scale — the fitness-for-purpose check
+    (random noise is NOT in scope for a delta codec)."""
+    from map_reduce_go_spark.functions.wav_codec import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(505 * 2)
+    x = (8000 * np.sin(t * 0.03) + 2000 * np.sin(t * 0.11)).astype(np.int16)
+    got, _ = decode_wav(encode_wav_ima_adpcm(x))
+    err = np.abs(got[:, 0].astype(np.int64) - x.astype(np.int64))
+    # The first samples carry the attack transient (step index adapts up
+    # from 0 — inherent to the spec's cold start); steady state is tight.
+    assert err[32:].max() < 500, err[32:].max()
+    assert np.median(err) < 32, np.median(err)
+
+
+def test_decode_wav_format_gates():
+    """Honest seams: float PCM and unknown tags raise NotImplementedError
+    (unsupported_format in the quarantine taxonomy); structural damage
+    raises ValueError (corrupt_data); encode_wav_ima_adpcm enforces its
+    whole-block contract."""
+    import struct as st_
+
+    from map_reduce_go_spark.functions.wav_codec import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+        wrap_g711_payload,
+    )
+
+    def container(fmt_payload: bytes, data: bytes) -> bytes:
+        body = (
+            b"WAVE"
+            + b"fmt " + st_.pack("<I", len(fmt_payload)) + fmt_payload
+            + b"data" + st_.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + st_.pack("<I", len(body)) + body
+
+    with pytest.raises(NotImplementedError):  # float PCM (tag 3)
+        decode_wav(container(st_.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32), bytes(8)))
+    with pytest.raises(NotImplementedError):  # MPEG layer 3 (tag 0x55)
+        decode_wav(container(st_.pack("<HHIIHH", 0x55, 1, 8000, 4000, 1, 0), bytes(8)))
+    with pytest.raises(ValueError):  # G.711 payload not frame-aligned
+        decode_wav(
+            container(st_.pack("<HHIIHH", 7, 2, 8000, 16000, 2, 8), bytes(5))
+        )
+    with pytest.raises(ValueError):  # ADPCM missing samples_per_block
+        decode_wav(
+            container(st_.pack("<HHIIHH", 0x11, 1, 8000, 4055, 256, 4), bytes(256))
+        )
+    with pytest.raises(ValueError):  # ADPCM payload not block-aligned
+        decode_wav(
+            container(
+                st_.pack("<HHIIHHHH", 0x11, 1, 8000, 4055, 256, 4, 2, 505),
+                bytes(100),
+            )
+        )
+    with pytest.raises(ValueError):  # encode: not a whole block
+        encode_wav_ima_adpcm(np.zeros(500, dtype=np.int16))
+    with pytest.raises(ValueError):  # wrap: payload/channel mismatch
+        wrap_g711_payload(bytes(5), "mulaw", 8000, 2)
+
+
+def test_resample_audio_real_handles_g711(spark):
+    """The registered resample surface consumes non-PCM WAV through the
+    same decode_wav dispatch: a u-law stereo blob downmixes and strides
+    exactly like the equivalent pre-decoded PCM blob."""
+    from map_reduce_go_spark.functions.wav_codec import (
+        decode_wav,
+        encode_wav,
+        encode_wav_g711,
+    )
+    from map_reduce_go_spark.operators.multimodal import resample_audio
+
+    rng = _rng(23)
+    x = rng.integers(-30000, 30000, size=(64, 2), dtype=np.int16)
+    g711_blob = encode_wav_g711(x, "mulaw", rate=8000)
+    # The PCM twin carries the POST-QUANTIZATION samples, so both blobs
+    # decode to identical arrays and must resample identically.
+    decoded, _ = decode_wav(g711_blob)
+    pcm_blob = encode_wav(decoded, rate=8000)
+    df = spark.createDataFrame(
+        [(1, g711_blob), (2, pcm_blob)], "doc_id long, blob binary"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in resample_audio(df, decode_mode="real").collect()
+    }
+    assert rows[1]["n_in"] == rows[2]["n_in"] == 64
+    assert rows[1]["samples"] == rows[2]["samples"]

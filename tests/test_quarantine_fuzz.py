@@ -155,6 +155,51 @@ def test_fuzz_jpeg_truncations_and_garbage_never_fail_the_task(spark):
         assert r["status"] in _STATUSES and r["error_class"] in _CLASSES
 
 
+def test_fuzz_wav_truncations_and_garbage_never_fail_the_task(spark):
+    """WAV twin of the image fuzzes, now that the RIFF walk is the repo's
+    own (r13, non-PCM support): every-offset truncations of a valid
+    G.711 u-law WAV and of an IMA ADPCM WAV. The RIFF layout is
+    header(12) + fmt + fact + data with declared chunk sizes, so ANY cut
+    inside the chunk stream leaves a chunk shorter than its declaration
+    or drops fmt/data entirely — every k in [12, len) must classify
+    corrupt_data, cuts before the 12-byte magic are unidentifiable, and
+    only the complete file decodes."""
+    from map_reduce_go_spark.functions.wav_codec import (
+        encode_wav_ima_adpcm,
+        mulaw_decode,
+        wrap_g711_payload,
+    )
+
+    payload = bytes(range(64))
+    g711 = wrap_g711_payload(payload, "mulaw", 8_000, 1)
+    adpcm = encode_wav_ima_adpcm(
+        (np.arange(505, dtype=np.int16) * 13 % 2000).astype(np.int16), 8_000
+    )
+    blobs: list[bytes | None] = []
+    marks = []
+    for wav in (g711, adpcm):
+        start = len(blobs)
+        blobs += [bytes(wav[:k]) for k in range(len(wav))]
+        blobs += [bytes(wav)]
+        marks.append((start, len(wav)))
+    rows = _decode_all(spark, blobs)
+    assert len(rows) == len(blobs)
+    by_id = {r["doc_id"]: r for r in rows}
+    for start, n in marks:
+        for k in range(n):
+            r = by_id[start + k]
+            assert r["status"] == "quarantined", (start, k)
+            if k >= 12:
+                assert r["error_class"] == "corrupt_data", (start, k)
+            else:
+                assert r["error_class"] in ("empty_blob", "unsupported_format")
+        assert by_id[start + n]["status"] == "ok", start
+    full_g711 = by_id[marks[0][1]]
+    assert full_g711["pix_sum"] == int(mulaw_decode(payload).astype("int64").sum())
+    for r in rows:
+        assert r["status"] in _STATUSES and r["error_class"] in _CLASSES
+
+
 @given(
     a=st.integers(min_value=-(2**62), max_value=2**62),
     b=st.integers(min_value=-(2**31), max_value=2**31).filter(lambda x: x != 0),
