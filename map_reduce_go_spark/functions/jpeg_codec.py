@@ -24,13 +24,17 @@ proven format-general only if each container stresses a different shape:
 
 Scope — exactly enough to execute real bytes:
 
-- ``encode_jpeg``: 8-bit grayscale (H, W) uint8 array as a baseline
-  sequential JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), Annex K Huffman
-  tables, one quantization table (default all-ones: maximal fidelity;
-  blocks that are constant after edge-replication padding round-trip
-  EXACTLY, which is what lets a SQL oracle predict decoded pixel sums).
+- ``encode_jpeg``: 8-bit grayscale (H, W) or RGB (H, W, 3) uint8 array
+  as a baseline sequential JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), Annex
+  K Huffman tables (luminance + chrominance), per-family quantization
+  tables (default all-ones: maximal fidelity; blocks that are constant
+  after edge-replication padding round-trip EXACTLY in YCbCr space,
+  which is what lets a SQL oracle predict decoded sums). Color converts
+  RGB -> JFIF YCbCr (BT.601 full-range) and supports 4:4:4, 4:2:2, and
+  4:2:0 chroma subsampling with spec-interleaved MCUs.
 - ``decode_jpeg``: the inverse — baseline sequential, 8-bit precision,
-  one component, 1x1 sampling, no restart intervals.
+  1 or 3 components, arbitrary integer-ratio sampling factors,
+  box-replication chroma upsampling.
 
 Restart intervals (DRI + RSTn markers — what real encoders emit for
 error resilience, and the unit a parallel decoder splits on) are
@@ -40,8 +44,8 @@ and resets the DC predictor.
 
 Deliberately out of scope (well-formed-but-unimplemented →
 ``NotImplementedError`` → quarantine class ``unsupported_format``):
-progressive (SOF2) and every other non-SOF0 frame type, color (multi-
-component) scans, chroma subsampling, 16-bit quantization tables,
+progressive (SOF2) and every other non-SOF0 frame type, 4-component
+CMYK, non-interleaved multi-scan baseline, 16-bit quantization tables,
 arithmetic coding. Truncated or malformed bytes (bad marker structure,
 invalid Huffman code, out-of-sequence restart marker, bit stream
 exhausted mid-block) raise ``ValueError`` → ``corrupt_data``.
@@ -83,6 +87,10 @@ ZIGZAG = np.array(
 DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
 DC_VALS = tuple(range(12))
 
+#: Annex K.3.1 — chrominance DC.
+DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+DC_CHROMA_VALS = tuple(range(12))
+
 #: Annex K.3.2 — luminance AC.
 AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
 AC_VALS = (
@@ -106,6 +114,33 @@ AC_VALS = (
     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+#: Annex K.3.3.2 — chrominance AC.
+AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+AC_CHROMA_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 )
 
@@ -141,6 +176,26 @@ def _canonical_codes(bits, vals):
 
 _DC_ENC = _canonical_codes(DC_BITS, DC_VALS)
 _AC_ENC = _canonical_codes(AC_BITS, AC_VALS)
+_DC_CHROMA_ENC = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+_AC_CHROMA_ENC = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+
+# JFIF YCbCr <-> RGB (ITU-R BT.601 full-range, the JFIF spec's matrices).
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
 # --------------------------------------------------------------------------
@@ -201,12 +256,67 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
+def _encode_block(
+    bw: _BitWriter, block: np.ndarray, qmat: np.ndarray, dc_enc, ac_enc,
+    pred: int,
+) -> int:
+    """FDCT + quantize + Huffman-encode one level-shifted 8x8 block;
+    returns the new DC predictor."""
+    coef = _DCT @ block @ _DCT.T
+    zz = np.rint(coef / qmat).astype(np.int64).reshape(64)[ZIGZAG]
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - pred)
+    length, code = dc_enc[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_enc[0xF0]  # ZRL: 16 zeros
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        length, code = ac_enc[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+        if i == last_nz:
+            break
+    if last_nz < 63:
+        length, code = ac_enc[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _check_quant(quant: np.ndarray | None) -> np.ndarray:
+    q = (
+        np.ones(64, dtype=np.int64)
+        if quant is None
+        else np.asarray(quant, dtype=np.int64).reshape(64)
+    )
+    if (q < 1).any() or (q > 255).any():
+        raise ValueError("quant entries must be in 1..255 (8-bit table)")
+    return q
+
+
 def encode_jpeg(
     img: np.ndarray,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
+    subsampling: str = "444",
+    chroma_quant: np.ndarray | None = None,
 ) -> bytes:
-    """Encode an (H, W) uint8 grayscale array as a baseline JFIF JPEG.
+    """Encode an (H, W) uint8 grayscale or (H, W, 3) uint8 RGB array as a
+    baseline JFIF JPEG.
 
     ``quant`` is a flat 64-entry table in NATURAL (row-major) order;
     default all-ones — lossless for blocks constant after the edge-
@@ -214,68 +324,29 @@ def encode_jpeg(
     coefficients is the only loss at quant 1). ``restart_interval`` > 0
     emits a DRI segment and byte-aligned RST0..7 markers every that
     many MCUs, resetting DC prediction — the error-resilience /
-    parallel-decode unit real encoders produce."""
+    parallel-decode unit real encoders produce.
+
+    Color (r13): RGB converts to JFIF YCbCr; ``subsampling`` picks the
+    luma sampling factors — "444" (no subsampling), "422" (chroma
+    halved horizontally), "420" (halved both ways, the near-universal
+    camera/web default); chroma downsamples by box mean and carries its
+    own quant table (``chroma_quant``, default all-ones) and the Annex K
+    chrominance Huffman tables. MCUs interleave Hy*Vy luma blocks + Cb +
+    Cr exactly per the spec's interleaved-scan order."""
     arr = np.asarray(img)
-    if arr.dtype != np.uint8 or arr.ndim != 2:
-        raise ValueError("encode_jpeg expects an (H, W) uint8 array")
-    h, w = arr.shape
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ValueError("encode_jpeg expects (H, W) or (H, W, 3) uint8")
+    if arr.ndim == 3 and arr.shape[2] != 3:
+        raise ValueError("color encode_jpeg expects exactly 3 channels (RGB)")
+    h, w = arr.shape[:2]
     if not (1 <= h <= 0xFFFF) or not (1 <= w <= 0xFFFF):
         raise ValueError("encode_jpeg dimensions out of range")
-    q = np.ones(64, dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64).reshape(64)
-    if (q < 1).any() or (q > 255).any():
-        raise ValueError("quant entries must be in 1..255 (8-bit table)")
-
-    # Pad to 8x8 multiples by edge replication (keeps constant images
-    # constant per block — the exact-round-trip property fixtures use).
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
-
     if not (0 <= restart_interval <= 0xFFFF):
         raise ValueError("restart_interval out of range")
-    bw = _BitWriter()
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
+    q = _check_quant(quant)
     qmat = q.reshape(8, 8).astype(np.float64)
-    pred = 0
-    mcu = 0
-    rst = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                bw.write_marker(0xD0 + rst)
-                rst = (rst + 1) % 8
-                pred = 0  # DC prediction resets at each restart boundary
-            mcu += 1
-            block = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coef = _DCT @ block @ _DCT.T
-            zz = np.rint(coef / qmat).astype(np.int64).reshape(64)[ZIGZAG]
-            dc = int(zz[0])
-            size, bits = _magnitude(dc - pred)
-            pred = dc
-            length, code = _DC_ENC[size]
-            bw.write(code, length)
-            if size:
-                bw.write(bits, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for i in range(1, 64):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = _AC_ENC[0xF0]  # ZRL: 16 zeros
-                    bw.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                length, code = _AC_ENC[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(bits, size)
-                run = 0
-                if i == last_nz:
-                    break
-            if last_nz < 63:
-                length, code = _AC_ENC[0x00]  # EOB
-                bw.write(code, length)
-    entropy = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
@@ -283,18 +354,95 @@ def encode_jpeg(
     def dht(cls: int, ident: int, bits, vals) -> bytes:
         return bytes([(cls << 4) | ident]) + bytes(bits) + bytes(vals)
 
+    bw = _BitWriter()
+    mcu = 0
+    rst = 0
+
+    if arr.ndim == 2:
+        # Pad to 8x8 multiples by edge replication (keeps constant images
+        # constant per block — the exact-round-trip property fixtures use).
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+        pred = 0
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.write_marker(0xD0 + rst)
+                    rst = (rst + 1) % 8
+                    pred = 0  # DC prediction resets at each restart boundary
+                mcu += 1
+                block = (
+                    padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+                )
+                pred = _encode_block(bw, block, qmat, _DC_ENC, _AC_ENC, pred)
+        entropy = bw.flush()
+        out = b"\xff\xd8"  # SOI
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += seg(0xDB, b"\x00" + bytes(int(q[i]) for i in ZIGZAG))
+        out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        out += seg(0xC4, dht(0, 0, DC_BITS, DC_VALS))
+        out += seg(0xC4, dht(1, 0, AC_BITS, AC_VALS))
+        if restart_interval:
+            out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        return out + entropy + b"\xff\xd9"
+
+    # --- color path ---
+    hy, vy = _SUBSAMPLING[subsampling]
+    cq = _check_quant(chroma_quant)
+    cqmat = cq.reshape(8, 8).astype(np.float64)
+    # Pad to whole MCUs (8*hy x 8*vy) by edge replication, THEN convert
+    # and downsample — replicated edges average to themselves, so
+    # constant images stay constant through the chroma box filter.
+    ph, pw = -(-h // (8 * vy)) * (8 * vy), -(-w // (8 * hy)) * (8 * hy)
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded)
+    yplane = ycc[..., 0] - 128.0
+    chroma = []
+    for c in (1, 2):
+        plane = ycc[..., c]
+        # Box-mean downsample by (vy, hy).
+        plane = plane.reshape(ph // vy, vy, pw // hy, hy).mean(axis=(1, 3))
+        chroma.append(plane - 128.0)
+    preds = [0, 0, 0]
+    for my in range(0, ph, 8 * vy):
+        for mx in range(0, pw, 8 * hy):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.write_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            mcu += 1
+            for v in range(vy):
+                for hh in range(hy):
+                    by, bx = my + v * 8, mx + hh * 8
+                    preds[0] = _encode_block(
+                        bw, yplane[by : by + 8, bx : bx + 8], qmat,
+                        _DC_ENC, _AC_ENC, preds[0],
+                    )
+            cy, cx = (my // vy), (mx // hy)
+            for c in (0, 1):
+                preds[c + 1] = _encode_block(
+                    bw, chroma[c][cy : cy + 8, cx : cx + 8], cqmat,
+                    _DC_CHROMA_ENC, _AC_CHROMA_ENC, preds[c + 1],
+                )
+    entropy = bw.flush()
     out = b"\xff\xd8"  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    out += seg(0xDB, b"\x00" + bytes(int(q[i]) for i in ZIGZAG))  # DQT (zigzag order)
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
-    out += seg(0xC4, dht(0, 0, DC_BITS, DC_VALS))  # DHT DC
-    out += seg(0xC4, dht(1, 0, AC_BITS, AC_VALS))  # DHT AC
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(q[i]) for i in ZIGZAG))
+    out += seg(0xDB, b"\x01" + bytes(int(cq[i]) for i in ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hy << 4) | vy, 0])  # Y: sampling factors, quant 0
+    sof += bytes([2, 0x11, 1])  # Cb: 1x1, quant 1
+    sof += bytes([3, 0x11, 1])  # Cr: 1x1, quant 1
+    out += seg(0xC0, sof)
+    out += seg(0xC4, dht(0, 0, DC_BITS, DC_VALS))
+    out += seg(0xC4, dht(1, 0, AC_BITS, AC_VALS))
+    out += seg(0xC4, dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    out += seg(0xC4, dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
-    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
-    out += entropy
-    out += b"\xff\xd9"  # EOI
-    return out
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    return out + entropy + b"\xff\xd9"
 
 
 # --------------------------------------------------------------------------
@@ -380,21 +528,23 @@ def _extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg(raw: bytes) -> np.ndarray:
-    """Decode a baseline-sequential 8-bit grayscale JFIF to (H, W) uint8.
+    """Decode a baseline-sequential 8-bit JFIF: grayscale to (H, W)
+    uint8, YCbCr color (any integer-ratio sampling factors, e.g. 4:4:4 /
+    4:2:2 / 4:2:0) to (H, W, 3) uint8 RGB.
 
     ValueError for malformed/truncated bytes (quarantine class
     ``corrupt_data``); NotImplementedError for well-formed files using
-    features outside this codec's scope — progressive, color, chroma
-    subsampling, 16-bit quant tables, restart intervals, arithmetic
-    coding (``unsupported_format``)."""
+    features outside this codec's scope — progressive and other non-SOF0
+    frames, 4-component (CMYK) color, non-interleaved multi-scan
+    baseline, 16-bit quant tables, arithmetic coding
+    (``unsupported_format``)."""
     if not is_jpeg(raw):
         raise ValueError("not a JPEG: missing SOI marker")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
-    frame = None  # (h, w)
+    frame = None  # (h, w, component specs, hmax, vmax)
     sof_seen = False
-    comp_q = 0
     restart_interval = 0
     while True:
         if pos + 2 > len(raw):
@@ -475,44 +625,107 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision} not implemented")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"JPEG with {ncomp} components (color) not implemented"
+                    f"JPEG with {ncomp} components (CMYK/unknown color "
+                    "model) not implemented"
                 )
             if len(body) != 6 + 3 * ncomp:
                 raise ValueError("malformed SOF0 segment")
             if h == 0 or w == 0 or h > 1 << 20 or w > 1 << 20:
                 raise ValueError("malformed JPEG dimensions")
-            sampling = body[7]
-            if sampling != 0x11:
-                raise NotImplementedError("JPEG chroma subsampling not implemented")
-            comp_q = body[8]
-            frame = (h, w)
+            comps = []  # (component id, h factor, v factor, quant id)
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                hf, vf = hv >> 4, hv & 0x0F
+                if not (1 <= hf <= 4 and 1 <= vf <= 4) or tq > 3:
+                    raise ValueError("malformed SOF0 component spec")
+                comps.append((cid, hf, vf, tq))
+            if len({c[0] for c in comps}) != ncomp:
+                raise ValueError("duplicate component ids in SOF0")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                raise NotImplementedError(
+                    "non-integer chroma upsampling ratios not implemented"
+                )
+            frame = (h, w, comps, hmax, vmax)
             sof_seen = True
             continue
         if marker == 0xDA:  # SOS — the scan; entropy data follows
             if not sof_seen:
                 raise ValueError("malformed JPEG: SOS before SOF")
-            if len(body) < 4 or body[0] != 1:
-                if len(body) >= 1 and body[0] > 1:
-                    raise NotImplementedError("multi-component scan not implemented")
+            h, w, comps, hmax, vmax = frame
+            if len(body) < 1:
                 raise ValueError("malformed SOS segment")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
-            dc_tab = huff.get((0, dc_id))
-            ac_tab = huff.get((1, ac_id))
-            qtab = quant.get(comp_q)
-            if dc_tab is None or ac_tab is None or qtab is None:
-                raise ValueError("JPEG scan references missing Huffman/quant table")
-            h, w = frame
-            bh, bwid = -(-h // 8), -(-w // 8)
-            out = np.empty((bh * 8, bwid * 8), dtype=np.float64)
+            ns = body[0]
+            if ns != len(comps):
+                if 1 <= ns < len(comps):
+                    raise NotImplementedError(
+                        "non-interleaved (multi-scan) baseline not implemented"
+                    )
+                raise ValueError("malformed SOS component count")
+            if len(body) != 1 + 2 * ns + 3:
+                raise ValueError("malformed SOS segment")
+            by_id = {c[0]: c for c in comps}
+            scan = []  # (cid, hf, vf, dc table, ac table, qmat)
+            for i in range(ns):
+                cs, tsel = body[1 + 2 * i], body[2 + 2 * i]
+                if cs not in by_id:
+                    raise ValueError("SOS references unknown component id")
+                _cid, hf, vf, tq = by_id[cs]
+                dc_tab = huff.get((0, tsel >> 4))
+                ac_tab = huff.get((1, tsel & 0x0F))
+                qtab = quant.get(tq)
+                if dc_tab is None or ac_tab is None or qtab is None:
+                    raise ValueError(
+                        "JPEG scan references missing Huffman/quant table"
+                    )
+                scan.append(
+                    (cs, hf, vf, dc_tab, ac_tab,
+                     qtab.reshape(8, 8).astype(np.float64))
+                )
+            if len({s[0] for s in scan}) != ns:
+                raise ValueError("duplicate component ids in SOS")
+
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            planes = {
+                cid: np.empty((mcuy * vf * 8, mcux * hf * 8), dtype=np.float64)
+                for cid, hf, vf, _d, _a, _q in scan
+            }
             br = _BitReader(raw, pos)
-            qmat = qtab.reshape(8, 8).astype(np.float64)
-            pred = 0
+            preds = {cid: 0 for cid, *_ in scan}
             mcu = 0
             rst_expect = 0
-            for by in range(bh):
-                for bx in range(bwid):
+
+            def read_block(dc_tab, ac_tab, qmat, pred):
+                zz = np.zeros(64, dtype=np.int64)
+                size = _read_symbol(br, dc_tab)
+                if size > 11:
+                    raise ValueError("invalid JPEG DC category")
+                pred += _extend(br.read_bits(size), size)
+                zz[0] = pred
+                i = 1
+                while i < 64:
+                    rs = _read_symbol(br, ac_tab)
+                    run, asize = rs >> 4, rs & 0x0F
+                    if asize == 0:
+                        if run == 15:  # ZRL
+                            i += 16
+                            continue
+                        break  # EOB
+                    i += run
+                    if i >= 64:
+                        raise ValueError("JPEG AC run overflows block")
+                    zz[i] = _extend(br.read_bits(asize), asize)
+                    i += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = zz  # dezigzag to natural order
+                return _DCT.T @ (coef.reshape(8, 8) * qmat) @ _DCT, pred
+
+            for my in range(mcuy):
+                for mx in range(mcux):
                     if restart_interval and mcu and mcu % restart_interval == 0:
                         got = br.read_restart_marker()
                         if got != rst_expect:
@@ -521,35 +734,30 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                                 f"expected RST{rst_expect}"
                             )
                         rst_expect = (rst_expect + 1) % 8
-                        pred = 0  # DC prediction resets per restart interval
+                        preds = dict.fromkeys(preds, 0)  # DC resets
                     mcu += 1
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = _read_symbol(br, dc_tab)
-                    if size > 11:
-                        raise ValueError("invalid JPEG DC category")
-                    diff = _extend(br.read_bits(size), size)
-                    pred += diff
-                    zz[0] = pred
-                    i = 1
-                    while i < 64:
-                        rs = _read_symbol(br, ac_tab)
-                        run, asize = rs >> 4, rs & 0x0F
-                        if asize == 0:
-                            if run == 15:  # ZRL
-                                i += 16
-                                continue
-                            break  # EOB
-                        i += run
-                        if i >= 64:
-                            raise ValueError("JPEG AC run overflows block")
-                        zz[i] = _extend(br.read_bits(asize), asize)
-                        i += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[ZIGZAG] = zz  # dezigzag to natural order
-                    block = _DCT.T @ (coef.reshape(8, 8) * qmat) @ _DCT
-                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-            pix = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
-            return pix[:h, :w]
+                    for cid, hf, vf, dc_tab, ac_tab, qmat in scan:
+                        for v in range(vf):
+                            for hh in range(hf):
+                                block, preds[cid] = read_block(
+                                    dc_tab, ac_tab, qmat, preds[cid]
+                                )
+                                by = (my * vf + v) * 8
+                                bx = (mx * hf + hh) * 8
+                                planes[cid][by : by + 8, bx : bx + 8] = block
+
+            # Upsample each component to full resolution (pixel
+            # replication — the baseline nearest-neighbor reconstruction)
+            # and crop to the frame dimensions.
+            full = []
+            for cid, hf, vf, *_rest in scan:
+                p = planes[cid] + 128.0
+                p = np.repeat(np.repeat(p, vmax // vf, axis=0), hmax // hf, axis=1)
+                full.append(p[:h, :w])
+            if ns == 1:
+                return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+            y, cb, cr = (np.clip(p, 0.0, 255.0) for p in full)
+            return _ycbcr_to_rgb(y, cb, cr)
         # APPn / COM: skip the payload.
         if (0xE0 <= marker <= 0xEF) or marker == 0xFE:
             continue

@@ -920,3 +920,157 @@ def test_resample_audio_real_handles_g711(spark):
     }
     assert rows[1]["n_in"] == rows[2]["n_in"] == 64
     assert rows[1]["samples"] == rows[2]["samples"]
+
+
+# --------------------------------------------------------------------------
+# Color JPEG (r13): 3-component YCbCr, 4:4:4 / 4:2:2 / 4:2:0
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_color_roundtrip_constant_and_random():
+    """Constant-color images survive every subsampling mode to within 1
+    LSB (the YCbCr<->RGB integer rounding — chroma planes are constant so
+    the box filter and DCT are exact), and a random image at 4:4:4
+    quant-1 is near-lossless (rounding of DCT coefficients is the only
+    loss)."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    for color in ((255, 0, 0), (12, 200, 99), (0, 0, 0), (255, 255, 255)):
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:] = color
+        for sub in ("444", "422", "420"):
+            out = decode_jpeg(encode_jpeg(img, subsampling=sub))
+            assert out.shape == (16, 16, 3)
+            assert np.abs(out.astype(int) - np.array(color)).max() <= 1, (color, sub)
+    rng = _rng(3)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsampling="444"))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_color_ycbcr_matches_independent_conversion():
+    """The decoded pixels equal an independent (test-local) JFIF/BT.601
+    pipeline: RGB -> YCbCr -> round-trip through the codec's exact
+    constant-block path -> YCbCr -> RGB. Uses 8x8-aligned constant tiles
+    so the DCT stage is exact and ONLY the color math is under test."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    tiles = [(200, 30, 99), (0, 255, 128), (77, 77, 200), (255, 255, 0)]
+    img = np.zeros((8, 32, 3), np.uint8)
+    for k, c in enumerate(tiles):
+        img[:, 8 * k : 8 * k + 8] = c
+    out = decode_jpeg(encode_jpeg(img, subsampling="444"))
+
+    def ref_pixel(rgb):
+        r, g, b = (float(x) for x in rgb)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        # The codec's DCT round-trip reproduces each constant plane to
+        # within coefficient rounding; the reference replays only the
+        # color matrices (the identity under test).
+        rr = y + 1.402 * (cr - 128)
+        gg = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        bb = y + 1.772 * (cb - 128)
+        return np.clip(np.rint([rr, gg, bb]), 0, 255).astype(np.uint8)
+
+    for k, c in enumerate(tiles):
+        got = out[4, 8 * k + 4]
+        want = ref_pixel(c)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, (c, got, want)
+
+
+def test_jpeg_color_subsampling_averages_chroma():
+    """4:2:0 chroma is a 2x2 box mean: a checkerboard of two colors with
+    EQUAL luma but opposite chroma decodes to (approximately) the mean
+    color everywhere — the visible signature of real chroma subsampling,
+    impossible if the codec secretly encoded 4:4:4."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    # Two colors with identical Y: swap Cb/Cr contributions.
+    a = np.array([120, 120, 184], np.uint8)  # bluish
+    b = np.array([152, 120, 56], np.uint8)   # adjusted to near-equal luma
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[0::2, 0::2] = a
+    img[1::2, 1::2] = a
+    img[0::2, 1::2] = b
+    img[1::2, 0::2] = b
+    out420 = decode_jpeg(encode_jpeg(img, subsampling="420")).astype(int)
+    out444 = decode_jpeg(encode_jpeg(img, subsampling="444")).astype(int)
+    # 4:4:4 keeps the checkerboard: neighboring pixels differ strongly.
+    assert np.abs(out444[0, 0] - out444[0, 1]).max() > 40
+    # 4:2:0 merges each 2x2 cell's chroma toward the mean: the blue-
+    # channel gap collapses to a fraction of the original 128.
+    assert np.abs(out420[0, 0] - out420[0, 1]).max() < 40
+
+
+def test_jpeg_color_restart_intervals_and_odd_sizes():
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = _rng(31)
+    img = rng.integers(0, 256, (33, 31, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    with_rst = decode_jpeg(
+        encode_jpeg(img, subsampling="420", restart_interval=2)
+    )
+    np.testing.assert_array_equal(plain, with_rst)
+    for shape in ((1, 1, 3), (7, 9, 3), (8, 8, 3), (15, 17, 3)):
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        for sub in ("444", "422", "420"):
+            assert decode_jpeg(encode_jpeg(arr, subsampling=sub)).shape == shape
+
+
+def test_jpeg_color_scope_seams():
+    """CMYK (4 components) and non-interleaved multi-scan baseline are
+    well-formed-but-unimplemented (NotImplementedError -> quarantine
+    unsupported_format); structural damage in the new color headers is
+    still ValueError."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    jpg = encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="420")
+    sof = jpg.find(b"\xff\xc0")
+    # ncomp byte: SOF0 payload = len(2) precision(1) h(2) w(2) ncomp(1).
+    cmyk = bytearray(jpg)
+    cmyk[sof + 9] = 4
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(cmyk))
+    sos = jpg.find(b"\xff\xda")
+    noninterleaved = bytearray(jpg)
+    noninterleaved[sos + 4] = 1  # ns: 3 -> 1 (single-component scan)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(noninterleaved))
+    bad_sampling = bytearray(jpg)
+    bad_sampling[sof + 11] = 0x01  # Y sampling factors: h=0 is malformed
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad_sampling))
+    dup_ids = bytearray(jpg)
+    dup_ids[sof + 13] = 1  # Cb id collides with Y
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(dup_ids))
+
+
+def test_extract_features_and_quarantine_consume_color_jpeg(spark):
+    """Color blobs flow through the same operator dispatch: the
+    histogram covers all three channels, quarantine reports the 2-D
+    geometry plus the all-channel sum."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+    from map_reduce_go_spark.operators.multimodal import (
+        decode_blobs_with_quarantine,
+        extract_features,
+    )
+
+    rng = _rng(41)
+    img = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    blob = encode_jpeg(img, subsampling="420")
+    px = decode_jpeg(blob)  # ground truth through the public API
+    df = spark.createDataFrame(
+        [(1, bytes(blob), "image")], "doc_id long, blob binary, modality string"
+    )
+    feat = extract_features(df, decode_mode="real").collect()[0]
+    want_hist = np.bincount(px.reshape(-1) >> 4, minlength=16)
+    assert feat["bin_counts"] == [int(x) for x in want_hist]
+    assert (feat["fake_width"], feat["fake_height"]) == (10, 12)
+    q = decode_blobs_with_quarantine(df.select("doc_id", "blob")).collect()[0]
+    assert q["status"] == "ok"
+    assert (q["px_w"], q["px_h"]) == (10, 12)
+    assert q["pix_sum"] == int(px.astype("int64").sum())

@@ -155,6 +155,32 @@ def test_fuzz_jpeg_truncations_and_garbage_never_fail_the_task(spark):
         assert r["status"] in _STATUSES and r["error_class"] in _CLASSES
 
 
+def test_fuzz_color_jpeg_truncations_never_fail_the_task(spark):
+    """Color-JPEG twin of the grayscale JPEG fuzz (r13: 3-component
+    YCbCr, 4:2:0): the interleaved MCU scan adds chroma blocks, a second
+    quant table, and four Huffman tables to the byte surface — every
+    truncation offset must classify, never crash; the complete file
+    decodes with an all-channel pixel sum."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    jpg = encode_jpeg(img, subsampling="420", restart_interval=1)
+    blobs: list[bytes | None] = [bytes(jpg[:k]) for k in range(len(jpg))]
+    full_idx = len(blobs)
+    blobs += [bytes(jpg)]
+    rows = _decode_all(spark, blobs)
+    by_id = {r["doc_id"]: r for r in rows}
+    for k in range(len(jpg) - 2):  # strictly before the EOI marker
+        assert by_id[k]["status"] == "quarantined", k
+    assert by_id[full_idx]["status"] == "ok"
+    assert by_id[full_idx]["pix_sum"] == int(
+        decode_jpeg(jpg).astype("int64").sum()
+    )
+    for r in rows:
+        assert r["status"] in _STATUSES and r["error_class"] in _CLASSES
+
+
 def test_fuzz_wav_truncations_and_garbage_never_fail_the_task(spark):
     """WAV twin of the image fuzzes, now that the RIFF walk is the repo's
     own (r13, non-PCM support): every-offset truncations of a valid
