@@ -789,6 +789,95 @@ def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Windowed-energy framing over the 32-sample u-law plant: 4 windows of
+#: 8 samples — the audio analog of the image fixture's block structure.
+AUDIO_ENERGY_WINDOWS = 4
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("energy", LongType(), False),
+        StructField("peak", IntegerType(), False),
+    ]
+)
+
+
+@register(
+    "mulaw_audio_energy_windows",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(range(1, {PLANT_W * PLANT_H} + 1),
+               i -> {_mulaw_val_sql(
+                   "COALESCE(ascii(substring(text, CAST(i AS BIGINT), 1)), 0)"
+               )}) AS vals
+      FROM documents
+      WHERE CAST(doc_id % 8 AS INTEGER) = 7
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS window_idx,
+           CAST(list_sum(list_transform(
+                  list_slice(vals, 8 * CAST(k AS BIGINT) + 1,
+                             8 * CAST(k AS BIGINT) + 8),
+                  v -> v * v)) AS BIGINT) AS energy,
+           CAST(list_max(list_transform(
+                  list_slice(vals, 8 * CAST(k AS BIGINT) + 1,
+                             8 * CAST(k AS BIGINT) + 8),
+                  v -> abs(v))) AS INTEGER) AS peak
+    FROM s, range(0, {AUDIO_ENERGY_WINDOWS}) AS r(k)
+    """,
+)
+def mulaw_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction over REAL compressed audio
+    (r13): each 'audio' plant (the quarantine fixture's class-7 G.711
+    u-law WAV) round-trips through actual container bytes — wrap the
+    payload, walk the RIFF chunks, expand the companded samples — then
+    frames into 4 windows of 8 samples with exact integer energy
+    (sum of squares) and peak (max absolute sample) per window. The
+    oracle replays the ITU-T G.711 expansion per byte in SQL and windows
+    with list_slice, so the driver value-hashes real codec math, not a
+    stub. Plan shape: scan -> mapInPandas -> result, zero shuffle —
+    embarrassingly parallel at any corpus size, the 100 TB audio
+    -featurization shape (reference disposition: the MapReduce lab has
+    no media surface; this extends the north-star multimodal set)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where((F.col("doc_id") % 8) == 7)
+    )
+    n_px = PLANT_W * PLANT_H
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from map_reduce_go_spark.functions.wav_codec import (
+            decode_wav,
+            wrap_g711_payload,
+        )
+
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "window_idx", "energy", "peak")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                payload = raw[:n_px] + bytes(n_px - min(len(raw), n_px))
+                samples, _rate = decode_wav(
+                    wrap_g711_payload(payload, "mulaw", 8_000, 1)
+                )
+                v = samples[:, 0].astype(np.int64)
+                win = n_px // AUDIO_ENERGY_WINDOWS
+                for k in range(AUDIO_ENERGY_WINDOWS):
+                    wv = v[win * k : win * (k + 1)]
+                    rows["doc_id"].append(int(doc_id))
+                    rows["window_idx"].append(k)
+                    rows["energy"].append(int((wv * wv).sum()))
+                    rows["peak"].append(int(np.abs(wv).max()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(batches, schema=ENERGY_SCHEMA)
+
+
 def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
     """Row-level fault tolerance for the real decode path (VERDICT r10
     brief #2): a per-blob try/except INSIDE the Arrow batch loop routes

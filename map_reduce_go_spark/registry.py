@@ -67,6 +67,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #     reference src/models/kv.go:40-54 Get/Put/Append semantics as a
     #     batch fold (VERDICT r12 #8); streaming twin is pytest-only. ---
     "kv_apply_log",
+    #     Second r13 addition (also never checked): real G.711 audio
+    #     featurization — windowed energy/peak over the class-7 u-law
+    #     plant, oracle replays the codec math in SQL. ---
+    "mulaw_audio_energy_windows",
     # --- (c) queue-jumpers: semantics changed after their latest row ---
     "ann_ranking_quality",
     "multimodal_quarantine_audit",
@@ -117,11 +121,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue_share",
     "q18_large_volume_orders",
     "median_price_per_segment",
-    "correlated_subquery_above_nation_avg",
-    # (r14 window, pinned by name: the FOUR r7-era rows displaced by the
-    # queue-jumpers and the new registration — weekly_activity_bitmap,
+    # (r14 window, pinned by name: the FIVE r7-era rows displaced by the
+    # queue-jumpers and the two new registrations — weekly_activity_bitmap,
     # churn_weekly_rates, doc_chunking_fixed_tokens,
-    # equidepth_histogram_price_approx — lead it, followed by the r9-era
+    # equidepth_histogram_price_approx, correlated_subquery_above_nation_avg
+    # — lead it, followed by the r9-era
     # rows oldest-first in registration order. Any additions with no
     # driver row yet must be appended to THIS tuple so the never-checked
     # invariant in tests/test_registry_contract.py holds, and any query
