@@ -112,7 +112,19 @@ NOTES = (
     "here vs the old constant 8 — more, smaller range tasks; hash-"
     "invariance is probe-asserted in SCALE.md's distrank table); "
     "kv_apply_log (registered r13) is a two-shuffle key fold, ~1s "
-    "class, not a headliner."
+    "class, not a headliner. Late-r13 session (audio codecs + color "
+    "JPEG + mulaw_audio_energy_windows landed): suite reads 69.8s and "
+    "76.8s on back-to-back median-of-3 runs vs 57.7s at the earlier "
+    "r13 close — the elevation is UNIFORM across untouched plans "
+    "(median per-query ratio ~1.05-1.2; canary trio q1+q3+wordcount "
+    "3.7s vs the ~3.0s band; TPC-H joins and dedup legs up 1.4-1.7x "
+    "with zero code change; different queries lead each run), which "
+    "is the canary rule's host-noise signature, not a regression — "
+    "plan sweeps green on all 253 queries. The one TOUCHED headliner, "
+    "multimodal_quarantine_audit (%8 re-key + u-law class), reads "
+    "0.65-0.91s, DOWN vs its 0.91s prior median. "
+    "mulaw_audio_energy_windows (registered late r13) is a zero-"
+    "shuffle scan->mapInPandas leg, ~0.5s class, not a headliner."
 )
 
 # Headline set: one per operator family, weighted toward scale-sensitive
