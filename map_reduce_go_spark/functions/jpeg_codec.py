@@ -42,9 +42,19 @@ implemented: the encoder can emit them (``restart_interval=``), the
 decoder byte-aligns at each boundary, checks the cyclic marker number,
 and resets the DC predictor.
 
+Progressive (SOF2) is implemented as of late r13, both directions:
+the encoder emits a spectral-selection + successive-approximation
+progression (interleaved DC first, banded AC first scans, AC and DC
+refinements), and the decoder runs the general multi-scan model — a
+per-component coefficient store accumulated across scans (DC first /
+DC refine / AC first with EOBn runs / AC refine with correction bits,
+T.81 G.2), with dequant + IDCT at EOI. Progressive and baseline
+encodings of one image decode to IDENTICAL pixels (same quantized
+coefficients) — pinned in tests.
+
 Deliberately out of scope (well-formed-but-unimplemented →
 ``NotImplementedError`` → quarantine class ``unsupported_format``):
-progressive (SOF2) and every other non-SOF0 frame type, 4-component
+extended-sequential/lossless/hierarchical frame types, 4-component
 CMYK, non-interleaved multi-scan baseline, 16-bit quantization tables,
 arithmetic coding. Truncated or malformed bytes (bad marker structure,
 invalid Huffman code, out-of-sequence restart marker, bit stream
@@ -314,6 +324,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     subsampling: str = "444",
     chroma_quant: np.ndarray | None = None,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an (H, W) uint8 grayscale or (H, W, 3) uint8 RGB array as a
     baseline JFIF JPEG.
@@ -332,7 +343,19 @@ def encode_jpeg(
     camera/web default); chroma downsamples by box mean and carries its
     own quant table (``chroma_quant``, default all-ones) and the Annex K
     chrominance Huffman tables. MCUs interleave Hy*Vy luma blocks + Cb +
-    Cr exactly per the spec's interleaved-scan order."""
+    Cr exactly per the spec's interleaved-scan order.
+
+    Progressive (r13): ``progressive=True`` emits SOF2 with a
+    spectral-selection + one-level successive-approximation progression
+    (interleaved DC first at Al=1, banded single-component AC first
+    scans at Al=1, the matching AC refinements to Al=0, then the DC
+    refinement) — the multi-scan shape real web encoders produce. The
+    entropy-coded substance is the SAME quantized coefficient grid as
+    the baseline form, so progressive and baseline encodings of one
+    image decode to IDENTICAL pixels (pinned in tests). Restart
+    intervals are a baseline-mode feature here (ValueError if both)."""
+    if progressive and restart_interval:
+        raise ValueError("restart intervals unsupported in progressive mode")
     arr = np.asarray(img)
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError("encode_jpeg expects (H, W) or (H, W, 3) uint8")
@@ -358,11 +381,27 @@ def encode_jpeg(
     mcu = 0
     rst = 0
 
+    sof_marker = 0xC2 if progressive else 0xC0
+
     if arr.ndim == 2:
         # Pad to 8x8 multiples by edge replication (keeps constant images
         # constant per block — the exact-round-trip property fixtures use).
         ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
         padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+        if progressive:
+            grid = _coef_grid(padded.astype(np.float64) - 128.0, qmat)
+            out = b"\xff\xd8"
+            out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            out += seg(0xDB, b"\x00" + bytes(int(q[i]) for i in ZIGZAG))
+            out += seg(
+                sof_marker, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+            )
+            out += seg(0xC4, dht(0, 0, DC_BITS, DC_VALS))
+            out += seg(0xC4, dht(1, 0, AC_BITS, AC_VALS))
+            infos = [
+                (1, 1, 1, grid, _DC_ENC, _AC_ENC, 0, 0, ((1, 5), (6, 63)))
+            ]
+            return out + _progressive_scans(h, w, infos, 1, 1) + b"\xff\xd9"
         pred = 0
         for by in range(0, ph, 8):
             for bx in range(0, pw, 8):
@@ -404,6 +443,29 @@ def encode_jpeg(
         # Box-mean downsample by (vy, hy).
         plane = plane.reshape(ph // vy, vy, pw // hy, hy).mean(axis=(1, 3))
         chroma.append(plane - 128.0)
+    if progressive:
+        out = b"\xff\xd8"
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += seg(0xDB, b"\x00" + bytes(int(q[i]) for i in ZIGZAG))
+        out += seg(0xDB, b"\x01" + bytes(int(cq[i]) for i in ZIGZAG))
+        sof = struct.pack(">BHHB", 8, h, w, 3)
+        sof += bytes([1, (hy << 4) | vy, 0])
+        sof += bytes([2, 0x11, 1])
+        sof += bytes([3, 0x11, 1])
+        out += seg(sof_marker, sof)
+        out += seg(0xC4, dht(0, 0, DC_BITS, DC_VALS))
+        out += seg(0xC4, dht(1, 0, AC_BITS, AC_VALS))
+        out += seg(0xC4, dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+        out += seg(0xC4, dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
+        infos = [
+            (1, hy, vy, _coef_grid(yplane, qmat), _DC_ENC, _AC_ENC, 0, 0,
+             ((1, 5), (6, 63))),
+            (2, 1, 1, _coef_grid(chroma[0], cqmat), _DC_CHROMA_ENC,
+             _AC_CHROMA_ENC, 1, 1, ((1, 63),)),
+            (3, 1, 1, _coef_grid(chroma[1], cqmat), _DC_CHROMA_ENC,
+             _AC_CHROMA_ENC, 1, 1, ((1, 63),)),
+        ]
+        return out + _progressive_scans(h, w, infos, hy, vy) + b"\xff\xd9"
     preds = [0, 0, 0]
     for my in range(0, ph, 8 * vy):
         for mx in range(0, pw, 8 * hy):
@@ -443,6 +505,228 @@ def encode_jpeg(
         out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
     return out + entropy + b"\xff\xd9"
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (r13): spectral selection + successive approximation
+# --------------------------------------------------------------------------
+
+
+def _coef_grid(plane: np.ndarray, qmat: np.ndarray) -> np.ndarray:
+    """FDCT + quantize a padded, level-shifted component plane into a
+    (nby, nbx, 64) int64 grid of ZIGZAG-ordered coefficients — the
+    shared substance both baseline and progressive scans entropy-code."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.empty((nby, nbx, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _DCT @ block @ _DCT.T
+            out[by, bx] = np.rint(coef / qmat).astype(np.int64).reshape(64)[ZIGZAG]
+    return out
+
+
+def _mcu_block_order(grids, specs, mcuy: int, mcux: int):
+    """Yield (comp index, by, bx) in interleaved-MCU order over the
+    padded grids (specs = [(hf, vf), ...])."""
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hf, vf) in enumerate(specs):
+                for v in range(vf):
+                    for hh in range(hf):
+                        yield ci, my * vf + v, mx * hf + hh
+
+
+def _emit_dc_first(bw: _BitWriter, blocks_iter, grids, dc_encs, al: int) -> None:
+    """DC first scan: Huffman-coded diffs of the point-transformed
+    (arithmetic-shift, T.81 G.1.2.1) DC coefficients."""
+    preds = [0] * len(grids)
+    for ci, by, bx in blocks_iter:
+        dc = int(grids[ci][by, bx, 0]) >> al
+        size, bits = _magnitude(dc - preds[ci])
+        preds[ci] = dc
+        length, code = dc_encs[ci][size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+
+
+def _emit_dc_refine(bw: _BitWriter, blocks_iter, grids, al: int) -> None:
+    """DC refinement scan: one raw bit per block, no entropy coding."""
+    for ci, by, bx in blocks_iter:
+        bw.write((int(grids[ci][by, bx, 0]) >> al) & 1, 1)
+
+
+class _EobRun:
+    """Encoder-side end-of-band emitter for progressive AC scans. Real
+    encoders collapse runs of finished blocks into one EOBn symbol, but
+    the EOBn code words (0x10..0xE0) are NOT in the Annex K tables this
+    codec reuses (they were designed for baseline), so each finished
+    block emits the spec-equivalent plain EOB0 followed by its own
+    correction bits — N consecutive EOB0s decode identically to one
+    EOB run of N. The DECODER still implements general EOBn runs (a
+    foreign progressive file will use them; pinned by a hand-built
+    stream in tests)."""
+
+    def __init__(self, bw: _BitWriter, ac_enc):
+        self.bw = bw
+        self.ac_enc = ac_enc
+        self.pending = False  # an EOB0 owed for the current block
+
+    def flush(self) -> None:
+        if self.pending:
+            length, code = self.ac_enc[0x00]
+            self.bw.write(code, length)
+            self.pending = False
+
+    def bump(self, correction_bits: list[int]) -> None:
+        length, code = self.ac_enc[0x00]
+        self.bw.write(code, length)
+        for b in correction_bits:
+            self.bw.write(b, 1)
+
+
+def _emit_ac_first(
+    bw: _BitWriter, grid: np.ndarray, nby: int, nbx: int,
+    ss: int, se: int, al: int, ac_enc,
+) -> None:
+    """AC first scan over one component's non-interleaved block grid:
+    baseline-style (run, size) coding of the point-transformed band
+    (truncation toward zero, T.81 G.1.2.2), EOBn runs across blocks."""
+    eob = _EobRun(bw, ac_enc)
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = grid[by, bx]
+            run = 0
+            emitted_any = False
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                v = -((-v) >> al) if v < 0 else v >> al
+                if v == 0:
+                    run += 1
+                    continue
+                eob.flush()
+                while run > 15:
+                    length, code = ac_enc[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                length, code = ac_enc[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+                emitted_any = True
+            if run > 0 or not emitted_any:
+                eob.bump([])
+    eob.flush()
+
+
+def _emit_ac_refine(
+    bw: _BitWriter, grid: np.ndarray, nby: int, nbx: int,
+    ss: int, se: int, al: int, ac_enc,
+) -> None:
+    """AC refinement scan (T.81 G.1.2.3): newly-significant coefficients
+    (magnitude exactly 1 at this precision) get (run, 1) + sign codes;
+    previously-significant ones append raw correction bits; all-history
+    blocks fold into EOB runs carrying their correction bits."""
+    eob = _EobRun(bw, ac_enc)
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = grid[by, bx]
+            absval = [
+                (abs(int(zz[k])) >> al) for k in range(ss, se + 1)
+            ]
+            # Last index (relative) whose value is newly significant.
+            eob_pos = -1
+            for i, t in enumerate(absval):
+                if t == 1:
+                    eob_pos = i
+            run = 0
+            corrections: list[int] = []
+            for i, t in enumerate(absval):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eob_pos:
+                    eob.flush()
+                    length, code = ac_enc[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                    for b in corrections:
+                        bw.write(b, 1)
+                    corrections = []
+                if t > 1:  # previously significant: raw correction bit
+                    corrections.append(t & 1)
+                    continue
+                # Newly significant (magnitude 1 at this precision).
+                eob.flush()
+                length, code = ac_enc[(run << 4) | 1]
+                bw.write(code, length)
+                bw.write(0 if int(zz[ss + i]) < 0 else 1, 1)
+                for b in corrections:
+                    bw.write(b, 1)
+                corrections = []
+                run = 0
+            if run > 0 or corrections:
+                eob.bump(corrections)
+    eob.flush()
+
+
+def _progressive_scans(
+    h: int, w: int, comp_infos, hmax: int, vmax: int
+) -> bytes:
+    """Emit the progression: interleaved DC first (Al=1), per-component
+    banded AC first scans (Al=1), the matching AC refinement scans
+    (Ah=1 -> Al=0), then the interleaved DC refinement — the
+    spectral-selection + one-level successive-approximation script in
+    the shape real encoders produce. ``comp_infos`` is a list of
+    (cid, hf, vf, grid, dc_enc, ac_enc, dc_tid, ac_tid, bands)."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos(members, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(members)])
+        for cid, dc_tid, ac_tid in members:
+            body += bytes([cid, (dc_tid << 4) | ac_tid])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    grids = [ci[3] for ci in comp_infos]
+    specs = [(ci[1], ci[2]) for ci in comp_infos]
+    dc_encs = [ci[4] for ci in comp_infos]
+    all_members = [(ci[0], ci[6], ci[7]) for ci in comp_infos]
+
+    def comp_dims(hf: int, vf: int) -> tuple[int, int]:
+        return -(-(-(-(h * vf) // vmax)) // 8), -(-(-(-(w * hf) // hmax)) // 8)
+
+    out = b""
+    # 1. DC first, all components interleaved, point transform Al=1.
+    bw = _BitWriter()
+    _emit_dc_first(
+        bw, _mcu_block_order(grids, specs, mcuy, mcux), grids, dc_encs, 1
+    )
+    out += sos(all_members, 0, 0, 0, 1) + bw.flush()
+    # 2. AC first scans (single-component, banded, Al=1).
+    for cid, hf, vf, grid, _dc, ac_enc, dc_tid, ac_tid, bands in comp_infos:
+        nby, nbx = comp_dims(hf, vf)
+        for ss, se in bands:
+            bw = _BitWriter()
+            _emit_ac_first(bw, grid, nby, nbx, ss, se, 1, ac_enc)
+            out += sos([(cid, dc_tid, ac_tid)], ss, se, 0, 1) + bw.flush()
+    # 3. AC refinement scans (Ah=1 -> Al=0).
+    for cid, hf, vf, grid, _dc, ac_enc, dc_tid, ac_tid, bands in comp_infos:
+        nby, nbx = comp_dims(hf, vf)
+        for ss, se in bands:
+            bw = _BitWriter()
+            _emit_ac_refine(bw, grid, nby, nbx, ss, se, 0, ac_enc)
+            out += sos([(cid, dc_tid, ac_tid)], ss, se, 1, 0) + bw.flush()
+    # 4. DC refinement, interleaved (raw bits, no Huffman).
+    bw = _BitWriter()
+    _emit_dc_refine(bw, _mcu_block_order(grids, specs, mcuy, mcux), grids, 0)
+    out += sos(all_members, 0, 0, 1, 0) + bw.flush()
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -532,11 +816,16 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     uint8, YCbCr color (any integer-ratio sampling factors, e.g. 4:4:4 /
     4:2:2 / 4:2:0) to (H, W, 3) uint8 RGB.
 
+    Baseline (SOF0) and progressive (SOF2) frames both decode — the
+    scan loop accumulates each SOS into a per-component coefficient
+    store (DC first/refine, AC first with EOBn end-of-band runs, AC
+    refine with correction bits) and reconstructs at EOI.
+
     ValueError for malformed/truncated bytes (quarantine class
     ``corrupt_data``); NotImplementedError for well-formed files using
-    features outside this codec's scope — progressive and other non-SOF0
-    frames, 4-component (CMYK) color, non-interleaved multi-scan
-    baseline, 16-bit quant tables, arithmetic coding
+    features outside this codec's scope — extended-sequential/lossless/
+    hierarchical frames, 4-component (CMYK) color, non-interleaved
+    multi-scan baseline, 16-bit quant tables, arithmetic coding
     (``unsupported_format``)."""
     if not is_jpeg(raw):
         raise ValueError("not a JPEG: missing SOI marker")
@@ -545,7 +834,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, component specs, hmax, vmax)
     sof_seen = False
+    progressive = False
     restart_interval = 0
+    store: dict[int, np.ndarray] | None = None  # cid -> (nby, nbx, 64) zigzag
+    any_scan = False
     while True:
         if pos + 2 > len(raw):
             raise ValueError("truncated JPEG: marker expected")
@@ -555,8 +847,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD8:  # stray SOI
             raise ValueError("malformed JPEG: repeated SOI")
-        if marker == 0xD9:  # EOI before any scan
-            raise ValueError("truncated JPEG: EOI before scan data")
+        if marker == 0xD9:  # EOI
+            if not any_scan:
+                raise ValueError("truncated JPEG: EOI before scan data")
+            break  # reconstruct below
         if 0xD0 <= marker <= 0xD7:  # RSTn outside a scan
             raise ValueError("malformed JPEG: restart marker outside scan")
         if marker == 0x01:  # TEM: standalone, no length field
@@ -572,10 +866,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
         body = raw[pos + 2 : pos + seglen]
         pos += seglen
 
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG frame type SOF{marker - 0xC0} not implemented "
-                "(baseline sequential SOF0 only)"
+                "(baseline SOF0 and progressive SOF2 only)"
             )
         if marker == 0xC8:  # JPG extension marker: reserved
             raise NotImplementedError("JPEG JPG-extension frames not implemented")
@@ -617,9 +911,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                 bpos += n
                 huff[(cls, ident)] = _decode_table(bits, vals)
             continue
-        if marker == 0xC0:  # SOF0 — baseline sequential
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if sof_seen:
                 raise ValueError("malformed JPEG: multiple SOF segments")
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("malformed SOF0 segment")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -652,60 +947,92 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             frame = (h, w, comps, hmax, vmax)
             sof_seen = True
             continue
-        if marker == 0xDA:  # SOS — the scan; entropy data follows
+        if marker == 0xDA:  # SOS — one scan; entropy data follows
             if not sof_seen:
                 raise ValueError("malformed JPEG: SOS before SOF")
             h, w, comps, hmax, vmax = frame
             if len(body) < 1:
                 raise ValueError("malformed SOS segment")
             ns = body[0]
-            if ns != len(comps):
+            if not progressive and ns != len(comps):
                 if 1 <= ns < len(comps):
                     raise NotImplementedError(
                         "non-interleaved (multi-scan) baseline not implemented"
                     )
                 raise ValueError("malformed SOS component count")
+            if not (1 <= ns <= len(comps)):
+                raise ValueError("malformed SOS component count")
             if len(body) != 1 + 2 * ns + 3:
                 raise ValueError("malformed SOS segment")
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             by_id = {c[0]: c for c in comps}
-            scan = []  # (cid, hf, vf, dc table, ac table, qmat)
-            for i in range(ns):
-                cs, tsel = body[1 + 2 * i], body[2 + 2 * i]
+            if progressive:
+                dc_scan = ss == 0
+                if dc_scan and se != 0:
+                    raise ValueError(
+                        "progressive scan mixes DC and AC (Ss=0 needs Se=0)"
+                    )
+                if not dc_scan and ns != 1:
+                    raise ValueError("progressive AC scans must be single-component")
+                if not (ss <= se <= 63) or ah > 13 or al > 13:
+                    raise ValueError("malformed progressive scan parameters")
+                if ah and ah != al + 1:
+                    raise ValueError(
+                        "successive approximation must refine one bit per scan"
+                    )
+            else:
+                dc_scan = False  # baseline: full-block scan
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            if store is None:
+                store = {
+                    cid: np.zeros((mcuy * vf, mcux * hf, 64), dtype=np.int32)
+                    for cid, hf, vf, _tq in comps
+                }
+            scan = []  # (cid, hf, vf, dc table, ac table)
+            for i in range(1, 1 + 2 * ns, 2):
+                cs, tsel = body[i], body[i + 1]
                 if cs not in by_id:
                     raise ValueError("SOS references unknown component id")
                 _cid, hf, vf, tq = by_id[cs]
                 dc_tab = huff.get((0, tsel >> 4))
                 ac_tab = huff.get((1, tsel & 0x0F))
-                qtab = quant.get(tq)
-                if dc_tab is None or ac_tab is None or qtab is None:
+                need_dc = (not progressive) or (dc_scan and ah == 0)
+                need_ac = (not progressive) or not dc_scan
+                if (need_dc and dc_tab is None) or (need_ac and ac_tab is None) \
+                        or quant.get(tq) is None:
                     raise ValueError(
                         "JPEG scan references missing Huffman/quant table"
                     )
-                scan.append(
-                    (cs, hf, vf, dc_tab, ac_tab,
-                     qtab.reshape(8, 8).astype(np.float64))
-                )
+                scan.append((cs, hf, vf, dc_tab, ac_tab))
             if len({s[0] for s in scan}) != ns:
                 raise ValueError("duplicate component ids in SOS")
 
-            mcux = -(-w // (8 * hmax))
-            mcuy = -(-h // (8 * vmax))
-            planes = {
-                cid: np.empty((mcuy * vf * 8, mcux * hf * 8), dtype=np.float64)
-                for cid, hf, vf, _d, _a, _q in scan
-            }
             br = _BitReader(raw, pos)
             preds = {cid: 0 for cid, *_ in scan}
-            mcu = 0
+            eobrun = 0
             rst_expect = 0
+            mcu = 0
 
-            def read_block(dc_tab, ac_tab, qmat, pred):
-                zz = np.zeros(64, dtype=np.int64)
+            def check_restart():
+                nonlocal rst_expect, preds, eobrun
+                got = br.read_restart_marker()
+                if got != rst_expect:
+                    raise ValueError(
+                        f"restart marker out of sequence: RST{got}, "
+                        f"expected RST{rst_expect}"
+                    )
+                rst_expect = (rst_expect + 1) % 8
+                preds = dict.fromkeys(preds, 0)
+                eobrun = 0
+
+            def baseline_block(zz, dc_tab, ac_tab, cid):
                 size = _read_symbol(br, dc_tab)
                 if size > 11:
                     raise ValueError("invalid JPEG DC category")
-                pred += _extend(br.read_bits(size), size)
-                zz[0] = pred
+                preds[cid] += _extend(br.read_bits(size), size)
+                zz[0] = preds[cid]
                 i = 1
                 while i < 64:
                     rs = _read_symbol(br, ac_tab)
@@ -720,45 +1047,167 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                         raise ValueError("JPEG AC run overflows block")
                     zz[i] = _extend(br.read_bits(asize), asize)
                     i += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[ZIGZAG] = zz  # dezigzag to natural order
-                return _DCT.T @ (coef.reshape(8, 8) * qmat) @ _DCT, pred
 
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if restart_interval and mcu and mcu % restart_interval == 0:
-                        got = br.read_restart_marker()
-                        if got != rst_expect:
-                            raise ValueError(
-                                f"restart marker out of sequence: RST{got}, "
-                                f"expected RST{rst_expect}"
-                            )
-                        rst_expect = (rst_expect + 1) % 8
-                        preds = dict.fromkeys(preds, 0)  # DC resets
-                    mcu += 1
-                    for cid, hf, vf, dc_tab, ac_tab, qmat in scan:
-                        for v in range(vf):
-                            for hh in range(hf):
-                                block, preds[cid] = read_block(
-                                    dc_tab, ac_tab, qmat, preds[cid]
+            def ac_first_block(zz, ac_tab):
+                nonlocal eobrun
+                if eobrun > 0:
+                    eobrun -= 1
+                    return
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(br, ac_tab)
+                    run, asize = rs >> 4, rs & 0x0F
+                    if asize == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += br.read_bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("JPEG AC run overflows band")
+                    zz[k] = _extend(br.read_bits(asize), asize) << al
+                    k += 1
+
+            def _refine_nonzero(zz, k):
+                """One correction bit for a previously-significant coef."""
+                if br.read_bit():
+                    v = int(zz[k])
+                    if not (v & (1 << al)):
+                        zz[k] = v + ((1 << al) if v >= 0 else -(1 << al))
+
+            def ac_refine_block(zz, ac_tab):
+                nonlocal eobrun
+                p1 = 1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _read_symbol(br, ac_tab)
+                        run, asize = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if asize:
+                            if asize != 1:
+                                raise ValueError(
+                                    "invalid refinement coefficient magnitude"
                                 )
-                                by = (my * vf + v) * 8
-                                bx = (mx * hf + hh) * 8
-                                planes[cid][by : by + 8, bx : bx + 8] = block
+                            newval = p1 if br.read_bit() else -p1
+                        elif run != 15:
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += br.read_bits(run)
+                            break  # rest of band handled in EOB-run mode
+                        # Advance over `run` zero-history positions (16 for
+                        # ZRL), refining nonzero-history coefs passed over.
+                        while k <= se:
+                            if zz[k] != 0:
+                                _refine_nonzero(zz, k)
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError(
+                                    "refinement position overflows band"
+                                )
+                            zz[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zz[k] != 0:
+                            _refine_nonzero(zz, k)
+                        k += 1
+                    eobrun -= 1
 
-            # Upsample each component to full resolution (pixel
-            # replication — the baseline nearest-neighbor reconstruction)
-            # and crop to the frame dimensions.
-            full = []
-            for cid, hf, vf, *_rest in scan:
-                p = planes[cid] + 128.0
-                p = np.repeat(np.repeat(p, vmax // vf, axis=0), hmax // hf, axis=1)
-                full.append(p[:h, :w])
-            if ns == 1:
-                return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-            y, cb, cr = (np.clip(p, 0.0, 255.0) for p in full)
-            return _ycbcr_to_rgb(y, cb, cr)
+            def comp_grid_dims(hf, vf):
+                """Non-interleaved (single-component scan) block grid."""
+                cw = -(-(w * hf) // hmax)
+                ch = -(-(h * vf) // vmax)
+                return -(-ch // 8), -(-cw // 8)
+
+            if not progressive or (dc_scan and ns > 1):
+                # Interleaved MCU walk (baseline always; progressive DC
+                # scans covering several components).
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_interval and mcu and mcu % restart_interval == 0:
+                            check_restart()
+                        mcu += 1
+                        for cid, hf, vf, dc_tab, ac_tab in scan:
+                            for v in range(vf):
+                                for hh in range(hf):
+                                    zz = store[cid][my * vf + v, mx * hf + hh]
+                                    if not progressive:
+                                        baseline_block(zz, dc_tab, ac_tab, cid)
+                                    elif ah == 0:
+                                        size = _read_symbol(br, dc_tab)
+                                        if size > 11:
+                                            raise ValueError(
+                                                "invalid JPEG DC category"
+                                            )
+                                        preds[cid] += _extend(
+                                            br.read_bits(size), size
+                                        )
+                                        zz[0] = preds[cid] << al
+                                    else:
+                                        if br.read_bit():
+                                            zz[0] = int(zz[0]) | (1 << al)
+            else:
+                # Single-component scan: non-interleaved block grid.
+                cid, hf, vf, dc_tab, ac_tab = scan[0]
+                nby, nbx = comp_grid_dims(hf, vf)
+                for by in range(nby):
+                    for bx in range(nbx):
+                        if restart_interval and mcu and mcu % restart_interval == 0:
+                            check_restart()
+                        mcu += 1
+                        zz = store[cid][by, bx]
+                        if dc_scan and ah == 0:
+                            size = _read_symbol(br, dc_tab)
+                            if size > 11:
+                                raise ValueError("invalid JPEG DC category")
+                            preds[cid] += _extend(br.read_bits(size), size)
+                            zz[0] = preds[cid] << al
+                        elif dc_scan:
+                            if br.read_bit():
+                                zz[0] = int(zz[0]) | (1 << al)
+                        elif ah == 0:
+                            ac_first_block(zz, ac_tab)
+                        else:
+                            ac_refine_block(zz, ac_tab)
+            any_scan = True
+            pos = br.pos
+            continue
         # APPn / COM: skip the payload.
         if (0xE0 <= marker <= 0xEF) or marker == 0xFE:
             continue
         raise ValueError(f"unexpected JPEG marker 0xFF{marker:02X}")
+
+    # EOI reached: dequantize, inverse-DCT, upsample, color-convert.
+    h, w, comps, hmax, vmax = frame
+    full = []
+    for cid, hf, vf, tq in comps:
+        qtab = quant.get(tq)
+        if qtab is None:
+            raise ValueError("JPEG frame references missing quant table")
+        qmat = qtab.reshape(8, 8).astype(np.float64)
+        grid = store[cid]
+        nby, nbx = grid.shape[:2]
+        plane = np.empty((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = grid[by, bx]  # dezigzag to natural order
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ (coef.reshape(8, 8) * qmat) @ _DCT
+                )
+        p = plane + 128.0
+        p = np.repeat(np.repeat(p, vmax // vf, axis=0), hmax // hf, axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = (np.clip(p, 0.0, 255.0) for p in full)
+    return _ycbcr_to_rgb(y, cb, cr)

@@ -711,14 +711,15 @@ def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
       the two formats it was built with; identical px/pix_sum facts
       through a structurally alien container: little-endian, palette,
       bottom-up rows, no checksums).
-    - ``6`` — a healthy baseline JPEG (r13: the fourth container, and
-      the first with a bit-level entropy-coded stream): 2*PLANT_W wide,
-      PLANT_H tall, two 8x8 blocks each CONSTANT at the document's
-      first/second byte value. Constant blocks survive
-      DCT->quantize(1)->Huffman->IDCT exactly, so even a lossy-family
-      container yields a SQL-predictable pixel sum — while the decode
-      exercises the full real path (marker walk, Huffman tables, DC
-      differential across blocks, dequant, IDCT).
+    - ``6`` — a healthy JPEG (r13: the fourth container, and the first
+      with a bit-level entropy-coded stream): 2*PLANT_W wide, PLANT_H
+      tall, two 8x8 blocks each CONSTANT at the document's first/second
+      byte value; alternating BASELINE and PROGRESSIVE (SOF2, multi-
+      scan successive approximation) by ``doc_id % 16`` — both forms
+      carry identical quantized coefficients, so the SQL prediction is
+      one formula while the decode exercises both real paths. Constant
+      blocks survive DCT->quantize(1)->Huffman->IDCT exactly, so even a
+      lossy-family container yields a SQL-predictable pixel sum.
     - ``7`` — a healthy G.711 u-law mono WAV (r13: the fifth container,
       and the first AUDIO one in the fixture): the compressed payload is
       the document's first PLANT_W*PLANT_H bytes zero-padded, so the
@@ -763,7 +764,12 @@ def planted_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             np.full((PLANT_H, PLANT_W), b2, dtype=np.uint8),
                         ]
                     )
-                    blob = encode_jpeg(img)
+                    # Alternate baseline / progressive (late r13): the
+                    # two forms carry identical quantized coefficients,
+                    # so the oracle's pixel prediction is UNCHANGED
+                    # while the driver-hashed path exercises the real
+                    # multi-scan SOF2 decoder on half the JPEG plants.
+                    blob = encode_jpeg(img, progressive=(int(doc_id) % 16 == 14))
                 else:
                     px = np.zeros(n_px, dtype=np.uint8)
                     head = np.frombuffer(raw[:n_px], dtype=np.uint8)
@@ -897,7 +903,7 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
     - ``unsupported_format``  magic matches none of PNG/WAV/BMP/JPEG, or
                               a recognized container uses features
                               outside the codec's scope (e.g. 24-bit or
-                              RLE BMP, progressive JPEG, float-PCM or
+                              RLE BMP, lossless/CMYK JPEG, float-PCM or
                               perceptual-codec WAV tags) — the same seam
                               that raises NotImplementedError in the
                               fail-fast operators

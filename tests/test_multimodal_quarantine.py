@@ -105,8 +105,10 @@ def test_error_classes_per_corruption_shape(spark):
     """Hand-built blobs hit each class: bad-CRC PNG (supported container,
     corrupt payload), foreign magic, empty, a 16-bit WAV that must
     decode on the ok path, and — r13 — JPEG in all three fates:
-    corrupt (magic over garbage), unsupported (progressive SOF2), ok
-    (real baseline decode); plus the non-PCM WAV fates: A-law decodes
+    corrupt (magic over garbage), unsupported (lossless SOF3; SOF2
+    progressive is implemented as of late r13), ok
+    (real baseline AND real progressive decode); plus the non-PCM WAV
+    fates: A-law decodes
     on the ok path, a float-PCM format tag is unsupported_format (the
     stdlib-wave era classified every non-PCM tag corrupt), and a
     truncated G.711 data chunk is corrupt_data."""
@@ -134,8 +136,9 @@ def test_error_classes_per_corruption_shape(spark):
         w.writeframes(np.array([100, -100, 7, 7], dtype=np.int16).tobytes())
     wav = buf.getvalue()
     good_jpeg = encode_jpeg(np.full((4, 8), 9, dtype=np.uint8))
-    progressive = bytearray(good_jpeg)
-    progressive[good_jpeg.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
+    lossless = bytearray(good_jpeg)
+    lossless[good_jpeg.find(b"\xff\xc0") + 1] = 0xC3  # SOF0 -> SOF3
+    prog_jpeg = encode_jpeg(np.full((4, 8), 9, dtype=np.uint8), progressive=True)
     alaw = encode_wav_g711(np.array([1000, -1000], dtype=np.int16), "alaw")
     # Float-PCM (format tag 3): well-formed container, unimplemented tag.
     float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
@@ -159,10 +162,11 @@ def test_error_classes_per_corruption_shape(spark):
                     (5, wav),
                     (6, b"GIF87a foreign container"),
                     (7, bytes(good_jpeg)),
-                    (8, bytes(progressive)),
+                    (8, bytes(lossless)),
                     (9, alaw),
                     (10, float_wav),
                     (11, truncated_g711),
+                    (12, bytes(prog_jpeg)),
                 ],
             )
         ).collect()
@@ -183,7 +187,10 @@ def test_error_classes_per_corruption_shape(spark):
     assert out[7]["status"] == "ok"
     assert (out[7]["px_w"], out[7]["px_h"]) == (8, 4)
     assert out[7]["pix_sum"] == 9 * 32
-    assert out[8]["error_class"] == "unsupported_format"  # well-formed SOF2
+    assert out[8]["error_class"] == "unsupported_format"  # well-formed SOF3
+    assert out[12]["status"] == "ok"  # real progressive (SOF2) decode
+    assert (out[12]["px_w"], out[12]["px_h"]) == (8, 4)
+    assert out[12]["pix_sum"] == 9 * 32
     assert out[9]["status"] == "ok"
     assert (out[9]["px_w"], out[9]["px_h"]) == (1, 2)
     assert out[9]["pix_sum"] == int(

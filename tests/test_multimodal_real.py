@@ -584,10 +584,18 @@ def test_jpeg_decoder_scope_seams():
     good = encode_jpeg(np.full((4, 8), 50, dtype=np.uint8))
     sof_at = good.find(b"\xff\xc0")
 
-    progressive = bytearray(good)
-    progressive[sof_at + 1] = 0xC2
+    lossless = bytearray(good)
+    lossless[sof_at + 1] = 0xC3  # SOF3: lossless sequential — real seam
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(progressive))
+        decode_jpeg(bytes(lossless))
+
+    # r13: SOF2 is IMPLEMENTED — a baseline file re-badged progressive
+    # carries an illegal progressive scan header (Ss=0 with Se=63), so
+    # the classification moves from unsupported to corrupt.
+    rebadged = bytearray(good)
+    rebadged[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(rebadged))
 
     precision12 = bytearray(good)
     precision12[sof_at + 4] = 12
@@ -1074,3 +1082,147 @@ def test_extract_features_and_quarantine_consume_color_jpeg(spark):
     assert q["status"] == "ok"
     assert (q["px_w"], q["px_h"]) == (10, 12)
     assert q["pix_sum"] == int(px.astype("int64").sum())
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (late r13): SOF2, spectral selection + successive approx
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """Progressive and baseline encodings carry the SAME quantized
+    coefficient grid, so decoded pixels must match EXACTLY — grayscale
+    and color, every subsampling mode, odd sizes, unit and real
+    quantization tables. This is the strongest possible oracle for the
+    multi-scan decoder: any drift in DC/AC first or refinement scans
+    breaks bit-equality."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = _rng(47)
+    std_q = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+         49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
+    )
+    for shape in ((1, 1), (4, 16), (17, 23), (33, 31)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (None, std_q):
+            p = decode_jpeg(encode_jpeg(img, quant=q, progressive=True))
+            b = decode_jpeg(encode_jpeg(img, quant=q))
+            np.testing.assert_array_equal(p, b)
+    for shape in ((1, 1, 3), (17, 23, 3), (33, 31, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for sub in ("444", "422", "420"):
+            p = decode_jpeg(encode_jpeg(img, subsampling=sub, progressive=True))
+            b = decode_jpeg(encode_jpeg(img, subsampling=sub))
+            np.testing.assert_array_equal(p, b)
+    # Constant image: exact through the progressive path too.
+    img = np.full((16, 16), 77, np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(img, progressive=True)), img
+    )
+
+
+def _minimal_progressive(ac_bits, ac_vals, scans):
+    """Hand-assemble a 1-component 8x32 (4-block) SOF2 file: unit quant,
+    Annex K DC table, a CUSTOM AC table, and raw (sos_params, entropy)
+    scan tuples — for exercising decoder paths our encoder deliberately
+    does not emit (EOBn runs with n > 0)."""
+    import struct as st_
+
+    from map_reduce_go_spark.functions.jpeg_codec import (
+        DC_BITS,
+        DC_VALS,
+        ZIGZAG,
+    )
+
+    def seg(marker, payload):
+        return st_.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    qz = np.ones(64, dtype=np.int64)
+    out += seg(0xDB, b"\x00" + bytes(int(qz[i]) for i in ZIGZAG))
+    out += seg(0xC2, st_.pack(">BHHB", 8, 8, 32, 1) + b"\x01\x11\x00")
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    for (ss, se, ah, al), entropy in scans:
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += entropy
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_eobn_runs_decode():
+    """Foreign progressive encoders collapse all-zero-band blocks into
+    EOBn runs (symbols 0x10..0xE0 + extension bits) — our encoder emits
+    plain EOB0s (Annex K tables lack EOBn), so pin the decoder's EOBn
+    path with a hand-built stream: custom AC table {0x01:'0',
+    0x10:'10', 0x00:'11'}, block0 sets coefficient k=1 to +1, an EOB1
+    symbol with extension bit 1 spans an eobrun of 2 (blocks 1-2),
+    block 3 ends with plain EOB."""
+    from map_reduce_go_spark.functions.jpeg_codec import _DCT, decode_jpeg
+
+    ac_bits = (1, 2) + (0,) * 14
+    ac_vals = (0x01, 0x10, 0x00)
+    # DC first scan: four category-0 diffs ('00' each) = 0x00.
+    dc_scan = ((0, 0, 0, 0), b"\x00")
+    # AC first scan bits: '0' '1' (k=1 -> +1), '10' '1' (EOB1+ext -> run 2),
+    # '11' (EOB0 for block 3), pad '1' -> 01101111 = 0x6F.
+    ac_scan = ((1, 63, 0, 0), b"\x6f")
+    px = decode_jpeg(_minimal_progressive(ac_bits, ac_vals, [dc_scan, ac_scan]))
+    assert px.shape == (8, 32)
+    coef = np.zeros((8, 8))
+    coef[0, 1] = 1.0  # zigzag index 1 == natural (0, 1)
+    want0 = np.clip(np.rint(_DCT.T @ coef @ _DCT + 128.0), 0, 255)
+    np.testing.assert_array_equal(px[:, :8], want0.astype(np.uint8))
+    assert (px[:, 8:] == 128).all()  # the EOB-run blocks: flat DC-only
+
+
+def test_jpeg_progressive_scan_structure_seams():
+    """Illegal progressive scan headers are structural failures
+    (ValueError -> corrupt_data), not unsupported features: a DC scan
+    claiming an AC band, a >1-bit successive-approximation step, and an
+    out-of-range band end."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg
+
+    ac_bits = (1, 2) + (0,) * 14
+    ac_vals = (0x01, 0x10, 0x00)
+    for bad in ((0, 63, 0, 0), (1, 63, 2, 0), (64, 64, 0, 0)):
+        with pytest.raises(ValueError):
+            decode_jpeg(
+                _minimal_progressive(ac_bits, ac_vals, [(bad, b"\x00")])
+            )
+    # Interleaved AC scan on a color frame is illegal in progressive.
+    from map_reduce_go_spark.functions.jpeg_codec import encode_jpeg
+
+    blob = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8), progressive=True))
+    # First SOS is the interleaved DC scan (ns=3): re-badge it as an AC
+    # band scan — must be rejected before any entropy decoding.
+    sos_at = blob.find(b"\xff\xda")
+    assert blob[sos_at + 4] == 3  # ns
+    blob[sos_at + 11] = 1  # Ss: 0 -> 1 (AC band with 3 components)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_progressive_flows_through_operators(spark):
+    """A progressive blob decodes through the quarantine dispatch with
+    the same facts as its baseline twin."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+    from map_reduce_go_spark.operators.multimodal import (
+        decode_blobs_with_quarantine,
+    )
+
+    rng = _rng(53)
+    img = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    pair = [
+        (1, bytes(encode_jpeg(img, subsampling="420"))),
+        (2, bytes(encode_jpeg(img, subsampling="420", progressive=True))),
+    ]
+    df = spark.createDataFrame(pair, "doc_id long, blob binary")
+    rows = {r["doc_id"]: r for r in decode_blobs_with_quarantine(df).collect()}
+    assert rows[1]["status"] == rows[2]["status"] == "ok"
+    assert rows[1]["pix_sum"] == rows[2]["pix_sum"]
+    assert rows[2]["pix_sum"] == int(
+        decode_jpeg(pair[1][1]).astype("int64").sum()
+    )

@@ -116,13 +116,12 @@ def test_fuzz_bmp_truncations_and_garbage_never_fail_the_task(spark):
 def test_fuzz_jpeg_truncations_and_garbage_never_fail_the_task(spark):
     """JPEG twin of the PNG/BMP fuzz (the r13 fourth container): every-
     offset truncations of a valid baseline JPEG, JFIF magic over
-    garbage, and a well-formed-but-progressive (SOF2) file. The entropy
+    garbage, and a well-formed-but-lossless (SOF3) file. The entropy
     stream is bit-level Huffman with byte stuffing — truncation can land
     mid-code, mid-stuffing, or mid-segment; every cut must classify,
-    never crash the task. JPEG has trailing-EOI leniency (like PNG's
-    trailing-CRC leniency): cuts at/after the EOI marker may decode —
-    all entropy data is present — so the quarantine requirement is
-    pinned only for cuts strictly before the entropy stream's end."""
+    never crash the task. Quarantine is pinned for every cut strictly
+    before the EOI marker (the multi-scan decoder, late r13, requires
+    the EOI terminator; cuts inside it also classify, as corrupt)."""
     rng = np.random.default_rng(13)
     from map_reduce_go_spark.functions.jpeg_codec import encode_jpeg
 
@@ -136,9 +135,9 @@ def test_fuzz_jpeg_truncations_and_garbage_never_fail_the_task(spark):
     full_idx = len(blobs)
     blobs += [bytes(jpg)]
     blobs += [b"\xff\xd8\xff" + rng.bytes(int(n)) for n in rng.integers(0, 120, size=60)]
-    progressive = bytearray(jpg)
-    progressive[jpg.find(b"\xff\xc0") + 1] = 0xC2
-    blobs += [bytes(progressive)]
+    lossless = bytearray(jpg)
+    lossless[jpg.find(b"\xff\xc0") + 1] = 0xC3
+    blobs += [bytes(lossless)]
     rows = _decode_all(spark, blobs)
     assert len(rows) == len(blobs)
     by_id = {r["doc_id"]: r for r in rows}
@@ -150,7 +149,7 @@ def test_fuzz_jpeg_truncations_and_garbage_never_fail_the_task(spark):
             assert by_id[k]["error_class"] in ("empty_blob", "unsupported_format")
     assert by_id[full_idx]["status"] == "ok"
     assert by_id[full_idx]["pix_sum"] == 32 * (65 + 200)
-    assert by_id[len(blobs) - 1]["error_class"] == "unsupported_format"  # SOF2
+    assert by_id[len(blobs) - 1]["error_class"] == "unsupported_format"  # SOF3
     for r in rows:
         assert r["status"] in _STATUSES and r["error_class"] in _CLASSES
 
@@ -177,6 +176,33 @@ def test_fuzz_color_jpeg_truncations_never_fail_the_task(spark):
     assert by_id[full_idx]["pix_sum"] == int(
         decode_jpeg(jpg).astype("int64").sum()
     )
+    for r in rows:
+        assert r["status"] in _STATUSES and r["error_class"] in _CLASSES
+
+
+def test_fuzz_progressive_jpeg_truncations_never_fail_the_task(spark):
+    """Progressive-JPEG twin (late r13: SOF2 multi-scan decode): the
+    byte surface now includes multiple SOS headers, per-scan entropy
+    segments, refinement raw-bit streams, and EOB codes — a cut can
+    land between scans (marker expected), inside a scan header, or
+    mid-refinement; every offset must classify, the complete color
+    progressive file must decode with the exact pixel sum of its
+    baseline twin."""
+    from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    jpg = encode_jpeg(img, subsampling="420", progressive=True)
+    blobs: list[bytes | None] = [bytes(jpg[:k]) for k in range(len(jpg))]
+    full_idx = len(blobs)
+    blobs += [bytes(jpg)]
+    rows = _decode_all(spark, blobs)
+    by_id = {r["doc_id"]: r for r in rows}
+    for k in range(len(jpg)):  # every cut (EOI required by the decoder)
+        assert by_id[k]["status"] == "quarantined", k
+    assert by_id[full_idx]["status"] == "ok"
+    want = int(decode_jpeg(encode_jpeg(img, subsampling="420")).astype("int64").sum())
+    assert by_id[full_idx]["pix_sum"] == want
     for r in rows:
         assert r["status"] in _STATUSES and r["error_class"] in _CLASSES
 
