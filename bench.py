@@ -124,7 +124,11 @@ NOTES = (
     "multimodal_quarantine_audit (%8 re-key + u-law class), reads "
     "0.65-0.91s, DOWN vs its 0.91s prior median. "
     "mulaw_audio_energy_windows (registered late r13) is a zero-"
-    "shuffle scan->mapInPandas leg, ~0.5s class, not a headliner."
+    "shuffle scan->mapInPandas leg, ~0.5s class, not a headliner. "
+    "Round-close reading (progressive-JPEG fixture live): 64.0s — "
+    "inside the day's 57.7-76.8s host-drift band; semdedup 2.32s "
+    "(band center); quarantine 64x probe unchanged at 3.8-3.9s with "
+    "1/16 of blobs decoding multi-scan SOF2."
 )
 
 # Headline set: one per operator family, weighted toward scale-sensitive

@@ -1196,14 +1196,27 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
         qmat = qtab.reshape(8, 8).astype(np.float64)
         grid = store[cid]
         nby, nbx = grid.shape[:2]
-        plane = np.empty((nby * 8, nbx * 8), dtype=np.float64)
-        for by in range(nby):
-            for bx in range(nbx):
-                coef = np.zeros(64, dtype=np.float64)
-                coef[ZIGZAG] = grid[by, bx]  # dezigzag to natural order
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _DCT.T @ (coef.reshape(8, 8) * qmat) @ _DCT
-                )
+        # Dezigzag + dequant + IDCT. For more than a handful of blocks,
+        # one fancy-index scatter and one einsum replace the per-block
+        # Python loop (the entropy decode is the irreducible bit-serial
+        # part; reconstruction is pure linear algebra). Tiny images —
+        # the planted-fixture shape — stay on the loop, whose constant
+        # overhead is lower than einsum's setup.
+        if nby * nbx >= 16:
+            coefs = np.zeros((nby, nbx, 64), dtype=np.float64)
+            coefs[:, :, ZIGZAG] = grid  # dezigzag to natural order
+            coefs = coefs.reshape(nby, nbx, 8, 8) * qmat
+            blocks = np.einsum("ij,yxjk,kl->yxil", _DCT.T, coefs, _DCT)
+            plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        else:
+            plane = np.empty((nby * 8, nbx * 8), dtype=np.float64)
+            for by in range(nby):
+                for bx in range(nbx):
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[ZIGZAG] = grid[by, bx]
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _DCT.T @ (coef.reshape(8, 8) * qmat) @ _DCT
+                    )
         p = plane + 128.0
         p = np.repeat(np.repeat(p, vmax // vf, axis=0), hmax // hf, axis=1)
         full.append(p[:h, :w])
