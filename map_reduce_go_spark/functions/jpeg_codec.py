@@ -55,8 +55,10 @@ coefficients) — pinned in tests.
 Deliberately out of scope (well-formed-but-unimplemented →
 ``NotImplementedError`` → quarantine class ``unsupported_format``):
 extended-sequential/lossless/hierarchical frame types, 4-component
-CMYK, non-interleaved multi-scan baseline, 16-bit quantization tables,
-arithmetic coding. Truncated or malformed bytes (bad marker structure,
+CMYK, subset-interleaved baseline scans (1 < ns < ncomp; fully
+non-interleaved ns=1 baseline IS supported), 16-bit quantization
+tables, arithmetic coding. Truncated or malformed bytes (bad marker
+structure,
 invalid Huffman code, out-of-sequence restart marker, bit stream
 exhausted mid-block) raise ``ValueError`` → ``corrupt_data``.
 
@@ -824,9 +826,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     ValueError for malformed/truncated bytes (quarantine class
     ``corrupt_data``); NotImplementedError for well-formed files using
     features outside this codec's scope — extended-sequential/lossless/
-    hierarchical frames, 4-component (CMYK) color, non-interleaved
-    multi-scan baseline, 16-bit quant tables, arithmetic coding
-    (``unsupported_format``)."""
+    hierarchical frames, 4-component (CMYK) color, subset-interleaved
+    baseline scans, 16-bit quant tables, arithmetic coding
+    (``unsupported_format``). Non-interleaved (one SOS per component)
+    baseline decodes through the same multi-scan store."""
     if not is_jpeg(raw):
         raise ValueError("not a JPEG: missing SOI marker")
     pos = 2
@@ -954,12 +957,14 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             if len(body) < 1:
                 raise ValueError("malformed SOS segment")
             ns = body[0]
-            if not progressive and ns != len(comps):
-                if 1 <= ns < len(comps):
-                    raise NotImplementedError(
-                        "non-interleaved (multi-scan) baseline not implemented"
-                    )
-                raise ValueError("malformed SOS component count")
+            if not progressive and 1 < ns < len(comps):
+                # Subset-interleaved scans change the MCU geometry to the
+                # subset's sampling factors — a corner real encoders do
+                # not emit; ns==1 (non-interleaved, late r13) and
+                # ns==ncomp (fully interleaved) are both supported.
+                raise NotImplementedError(
+                    "subset-interleaved baseline scans not implemented"
+                )
             if not (1 <= ns <= len(comps)):
                 raise ValueError("malformed SOS component count")
             if len(body) != 1 + 2 * ns + 3:
@@ -1128,9 +1133,9 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                 ch = -(-(h * vf) // vmax)
                 return -(-ch // 8), -(-cw // 8)
 
-            if not progressive or (dc_scan and ns > 1):
-                # Interleaved MCU walk (baseline always; progressive DC
-                # scans covering several components).
+            if ns > 1:
+                # Interleaved MCU walk (fully-interleaved baseline;
+                # progressive DC scans covering several components).
                 for my in range(mcuy):
                     for mx in range(mcux):
                         if restart_interval and mcu and mcu % restart_interval == 0:
@@ -1165,7 +1170,9 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                             check_restart()
                         mcu += 1
                         zz = store[cid][by, bx]
-                        if dc_scan and ah == 0:
+                        if not progressive:
+                            baseline_block(zz, dc_tab, ac_tab, cid)
+                        elif dc_scan and ah == 0:
                             size = _read_symbol(br, dc_tab)
                             if size > 11:
                                 raise ValueError("invalid JPEG DC category")

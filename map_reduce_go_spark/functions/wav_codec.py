@@ -168,16 +168,31 @@ def _linear_to_alaw_scalar(x: int) -> int:
 def mulaw_encode(samples: np.ndarray) -> bytes:
     """int16 samples -> u-law bytes (exact inverse on decode-table outputs:
     mulaw_encode(mulaw_decode(b)) == b for every byte except 0x7F, the
-    non-canonical negative zero)."""
-    arr = np.asarray(samples, dtype=np.int64).reshape(-1)
-    return bytes(_linear_to_mulaw_scalar(int(x)) for x in arr)
+    non-canonical negative zero). Vectorized; pinned byte-for-byte to
+    the scalar spec walk (_linear_to_mulaw_scalar) over the whole int16
+    domain in tests."""
+    x = np.asarray(samples, dtype=np.int64).reshape(-1)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    # Segment = index of the highest set bit among bits 7..14.
+    exp = np.maximum(np.floor(np.log2(mag)).astype(np.int64) - 7, 0)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8).tobytes()
 
 
 def alaw_encode(samples: np.ndarray) -> bytes:
     """int16 samples -> A-law bytes (exact inverse on decode-table outputs
-    for all 256 byte values)."""
-    arr = np.asarray(samples, dtype=np.int64).reshape(-1)
-    return bytes(_linear_to_alaw_scalar(int(x)) for x in arr)
+    for all 256 byte values). Vectorized; pinned to the scalar spec walk
+    over the whole int16 domain in tests."""
+    x = np.asarray(samples, dtype=np.int64).reshape(-1)
+    pcm = x >> 3  # 16-bit -> 13-bit (arithmetic shift)
+    neg = pcm < 0
+    mask = np.where(neg, 0x55, 0xD5)
+    pcm = np.where(neg, -pcm - 1, pcm)
+    seg = np.searchsorted(np.asarray(_ALAW_SEG_END), pcm, side="left")
+    quant = np.where(seg < 2, (pcm >> 1) & 0x0F, (pcm >> seg) & 0x0F)
+    byte = np.where(seg >= 8, 0x7F ^ mask, ((seg << 4) | quant) ^ mask)
+    return (byte & 0xFF).astype(np.uint8).tobytes()
 
 
 # --------------------------------------------------------------------------

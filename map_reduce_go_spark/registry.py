@@ -74,7 +74,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (c) queue-jumpers: semantics changed after their latest row ---
     "ann_ranking_quality",
     "multimodal_quarantine_audit",
-    # --- (d) 46 of the 50 r7-era rows, oldest-first in registration
+    # --- (d) 45 of the 50 r7-era rows, oldest-first in registration
     #     order (computed from CORRECTNESS_r01..r12 latest rows) ---
     "multimodal_feature_stub",
     "multimodal_resize_stub",

@@ -1029,10 +1029,11 @@ def test_jpeg_color_restart_intervals_and_odd_sizes():
 
 
 def test_jpeg_color_scope_seams():
-    """CMYK (4 components) and non-interleaved multi-scan baseline are
+    """CMYK (4 components) and subset-interleaved baseline scans are
     well-formed-but-unimplemented (NotImplementedError -> quarantine
     unsupported_format); structural damage in the new color headers is
-    still ValueError."""
+    still ValueError. (Fully non-interleaved ns=1 baseline is supported
+    as of late r13 — test_jpeg_non_interleaved_baseline_decodes.)"""
     from map_reduce_go_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
 
     jpg = encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="420")
@@ -1043,10 +1044,14 @@ def test_jpeg_color_scope_seams():
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(cmyk))
     sos = jpg.find(b"\xff\xda")
-    noninterleaved = bytearray(jpg)
-    noninterleaved[sos + 4] = 1  # ns: 3 -> 1 (single-component scan)
+    subset = bytearray(jpg)
+    subset[sos + 4] = 2  # ns: 3 -> 2 (subset-interleaved scan)
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(noninterleaved))
+        decode_jpeg(bytes(subset))
+    shortened = bytearray(jpg)
+    shortened[sos + 4] = 1  # ns=1 but the header still declares 3 comps
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(shortened))
     bad_sampling = bytearray(jpg)
     bad_sampling[sof + 11] = 0x01  # Y sampling factors: h=0 is malformed
     with pytest.raises(ValueError):
@@ -1226,3 +1231,103 @@ def test_jpeg_progressive_flows_through_operators(spark):
     assert rows[2]["pix_sum"] == int(
         decode_jpeg(pair[1][1]).astype("int64").sum()
     )
+
+
+def test_g711_vectorized_encode_matches_scalar_spec_walk():
+    """The vectorized encoders (log2 segment search / searchsorted) must
+    equal the literal scalar spec walk for EVERY int16 value — the
+    whole-domain pin that lets the fast path replace the reference
+    loop."""
+    from map_reduce_go_spark.functions import wav_codec as wc
+
+    x = np.arange(-32768, 32768, dtype=np.int64)
+    mu_v = np.frombuffer(wc.mulaw_encode(x), np.uint8)
+    a_v = np.frombuffer(wc.alaw_encode(x), np.uint8)
+    mu_s = np.array([wc._linear_to_mulaw_scalar(int(v)) for v in x], np.uint8)
+    a_s = np.array([wc._linear_to_alaw_scalar(int(v)) for v in x], np.uint8)
+    np.testing.assert_array_equal(mu_v, mu_s)
+    np.testing.assert_array_equal(a_v, a_s)
+
+
+def test_jpeg_non_interleaved_baseline_decodes():
+    """Baseline files may carry one SOS per component (ns=1,
+    non-interleaved) instead of one interleaved scan — supported as of
+    late r13 through the same multi-scan coefficient store. Hand-build
+    the three-scan form from the codec's own primitives and require
+    pixel equality with the interleaved encoding of the same image."""
+    import struct as st_
+
+    from map_reduce_go_spark.functions.jpeg_codec import (
+        AC_BITS,
+        AC_CHROMA_BITS,
+        AC_CHROMA_VALS,
+        AC_VALS,
+        DC_BITS,
+        DC_CHROMA_BITS,
+        DC_CHROMA_VALS,
+        DC_VALS,
+        ZIGZAG,
+        _AC_CHROMA_ENC,
+        _AC_ENC,
+        _BitWriter,
+        _DC_CHROMA_ENC,
+        _DC_ENC,
+        _encode_block,
+        _rgb_to_ycbcr,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = _rng(59)
+    h, w, hy, vy = 17, 23, 2, 2
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    # Reproduce the encoder's color preprocessing (pad to whole MCUs,
+    # convert, box-mean downsample chroma).
+    ph, pw = -(-h // (8 * vy)) * (8 * vy), -(-w // (8 * hy)) * (8 * hy)
+    padded = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded)
+    planes = [ycc[..., 0] - 128.0]
+    for c in (1, 2):
+        p = ycc[..., c].reshape(ph // vy, vy, pw // hy, hy).mean(axis=(1, 3))
+        planes.append(p - 128.0)
+
+    def seg(marker, payload):
+        return st_.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    ones = bytes(1 for _ in range(64))
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + ones)
+    out += seg(0xDB, b"\x01" + ones)
+    sof = st_.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC0, sof)
+    for cls, ident, bits, vals in (
+        (0, 0, DC_BITS, DC_VALS),
+        (1, 0, AC_BITS, AC_VALS),
+        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        out += seg(0xC4, bytes([(cls << 4) | ident]) + bytes(bits) + bytes(vals))
+    qmat = np.ones((8, 8), dtype=np.float64)
+    comp_meta = [
+        (1, hy, vy, planes[0], _DC_ENC, _AC_ENC, 0x00),
+        (2, 1, 1, planes[1], _DC_CHROMA_ENC, _AC_CHROMA_ENC, 0x11),
+        (3, 1, 1, planes[2], _DC_CHROMA_ENC, _AC_CHROMA_ENC, 0x11),
+    ]
+    for cid, hf, vf, plane, dc_enc, ac_enc, tsel in comp_meta:
+        # Non-interleaved block grid: ceil(comp_samples / 8).
+        nby = -(-(-(-(h * vf) // vy)) // 8)
+        nbx = -(-(-(-(w * hf) // hy)) // 8)
+        bw = _BitWriter()
+        pred = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                pred = _encode_block(bw, block, qmat, dc_enc, ac_enc, pred)
+        out += seg(0xDA, bytes([1, cid, tsel, 0, 63, 0])) + bw.flush()
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(out)
+    want = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    np.testing.assert_array_equal(got, want)
