@@ -11,12 +11,13 @@ row order, 4-byte row padding, and no compression or checksums at all.
 Scope — exactly enough to execute real bytes:
 
 - ``encode_bmp``: 8-bit grayscale (H, W) uint8 array as an uncompressed
-  BI_RGB DIB with a 256-entry linear gray palette; opens in any viewer.
-- ``decode_bmp``: 8-bit uncompressed BI_RGB with a gray palette —
-  the inverse of the encoder, validating the structural fields it
-  depends on.
+  BI_RGB DIB with a 256-entry linear gray palette, or (late r13) an
+  (H, W, 3) uint8 RGB array as a 24-bit BI_RGB DIB (BGR byte order, no
+  palette); both open in any viewer.
+- ``decode_bmp``: the inverse — 8-bit palette or 24-bit true-color
+  uncompressed BI_RGB, validating the structural fields it depends on.
 
-Deliberately out of scope: other bit depths (1/4/16/24/32), RLE
+Deliberately out of scope: other bit depths (1/4/16/32), RLE
 compression, top-down (negative-height) images — ``ValueError`` seams
 (→ quarantined as ``corrupt_data``-class structural failures would be
 wrong; these are well-formed-but-unimplemented, so the decoder raises
@@ -58,14 +59,22 @@ def is_bmp(raw: bytes) -> bool:
 
 
 def encode_bmp(img: np.ndarray) -> bytes:
-    """Encode an (H, W) uint8 grayscale array as an 8-bit BI_RGB BMP."""
+    """Encode an (H, W) uint8 grayscale array as an 8-bit palette BMP,
+    or an (H, W, 3) uint8 RGB array as a 24-bit true-color BMP (BGR
+    byte order per the DIB spec, rows bottom-up and 4-byte padded)."""
     arr = np.asarray(img)
-    if arr.dtype != np.uint8 or arr.ndim != 2:
-        raise ValueError("encode_bmp expects an (H, W) uint8 array")
-    h, w = arr.shape
-    stride = (w + 3) & ~3  # rows padded to 4 bytes
-    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
-    offset = _FILE_HEADER_LEN + _INFO_HEADER_LEN + _PALETTE_LEN
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ValueError("encode_bmp expects (H, W) or (H, W, 3) uint8")
+    if arr.ndim == 3 and arr.shape[2] != 3:
+        raise ValueError("color encode_bmp expects exactly 3 channels (RGB)")
+    h, w = arr.shape[:2]
+    bpp = 8 if arr.ndim == 2 else 24
+    row_bytes = w if bpp == 8 else w * 3
+    stride = (row_bytes + 3) & ~3  # rows padded to 4 bytes
+    palette = (
+        b"".join(bytes((i, i, i, 0)) for i in range(256)) if bpp == 8 else b""
+    )
+    offset = _FILE_HEADER_LEN + _INFO_HEADER_LEN + len(palette)
     image_size = stride * h
     file_header = struct.pack(
         "<2sIHHI", b"BM", offset + image_size, 0, 0, offset
@@ -76,21 +85,26 @@ def encode_bmp(img: np.ndarray) -> bytes:
         w,
         h,  # positive: bottom-up row order, the BMP default
         1,  # planes
-        8,  # bits per pixel
+        bpp,
         0,  # BI_RGB: uncompressed
         image_size,
         2835,  # 72 DPI in px/metre
         2835,
-        256,  # palette entries used
+        256 if bpp == 8 else 0,  # palette entries used
         0,
     )
-    pad = b"\x00" * (stride - w)
-    rows = b"".join(arr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    pad = b"\x00" * (stride - row_bytes)
+    if bpp == 8:
+        rows = b"".join(arr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    else:
+        bgr = arr[:, :, ::-1]  # RGB -> BGR byte order
+        rows = b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
     return file_header + info_header + palette + rows
 
 
 def decode_bmp(raw: bytes) -> np.ndarray:
-    """Decode an 8-bit uncompressed BMP to an (H, W) uint8 array.
+    """Decode an uncompressed BMP: 8-bit palette to an (H, W) uint8
+    array, 24-bit true-color to (H, W, 3) uint8 RGB (late r13).
 
     ValueError for malformed/truncated bytes (quarantine class
     ``corrupt_data``); NotImplementedError for well-formed files using
@@ -127,18 +141,28 @@ def decode_bmp(raw: bytes) -> np.ndarray:
     ) = struct.unpack_from("<IiiHHIIiiII", raw, _FILE_HEADER_LEN)
     if planes != 1 or w <= 0 or w > 1 << 20 or abs(h) > 1 << 20 or h == 0:
         raise ValueError("malformed BMP dimensions")
-    if bpp != 8:
-        raise NotImplementedError(f"BMP bit depth {bpp} not implemented (8 only)")
+    if bpp not in (8, 24):
+        raise NotImplementedError(
+            f"BMP bit depth {bpp} not implemented (8 and 24 only)"
+        )
     if compression != 0:
         raise NotImplementedError(f"BMP compression {compression} not implemented")
     if h < 0:
         raise NotImplementedError("top-down BMP not implemented")
-    stride = (w + 3) & ~3
+    row_bytes = w if bpp == 8 else w * 3
+    stride = (row_bytes + 3) & ~3
     need = offset + stride * h
     if offset < _FILE_HEADER_LEN + _INFO_HEADER_LEN or len(raw) < need:
         raise ValueError("truncated BMP: pixel array incomplete")
-    out = np.empty((h, w), dtype=np.uint8)
+    if bpp == 8:
+        out = np.empty((h, w), dtype=np.uint8)
+        for y in range(h):
+            start = offset + (h - 1 - y) * stride  # bottom-up → top-down
+            out[y] = np.frombuffer(raw, dtype=np.uint8, count=w, offset=start)
+        return out
+    out = np.empty((h, w, 3), dtype=np.uint8)
     for y in range(h):
-        start = offset + (h - 1 - y) * stride  # bottom-up → top-down
-        out[y] = np.frombuffer(raw, dtype=np.uint8, count=w, offset=start)
+        start = offset + (h - 1 - y) * stride
+        row = np.frombuffer(raw, dtype=np.uint8, count=w * 3, offset=start)
+        out[y] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
     return out

@@ -902,7 +902,7 @@ def decode_blobs_with_quarantine(blobs: DataFrame) -> DataFrame:
     - ``empty_blob``          zero-length payload (pre-decode check)
     - ``unsupported_format``  magic matches none of PNG/WAV/BMP/JPEG, or
                               a recognized container uses features
-                              outside the codec's scope (e.g. 24-bit or
+                              outside the codec's scope (e.g. 16-bit or
                               RLE BMP, lossless/CMYK JPEG, float-PCM or
                               perceptual-codec WAV tags) — the same seam
                               that raises NotImplementedError in the

@@ -452,10 +452,17 @@ def test_bmp_decoder_scope_seams():
     from map_reduce_go_spark.functions.bmp_codec import decode_bmp, encode_bmp
 
     good = bytearray(encode_bmp(np.zeros((4, 8), dtype=np.uint8)))
+    # 24-bit is IMPLEMENTED as of late r13 — re-badging an 8-bit file's
+    # depth makes the declared pixel array 3x larger than what's there:
+    # truncation (corrupt_data), not an unimplemented feature.
     deep = bytearray(good)
-    deep[28] = 24  # biBitCount: 24-bit
-    with _pytest.raises(NotImplementedError):
+    deep[28] = 24  # biBitCount: 24-bit over an 8-bit-sized pixel array
+    with _pytest.raises(ValueError):
         decode_bmp(bytes(deep))
+    sixteen = bytearray(good)
+    sixteen[28] = 16  # biBitCount: 16-bit — a genuinely unimplemented depth
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(sixteen))
     rle = bytearray(good)
     rle[30] = 1  # biCompression: BI_RLE8
     with _pytest.raises(NotImplementedError):
@@ -1331,3 +1338,27 @@ def test_jpeg_non_interleaved_baseline_decodes():
     got = decode_jpeg(out)
     want = decode_jpeg(encode_jpeg(img, subsampling="420"))
     np.testing.assert_array_equal(got, want)
+
+
+def test_bmp_24bit_roundtrip_and_cross_codec_agreement():
+    """24-bit true-color BMP (late r13: the common real-corpus form —
+    BGR byte order, bottom-up rows, 4-byte padding, no palette)
+    round-trips bit-exactly, including widths whose 3-byte rows need
+    padding, and agrees pixel-for-pixel with the PNG codec on the same
+    image through the operator dispatch."""
+    from map_reduce_go_spark.functions.bmp_codec import decode_bmp, encode_bmp, is_bmp
+
+    rng = _rng(61)
+    for shape in ((4, 8, 3), (5, 7, 3), (1, 1, 3), (3, 6, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        blob = encode_bmp(img)
+        assert is_bmp(blob)
+        np.testing.assert_array_equal(decode_bmp(blob), img)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_bmp(encode_bmp(img)), decode_png(encode_png(img))
+    )
+    # Truncation inside the 24-bit pixel array is corrupt, not a crash.
+    blob = encode_bmp(img)
+    with pytest.raises(ValueError):
+        decode_bmp(blob[: len(blob) - 2])

@@ -90,10 +90,10 @@ def test_fuzz_bmp_truncations_and_garbage_never_fail_the_task(spark):
     full_idx = len(blobs)
     blobs += [bytes(bmp)]
     blobs += [b"BM" + rng.bytes(int(n)) for n in rng.integers(0, 120, size=60)]
-    # 24-bit header: same geometry, bpp=16 words swapped to 24 at offset
-    # 14+14 (biBitCount) — parses fine, out of codec scope.
+    # 16-bit header: same geometry, biBitCount swapped at offset 28 —
+    # parses fine, out of codec scope (24-bit is implemented late r13).
     deep = bytearray(bmp)
-    deep[28] = 24
+    deep[28] = 16
     blobs += [bytes(deep)]
     rows = _decode_all(spark, blobs)
     assert len(rows) == len(blobs)
@@ -108,7 +108,7 @@ def test_fuzz_bmp_truncations_and_garbage_never_fail_the_task(spark):
             assert by_id[k]["error_class"] in ("empty_blob", "unsupported_format")
     assert by_id[full_idx]["status"] == "ok"
     assert by_id[full_idx]["pix_sum"] == int(np.arange(32).sum())
-    assert by_id[len(blobs) - 1]["error_class"] == "unsupported_format"  # 24-bit
+    assert by_id[len(blobs) - 1]["error_class"] == "unsupported_format"  # 16-bit
     for r in rows:
         assert r["status"] in _STATUSES and r["error_class"] in _CLASSES
 
