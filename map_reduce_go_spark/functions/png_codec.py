@@ -9,15 +9,19 @@ EXECUTE on real, spec-conformant image bytes:
 - ``encode_png``: 8-bit grayscale (color type 0) or RGB (color type 2),
   filter type 0 (None) per scanline — the simplest valid encoder; its
   output opens in any viewer.
-- ``decode_png``: 8-bit grayscale/RGB, non-interlaced, ALL five scanline
-  filters (None/Sub/Up/Average/Paeth) — so it also decodes PNGs produced
-  by real encoders that choose per-row filters, not just our own.
+- ``decode_png``: 8-bit grayscale/RGB, ALL five scanline filters
+  (None/Sub/Up/Average/Paeth) — so it also decodes PNGs produced by
+  real encoders that choose per-row filters, not just our own — and,
+  late r13, Adam7 INTERLACED images (seven sub-image passes, each
+  filtered independently, scattered back on the pass grid), the other
+  layout real web encoders emit. ``encode_png(interlaced=True)`` emits
+  the same so fixtures are self-contained.
 
 Deliberately out of scope (raise ValueError): palette/alpha color types,
-bit depths other than 8, interlacing. Those need no new dependencies,
-just code — the seam documents what a full codec would add. JPEG/audio/
-video stay NotImplementedError in the operators: those genuinely require
-external libraries.
+bit depths other than 8. Those need no new dependencies,
+just code — the seam documents what a full codec would add. Perceptual
+audio/video stay NotImplementedError in the operators: those genuinely
+require external libraries.
 """
 
 from __future__ import annotations
@@ -29,6 +33,12 @@ import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+#: Adam7 pass grid: (x origin, y origin, x step, y step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     return (
@@ -39,12 +49,31 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+def _filter_scanlines(arr: np.ndarray, filter_type: int, bpp: int) -> bytearray:
+    """Filter one (sub-)image: per-scanline filter byte + filtered bytes,
+    with the up-neighbor state starting at zero (each Adam7 pass filters
+    independently, per spec)."""
+    h = arr.shape[0]
+    raw = bytearray()
+    prev = np.zeros(arr.shape[1] * bpp, dtype=np.uint8)
+    for y in range(h):
+        line = arr[y].reshape(-1)
+        filt = _apply_filter(filter_type, line, prev, bpp)
+        raw.append(filter_type)
+        raw.extend(filt.tobytes())
+        prev = line
+    return raw
+
+
+def encode_png(
+    img: np.ndarray, filter_type: int = 0, interlaced: bool = False
+) -> bytes:
     """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as PNG.
 
     ``filter_type`` applies one filter to every scanline (0..4); non-zero
     values exist so tests can exercise the decoder's unfilter paths with
-    spec-valid input.
+    spec-valid input. ``interlaced=True`` emits the Adam7 layout (seven
+    independently-filtered passes).
     """
     arr = np.asarray(img)
     if arr.dtype != np.uint8:
@@ -60,15 +89,18 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         raise ValueError("filter_type must be 0..4")
     h, w = arr.shape[:2]
     bpp = channels  # bytes per pixel at bit depth 8
-    raw = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.uint8)
-    for y in range(h):
-        line = arr[y].reshape(-1)
-        filt = _apply_filter(filter_type, line, prev, bpp)
-        raw.append(filter_type)
-        raw.extend(filt.tobytes())
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    if interlaced:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes no bytes at all
+            raw.extend(_filter_scanlines(sub, filter_type, bpp))
+    else:
+        raw = _filter_scanlines(arr, filter_type, bpp)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlaced else 0
+    )
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -145,10 +177,28 @@ def png_stream_offsets(data: bytes) -> list[int]:
     return offs
 
 
+def _unfilter_scanlines(
+    raw: bytes, off: int, h: int, w: int, bpp: int
+) -> np.ndarray:
+    """Reconstruct one (sub-)image of ``h`` scanlines starting at byte
+    ``off`` in the decompressed stream; returns an (h, w*bpp) array."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[off + y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + y * (stride + 1) + 1
+        ).copy()
+        out[y] = _unfilter(ft, line, prev, bpp)
+        prev = out[y]
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG to an (H, W) uint8 array (grayscale) or (H, W, 3)
-    (RGB). Supports bit depth 8, color types 0/2, no interlace, all five
-    scanline filters."""
+    (RGB). Supports bit depth 8, color types 0/2, all five scanline
+    filters, and both layouts — sequential and Adam7 interlaced."""
     data = bytes(data)
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
@@ -170,8 +220,8 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported bit depth {depth}")
             if color_type not in (0, 2):
                 raise ValueError(f"unsupported color type {color_type}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
+            if interlace > 1:
+                raise ValueError(f"unknown interlace method {interlace}")
             if comp or filt:
                 raise ValueError("nonstandard compression/filter method")
         elif tag == b"IDAT":
@@ -183,19 +233,30 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     channels = 1 if color_type == 0 else 3
     bpp = channels
-    stride = width * bpp
     raw = zlib.decompress(bytes(idat))
+    if interlace:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the pass grid; empty passes contribute no bytes.
+        out = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wk = (width - x0 + dx - 1) // dx
+            hk = (height - y0 + dy - 1) // dy
+            if wk <= 0 or hk <= 0:
+                continue
+            need = hk * (wk * bpp + 1)
+            if off + need > len(raw):
+                raise ValueError("IDAT size mismatch")
+            sub = _unfilter_scanlines(raw, off, hk, wk, bpp)
+            out[y0::dy, x0::dx] = sub.reshape(hk, wk, bpp)
+            off += need
+        if off != len(raw):
+            raise ValueError("IDAT size mismatch")
+        return out[:, :, 0] if channels == 1 else out
+    stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError("IDAT size mismatch")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
-        out[y] = _unfilter(ft, line, prev, bpp)
-        prev = out[y]
+    out = _unfilter_scanlines(raw, 0, height, width, bpp)
     if channels == 1:
         return out
     return out.reshape(height, width, 3)

@@ -1362,3 +1362,41 @@ def test_bmp_24bit_roundtrip_and_cross_codec_agreement():
     blob = encode_bmp(img)
     with pytest.raises(ValueError):
         decode_bmp(blob[: len(blob) - 2])
+
+
+def test_png_adam7_interlaced_roundtrip_and_operator_flow(spark):
+    """Adam7 interlaced PNG (late r13: the other layout real web
+    encoders emit) round-trips bit-exactly across shapes where passes
+    go empty (1x1, single row/column) and across all five filters —
+    each pass filters independently per spec — and flows through the
+    quarantine dispatch with facts identical to the sequential layout
+    of the same pixels."""
+    from map_reduce_go_spark.operators.multimodal import (
+        decode_blobs_with_quarantine,
+    )
+
+    rng = _rng(67)
+    for shape in ((1, 1), (3, 5), (7, 1), (1, 9, 3), (13, 17), (16, 16, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            blob = encode_png(img, filter_type=ft, interlaced=True)
+            np.testing.assert_array_equal(decode_png(blob), img)
+    img = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    seq = encode_png(img)
+    lace = encode_png(img, interlaced=True)
+    assert seq != lace  # genuinely different layouts on the wire
+    df = spark.createDataFrame(
+        [(1, bytes(seq)), (2, bytes(lace))], "doc_id long, blob binary"
+    )
+    rows = {r["doc_id"]: r for r in decode_blobs_with_quarantine(df).collect()}
+    assert rows[1]["status"] == rows[2]["status"] == "ok"
+    assert rows[1]["pix_sum"] == rows[2]["pix_sum"] == int(img.astype("int64").sum())
+    # A cut inside the interlaced pixel stream quarantines, never crashes.
+    short = bytearray(lace)
+    # Shrink the IDAT payload by rebuilding with truncated raw stream:
+    # simplest adversarial form — chop the file mid-IDAT.
+    assert decode_blobs_with_quarantine(
+        spark.createDataFrame(
+            [(3, bytes(short[: len(short) // 2]))], "doc_id long, blob binary"
+        )
+    ).collect()[0]["status"] == "quarantined"
