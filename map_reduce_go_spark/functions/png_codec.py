@@ -9,19 +9,22 @@ EXECUTE on real, spec-conformant image bytes:
 - ``encode_png``: 8-bit grayscale (color type 0) or RGB (color type 2),
   filter type 0 (None) per scanline — the simplest valid encoder; its
   output opens in any viewer.
-- ``decode_png``: 8-bit grayscale/RGB, ALL five scanline filters
-  (None/Sub/Up/Average/Paeth) — so it also decodes PNGs produced by
-  real encoders that choose per-row filters, not just our own — and,
+- ``decode_png``: all five 8-bit color types — grayscale (0), RGB (2),
+  palette-indexed (3, PLTE lookup -> RGB), grayscale+alpha (4), and
+  RGBA (6) — with ALL five scanline filters (None/Sub/Up/Average/
+  Paeth), so it also decodes PNGs produced by real encoders that
+  choose per-row filters and color models, not just our own — and,
   late r13, Adam7 INTERLACED images (seven sub-image passes, each
   filtered independently, scattered back on the pass grid), the other
-  layout real web encoders emit. ``encode_png(interlaced=True)`` emits
-  the same so fixtures are self-contained.
+  layout real web encoders emit. ``encode_png(interlaced=True)`` and
+  ``encode_png_palette`` emit the same so fixtures are self-contained.
 
-Deliberately out of scope (raise ValueError): palette/alpha color types,
-bit depths other than 8. Those need no new dependencies,
-just code — the seam documents what a full codec would add. Perceptual
-audio/video stay NotImplementedError in the operators: those genuinely
-require external libraries.
+Deliberately out of scope (NotImplementedError — the well-formed-but-
+unimplemented class, routed to quarantine ``unsupported_format`` like
+the BMP/JPEG/WAV codecs' seams): bit depths other than 8, tRNS
+transparency over palette images. Structural damage stays ValueError
+(``corrupt_data``). Perceptual audio/video stay NotImplementedError in
+the operators: those genuinely require external libraries.
 """
 
 from __future__ import annotations
@@ -81,10 +84,12 @@ def encode_png(
     if arr.ndim == 2:
         color_type, channels = 0, 1
         arr = arr[:, :, None]
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        color_type, channels = 2, 3
+    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
+        # 2 = gray+alpha (type 4), 3 = RGB (type 2), 4 = RGBA (type 6).
+        channels = arr.shape[2]
+        color_type = {2: 4, 3: 2, 4: 6}[channels]
     else:
-        raise ValueError("encode_png expects (H,W) or (H,W,3)")
+        raise ValueError("encode_png expects (H,W) or (H,W,{2|3|4})")
     if not 0 <= filter_type <= 4:
         raise ValueError("filter_type must be 0..4")
     h, w = arr.shape[:2]
@@ -134,6 +139,34 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
     out = np.where((pa <= pb) & (pa <= pc), a16, np.where(pb <= pc, b16, c16))
     return out
+
+
+def encode_png_palette(
+    indices: np.ndarray, palette: np.ndarray, filter_type: int = 0
+) -> bytes:
+    """Encode an (H, W) uint8 index array + (N, 3) uint8 palette as a
+    color-type-3 PNG (PLTE chunk + index scanlines) — real web PNGs are
+    frequently palette-indexed, so fixtures need the form."""
+    idx = np.asarray(indices)
+    pal = np.asarray(palette)
+    if idx.dtype != np.uint8 or idx.ndim != 2:
+        raise ValueError("encode_png_palette expects (H, W) uint8 indices")
+    if pal.dtype != np.uint8 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("palette must be (N, 3) uint8")
+    if not 1 <= pal.shape[0] <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("index exceeds palette size")
+    h, w = idx.shape
+    raw = _filter_scanlines(idx[:, :, None], filter_type, 1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
 
 
 def is_png(data: bytes) -> bool:
@@ -205,6 +238,8 @@ def decode_png(data: bytes) -> np.ndarray:
     pos = 8
     width = height = None
     color_type = None
+    plte: bytes | None = None
+    trns = False
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -217,13 +252,19 @@ def decode_png(data: bytes) -> np.ndarray:
                 ">IIBBBBB", payload
             )
             if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth}")
-            if color_type not in (0, 2):
-                raise ValueError(f"unsupported color type {color_type}")
+                raise NotImplementedError(f"PNG bit depth {depth} not implemented")
+            if color_type not in (0, 2, 3, 4, 6):
+                raise ValueError(f"unknown color type {color_type}")
             if interlace > 1:
                 raise ValueError(f"unknown interlace method {interlace}")
             if comp or filt:
                 raise ValueError("nonstandard compression/filter method")
+        elif tag == b"PLTE":
+            if length == 0 or length % 3:
+                raise ValueError("malformed PLTE chunk")
+            plte = payload
+        elif tag == b"tRNS":
+            trns = True
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
@@ -231,13 +272,20 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     if width is None:
         raise ValueError("missing IHDR")
-    channels = 1 if color_type == 0 else 3
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette image missing PLTE chunk")
+        if trns:
+            raise NotImplementedError(
+                "tRNS transparency over palette images not implemented"
+            )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     bpp = channels
     raw = zlib.decompress(bytes(idat))
     if interlace:
         # Adam7: seven independently-filtered sub-images, scattered back
         # onto the pass grid; empty passes contribute no bytes.
-        out = np.zeros((height, width, bpp), dtype=np.uint8)
+        px = np.zeros((height, width, bpp), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             wk = (width - x0 + dx - 1) // dx
@@ -248,18 +296,24 @@ def decode_png(data: bytes) -> np.ndarray:
             if off + need > len(raw):
                 raise ValueError("IDAT size mismatch")
             sub = _unfilter_scanlines(raw, off, hk, wk, bpp)
-            out[y0::dy, x0::dx] = sub.reshape(hk, wk, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(hk, wk, bpp)
             off += need
         if off != len(raw):
             raise ValueError("IDAT size mismatch")
-        return out[:, :, 0] if channels == 1 else out
-    stride = width * bpp
-    if len(raw) != height * (stride + 1):
-        raise ValueError("IDAT size mismatch")
-    out = _unfilter_scanlines(raw, 0, height, width, bpp)
-    if channels == 1:
-        return out
-    return out.reshape(height, width, 3)
+    else:
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            raise ValueError("IDAT size mismatch")
+        px = _unfilter_scanlines(raw, 0, height, width, bpp).reshape(
+            height, width, bpp
+        )
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return pal[idx]
+    return px[:, :, 0] if channels == 1 else px
 
 
 def _unfilter(ft: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:

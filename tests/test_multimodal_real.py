@@ -52,7 +52,10 @@ def test_png_decoder_inverts_every_scanline_filter(ft):
 def test_png_decoder_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_png(b"definitely not a png")
-    # 16-bit depth header: rebuild IHDR with depth 16.
+    # 16-bit depth header: a well-formed-but-unimplemented feature —
+    # NotImplementedError (unsupported_format) per the codec-wide seam
+    # discipline (late r13; was ValueError before the PNG codec aligned
+    # with BMP/JPEG/WAV).
     import struct
     import zlib as _z
 
@@ -63,7 +66,7 @@ def test_png_decoder_rejects_unsupported():
         + ihdr
         + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with pytest.raises(ValueError):
+    with pytest.raises(NotImplementedError):
         decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
@@ -1400,3 +1403,45 @@ def test_png_adam7_interlaced_roundtrip_and_operator_flow(spark):
             [(3, bytes(short[: len(short) // 2]))], "doc_id long, blob binary"
         )
     ).collect()[0]["status"] == "quarantined"
+
+
+def test_png_palette_and_alpha_color_types():
+    """The three remaining common web color types (late r13): palette
+    (3, PLTE lookup -> RGB), gray+alpha (4), RGBA (6) — round-trip
+    through every filter and both layouts; tRNS-over-palette and
+    non-8-bit depths are NotImplementedError seams; a palette index
+    past the PLTE table is corruption."""
+    import struct
+    import zlib as _z
+
+    from map_reduce_go_spark.functions.png_codec import encode_png_palette
+
+    rng = _rng(71)
+    for shape in ((5, 7, 2), (6, 4, 4), (13, 17, 4)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            for lace in (False, True):
+                got = decode_png(encode_png(img, filter_type=ft, interlaced=lace))
+                np.testing.assert_array_equal(got, img)
+    pal = rng.integers(0, 256, (37, 3), dtype=np.uint8)
+    idx = rng.integers(0, 37, (9, 11), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(encode_png_palette(idx, pal, filter_type=4)), pal[idx]
+    )
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", _z.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    blob = encode_png_palette(idx, pal)
+    i = blob.find(b"IDAT") - 4
+    with pytest.raises(NotImplementedError):  # alpha-over-palette seam
+        decode_png(blob[:i] + chunk(b"tRNS", b"\x00" * 10) + blob[i:])
+    # Shrink the PLTE so planted indices overrun it: corrupt, not crash.
+    p = blob.find(b"PLTE")
+    short_pal = chunk(b"PLTE", pal[:5].tobytes())
+    shrunk = blob[: p - 4] + short_pal + blob[p + 8 + 37 * 3 + 4 :]
+    with pytest.raises(ValueError):
+        decode_png(shrunk)
