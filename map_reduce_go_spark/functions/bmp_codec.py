@@ -17,13 +17,15 @@ Scope — exactly enough to execute real bytes:
 - ``decode_bmp``: the inverse — 8-bit palette or 24-bit true-color
   uncompressed BI_RGB, validating the structural fields it depends on.
 
-Deliberately out of scope: other bit depths (1/4/16/32), RLE
-compression, top-down (negative-height) images — ``ValueError`` seams
-(→ quarantined as ``corrupt_data``-class structural failures would be
-wrong; these are well-formed-but-unimplemented, so the decoder raises
-``NotImplementedError`` → ``unsupported_format``, matching the
-operators' honest-seam discipline). Truncated or malformed bytes raise
-``ValueError`` → ``corrupt_data``.
+Late r13 also decodes top-down (negative-height) images and BI_RLE8
+run-length compression (runs, end-of-line/bitmap escapes, deltas,
+word-aligned absolute mode — skipped pixels decode as 0 per spec);
+``encode_bmp_rle8`` emits the compressed form so fixtures are
+self-contained. Deliberately out of scope: other bit depths
+(1/4/16/32), BI_RLE4/BI_BITFIELDS — well-formed-but-unimplemented, so
+the decoder raises ``NotImplementedError`` → ``unsupported_format``,
+matching the operators' honest-seam discipline. Truncated or malformed
+bytes raise ``ValueError`` → ``corrupt_data``.
 """
 
 from __future__ import annotations
@@ -102,6 +104,40 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return file_header + info_header + palette + rows
 
 
+def encode_bmp_rle8(img: np.ndarray) -> bytes:
+    """Encode an (H, W) uint8 grayscale array as a BI_RLE8-compressed
+    8-bit BMP (gray palette): maximal runs per row, end-of-line after
+    each row, end-of-bitmap terminator — the simplest spec-valid
+    compressed encoder, so the decoder's run/escape paths execute on
+    real bytes."""
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8 or arr.ndim != 2:
+        raise ValueError("encode_bmp_rle8 expects an (H, W) uint8 array")
+    h, w = arr.shape
+    stream = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        x = 0
+        row = arr[y]
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            stream += bytes((run, int(row[x])))
+            x += run
+        stream += b"\x00\x00"  # end of line
+    stream += b"\x00\x01"  # end of bitmap
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    off = _FILE_HEADER_LEN + _INFO_HEADER_LEN + len(palette)
+    file_header = struct.pack("<2sIHHI", b"BM", off + len(stream), 0, 0, off)
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        _INFO_HEADER_LEN, w, h, 1, 8,
+        1,  # BI_RLE8
+        len(stream), 2835, 2835, 256, 0,
+    )
+    return file_header + info_header + palette + bytes(stream)
+
+
 def decode_bmp(raw: bytes) -> np.ndarray:
     """Decode an uncompressed BMP: 8-bit palette to an (H, W) uint8
     array, 24-bit true-color to (H, W, 3) uint8 RGB (late r13).
@@ -145,24 +181,87 @@ def decode_bmp(raw: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"BMP bit depth {bpp} not implemented (8 and 24 only)"
         )
+    if offset < _FILE_HEADER_LEN + _INFO_HEADER_LEN:
+        raise ValueError("pixel offset inside headers")
+    top_down = h < 0
+    h = abs(h)
+    if compression == 1:  # BI_RLE8 (late r13)
+        if bpp != 8:
+            raise ValueError("BI_RLE8 requires 8 bits/pixel")
+        if top_down:
+            raise ValueError("top-down RLE BMP is invalid per spec")
+        return _decode_rle8(raw, offset, h, w)
     if compression != 0:
         raise NotImplementedError(f"BMP compression {compression} not implemented")
-    if h < 0:
-        raise NotImplementedError("top-down BMP not implemented")
     row_bytes = w if bpp == 8 else w * 3
     stride = (row_bytes + 3) & ~3
     need = offset + stride * h
-    if offset < _FILE_HEADER_LEN + _INFO_HEADER_LEN or len(raw) < need:
+    if len(raw) < need:
         raise ValueError("truncated BMP: pixel array incomplete")
+
+    def row_start(y: int) -> int:  # decoded row y -> file offset
+        file_row = y if top_down else h - 1 - y
+        return offset + file_row * stride
+
     if bpp == 8:
         out = np.empty((h, w), dtype=np.uint8)
         for y in range(h):
-            start = offset + (h - 1 - y) * stride  # bottom-up → top-down
-            out[y] = np.frombuffer(raw, dtype=np.uint8, count=w, offset=start)
+            out[y] = np.frombuffer(
+                raw, dtype=np.uint8, count=w, offset=row_start(y)
+            )
         return out
     out = np.empty((h, w, 3), dtype=np.uint8)
     for y in range(h):
-        start = offset + (h - 1 - y) * stride
-        row = np.frombuffer(raw, dtype=np.uint8, count=w * 3, offset=start)
+        row = np.frombuffer(raw, dtype=np.uint8, count=w * 3, offset=row_start(y))
         out[y] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
     return out
+
+
+def _decode_rle8(raw: bytes, offset: int, h: int, w: int) -> np.ndarray:
+    """BI_RLE8 decompression (public DIB spec): (count, value) runs;
+    escape 00 00 = end of line, 00 01 = end of bitmap, 00 02 = delta
+    (skip dx pixels / dy rows), 00 n>=3 = n literal bytes padded to a
+    word boundary. Rows are bottom-up; skipped pixels decode as 0.
+    Overruns of the pixel grid or the byte stream raise ValueError
+    (corrupt_data)."""
+    grid = np.zeros((h, w), dtype=np.uint8)  # file row order (bottom-up)
+    x = row = 0
+    pos = offset
+    n = len(raw)
+    while True:
+        if pos + 2 > n:
+            raise ValueError("truncated RLE8 stream")
+        count, val = raw[pos], raw[pos + 1]
+        pos += 2
+        if count > 0:  # encoded run
+            if row >= h or x + count > w:
+                raise ValueError("RLE8 run overflows the pixel grid")
+            grid[row, x : x + count] = val
+            x += count
+            continue
+        if val == 0:  # end of line
+            x, row = 0, row + 1
+            continue
+        if val == 1:  # end of bitmap
+            break
+        if val == 2:  # delta
+            if pos + 2 > n:
+                raise ValueError("truncated RLE8 delta")
+            dx, dy = raw[pos], raw[pos + 1]
+            pos += 2
+            x, row = x + dx, row + dy
+            if x > w or row > h:
+                raise ValueError("RLE8 delta overflows the pixel grid")
+            continue
+        # Absolute mode: val literal bytes, word-aligned.
+        end = pos + val + (val & 1)
+        if end > n:
+            raise ValueError("truncated RLE8 absolute run")
+        if row >= h or x + val > w:
+            raise ValueError("RLE8 absolute run overflows the pixel grid")
+        grid[row, x : x + val] = np.frombuffer(
+            raw, dtype=np.uint8, count=val, offset=pos
+        )
+        x += val
+        pos = end
+    return grid[::-1]  # bottom-up file rows -> top-down image

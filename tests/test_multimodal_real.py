@@ -466,14 +466,17 @@ def test_bmp_decoder_scope_seams():
     sixteen[28] = 16  # biBitCount: 16-bit — a genuinely unimplemented depth
     with _pytest.raises(NotImplementedError):
         decode_bmp(bytes(sixteen))
-    rle = bytearray(good)
-    rle[30] = 1  # biCompression: BI_RLE8
+    bitfields = bytearray(good)
+    bitfields[30] = 3  # biCompression: BI_BITFIELDS — still a real seam
     with _pytest.raises(NotImplementedError):
-        decode_bmp(bytes(rle))
+        decode_bmp(bytes(bitfields))
+    # Top-down (negative height) is SUPPORTED as of late r13: the same
+    # bytes decode to the vertically-flipped image.
     topdown = bytearray(good)
-    struct.pack_into("<i", topdown, 22, -4)  # negative height
-    with _pytest.raises(NotImplementedError):
-        decode_bmp(bytes(topdown))
+    struct.pack_into("<i", topdown, 22, -4)
+    np.testing.assert_array_equal(
+        decode_bmp(bytes(topdown)), decode_bmp(bytes(good))[::-1]
+    )
     with _pytest.raises(ValueError):
         decode_bmp(b"not a bmp")
     with _pytest.raises(ValueError):
@@ -1445,3 +1448,62 @@ def test_png_palette_and_alpha_color_types():
     shrunk = blob[: p - 4] + short_pal + blob[p + 8 + 37 * 3 + 4 :]
     with pytest.raises(ValueError):
         decode_png(shrunk)
+
+
+def test_bmp_rle8_roundtrip_and_escape_modes():
+    """BI_RLE8 (late r13): the run-length form round-trips through the
+    repo's own compressed encoder, and the escape modes the encoder
+    doesn't emit — absolute literal runs (word-aligned) and position
+    deltas (skipped pixels decode as 0) — are pinned with a hand-built
+    stream; grid/stream overruns are corruption."""
+    import struct as st_
+
+    from map_reduce_go_spark.functions.bmp_codec import (
+        decode_bmp,
+        encode_bmp_rle8,
+        is_bmp,
+    )
+
+    rng = _rng(73)
+    # Runs-heavy image (quantized) and a worst-case random one.
+    for img in (
+        (rng.integers(0, 4, (6, 40), dtype=np.uint8) * 80).astype(np.uint8),
+        rng.integers(0, 256, (5, 7), dtype=np.uint8),
+    ):
+        blob = encode_bmp_rle8(img)
+        assert is_bmp(blob)
+        np.testing.assert_array_equal(decode_bmp(blob), img)
+
+    def rle_file(stream: bytes, h: int, w: int) -> bytes:
+        palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+        off = 14 + 40 + len(palette)
+        return (
+            st_.pack("<2sIHHI", b"BM", off + len(stream), 0, 0, off)
+            + st_.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream),
+                       2835, 2835, 256, 0)
+            + palette + stream
+        )
+
+    # Absolute mode (5 literals + pad byte), delta skip, then a run:
+    # bottom row: [1,2,3,4,5, 0,0, 9,9] (delta dx=2 skips as zeros).
+    stream = (
+        b"\x00\x05" + bytes([1, 2, 3, 4, 5]) + b"\x00"  # absolute, padded
+        + b"\x00\x02\x02\x00"  # delta: dx=2, dy=0
+        + b"\x02\x09"  # run of two 9s
+        + b"\x00\x00"  # end of line
+        + b"\x03\x07"  # next row up: three 7s
+        + b"\x00\x01"  # end of bitmap (rest of grid stays 0)
+    )
+    px = decode_bmp(rle_file(stream, 3, 9))
+    want = np.zeros((3, 9), dtype=np.uint8)
+    want[2, :5] = [1, 2, 3, 4, 5]  # bottom file row = last image row
+    want[2, 7:9] = 9
+    want[1, :3] = 7
+    np.testing.assert_array_equal(px, want)
+    # Overruns classify as corruption, never crash or misindex.
+    with pytest.raises(ValueError):  # run past the row end
+        decode_bmp(rle_file(b"\xff\x01\x00\x01", 2, 4))
+    with pytest.raises(ValueError):  # stream ends without terminator
+        decode_bmp(rle_file(b"\x02\x09", 2, 4))
+    with pytest.raises(ValueError):  # delta off the grid
+        decode_bmp(rle_file(b"\x00\x02\xff\xff\x00\x01", 2, 4))
