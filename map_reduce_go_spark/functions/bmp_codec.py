@@ -223,7 +223,22 @@ def _decode_rle8(raw: bytes, offset: int, h: int, w: int) -> np.ndarray:
     (skip dx pixels / dy rows), 00 n>=3 = n literal bytes padded to a
     word boundary. Rows are bottom-up; skipped pixels decode as 0.
     Overruns of the pixel grid or the byte stream raise ValueError
-    (corrupt_data)."""
+    (corrupt_data).
+
+    Allocation guard (ADVICE r13): the grid is sized from header-claimed
+    dimensions, so a ~1 KiB crafted blob claiming 2^20 x 2^20 would
+    otherwise trigger a 1 TiB np.zeros before a single stream byte is
+    read — defeating the quarantine path's row-level resilience with an
+    executor OOM. Every 2 stream bytes write at most 255 pixels, so a
+    grid the stream could never meaningfully cover is rejected up front
+    (degenerate skip-heavy encodings of mostly-blank images fall to the
+    corrupt_data class too — a documented trade for OOM safety)."""
+    stream_len = len(raw) - offset
+    if stream_len < 2 or h * w > 255 * stream_len:
+        raise ValueError(
+            f"RLE8 pixel grid {w}x{h} disproportionate to "
+            f"{stream_len}-byte stream"
+        )
     grid = np.zeros((h, w), dtype=np.uint8)  # file row order (bottom-up)
     x = row = 0
     pos = offset

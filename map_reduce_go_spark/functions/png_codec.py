@@ -22,7 +22,11 @@ EXECUTE on real, spec-conformant image bytes:
 Deliberately out of scope (NotImplementedError — the well-formed-but-
 unimplemented class, routed to quarantine ``unsupported_format`` like
 the BMP/JPEG/WAV codecs' seams): bit depths other than 8, tRNS
-transparency over palette images. Structural damage stays ValueError
+transparency on every color type that may carry it (palette indices
+AND grayscale/truecolor keys — ADVICE r13 closed the inconsistency
+where non-palette keys were silently dropped; tRNS on the alpha color
+types 4/6 is spec-forbidden and stays ValueError). Structural damage
+stays ValueError
 (``corrupt_data``). Perceptual audio/video stay NotImplementedError in
 the operators: those genuinely require external libraries.
 """
@@ -275,10 +279,19 @@ def decode_png(data: bytes) -> np.ndarray:
     if color_type == 3:
         if plte is None:
             raise ValueError("palette image missing PLTE chunk")
-        if trns:
-            raise NotImplementedError(
-                "tRNS transparency over palette images not implemented"
-            )
+    if trns:
+        # ADVICE r13: the transparency chunk was previously honest only
+        # over palettes (NotImplementedError) while being silently
+        # DROPPED for grayscale/truecolor keys — inconsistent with the
+        # seam discipline. Well-formed-but-unimplemented -> unsupported;
+        # spec-forbidden (color types with a real alpha channel shall
+        # not carry tRNS, PNG spec 11.3.2.1) -> corrupt.
+        if color_type in (4, 6):
+            raise ValueError("tRNS forbidden for alpha color types")
+        raise NotImplementedError(
+            "tRNS transparency not implemented "
+            f"(color type {color_type})"
+        )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     bpp = channels
     raw = zlib.decompress(bytes(idat))

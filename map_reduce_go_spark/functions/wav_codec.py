@@ -411,7 +411,25 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             _decode_ima_block(payload[i : i + block_align], n_ch)
             for i in range(0, len(payload), block_align)
         ]
-        return np.vstack(blocks), rate
+        out = np.vstack(blocks)
+        fact = chunks.get(b"fact")
+        if fact is not None:
+            # ADVICE r13: real encoders pad the FINAL block (n is rarely
+            # a multiple of samples_per_block) and record the true frame
+            # count in the fact chunk; honoring it returns the real
+            # frames instead of trailing pad samples. A fact count that
+            # the block structure cannot produce (longer than decoded,
+            # or short by a whole block or more) is structural damage.
+            if len(fact) < 4:
+                raise ValueError("fact chunk too short")
+            (n_frames,) = struct.unpack_from("<I", fact, 0)
+            if n_frames > len(out) or n_frames <= len(out) - spb:
+                raise ValueError(
+                    f"fact frame count {n_frames} inconsistent with "
+                    f"{len(out)} decoded ADPCM frames (block {spb})"
+                )
+            out = out[:n_frames]
+        return out, rate
 
     raise NotImplementedError(f"WAV format tag 0x{tag:04x} not supported")
 
@@ -449,21 +467,23 @@ def encode_wav_ima_adpcm(
     samples: np.ndarray, rate: int = 8_000, samples_per_block: int = 505
 ) -> bytes:
     """Compress int16 samples (n,) or (n, ch) to an IMA ADPCM WAV blob.
-    ``n`` must be a multiple of samples_per_block (real encoders pad the
-    final block; this reference encoder keeps the invariant explicit).
-    samples_per_block must be 8k+1 so nibbles pack into whole 4-byte
-    words (505 is the canonical mono-256-byte-block value)."""
+    The final block is zero-padded to samples_per_block and the TRUE
+    frame count goes in the fact chunk — the normal real-encoder shape
+    (ADVICE r13; ``decode_wav`` truncates to the fact count, so the
+    roundtrip is exact for any n). samples_per_block must be 8k+1 so
+    nibbles pack into whole 4-byte words (505 is the canonical
+    mono-256-byte-block value)."""
     arr = np.asarray(samples, dtype=np.int16)
     if arr.ndim == 1:
         arr = arr[:, None]
     n, ch = arr.shape
     if (samples_per_block - 1) % 8:
         raise ValueError("samples_per_block must be 8k+1")
-    if n == 0 or n % samples_per_block:
-        raise ValueError(
-            f"sample count {n} not a multiple of samples_per_block "
-            f"{samples_per_block}"
-        )
+    if n == 0:
+        raise ValueError("cannot encode an empty sample array")
+    if n % samples_per_block:
+        pad = samples_per_block - n % samples_per_block
+        arr = np.vstack([arr, np.zeros((pad, ch), dtype=np.int16)])
     block_align = 4 * ch + (samples_per_block - 1) * ch // 2
     fmt = struct.pack(
         "<HHIIHHHH",
@@ -473,7 +493,7 @@ def encode_wav_ima_adpcm(
     )
     indices = [0] * ch
     body = bytearray()
-    for i in range(0, n, samples_per_block):
+    for i in range(0, len(arr), samples_per_block):
         blk, indices = _encode_ima_block(arr[i : i + samples_per_block], indices)
         body += blk
     return _wrap_riff(fmt, bytes(body), n, True)

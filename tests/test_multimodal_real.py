@@ -908,10 +908,106 @@ def test_decode_wav_format_gates():
                 bytes(100),
             )
         )
-    with pytest.raises(ValueError):  # encode: not a whole block
-        encode_wav_ima_adpcm(np.zeros(500, dtype=np.int16))
+    with pytest.raises(ValueError):  # encode: nothing to encode
+        encode_wav_ima_adpcm(np.zeros((0, 1), dtype=np.int16))
     with pytest.raises(ValueError):  # wrap: payload/channel mismatch
         wrap_g711_payload(bytes(5), "mulaw", 8000, 2)
+
+
+def test_ima_adpcm_fact_chunk_truncates_padded_final_block():
+    """ADVICE r13: real encoders pad the final ADPCM block and record
+    the true frame count in the fact chunk; decode must return the true
+    frames, not the pad. The repo encoder now emits that shape for any
+    n, and a fact count the block structure cannot produce is
+    corruption."""
+    import struct as st_
+
+    from map_reduce_go_spark.functions.wav_codec import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    rng = _rng(79)
+    for n, ch in ((500, 1), (505, 1), (1000, 2), (33, 1)):
+        shape = (n,) if ch == 1 else (n, ch)
+        x = (rng.standard_normal(shape) * 3000).astype(np.int16)
+        got, rate = decode_wav(encode_wav_ima_adpcm(x, samples_per_block=505))
+        assert rate == 8_000
+        assert got.shape == (n, ch), (n, ch, got.shape)
+
+    # Tampered fact counts: longer than decoded, or short by >= a block.
+    blob = bytearray(encode_wav_ima_adpcm(np.zeros(500, dtype=np.int16)))
+    fpos = bytes(blob).find(b"fact") + 8
+    for bad in (506, 0):
+        tampered = bytearray(blob)
+        tampered[fpos : fpos + 4] = st_.pack("<I", bad)
+        with pytest.raises(ValueError):
+            decode_wav(bytes(tampered))
+
+
+def test_bmp_rle8_allocation_guard():
+    """ADVICE r13: a ~1 KiB crafted BI_RLE8 blob claiming 2^20 x 2^20
+    dimensions must be rejected BEFORE the pixel-grid allocation (the
+    would-be 1 TiB np.zeros), quarantining as corruption instead of
+    OOMing the executor."""
+    import struct as st_
+
+    from map_reduce_go_spark.functions.bmp_codec import decode_bmp
+
+    def rle_file(stream: bytes, h: int, w: int) -> bytes:
+        palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+        off = 14 + 40 + len(palette)
+        return (
+            st_.pack("<2sIHHI", b"BM", off + len(stream), 0, 0, off)
+            + st_.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream),
+                       2835, 2835, 256, 0)
+            + palette + stream
+        )
+
+    huge = rle_file(b"\x00\x01" * 512, 1 << 20, 1 << 20)
+    with pytest.raises(ValueError, match="disproportionate"):
+        decode_bmp(huge)
+    # An empty stream can cover nothing either.
+    with pytest.raises(ValueError):
+        decode_bmp(rle_file(b"", 2, 2))
+    # The guard admits ordinary encodings: one 2-byte run per 255-or-
+    # fewer pixels stays well inside the 255x bound.
+    ok = rle_file(b"\x04\x09\x00\x00\x04\x07\x00\x01", 2, 4)
+    px = decode_bmp(ok)
+    assert px.shape == (2, 4) and px[1].tolist() == [9, 9, 9, 9]
+
+
+def test_png_trns_seams_by_color_type():
+    """ADVICE r13: tRNS is now an honest seam on EVERY color type that
+    may carry it — grayscale/truecolor keys raise NotImplementedError
+    (unsupported_format) exactly like palette transparency, and tRNS on
+    the alpha color types is spec-forbidden corruption."""
+    import struct
+    import zlib as _z
+
+    from map_reduce_go_spark.functions.png_codec import encode_png
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", _z.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    rng = _rng(83)
+    gray = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    ga = rng.integers(0, 256, (4, 5, 2), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (4, 5, 4), dtype=np.uint8)
+    for img, payload, exc in (
+        (gray, b"\x00\x07", NotImplementedError),
+        (rgb, b"\x00\x01\x00\x02\x00\x03", NotImplementedError),
+        (ga, b"\x00\x07", ValueError),
+        (rgba, b"\x00\x01\x00\x02\x00\x03", ValueError),
+    ):
+        blob = encode_png(img)
+        i = blob.find(b"IDAT") - 4
+        with pytest.raises(exc):
+            decode_png(blob[:i] + chunk(b"tRNS", payload) + blob[i:])
 
 
 def test_resample_audio_real_handles_g711(spark):
