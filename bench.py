@@ -128,8 +128,26 @@ NOTES = (
     "Round-close reading (progressive-JPEG fixture live): 64.0s — "
     "inside the day's 57.7-76.8s host-drift band; semdedup 2.32s "
     "(band center); quarantine 64x probe unchanged at 3.8-3.9s with "
-    "1/16 of blobs decoding multi-scan SOF2."
+    "1/16 of blobs decoding multi-scan SOF2. "
+    "r14: the canary trio (q1+q3+wordcount cold medians) and the "
+    "current host-drift band are now EMITTED as canary_seconds/"
+    "drift_band in every record (VERDICT r13 #7) so a noisy round is "
+    "adjudicable from the driver artifact alone. dedup_maximal_spans "
+    "joins the headline set (winnowing-candidate position join + "
+    "diagonal-island window — the span-extension family's scale "
+    "plan); shardctrler_apply_log (registered r14) is a bounded "
+    "control-plane fold + one distinct-over-orders agg, ~1s class, "
+    "not a headliner (the kv_apply_log precedent)."
 )
+
+# The adjudication bands the NOTES prose derives (kept as data so each
+# BENCH record carries them): canary trio cold-sum expected band and the
+# same-code suite-total swing observed across r13 sessions. Readings
+# outside CANARY_BAND suggest host noise before plan regressions; suite
+# totals anywhere inside DRIFT_BAND are not evidence of a change.
+CANARY = ("q1_pricing_summary", "q3_top_revenue_orders", "wordcount")
+CANARY_BAND = [2.4, 4.0]
+DRIFT_BAND = [57.7, 76.8]
 
 # Headline set: one per operator family, weighted toward scale-sensitive
 # plans (scan-heavy agg, fact⋈fact join, window, LSH dedup, knn, sessions).
@@ -265,6 +283,11 @@ HEADLINE = [
     # Arrow-batched mapInPandas; the suite's blobs-decoded-per-second
     # canary and its only deliberately-Python hot loop.
     "multimodal_quarantine_audit",
+    # Round-14 addition: maximal-span exact-substring dedup — the
+    # winnowing-candidate position join plus the diagonal-island window
+    # (per-pair span extension). Match volume scales with candidate
+    # degree, so this is the span-extension family's cost canary.
+    "dedup_maximal_spans",
 ]
 
 
@@ -359,6 +382,14 @@ def main() -> None:
         # partial run visible so an errored round can't read as a speedup.
         "completed": len(results),
         "attempted": len(HEADLINE),
+        # Provenance for adjudicating noisy rounds from this artifact
+        # alone (VERDICT r13 #7): the canary trio's cold-median sum with
+        # its expected band, and the same-code suite-total swing band.
+        "canary_seconds": round(
+            sum(results.get(q, 0.0) for q in CANARY), 3
+        ),
+        "canary_band": CANARY_BAND,
+        "drift_band": DRIFT_BAND,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Round-over-round observations that have no other repo-owned
         # home (PROGRESS.jsonl is driver-owned).
@@ -400,6 +431,12 @@ def encode_stdout_line(
         "completed": full["completed"],
         "attempted": full["attempted"],
         "worst": list(worst) if worst else None,
+        # Noise-adjudication provenance (VERDICT r13 #7): judge a noisy
+        # round from this line alone — canary trio vs its band, suite
+        # total vs the same-code drift band.
+        "canary_seconds": full.get("canary_seconds"),
+        "canary_band": full.get("canary_band", CANARY_BAND),
+        "drift_band": full.get("drift_band", DRIFT_BAND),
         "detail": detail,
         "sf": full["sf"],
     }

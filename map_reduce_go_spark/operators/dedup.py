@@ -2110,3 +2110,225 @@ def sorted_neighborhood_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame
             .alias("jaccard_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Maximal-span exact-substring dedup — the long-span decision input
+# --------------------------------------------------------------------------
+
+MAXSPAN_MIN_TOKENS = 10  # report pairs whose longest exact shared run has
+#: at least this many tokens (production exact-substring dedup uses ~50;
+#: the fixture corpus's real duplicated spans run 10-95 tokens)
+_MAXSPAN_HASH_HEX = 15  # 60-bit md5 prefix for position matching
+
+
+def _kgram_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): every word-SHINGLE_K-gram at its 1-based token
+    position, hashed to a 60-bit md5 prefix that DuckDB reproduces
+    bit-for-bit (the winnowing hash discipline, wider: 32 bits suffice
+    for selection sampling, but span EXTENSION chains adjacent matches,
+    so the match hash gets 60 bits to push chance collisions past any
+    realistic corpus). Build is entirely map-side — same optimizer
+    barrier as _shingle_arrays (see its docstring) so the token array
+    materializes once per row."""
+    ws = F.filter(
+        F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0
+    )
+    base = fan_out(docs).select("doc_id", ws.alias("ws"))
+    arr = F.col("ws")
+    k = SHINGLE_K
+    kgrams = F.when(
+        (F.size(arr) >= k) & (F.monotonically_increasing_id() >= 0),
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - k + 1),
+            lambda i: F.array_join(F.slice(arr, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "doc_id", F.posexplode(kgrams).alias("pos0", "s")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(
+            f"CAST(conv(substring(md5(s), 1, {_MAXSPAN_HASH_HEX}), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+    )
+
+
+def maximal_shared_spans(docs: DataFrame) -> DataFrame:
+    """Per candidate pair, the MAXIMAL exact shared token run (length +
+    1-based start offsets in both docs) — the decision input of
+    exact-substring dedup ("Deduplicating Training Data Makes Language
+    Models Better": drop one copy of any >=50-token exact substring),
+    replacing the fixed-width 5-gram signal of cross_doc_span_dupes for
+    long spans (VERDICT r13 #4).
+
+    Mechanics: candidates come from the winnowing posting lists
+    (>= 1 shared selected fingerprint, stop-fingerprints df >
+    WINNOW_STOP_DF excluded) — the coverage theorem guarantees any
+    shared run of WINNOW_W + SHINGLE_K - 1 = 6+ tokens shares a
+    selected fingerprint, so every reportable span (>= MAXSPAN_MIN_TOKENS)
+    is caught unless ALL its fingerprints are corpus boilerplate (the
+    same documented stop-filter bias as winnowing_fingerprints). Span
+    extension is the diagonal-island method: matched k-gram positions
+    (pos_a, pos_b) lie on diagonal pos_a - pos_b; consecutive pos_a on
+    one diagonal chain into an exact run of run_kgrams + k - 1 tokens
+    (a maximal shared span of L tokens produces exactly L - k + 1
+    consecutive matches). Ties between equal-length maximal runs break
+    by (pos_a, pos_b) ascending — a total order, replayed identically
+    in the oracle.
+
+    Scale shape: candidates are fingerprint-bucketed, never all-pairs;
+    positions shuffle once by doc for the A side and once by (doc, h)
+    for the B side; island detection is a window partitioned by
+    (pair, diagonal) — no global window. Per-pair work is
+    O(|A| + |B| + matches), and match volume is bounded by the
+    stop-filter (a k-gram in > WINNOW_STOP_DF docs never forms a
+    candidate on its own, and hot-k-gram match skew lands on the AQE
+    skew-join playbook like every hot-key join in this module)."""
+    pos = _kgram_positions(docs).transform(tracked_cache)
+    fps = winnowing_fingerprint_sets(docs)
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    a, b = fps.alias("a"), fps.alias("b")
+    cand = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(
+            freq.where(F.col("n_docs").between(2, WINNOW_STOP_DF)).alias("fr"),
+            F.col("a.fp") == F.col("fr.fp"),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pa, pb = pos.alias("pa"), pos.alias("pb")
+    m = (
+        cand.join(pa, F.col("pa.doc_id") == F.col("doc_a"))
+        .join(
+            pb,
+            (F.col("pb.doc_id") == F.col("doc_b"))
+            & (F.col("pb.h") == F.col("pa.h")),
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.col("pa.pos").alias("pos_a"),
+            F.col("pb.pos").alias("pos_b"),
+        )
+    )
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.select(
+        "doc_a", "doc_b", diag, "pos_a", "pos_b"
+    ).withColumn("grp", F.col("pos_a") - F.row_number().over(win))
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        (F.count(F.lit(1)) + (SHINGLE_K - 1)).alias("span_tokens"),
+        F.min("pos_a").alias("pos_a"),
+        F.min("pos_b").alias("pos_b"),
+    )
+    best = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.col("span_tokens").desc(), F.col("pos_a"), F.col("pos_b")
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(best))
+        .where(
+            (F.col("rn") == 1)
+            & (F.col("span_tokens") >= MAXSPAN_MIN_TOKENS)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+            F.col("pos_a").cast("int").alias("pos_a"),
+            F.col("pos_b").cast("int").alias("pos_b"),
+        )
+    )
+
+
+@register(
+    "dedup_maximal_spans",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\\p{{L}}]+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    pos_kg AS (
+      SELECT doc_id, i AS pos,
+             {_WINNOW_KGRAM_SQL} AS s
+      FROM w, unnest(generate_series(1, len(ws) - {SHINGLE_K - 1})) AS t(i)
+    ),
+    ph AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substring(md5(s), 1, {_MAXSPAN_HASH_HEX})
+                  AS BIGINT) AS h
+      FROM pos_kg
+    ),
+    comb AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)
+               * {_WINNOW_POS_BASE} + pos AS c
+      FROM pos_kg
+    ),
+    sel AS (
+      SELECT doc_id,
+             min(c) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                          AND CURRENT ROW) AS fp_comb,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                            AND CURRENT ROW) AS cnt
+      FROM comb
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp_comb // {_WINNOW_POS_BASE} AS fp
+      FROM sel WHERE cnt = {WINNOW_W}
+    ),
+    freq AS (SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fps a
+      JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN freq f ON f.fp = a.fp
+      WHERE f.n_docs BETWEEN 2 AND {WINNOW_STOP_DF}
+    ),
+    m AS (
+      SELECT c.doc_a, c.doc_b, pa.pos AS pos_a, pb.pos AS pos_b
+      FROM cand c
+      JOIN ph pa ON pa.doc_id = c.doc_a
+      JOIN ph pb ON pb.doc_id = c.doc_b AND pb.h = pa.h
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a, pos_b,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+             ) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_a, doc_b,
+             COUNT(*) + {SHINGLE_K - 1} AS span_tokens,
+             MIN(pos_a) AS pos_a, MIN(pos_b) AS pos_b
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b,
+           CAST(span_tokens AS BIGINT) AS span_tokens,
+           CAST(pos_a AS INTEGER) AS pos_a,
+           CAST(pos_b AS INTEGER) AS pos_b
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_a, doc_b
+        ORDER BY span_tokens DESC, pos_a, pos_b
+      ) AS rn
+      FROM runs
+    )
+    WHERE rn = 1 AND span_tokens >= {MAXSPAN_MIN_TOKENS}
+    """,
+)
+def dedup_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of :func:`maximal_shared_spans` over the
+    documents corpus."""
+    return maximal_shared_spans(load_table(spark, sf_dir, "documents"))

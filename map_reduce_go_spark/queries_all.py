@@ -22,3 +22,4 @@ import map_reduce_go_spark.plans.governance  # noqa: F401
 import map_reduce_go_spark.plans.mleval  # noqa: F401
 import map_reduce_go_spark.operators.ann_index  # noqa: F401
 import map_reduce_go_spark.operators.kvstore  # noqa: F401
+import map_reduce_go_spark.operators.shardctrler  # noqa: F401

@@ -52,85 +52,88 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # QUEUE-JUMP RULE (VERDICT r12 #2): a query whose fn, oracle, or fixture
 # changes AFTER its latest driver row jumps the rotation queue — its old
 # green hash no longer certifies the code that will ship, so it re-hashes
-# in the NEXT window regardless of row age. This round that pulls
-# ann_ranking_quality (r10 row; exact-leg oracle re-sampled in r12) and
-# multimodal_quarantine_audit (r11 row; BMP fixture class added r12, JPEG
-# class + G.711 u-law WAV class + %8 re-keying added THIS round) into the
-# r13 window ahead of four r7-era rows.
+# in the NEXT window regardless of row age.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-13 window — executing the rotation VERDICT r12 #1 pinned at
-    # r12 close, amended by the queue-jump rule above. Composition:
-    # --- (a) the documented r12 slip: the ONLY pre-r7 driver row ---
-    "gdpr_delete_impact",
-    # --- (b) round-13 addition (never checked, must be in the window
-    #     per tests/test_registry_contract.py): the KV-store capstone —
-    #     reference src/models/kv.go:40-54 Get/Put/Append semantics as a
-    #     batch fold (VERDICT r12 #8); streaming twin is pytest-only. ---
-    "kv_apply_log",
-    #     Second r13 addition (also never checked): real G.711 audio
-    #     featurization — windowed energy/peak over the class-7 u-law
-    #     plant, oracle replays the codec math in SQL. ---
-    "mulaw_audio_energy_windows",
-    # --- (c) queue-jumpers: semantics changed after their latest row ---
-    "ann_ranking_quality",
+    # Round-14 window — executing the rotation VERDICT r13 #1 pinned at
+    # r13 close. Composition:
+    # --- (a) the FIVE r7-era rows displaced from the r13 window (the
+    #     oldest latest-rows in the registry, pinned by name at r13
+    #     close) ---
+    "weekly_activity_bitmap",
+    "churn_weekly_rates",
+    "doc_chunking_fixed_tokens",
+    "equidepth_histogram_price_approx",
+    "correlated_subquery_above_nation_avg",
+    # --- (b) round-14 additions (never checked, must lead per
+    #     tests/test_registry_contract.py): the shard-controller capstone
+    #     closing §2.4 (VERDICT r13 #3) and maximal-span exact-substring
+    #     dedup (VERDICT r13 #4). ---
+    "shardctrler_apply_log",
+    "dedup_maximal_spans",
+    # --- (c) queue-jumpers under the strict reading of the rule: their
+    #     r13 rows predate this round's codec hardening (ADVICE r13 —
+    #     RLE8 allocation guard, tRNS reclassification, ADPCM fact
+    #     truncation), which lives inside their decode call path. No
+    #     fixture class changed and verify_driver re-matched 253/253
+    #     post-change, but "changed after its latest row" is read
+    #     conservatively: the driver re-hashes them. ---
     "multimodal_quarantine_audit",
-    # --- (d) 45 of the 50 r7-era rows, oldest-first in registration
-    #     order (computed from CORRECTNESS_r01..r12 latest rows) ---
-    "multimodal_feature_stub",
-    "multimodal_resize_stub",
-    "multimodal_frame_sample",
-    "knn_bruteforce_cosine",
-    "ann_lsh_cosine",
-    "ann_filtered_ivf",
-    "text_quality_stats",
-    "language_guess",
-    "token_counts",
-    "doc_fingerprint",
-    "token_positions",
-    "top_bigrams",
-    "doc_repetition_stats",
-    "bpe_pair_counts",
-    "bm25_doc_ranking",
-    "llr_keyness_by_source",
-    "min_count_vocab_curve",
-    "source_lang_entropy",
-    "q1_pricing_summary",
-    "agg_stats_per_nation",
-    "count_distinct_custkey",
-    "approx_distinct_probe",
-    "rollup_lineitem_flags",
-    "cube_orders_status_priority",
-    "grouping_sets_nation_segment",
-    "conditional_agg_pivot",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "semi_join_customers_with_purchases",
-    "anti_join_parts_never_ordered",
-    "outer_join_nation_customer_counts",
-    "window_topk_parts_per_brand",
-    "window_running_customer_spend",
-    "top20_orders_by_price",
-    "set_ops_nation_presence",
-    "distinct_sorted_segments",
-    "scalar_string_functions",
-    "scalar_datetime_functions",
-    "scalar_math_functions",
-    "array_functions_showcase",
-    "json_extract_events",
-    "q6_forecast_revenue",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "median_price_per_segment",
-    # (r14 window, pinned by name: the FIVE r7-era rows displaced by the
-    # queue-jumpers and the two new registrations — weekly_activity_bitmap,
-    # churn_weekly_rates, doc_chunking_fixed_tokens,
-    # equidepth_histogram_price_approx, correlated_subquery_above_nation_avg
-    # — lead it, followed by the r9-era
-    # rows oldest-first in registration order. Any additions with no
-    # driver row yet must be appended to THIS tuple so the never-checked
-    # invariant in tests/test_registry_contract.py holds, and any query
-    # whose fn/oracle/fixture changes after its latest driver row jumps
-    # into the next window per the rule above.)
+    "mulaw_audio_energy_windows",
+    # --- (d) 41 of the 50 r9-era rows, oldest-first in registration
+    #     order (computed from CORRECTNESS_r01..r13 latest rows) ---
+    "winnowing_fingerprints",
+    "dedup_sorted_neighborhood",
+    "matryoshka_truncation_recall",
+    "rrf_fusion_topk",
+    "set_ops_all_variants",
+    "unpivot_part_metrics",
+    "minmax_by_order_extremes",
+    "window_range_frame_30d",
+    "window_value_functions",
+    "scalar_subquery_in_select",
+    "quantile_sketch_probe",
+    "mad_outliers_by_segment",
+    "pagerank_nation_trade",
+    "bootstrap_ci_avg_price",
+    "events_multi_granularity_rollup",
+    "range_join_error_click_counts",
+    "survival_order_fulfillment",
+    "purchase_scd2_state_lookup",
+    "q4_order_priority_count",
+    "q7_nation_trade_volume",
+    "q10_returned_item_revenue",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_dormant_customers",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "quality_filter_chain",
+    "train_test_split",
+    "shuffle_shards",
+    "sequence_packing",
+    "stratified_sample_by_lang",
+    "data_mixture_upsample",
+    "pii_redaction",
+    "decontaminate_against_eval",
+    "mixture_temperature_weights",
+    "cdc_chunk_stats",
+    # (r15 window, pinned by name: the NINE r9-era rows displaced by the
+    # two new registrations, the two queue-jumpers, and the five r7-era
+    # leads — feature_hashing_vectorize, partkey_skew_spectrum,
+    # fifo_inventory_allocation, dataset_card_by_source,
+    # auc_value_by_event_type, psi_doclen_drift, decision_stump_doclen,
+    # cusum_daily_changepoint, spearman_quantity_price — lead it,
+    # followed by the r10-era rows oldest-first in registration order.
+    # Any additions with no driver row yet must be appended to THIS
+    # tuple so the never-checked invariant in
+    # tests/test_registry_contract.py holds, and any query whose
+    # fn/oracle/fixture changes after its latest driver row jumps into
+    # the next window per the rule above.)
 )
 
 

@@ -262,6 +262,17 @@ DISTRANK_QUERIES = [
 ]
 DISTRANK_TABLES = ("orders",)
 DISTRANK_EXTRA_SHIFTS = {"orders": ["o_custkey"]}
+# Round-14 family (VERDICT r13 #6): the KV capstone's STREAMING half.
+# The scale axis is KEY CARDINALITY in the state store, so the probe's
+# op-log keys by FULL o_custkey (the registered kv_apply_log's % 97
+# keyspace is deliberately bounded and would not grow under
+# replication), and o_custkey shifts per replica. The probe drains the
+# op-log through the stateful twin in 3 seq-ordered waves, asserts the
+# drained snapshots hash-equal the batch kv_fold of the same log
+# (snapshot == batch-fold, in-probe), and records the state store's own
+# numRowsTotal / memoryUsedBytes progress metrics at 1x and Kx.
+KVSTREAM_TABLES = ("orders",)
+KVSTREAM_EXTRA_SHIFTS = {"orders": ["o_custkey"]}
 
 
 def replicate(
@@ -756,6 +767,164 @@ def cls_train_probe(spark, sf_dir: str) -> dict:
     }
 
 
+def kv_stream_probe(spark, sf_dir: str) -> dict:
+    """The KV streaming state store vs key cardinality (VERDICT r13 #6):
+    build a full-custkey-cardinality op-log from orders, batch-fold it
+    (kv_fold), drain the SAME log through the stateful streaming twin in
+    3 seq-ordered waves, and ASSERT the drained snapshots hash-equal the
+    batch fold — then report the state store's own progress metrics
+    (numRowsTotal, memory bytes) so SCALE.md's table shows state growing
+    with keys, not with ops. Uses the Spark-4 transformWithState
+    processor on RocksDB when the runtime allows, else the
+    applyInPandasWithState twin (same semantics, pytest-proven equal)."""
+    from pyspark.sql import Window
+
+    from map_reduce_go_spark.operators.kvstore import (
+        kv_fold,
+        kv_running_state,
+        kv_running_state_tws,
+        tws_runtime_available,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.concat(F.col("o_custkey").cast("string"), F.lit("-key")).alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("put"))
+        .when(F.col("o_orderkey") % 5 == 4, F.lit("get"))
+        .otherwise(F.lit("append"))
+        .alias("op"),
+        F.concat(
+            F.col("o_orderstatus"), (F.col("o_orderkey") % 10).cast("string")
+        ).alias("val"),
+    )
+
+    def state_hash(df) -> int:
+        # Order-insensitive canonical scalar over the final per-key
+        # state: ONE number crosses to the driver, never the state.
+        h = F.xxhash64(
+            F.concat_ws(
+                "\x01",
+                "key",
+                "value",
+                F.col("n_applied").cast("string"),
+                F.col("n_gets").cast("string"),
+            )
+        )
+        return int(
+            df.select(F.sum(h.cast("decimal(38,0)")).alias("h")).first()["h"]
+        )
+
+    n_ops = log.count()
+    n_keys = log.select("key").distinct().count()
+    t0 = time.perf_counter()
+    batch_hash = state_hash(
+        kv_fold(log).select("key", "value", "n_applied", "n_gets")
+    )
+    batch_s = time.perf_counter() - t0
+
+    # Three seq-ordered arrival waves, one file each (the ordered-log
+    # contract: a key's seqs never move backwards across micro-batches).
+    src = tempfile.mkdtemp(prefix="kvwaves_")
+    lo, hi = log.agg(F.min("seq"), F.max("seq")).first()
+    cuts = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    waves = [
+        log.where(F.col("seq") <= cuts[0]),
+        log.where((F.col("seq") > cuts[0]) & (F.col("seq") <= cuts[1])),
+        log.where(F.col("seq") > cuts[1]),
+    ]
+    for i, w in enumerate(waves):
+        stage = tempfile.mkdtemp(prefix="kvstage_")
+        w.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(Path(stage).glob("part-*.parquet"))
+        dst = Path(src) / f"wave-{i:03d}.parquet"
+        shutil.move(str(part), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        t = time.time() - 30 + 10 * i
+        os.utime(dst, (t, t))
+
+    use_tws = tws_runtime_available()
+    make = kv_running_state_tws if use_tws else kv_running_state
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if use_tws:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    name = f"kvprobe_{os.getpid()}_{abs(hash(sf_dir)) % 99991}"
+    ckpt = tempfile.mkdtemp(prefix="kvckpt_")
+    try:
+        stream = (
+            spark.readStream.schema("key string, seq long, op string, val string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = (
+            make(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        stream_s = time.perf_counter() - t0
+        state_rows = 0
+        state_bytes = 0
+        for p in q.recentProgress or []:
+            for so in (p or {}).get("stateOperators") or []:
+                state_rows = max(state_rows, int(so.get("numRowsTotal") or 0))
+                state_bytes = max(
+                    state_bytes,
+                    int(so.get("memoryUsedBytes") or 0),
+                    int(
+                        (so.get("customMetrics") or {}).get(
+                            "rocksdbTotalMemoryUsageBytes"
+                        )
+                        or 0
+                    ),
+                )
+        out = spark.table(name)
+        rn = F.row_number().over(
+            Window.partitionBy("key").orderBy(F.col("seq").desc())
+        )
+        snaps = (
+            out.where(F.col("kind") == "state")
+            .withColumn("rn", rn)
+            .where(F.col("rn") == 1)
+        )
+        stream_hash = state_hash(
+            snaps.select("key", "value", "n_applied", "n_gets")
+        )
+        if stream_hash != batch_hash:
+            raise AssertionError(
+                f"KV stream snapshots != batch fold at {sf_dir}: "
+                f"{stream_hash} vs {batch_hash}"
+            )
+    finally:
+        if prior is None and use_tws:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        elif use_tws:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "api": "transformWithState" if use_tws else "applyInPandasWithState",
+        "n_ops": n_ops,
+        "n_keys": n_keys,
+        "batch_fold_s": round(batch_s, 2),
+        "stream_drain_s": round(stream_s, 2),
+        "state_rows_total": state_rows,
+        "state_memory_bytes": state_bytes,
+        "snapshot_equals_batch_fold": True,
+    }
+
+
 def _n_probe_queries(spark, sf_dir: str) -> int:
     from map_reduce_go_spark.operators.similarity import N_QUERIES
 
@@ -812,6 +981,22 @@ def main() -> None:
                         "family": family,
                         "base": cls_train_probe(spark, BASE),
                         "big": cls_train_probe(spark, out_dir),
+                    }
+                )
+            )
+            return
+        if family == "kvstream":
+            replicate(
+                spark, k, out_dir,
+                tables=KVSTREAM_TABLES, extra_shifts=KVSTREAM_EXTRA_SHIFTS,
+            )
+            print(
+                json.dumps(
+                    {
+                        "k": k,
+                        "family": family,
+                        "base": kv_stream_probe(spark, BASE),
+                        "big": kv_stream_probe(spark, out_dir),
                     }
                 )
             )

@@ -429,3 +429,61 @@ def test_snm_matches_python_reference(spark, docs):
         for r in sorted_neighborhood_pairs(spark, df).collect()
     }
     assert got == _py_snm(docs)
+
+
+# ------------------------------------------------- maximal shared spans
+
+
+def test_maximal_span_planted_recall(spark):
+    """Planted-long-span recall (VERDICT r13 #4 'Done =' criterion): a
+    unique 23-token run planted at different offsets in two otherwise
+    disjoint documents is reported with its EXACT length and 1-based
+    token offsets; a pair sharing only a sub-threshold run is absent;
+    of two shared runs the longer one wins; and a single mid-span token
+    edit splits the run (exactness — near-match must not chain)."""
+    from map_reduce_go_spark.operators.dedup import (
+        MAXSPAN_MIN_TOKENS,
+        maximal_shared_spans,
+    )
+
+    span = [f"plantword{i}" for i in range(23)]
+    short = [f"shortword{i}" for i in range(MAXSPAN_MIN_TOKENS - 1)]
+    second = [f"secondrun{i}" for i in range(12)]
+    edited = list(span)
+    edited[11] = "EDITEDTOKEN"
+
+    def words(prefix, n):
+        return [f"{prefix}{i}" for i in range(n)]
+
+    docs = spark.createDataFrame(
+        [
+            # pair (1,2): the 23-token plant at offsets 4 and 7, PLUS a
+            # 12-token second run later — the 23 must win.
+            (1, " ".join(words("fillerA", 3) + span + words("fillerB", 5)
+                         + second + words("fillerC", 2))),
+            (2, " ".join(words("fillerD", 6) + span + words("fillerE", 4)
+                         + second + words("fillerF", 3))),
+            # pair (3,4): only the sub-threshold short run in common.
+            (3, " ".join(words("fillerG", 5) + short + words("fillerH", 5))),
+            (4, " ".join(words("fillerI", 8) + short + words("fillerJ", 2))),
+            # doc 5 carries the EDITED span: vs doc 1 the longest exact
+            # run is the 11-token prefix (tokens 0..10 of the plant).
+            (5, " ".join(words("fillerK", 9) + edited + words("fillerL", 4))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in maximal_shared_spans(docs).collect()
+    }
+    got = rows[(1, 2)]
+    assert got["span_tokens"] == 23
+    assert got["pos_a"] == 4 and got["pos_b"] == 7  # 1-based token offsets
+    assert (3, 4) not in rows, "sub-threshold run must not be reported"
+    prefix = rows[(1, 5)]
+    assert prefix["span_tokens"] == 11  # edit splits the exact run
+    assert prefix["pos_a"] == 4 and prefix["pos_b"] == 10
+    # The suffix after the edit is 23-12=11 too: tie breaks by pos_a asc,
+    # so the PREFIX run is the canonical report. Pair (2,5) sees the
+    # same two 11-token halves through different offsets.
+    assert rows[(2, 5)]["span_tokens"] == 11
