@@ -129,6 +129,26 @@ NOTES = (
     "inside the day's 57.7-76.8s host-drift band; semdedup 2.32s "
     "(band center); quarantine 64x probe unchanged at 3.8-3.9s with "
     "1/16 of blobs decoding multi-scan SOF2. "
+    "r14 ADJUDICATION of the two r13 >25% median movers (VERDICT r13 "
+    "#2): fresh median-of-5 mid-r14 read ann_ivf_cosine cold 4.06 "
+    "[2.70-10.41] warm 1.24 [1.05-1.50], dedup_minhash_lsh cold 2.35 "
+    "[1.76-4.14] warm 1.75 [1.42-3.71] — NOT back in the r12 band, and "
+    "the named cause is host-level, not plan-level: (a) both plans are "
+    "git-verified byte-identical since r10 (similarity.py untouched "
+    "this round; dedup.py r14 changes are appended-only new functions); "
+    "(b) the SAME session's canary members each read 1.3-1.6x their "
+    "centers (q1 1.44-1.71 vs ~1.19-1.58, wordcount ~0.50 vs ~0.40) — "
+    "the uniform-elevation signature r13's round-close documented, now "
+    "after ~2h of 64x probe batteries; (c) both queries' same-session "
+    "MINIMA (2.70 / 1.76) land inside their r13 spreads, and a "
+    "same-code 4x intra-session swing (2.70->10.41) is not a plan "
+    "property; (d) the ann decomposition matches the semdedup_prune "
+    "r13 precedent — cold-warm ~2.8s is the memoized IVF build's two "
+    "k-means training jobs, i.e. fixed job overhead that moves with "
+    "host state, while the warm probe leg tracks the same host factor "
+    "as the canaries. Watch state: carry both in the canary-adjacent "
+    "set; a >25% WARM-median move on a calm canary (trio < 3.0) is the "
+    "signal that would reopen this as a plan question. "
     "r14: the canary trio (q1+q3+wordcount cold medians) and the "
     "current host-drift band are now EMITTED as canary_seconds/"
     "drift_band in every record (VERDICT r13 #7) so a noisy round is "

@@ -273,6 +273,20 @@ DISTRANK_EXTRA_SHIFTS = {"orders": ["o_custkey"]}
 # numRowsTotal / memoryUsedBytes progress metrics at 1x and Kx.
 KVSTREAM_TABLES = ("orders",)
 KVSTREAM_EXTRA_SHIFTS = {"orders": ["o_custkey"]}
+# Round-14 query family: maximal-span dedup (the winnowing-candidate
+# position join + diagonal-island window — match volume is the scale
+# axis, bounded by candidate degree under the stop-filter) and the
+# shard-controller fold (bounded control-plane fold; its data side is
+# the orders key-space distinct, which grows with o_custkey shifts).
+R14_QUERIES = [
+    "dedup_maximal_spans",
+    "shardctrler_apply_log",
+]
+R14_TABLES = ("documents", "orders", "nation")  # nation copies fixed
+# (no shift entry): the shardctrler op-log is control-plane metadata
+# and must NOT grow with data — the scale axis for that query is the
+# orders key-space distinct.
+R14_EXTRA_SHIFTS = {"orders": ["o_custkey"]}
 
 
 def replicate(
@@ -956,6 +970,7 @@ def main() -> None:
         "round10b": (R10B_QUERIES, R10B_TABLES, None, None),
         "round11": (R11_QUERIES, R11_TABLES, None, None),
         "distrank": (DISTRANK_QUERIES, DISTRANK_TABLES, DISTRANK_EXTRA_SHIFTS, None),
+        "round14": (R14_QUERIES, R14_TABLES, R14_EXTRA_SHIFTS, None),
     }.get(family, (QUERIES, TABLES, None, None))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1020,7 +1035,7 @@ def main() -> None:
             out_dir,
             tables=tables,
             extra_shifts=extra,
-            word_salt=(family in ("setsim", "setsimskew", "round6", "round8c", "round10", "round10b", "round11")),
+            word_salt=(family in ("setsim", "setsimskew", "round6", "round8c", "round10", "round10b", "round11", "round14")),
             fk_bases=fk,
             inject_hot=(family == "setsimskew"),
         )
