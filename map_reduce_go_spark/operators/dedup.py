@@ -2156,37 +2156,14 @@ def _kgram_positions(docs: DataFrame) -> DataFrame:
     )
 
 
-def maximal_shared_spans(docs: DataFrame) -> DataFrame:
-    """Per candidate pair, the MAXIMAL exact shared token run (length +
-    1-based start offsets in both docs) — the decision input of
-    exact-substring dedup ("Deduplicating Training Data Makes Language
-    Models Better": drop one copy of any >=50-token exact substring),
-    replacing the fixed-width 5-gram signal of cross_doc_span_dupes for
-    long spans (VERDICT r13 #4).
-
-    Mechanics: candidates come from the winnowing posting lists
-    (>= 1 shared selected fingerprint, stop-fingerprints df >
-    WINNOW_STOP_DF excluded) — the coverage theorem guarantees any
-    shared run of WINNOW_W + SHINGLE_K - 1 = 6+ tokens shares a
-    selected fingerprint, so every reportable span (>= MAXSPAN_MIN_TOKENS)
-    is caught unless ALL its fingerprints are corpus boilerplate (the
-    same documented stop-filter bias as winnowing_fingerprints). Span
-    extension is the diagonal-island method: matched k-gram positions
-    (pos_a, pos_b) lie on diagonal pos_a - pos_b; consecutive pos_a on
-    one diagonal chain into an exact run of run_kgrams + k - 1 tokens
-    (a maximal shared span of L tokens produces exactly L - k + 1
-    consecutive matches). Ties between equal-length maximal runs break
-    by (pos_a, pos_b) ascending — a total order, replayed identically
-    in the oracle.
-
-    Scale shape: candidates are fingerprint-bucketed, never all-pairs;
-    positions shuffle once by doc for the A side and once by (doc, h)
-    for the B side; island detection is a window partitioned by
-    (pair, diagonal) — no global window. Per-pair work is
-    O(|A| + |B| + matches), and match volume is bounded by the
-    stop-filter (a k-gram in > WINNOW_STOP_DF docs never forms a
-    candidate on its own, and hot-k-gram match skew lands on the AQE
-    skew-join playbook like every hot-key join in this module)."""
+def shared_span_runs(docs: DataFrame) -> DataFrame:
+    """ALL maximal diagonal runs per candidate pair — (doc_a, doc_b,
+    span_tokens, pos_a, pos_b), one row per exact shared token run.
+    The shared core of :func:`maximal_shared_spans` (per-pair longest)
+    and :func:`exact_substring_cut_list` (every qualifying run feeds
+    the cut decision). See maximal_shared_spans for the candidate and
+    diagonal-island mechanics and the scale contract.
+    """
     pos = _kgram_positions(docs).transform(tracked_cache)
     fps = winnowing_fingerprint_sets(docs)
     freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2223,11 +2200,45 @@ def maximal_shared_spans(docs: DataFrame) -> DataFrame:
     isl = m.select(
         "doc_a", "doc_b", diag, "pos_a", "pos_b"
     ).withColumn("grp", F.col("pos_a") - F.row_number().over(win))
-    runs = isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+    return isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
         (F.count(F.lit(1)) + (SHINGLE_K - 1)).alias("span_tokens"),
         F.min("pos_a").alias("pos_a"),
         F.min("pos_b").alias("pos_b"),
     )
+
+
+def maximal_shared_spans(docs: DataFrame) -> DataFrame:
+    """Per candidate pair, the MAXIMAL exact shared token run (length +
+    1-based token offsets in both docs) — the decision input of
+    exact-substring dedup ("Deduplicating Training Data Makes Language
+    Models Better": drop one copy of any >=50-token exact substring),
+    replacing the fixed-width 5-gram signal of cross_doc_span_dupes for
+    long spans (VERDICT r13 #4).
+
+    Mechanics: candidates come from the winnowing posting lists
+    (>= 1 shared selected fingerprint, stop-fingerprints df >
+    WINNOW_STOP_DF excluded) — the coverage theorem guarantees any
+    shared run of WINNOW_W + SHINGLE_K - 1 = 6+ tokens shares a
+    selected fingerprint, so every reportable span (>= MAXSPAN_MIN_TOKENS)
+    is caught unless ALL its fingerprints are corpus boilerplate (the
+    same documented stop-filter bias as winnowing_fingerprints). Span
+    extension is the diagonal-island method: matched k-gram positions
+    (pos_a, pos_b) lie on diagonal pos_a - pos_b; consecutive pos_a on
+    one diagonal chain into an exact run of run_kgrams + k - 1 tokens
+    (a maximal shared span of L tokens produces exactly L - k + 1
+    consecutive matches). Ties between equal-length maximal runs break
+    by (pos_a, pos_b) ascending — a total order, replayed identically
+    in the oracle.
+
+    Scale shape: candidates are fingerprint-bucketed, never all-pairs;
+    positions shuffle once by doc for the A side and once by (doc, h)
+    for the B side; island detection is a window partitioned by
+    (pair, diagonal) — no global window. Per-pair work is
+    O(|A| + |B| + matches), and match volume is bounded by the
+    stop-filter (a k-gram in > WINNOW_STOP_DF docs never forms a
+    candidate on its own, and hot-k-gram match skew lands on the AQE
+    skew-join playbook like every hot-key join in this module)."""
+    runs = shared_span_runs(docs)
     best = Window.partitionBy("doc_a", "doc_b").orderBy(
         F.col("span_tokens").desc(), F.col("pos_a"), F.col("pos_b")
     )
@@ -2247,10 +2258,11 @@ def maximal_shared_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_maximal_spans",
-    oracle=f"""
-    WITH w AS (
+#: Shared oracle CTE chain ending at `runs` (one row per maximal
+#: diagonal run) — used by BOTH span registrations so the two oracles
+#: can never desynchronize on fingerprint selection or span arithmetic.
+_MAXSPAN_RUNS_CTES = f"""
+    w AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '[^\\p{{L}}]+'),
                          x -> len(x) > 0) AS ws
@@ -2313,7 +2325,13 @@ def maximal_shared_spans(docs: DataFrame) -> DataFrame:
              COUNT(*) + {SHINGLE_K - 1} AS span_tokens,
              MIN(pos_a) AS pos_a, MIN(pos_b) AS pos_b
       FROM isl GROUP BY doc_a, doc_b, diag, grp
-    )
+    )"""
+
+
+@register(
+    "dedup_maximal_spans",
+    oracle=f"""
+    WITH {_MAXSPAN_RUNS_CTES}
     SELECT doc_a, doc_b,
            CAST(span_tokens AS BIGINT) AS span_tokens,
            CAST(pos_a AS INTEGER) AS pos_a,
@@ -2332,3 +2350,97 @@ def dedup_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered surface of :func:`maximal_shared_spans` over the
     documents corpus."""
     return maximal_shared_spans(load_table(spark, sf_dir, "documents"))
+
+
+def exact_substring_cut_list(docs: DataFrame) -> DataFrame:
+    """The exact-substring dedup DECISION: merged per-document token
+    ranges to cut, built from EVERY qualifying shared run (not just the
+    per-pair maximum) under the keep-the-lowest-copy rule — for each
+    run of >= MAXSPAN_MIN_TOKENS tokens shared by (doc_a < doc_b), the
+    doc_b occurrence is marked; marked ranges then merge per document
+    when they overlap or touch (gaps-and-islands over a per-doc window).
+    The lowest doc_id of any duplicate family is never cut, so one copy
+    of every span always survives — the "drop one copy of any >=50-token
+    exact substring" policy of Lee et al. at this fixture's threshold.
+
+    Scale shape: inherits shared_span_runs' candidate-bounded cost; the
+    decision itself adds one distinct + one per-doc window over RUN
+    rows (orders of magnitude fewer than positions) — nothing here
+    re-touches the corpus."""
+    runs = shared_span_runs(docs).where(
+        F.col("span_tokens") >= MAXSPAN_MIN_TOKENS
+    )
+    marks = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("pos_b").alias("s"),
+        (F.col("pos_b") + F.col("span_tokens") - 1).alias("e"),
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flag = F.when(
+        prev_max.isNull() | (F.col("s") > prev_max + 1), 1
+    ).otherwise(0)
+    island = F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marks.withColumn("island", island)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("s").alias("cut_start"),
+            F.max("e").alias("cut_end"),
+            F.count(F.lit(1)).alias("n_source_runs"),
+        )
+        .select(
+            "doc_id",
+            F.col("cut_start").cast("int").alias("cut_start"),
+            F.col("cut_end").cast("int").alias("cut_end"),
+            (F.col("cut_end") - F.col("cut_start") + 1)
+            .cast("long")
+            .alias("cut_tokens"),
+            F.col("n_source_runs").cast("long").alias("n_source_runs"),
+        )
+    )
+
+
+@register(
+    "dedup_span_cuts",
+    oracle=f"""
+    WITH {_MAXSPAN_RUNS_CTES},
+    marks AS (
+      SELECT DISTINCT doc_b AS doc_id, pos_b AS s,
+             pos_b + span_tokens - 1 AS e
+      FROM runs WHERE span_tokens >= {MAXSPAN_MIN_TOKENS}
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) + 1
+             THEN 1 ELSE 0 END AS flag
+      FROM marks
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(flag) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS INTEGER) AS cut_start,
+           CAST(MAX(e) AS INTEGER) AS cut_end,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS cut_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_source_runs
+    FROM islands
+    GROUP BY doc_id, island
+    """,
+)
+def dedup_span_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of :func:`exact_substring_cut_list` over the
+    documents corpus."""
+    return exact_substring_cut_list(load_table(spark, sf_dir, "documents"))

@@ -66,10 +66,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "correlated_subquery_above_nation_avg",
     # --- (b) round-14 additions (never checked, must lead per
     #     tests/test_registry_contract.py): the shard-controller capstone
-    #     closing §2.4 (VERDICT r13 #3) and maximal-span exact-substring
-    #     dedup (VERDICT r13 #4). ---
+    #     closing §2.4 (VERDICT r13 #3), maximal-span exact-substring
+    #     dedup (VERDICT r13 #4), and its decision output — the merged
+    #     keep-lowest-copy cut list. ---
     "shardctrler_apply_log",
     "dedup_maximal_spans",
+    "dedup_span_cuts",
     # --- (c) queue-jumpers under the strict reading of the rule: their
     #     r13 rows predate this round's codec hardening (ADVICE r13 —
     #     RLE8 allocation guard, tRNS reclassification, ADPCM fact
@@ -79,7 +81,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #     conservatively: the driver re-hashes them. ---
     "multimodal_quarantine_audit",
     "mulaw_audio_energy_windows",
-    # --- (d) 41 of the 50 r9-era rows, oldest-first in registration
+    # --- (d) 40 of the 50 r9-era rows, oldest-first in registration
     #     order (computed from CORRECTNESS_r01..r13 latest rows) ---
     "winnowing_fingerprints",
     "dedup_sorted_neighborhood",
@@ -121,13 +123,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pii_redaction",
     "decontaminate_against_eval",
     "mixture_temperature_weights",
-    "cdc_chunk_stats",
-    # (r15 window, pinned by name: the NINE r9-era rows displaced by the
-    # two new registrations, the two queue-jumpers, and the five r7-era
-    # leads — feature_hashing_vectorize, partkey_skew_spectrum,
-    # fifo_inventory_allocation, dataset_card_by_source,
-    # auc_value_by_event_type, psi_doclen_drift, decision_stump_doclen,
-    # cusum_daily_changepoint, spearman_quantity_price — lead it,
+    # (r15 window, pinned by name: the TEN r9-era rows displaced by the
+    # three new registrations, the two queue-jumpers, and the five
+    # r7-era leads — cdc_chunk_stats, feature_hashing_vectorize,
+    # partkey_skew_spectrum, fifo_inventory_allocation,
+    # dataset_card_by_source, auc_value_by_event_type,
+    # psi_doclen_drift, decision_stump_doclen, cusum_daily_changepoint,
+    # spearman_quantity_price — lead it,
     # followed by the r10-era rows oldest-first in registration order.
     # Any additions with no driver row yet must be appended to THIS
     # tuple so the never-checked invariant in

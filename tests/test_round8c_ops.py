@@ -487,3 +487,119 @@ def test_maximal_span_planted_recall(spark):
     # so the PREFIX run is the canonical report. Pair (2,5) sees the
     # same two 11-token halves through different offsets.
     assert rows[(2, 5)]["span_tokens"] == 11
+
+
+def test_span_cut_list_keep_lowest_and_merge(spark):
+    """The exact-substring dedup DECISION over the same planted corpus:
+    the lowest doc_id of every duplicate family is never cut; cut
+    ranges land at the exact token offsets of the doc_b occurrences;
+    runs separated by ONE edited token do NOT merge (the edit survives);
+    and the same range marked through two different partners dedupes to
+    one interval."""
+    from map_reduce_go_spark.operators.dedup import (
+        MAXSPAN_MIN_TOKENS,
+        exact_substring_cut_list,
+    )
+
+    span = [f"plantword{i}" for i in range(23)]
+    short = [f"shortword{i}" for i in range(MAXSPAN_MIN_TOKENS - 1)]
+    second = [f"secondrun{i}" for i in range(12)]
+    edited = list(span)
+    edited[11] = "EDITEDTOKEN"
+
+    def words(prefix, n):
+        return [f"{prefix}{i}" for i in range(n)]
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words("fillerA", 3) + span + words("fillerB", 5)
+                         + second + words("fillerC", 2))),
+            (2, " ".join(words("fillerD", 6) + span + words("fillerE", 4)
+                         + second + words("fillerF", 3))),
+            (3, " ".join(words("fillerG", 5) + short + words("fillerH", 5))),
+            (4, " ".join(words("fillerI", 8) + short + words("fillerJ", 2))),
+            (5, " ".join(words("fillerK", 9) + edited + words("fillerL", 4))),
+        ],
+        "doc_id long, text string",
+    )
+    cuts = {}
+    for r in exact_substring_cut_list(docs).collect():
+        cuts.setdefault(r["doc_id"], []).append(
+            (r["cut_start"], r["cut_end"], r["cut_tokens"])
+        )
+    for d in cuts:
+        cuts[d].sort()
+    # Doc 1 is the lowest of every family it belongs to: never cut.
+    assert 1 not in cuts
+    assert 3 not in cuts and 4 not in cuts  # sub-threshold family
+    # Doc 2: the 23-token plant at tokens 7-29 and the 12-token second
+    # run at 34-45 (6 filler + 23 span + 4 filler -> second at 34).
+    assert cuts[2] == [(7, 29, 23), (34, 45, 12)]
+    # Doc 5: the edit at plant index 11 splits the copy into an 11-token
+    # prefix (tokens 10-20) and an 11-token suffix (22-32); the single
+    # surviving EDITEDTOKEN at 21 keeps them two intervals. Both ranges
+    # are marked via doc 1 AND doc 2 — the distinct collapses them.
+    assert cuts[5] == [(10, 20, 11), (22, 32, 11)]
+
+
+def test_maximal_span_equals_bruteforce_lcs(spark):
+    """Exactness against an independent oracle: on a seeded random
+    corpus over a 2-word vocabulary (dense chance repeats, multiple
+    diagonals, within-doc duplicate k-grams — everything the planted
+    test's unique tokens can't exercise), every reported pair's
+    span_tokens equals the true longest common token substring computed
+    by quadratic DP, the reported offsets point at a real occurrence of
+    that span in BOTH docs, and every pair whose true LCS >= the
+    threshold is reported (24 docs keeps every fingerprint's df under
+    the stop-filter, so candidate recall is the coverage theorem's)."""
+    import random
+
+    from map_reduce_go_spark.operators.dedup import (
+        MAXSPAN_MIN_TOKENS,
+        maximal_shared_spans,
+    )
+
+    rng = random.Random(4242)
+    toks = {}
+    rows = []
+    for d in range(1, 23):
+        t = [rng.choice(("aa", "bb")) for _ in range(60)]
+        toks[d] = t
+        rows.append((d, " ".join(t)))
+    # Plant one guaranteed long family so the >= threshold branch is
+    # exercised even if chance LCS stays below it.
+    plant = [rng.choice(("aa", "bb")) for _ in range(17)]
+    toks[23] = toks[3][:10] + plant + toks[3][40:]
+    toks[24] = toks[7][:25] + plant + toks[7][50:]
+    rows += [(23, " ".join(toks[23])), (24, " ".join(toks[24]))]
+
+    def lcs_len(x, y):
+        best = 0
+        prev = [0] * (len(y) + 1)
+        for i in range(1, len(x) + 1):
+            cur = [0] * (len(y) + 1)
+            for j in range(1, len(y) + 1):
+                if x[i - 1] == y[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in maximal_shared_spans(docs).collect()
+    }
+    want = {}
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            want[(a, b)] = lcs_len(toks[a], toks[b])
+    over = {p for p, n in want.items() if n >= MAXSPAN_MIN_TOKENS}
+    assert over, "fixture must contain >= threshold pairs"
+    assert set(got) == over, (sorted(over - set(got)), sorted(set(got) - over))
+    for (a, b), r in got.items():
+        n = r["span_tokens"]
+        assert n == want[(a, b)], (a, b, n, want[(a, b)])
+        sa, sb = r["pos_a"] - 1, r["pos_b"] - 1
+        assert toks[a][sa : sa + n] == toks[b][sb : sb + n]
