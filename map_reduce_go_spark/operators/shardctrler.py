@@ -279,11 +279,13 @@ def _move_step_sql(c: int) -> str:
     )"""
 
 
-def _shardctrler_oracle() -> str:
-    """The full unrolled-CTE oracle: 25 step CTE groups (the op kinds
-    are static — step % 5 — so the generator emits the matching CTE
-    form per step, with gid/shard values still read from the ops CTE,
-    i.e. from the data)."""
+def _chain_prefix_sql() -> str:
+    """The shared unrolled-CTE prefix ending at `chain` + `kps`: 25
+    step CTE groups (the op kinds are static — step % 5 — so the
+    generator emits the matching CTE form per step, with gid/shard
+    values still read from the ops CTE, i.e. from the data). Both
+    shardctrler oracles build on this one string so the replayed
+    rebalance can never desynchronize between them."""
     parts = [
         _ops_cte(),
         f"tenr AS (SELECT CAST(range AS INTEGER) AS j FROM range(0, {N_SHARDS}))",
@@ -313,13 +315,59 @@ def _shardctrler_oracle() -> str:
                AS shard,
              COUNT(*) AS n_keys
       FROM keys GROUP BY 1
-    )
+    )"""
+
+
+def _shardctrler_oracle() -> str:
+    """Config chain + per-shard key loads (see _chain_prefix_sql)."""
+    return f"""{_chain_prefix_sql()}
     SELECT CAST(c.config_num AS INTEGER) AS config_num,
            CAST(c.shard AS INTEGER) AS shard,
            CAST(c.gid AS INTEGER) AS gid,
            CAST(COALESCE(k.n_keys, 0) AS BIGINT) AS n_keys
     FROM chain c LEFT JOIN kps k ON k.shard = c.shard
     """
+
+
+def _fold_chain(spark: SparkSession, sf_dir: str):
+    """Collect the bounded op-log, fold it, and return
+    (ops_rows, chain_df) — the shared driver-side half of both
+    registered shardctrler queries."""
+    rows = shardctrler_op_log(spark, sf_dir).orderBy("step").collect()
+    if len(rows) > _MAX_OPS:
+        raise ValueError(
+            f"shardctrler op-log has {len(rows)} ops (> {_MAX_OPS}): "
+            "this is control-plane metadata; a data-sized log means the "
+            "derivation is wrong, not that the driver should fold it"
+        )
+    chain = apply_shard_ops([(r["kind"], r["gid"], r["shard"]) for r in rows])
+    chain_df = spark.createDataFrame(
+        [
+            (num, shard, gid)
+            for num, shards in chain
+            for shard, gid in enumerate(shards)
+        ],
+        "config_num int, shard int, gid int",
+    )
+    return rows, chain_df
+
+
+def _key_loads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard KV key counts over the orders-derived key space — the
+    distributed (hash-partitioned distinct + agg) side of both
+    registered shardctrler queries."""
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.concat(
+                (F.col("o_custkey") % KV_KEYS).cast("string"), F.lit("-key")
+            ).alias("key")
+        )
+        .distinct()
+    )
+    return keys.groupBy(key2shard(F.col("key")).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
 
 
 @register("shardctrler_apply_log", oracle=_shardctrler_oracle())
@@ -337,38 +385,73 @@ def shardctrler_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned distinct+agg over orders (the distributed side);
     the 260-row chain broadcast-joins onto the 10-row per-shard loads.
     """
-    ops = shardctrler_op_log(spark, sf_dir)
-    rows = ops.orderBy("step").collect()
-    if len(rows) > _MAX_OPS:
-        raise ValueError(
-            f"shardctrler op-log has {len(rows)} ops (> {_MAX_OPS}): "
-            "this is control-plane metadata; a data-sized log means the "
-            "derivation is wrong, not that the driver should fold it"
-        )
-    chain = apply_shard_ops([(r["kind"], r["gid"], r["shard"]) for r in rows])
-    chain_df = spark.createDataFrame(
-        [
-            (num, shard, gid)
-            for num, shards in chain
-            for shard, gid in enumerate(shards)
-        ],
-        "config_num int, shard int, gid int",
-    )
-    keys = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            F.concat(
-                (F.col("o_custkey") % KV_KEYS).cast("string"), F.lit("-key")
-            ).alias("key")
-        )
-        .distinct()
-    )
-    kps = keys.groupBy(key2shard(F.col("key")).alias("shard")).agg(
-        F.count(F.lit(1)).alias("n_keys")
-    )
+    _, chain_df = _fold_chain(spark, sf_dir)
+    kps = _key_loads(spark, sf_dir)
     return chain_df.join(F.broadcast(kps), "shard", "left").select(
         "config_num",
         "shard",
         "gid",
         F.coalesce(F.col("n_keys"), F.lit(0)).cast("long").alias("n_keys"),
+    )
+
+
+@register(
+    "shardctrler_movement_report",
+    oracle=f"""{_chain_prefix_sql()}
+    SELECT CAST(c.config_num AS INTEGER) AS config_num,
+           o.kind AS kind,
+           CAST(SUM(CASE WHEN c.gid <> p.gid THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shards_moved,
+           CAST(SUM(CASE WHEN c.gid <> p.gid
+                         THEN COALESCE(k.n_keys, 0) ELSE 0 END)
+                AS BIGINT) AS n_keys_moved
+    FROM chain c
+    JOIN chain p ON p.shard = c.shard
+                AND p.config_num = c.config_num - 1
+    JOIN ops o ON o.step = c.config_num - 1
+    LEFT JOIN kps k ON k.shard = c.shard
+    GROUP BY 1, 2
+    """,
+)
+def shardctrler_movement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard cost per config transition — the minimal-movement
+    property MEASURED IN DATA: for each op, how many shards changed
+    owner and how many KV keys (the orders-derived key space) those
+    shards carry, i.e. the bytes a sharded KV service would actually
+    migrate on that reconfiguration (reference src/shardkv — the lab's
+    shard-migration phase the skeleton never implements; this is its
+    cost model). Join steps move only what balance forces (the
+    rebalance rule's minimality witness, property-tested), Leave steps
+    move exactly the orphaned quota, Move steps move one shard.
+
+    Plan: same bounded fold + distributed key-space agg as
+    shardctrler_apply_log; the diff is a 260-row self-join on the
+    driver-built chain — metadata-sized, broadcast territory."""
+    ops_rows, chain_df = _fold_chain(spark, sf_dir)
+    kps = _key_loads(spark, sf_dir)
+    kinds = spark.createDataFrame(
+        [(int(r["step"]), r["kind"]) for r in ops_rows],
+        "step int, kind string",
+    )
+    c, pr = chain_df.alias("c"), chain_df.alias("p")
+    moved = F.when(F.col("c.gid") != F.col("p.gid"), 1).otherwise(0)
+    return (
+        c.join(
+            pr,
+            (F.col("p.shard") == F.col("c.shard"))
+            & (F.col("p.config_num") == F.col("c.config_num") - 1),
+        )
+        .join(kinds, F.col("step") == F.col("c.config_num") - 1)
+        .join(
+            F.broadcast(kps.withColumnRenamed("shard", "kshard")),
+            F.col("kshard") == F.col("c.shard"),
+            "left",
+        )
+        .groupBy(F.col("c.config_num").alias("config_num"), "kind")
+        .agg(
+            F.sum(moved).cast("long").alias("n_shards_moved"),
+            F.sum(
+                moved * F.coalesce(F.col("n_keys"), F.lit(0))
+            ).cast("long").alias("n_keys_moved"),
+        )
     )

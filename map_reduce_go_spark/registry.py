@@ -67,11 +67,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (b) round-14 additions (never checked, must lead per
     #     tests/test_registry_contract.py): the shard-controller capstone
     #     closing §2.4 (VERDICT r13 #3), maximal-span exact-substring
-    #     dedup (VERDICT r13 #4), and its decision output — the merged
-    #     keep-lowest-copy cut list. ---
+    #     dedup (VERDICT r13 #4), its decision output — the merged
+    #     keep-lowest-copy cut list — and the reshard movement report
+    #     (minimal movement measured in keys per config transition). ---
     "shardctrler_apply_log",
     "dedup_maximal_spans",
     "dedup_span_cuts",
+    "shardctrler_movement_report",
     # --- (c) queue-jumpers under the strict reading of the rule: their
     #     r13 rows predate this round's codec hardening (ADVICE r13 —
     #     RLE8 allocation guard, tRNS reclassification, ADPCM fact
@@ -81,7 +83,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #     conservatively: the driver re-hashes them. ---
     "multimodal_quarantine_audit",
     "mulaw_audio_energy_windows",
-    # --- (d) 40 of the 50 r9-era rows, oldest-first in registration
+    # --- (d) 39 of the 50 r9-era rows, oldest-first in registration
     #     order (computed from CORRECTNESS_r01..r13 latest rows) ---
     "winnowing_fingerprints",
     "dedup_sorted_neighborhood",
@@ -122,10 +124,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "data_mixture_upsample",
     "pii_redaction",
     "decontaminate_against_eval",
-    "mixture_temperature_weights",
-    # (r15 window, pinned by name: the TEN r9-era rows displaced by the
-    # three new registrations, the two queue-jumpers, and the five
-    # r7-era leads — cdc_chunk_stats, feature_hashing_vectorize,
+    # (r15 window, pinned by name: the ELEVEN r9-era rows displaced by
+    # the four new registrations, the two queue-jumpers, and the five
+    # r7-era leads — mixture_temperature_weights, cdc_chunk_stats,
+    # feature_hashing_vectorize,
     # partkey_skew_spectrum, fifo_inventory_allocation,
     # dataset_card_by_source, auc_value_by_event_type,
     # psi_doclen_drift, decision_stump_doclen, cusum_daily_changepoint,
