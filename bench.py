@@ -146,9 +146,14 @@ NOTES = (
     "r13 precedent — cold-warm ~2.8s is the memoized IVF build's two "
     "k-means training jobs, i.e. fixed job overhead that moves with "
     "host state, while the warm probe leg tracks the same host factor "
-    "as the canaries. Watch state: carry both in the canary-adjacent "
-    "set; a >25% WARM-median move on a calm canary (trio < 3.0) is the "
-    "signal that would reopen this as a plan question. "
+    "as the canaries. CONFIRMED at r14 close: on a calm host (canary "
+    "trio 2.889, band center) the round-close suite read ann_ivf_cosine "
+    "2.285 [2.02-2.95] — byte-equal to r13's 2.286 median — and "
+    "dedup_minhash_lsh 1.641 [1.45-2.73], BELOW r13's 1.834; the "
+    "mid-round elevated medians were the post-probe host band, exactly "
+    "as adjudicated. Watch state: closed; a >25% WARM-median move on a "
+    "calm canary (trio < 3.0) is the signal that would reopen this as "
+    "a plan question. "
     "r14: the canary trio (q1+q3+wordcount cold medians) and the "
     "current host-drift band are now EMITTED as canary_seconds/"
     "drift_band in every record (VERDICT r13 #7) so a noisy round is "
