@@ -118,21 +118,31 @@ def rebalance(prev: Sequence[int], groups: Iterable[int]) -> tuple[int, ...]:
 
 
 def apply_shard_ops(
-    ops: Sequence[tuple[str, int, int | None]],
+    ops: Sequence[tuple[str, object, int | None]],
 ) -> list[tuple[int, tuple[int, ...]]]:
-    """Fold (kind, gid, shard) ops into the full config chain
+    """Fold (kind, gid_or_gids, shard) ops into the full config chain
     ``[(config_num, shards[NShards]), ...]`` starting from config #0
     (all shards -> group 0, no groups). Join/Leave rebalance; Move pins
-    without rebalancing (common.go:8-10)."""
+    without rebalancing (common.go:8-10). Join/Leave accept EITHER a
+    single gid or an iterable of gids — the reference RPC shapes are
+    ``Join(servers map[int][]string)`` / ``Leave(gids []int)``
+    (common.go:37-49), i.e. several groups join or leave atomically
+    under ONE config transition and ONE rebalance (the TestMulti
+    scenario, src/shardctrler/test_test.go:253-296)."""
     shards = (0,) * N_SHARDS
     groups: set[int] = set()
     chain = [(0, shards)]
     for num, (kind, gid, shard) in enumerate(ops, start=1):
+        gids = (
+            tuple(gid)  # type: ignore[arg-type]
+            if isinstance(gid, (tuple, list, set, frozenset))
+            else (gid,)
+        )
         if kind == "join":
-            groups.add(gid)
+            groups.update(gids)
             shards = rebalance(shards, groups)
         elif kind == "leave":
-            groups.discard(gid)
+            groups.difference_update(gids)
             shards = rebalance(shards, groups)
         elif kind == "move":
             if shard is None or not (0 <= shard < N_SHARDS):

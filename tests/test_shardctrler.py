@@ -183,3 +183,47 @@ def test_rebalance_extras_go_to_largest_owners():
     # Same groups but the big owner has the HIGHEST gid: still no move.
     prev2 = (3, 3, 3, 3, 2, 2, 2, 1, 1, 1)
     assert rebalance(prev2, [1, 2, 3]) == prev2
+
+
+def test_multi_group_join_leave_atomic():
+    """The reference's Join/Leave RPC shapes carry SEVERAL groups in one
+    call (common.go:37-49) — one config transition, one rebalance (the
+    TestMulti scenario, test_test.go:253-296): a 3-group join lands
+    balanced in a single step; leaving 2 of 3 in one step hands
+    everything to the survivor; and minimal transfers hold across the
+    multi-join exactly as across chained singles."""
+    chain = apply_shard_ops([("join", (1, 2, 3), None)])
+    assert len(chain) == 2  # config #0 + ONE transition
+    _check(chain[1][1], {1, 2, 3})
+
+    ops = [("join", (1, 2), None), ("join", (3, 4, 5), None)]
+    c1 = apply_shard_ops(ops[:1])[-1][1]
+    c2 = apply_shard_ops(ops)[-1][1]
+    _check(c2, {1, 2, 3, 4, 5})
+    for s in range(N_SHARDS):
+        if c2[s] in (1, 2):  # old groups never RECEIVE in a join
+            assert c2[s] == c1[s], "non-minimal transfer after multi-Join"
+
+    c3 = apply_shard_ops(ops + [("leave", (1, 2, 4, 5), None)])[-1][1]
+    assert c3 == (3,) * N_SHARDS
+
+    # Atomic multi-leave != chained single leaves in general (fewer
+    # intermediate configs), but both end balanced over the survivors.
+    chained = apply_shard_ops(
+        ops + [("leave", 1, None), ("leave", 2, None)]
+    )[-1][1]
+    atomic = apply_shard_ops(ops + [("leave", (1, 2), None)])[-1][1]
+    _check(chained, {3, 4, 5})
+    _check(atomic, {3, 4, 5})
+
+
+def test_leave_to_empty_then_rejoin():
+    """Leaving the last group returns the zero config (all shards ->
+    the invalid group 0, matching config #0's shape, common.go:14-15);
+    a later join rebalances from that baseline."""
+    chain = apply_shard_ops(
+        [("join", 7, None), ("leave", 7, None), ("join", 9, None)]
+    )
+    assert chain[1][1] == (7,) * N_SHARDS
+    assert chain[2][1] == (0,) * N_SHARDS
+    assert chain[3][1] == (9,) * N_SHARDS
