@@ -49,6 +49,12 @@ from collections.abc import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from map_reduce_go_spark.operators.kvstore import KV_KEYS, N_SHARDS, key2shard
 from map_reduce_go_spark.registry import register
@@ -133,27 +139,42 @@ def apply_shard_ops(
     groups: set[int] = set()
     chain = [(0, shards)]
     for num, (kind, gid, shard) in enumerate(ops, start=1):
-        gids = (
-            tuple(gid)  # type: ignore[arg-type]
-            if isinstance(gid, (tuple, list, set, frozenset))
-            else (gid,)
-        )
-        if kind == "join":
-            groups.update(gids)
-            shards = rebalance(shards, groups)
-        elif kind == "leave":
-            groups.difference_update(gids)
-            shards = rebalance(shards, groups)
-        elif kind == "move":
-            if shard is None or not (0 <= shard < N_SHARDS):
-                raise ValueError(f"move needs a shard in [0,{N_SHARDS})")
-            lst = list(shards)
-            lst[shard] = gid
-            shards = tuple(lst)
-        else:
-            raise ValueError(f"unknown shardctrler op kind {kind!r}")
+        groups, shards = apply_one_op(kind, gid, shard, groups, shards)
         chain.append((num, shards))
     return chain
+
+
+def apply_one_op(
+    kind: str,
+    gid: object,
+    shard: int | None,
+    groups: set[int],
+    shards: tuple[int, ...],
+) -> tuple[set[int], tuple[int, ...]]:
+    """One config transition — the shared step of the batch fold and
+    the streaming controller twin. Returns the NEW (groups, shards);
+    the input set is not mutated."""
+    groups = set(groups)
+    gids = (
+        tuple(gid)  # type: ignore[arg-type]
+        if isinstance(gid, (tuple, list, set, frozenset))
+        else (gid,)
+    )
+    if kind == "join":
+        groups.update(gids)
+        shards = rebalance(shards, groups)
+    elif kind == "leave":
+        groups.difference_update(gids)
+        shards = rebalance(shards, groups)
+    elif kind == "move":
+        if shard is None or not (0 <= shard < N_SHARDS):
+            raise ValueError(f"move needs a shard in [0,{N_SHARDS})")
+        lst = list(shards)
+        lst[shard] = gid  # type: ignore[assignment]
+        shards = tuple(lst)
+    else:
+        raise ValueError(f"unknown shardctrler op kind {kind!r}")
+    return groups, shards
 
 
 # --------------------------------------------------------------------------
@@ -463,5 +484,86 @@ def shardctrler_movement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 moved * F.coalesce(F.col("n_keys"), F.lit(0))
             ).cast("long").alias("n_keys_moved"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin: the live controller (the symmetric half of the kv
+# capstone's batch/stream pair — operators/kvstore.py::kv_running_state)
+# --------------------------------------------------------------------------
+
+SHARDCTRLER_STREAM_SCHEMA = StructType(
+    [
+        StructField("config_num", LongType(), False),
+        StructField("shard", IntegerType(), False),
+        StructField("gid", IntegerType(), False),
+    ]
+)
+
+#: Controller state: the latest config — number, the shards array and
+#: the live group set (both JSON — bounded: NShards ints + live gids).
+_SC_STATE_SCHEMA = "num LONG, shards STRING, groups STRING"
+
+#: All ops route to ONE state key: the controller is a single logical
+#: object (the lab serializes it through one Raft group). A one-key
+#: stateful stream is inherently serial — correct for control-plane
+#: config management, never used for data.
+_SC_KEY = "ctrl"
+
+
+def _sc_update(key, pdfs, state):
+    import json as _json
+
+    import pandas as _pd
+
+    if state.exists:
+        num, shards_s, groups_s = state.get
+        shards = tuple(_json.loads(shards_s))
+        groups = set(_json.loads(groups_s))
+    else:
+        num, shards, groups = 0, (0,) * N_SHARDS, set()
+    out = {"config_num": [], "shard": [], "gid": []}
+    chunks = list(pdfs)
+    rows = _pd.concat(chunks) if chunks else _pd.DataFrame()
+    if len(rows):
+        # Ops apply in step order WITHIN the batch; the arrival
+        # contract (the kv twin's) is that steps never move backwards
+        # across micro-batches — the source is an ordered op-log.
+        for _, r in rows.sort_values("step").iterrows():
+            shard = None if _pd.isna(r["shard"]) else int(r["shard"])
+            groups, shards = apply_one_op(
+                r["kind"], int(r["gid"]), shard, groups, shards
+            )
+            num += 1
+            for sh, g in enumerate(shards):
+                out["config_num"].append(num)
+                out["shard"].append(sh)
+                out["gid"].append(int(g))
+    state.update(
+        (num, _json.dumps(list(shards)), _json.dumps(sorted(groups)))
+    )
+    yield _pd.DataFrame(out)
+
+
+def shardctrler_running_config(op_stream: DataFrame) -> DataFrame:
+    """Streaming shard controller over an op-log stream (step, kind,
+    gid, shard): every applied op emits its full new config (NShards
+    rows) — the Query surface a live controller exposes — with the
+    current config held in the state store between micro-batches.
+    Drained output must equal the batch ``apply_shard_ops`` chain
+    (configs 1..N; config #0 is the implicit initial state) exactly
+    (tests/test_shardctrler_stream.py)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        op_stream.withColumn("ctrl", F.lit(_SC_KEY))
+        .groupBy("ctrl")
+        .applyInPandasWithState(
+            _sc_update,
+            outputStructType=SHARDCTRLER_STREAM_SCHEMA,
+            stateStructType=_SC_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
