@@ -227,3 +227,42 @@ def test_leave_to_empty_then_rejoin():
     assert chain[1][1] == (7,) * N_SHARDS
     assert chain[2][1] == (0,) * N_SHARDS
     assert chain[3][1] == (9,) * N_SHARDS
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=12), min_size=N_SHARDS,
+             max_size=N_SHARDS),
+    st.sets(st.integers(min_value=1, max_value=12), max_size=12),
+)
+def test_rebalance_direct_fuzz(prev, groups):
+    """rebalance() fuzzed DIRECTLY over arbitrary prior assignments —
+    including states only reachable through Move pins (doubled gids,
+    orphans, non-member owners) that the op-log generator never
+    produces: balanced, allocated, deterministic, and minimal (a shard
+    moves iff its owner is gone or held more than its quota)."""
+    prev = tuple(prev)
+    out = rebalance(prev, groups)
+    assert out == rebalance(prev, groups)  # deterministic
+    _check(out, set(groups))
+    if not groups:
+        return
+    counts = Counter(g for g in prev if g in groups)
+    n = len(groups)
+    base, rem = divmod(N_SHARDS, n)
+    by_load = sorted(groups, key=lambda g: (-counts.get(g, 0), g))
+    quota = {g: base for g in groups}
+    for g in by_load[:rem]:
+        quota[g] += 1
+    moves = 0
+    for s in range(N_SHARDS):
+        if out[s] != prev[s]:
+            moves += 1
+            assert (
+                prev[s] not in groups or counts[prev[s]] > quota[prev[s]]
+            ), f"shard {s} moved needlessly"
+    # The move COUNT is exactly the forced minimum: orphans plus
+    # over-quota excess.
+    forced = sum(1 for s in range(N_SHARDS) if prev[s] not in groups)
+    forced += sum(max(0, counts[g] - quota[g]) for g in groups)
+    assert moves == forced
