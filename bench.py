@@ -174,6 +174,21 @@ CANARY = ("q1_pricing_summary", "q3_top_revenue_orders", "wordcount")
 CANARY_BAND = [2.4, 4.0]
 DRIFT_BAND = [57.7, 76.8]
 
+# Heavy-tail canary (VERDICT r14 #3): the light trio senses scan-light
+# host noise only — BENCH_r14 read its canary IN-band (3.429) while the
+# suite total landed 42% above DRIFT_BAND because the noise concentrated
+# in fixture-rebuild/memory-pressure territory (dedup_clusters cold
+# spread [9.6, 17.2] in the same session whose WARM reading was a normal
+# 1.16 s). The second canary therefore measures exactly that seam: the
+# COLD/WARM ratio of the two build-dominated headliners. Calm-host
+# decomposition (documented r13/r14): dedup_clusters cold ~2.6-3.3 /
+# warm ~1.2; semdedup_prune cold ~2.2-3.4 / warm ~1.3 — summed ratio
+# ~1.8-2.8. Memory-pressure sessions read 4-7x while warm stays flat, so
+# a ratio above the band adjudicates "heavy-tail host noise" from the
+# artifact alone even when the light trio is calm.
+HEAVY_CANARY = ("dedup_clusters", "semdedup_prune")
+HEAVY_CANARY_RATIO_BAND = [1.5, 3.5]
+
 # Headline set: one per operator family, weighted toward scale-sensitive
 # plans (scan-heavy agg, fact⋈fact join, window, LSH dedup, knn, sessions).
 HEADLINE = [
@@ -316,6 +331,28 @@ HEADLINE = [
 ]
 
 
+def _heavy_canary(results: dict, warm: dict) -> dict:
+    """The heavy-tail canary record: summed cold medians, summed warm
+    single-shots, and their ratio for HEAVY_CANARY, with the expected
+    calm-host ratio band. Incomplete members -> null fields + a false
+    complete flag (the ADVICE r14 rule: never default-sum to 0.0)."""
+    complete = all(q in results and q in warm for q in HEAVY_CANARY)
+    rec: dict = {
+        "members": list(HEAVY_CANARY),
+        "complete": complete,
+        "ratio_band": HEAVY_CANARY_RATIO_BAND,
+    }
+    if complete:
+        cold = sum(results[q] for q in HEAVY_CANARY)
+        w = sum(warm[q] for q in HEAVY_CANARY)
+        rec["cold_seconds"] = round(cold, 3)
+        rec["warm_seconds"] = round(w, 3)
+        rec["cold_warm_ratio"] = round(cold / w, 3) if w > 0 else None
+    else:
+        rec["cold_seconds"] = rec["warm_seconds"] = rec["cold_warm_ratio"] = None
+    return rec
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     specs = all_queries()
@@ -410,11 +447,23 @@ def main() -> None:
         # Provenance for adjudicating noisy rounds from this artifact
         # alone (VERDICT r13 #7): the canary trio's cold-median sum with
         # its expected band, and the same-code suite-total swing band.
-        "canary_seconds": round(
-            sum(results.get(q, 0.0) for q in CANARY), 3
+        # ADVICE r14: a canary member missing from a partial run emits
+        # canary_seconds=null (flagged by canary_complete) — summing
+        # with 0.0 defaults made a broken round read as a calm host.
+        "canary_seconds": (
+            round(sum(results[q] for q in CANARY), 3)
+            if all(q in results for q in CANARY)
+            else None
         ),
+        "canary_complete": all(q in results for q in CANARY),
         "canary_band": CANARY_BAND,
         "drift_band": DRIFT_BAND,
+        # Heavy-tail canary (VERDICT r14 #3): cold/warm ratio of the two
+        # build-dominated headliners — senses the fixture-rebuild/
+        # memory-pressure noise the light trio never touches. null (with
+        # complete=false) when either member errored or lost its warm
+        # pass, never a silent 0.0.
+        "heavy_canary": _heavy_canary(results, warm),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Round-over-round observations that have no other repo-owned
         # home (PROGRESS.jsonl is driver-owned).
@@ -460,8 +509,13 @@ def encode_stdout_line(
         # round from this line alone — canary trio vs its band, suite
         # total vs the same-code drift band.
         "canary_seconds": full.get("canary_seconds"),
+        "canary_complete": full.get("canary_complete"),
         "canary_band": full.get("canary_band", CANARY_BAND),
         "drift_band": full.get("drift_band", DRIFT_BAND),
+        # Heavy-tail canary, compact: [cold/warm ratio, band] — the full
+        # decomposition lives in the tracked file.
+        "heavy_ratio": (full.get("heavy_canary") or {}).get("cold_warm_ratio"),
+        "heavy_ratio_band": HEAVY_CANARY_RATIO_BAND,
         "detail": detail,
         "sf": full["sf"],
     }

@@ -217,6 +217,14 @@ def decode_bmp(raw: bytes) -> np.ndarray:
     return out
 
 
+#: Hard RLE8 grid-allocation budget: 64 MiB of uint8 pixels. Any real
+#: BI_RLE8 image sits far below this; a crafted header claiming more is
+#: rejected before np.zeros. Spec-valid skip-heavy encodings (delta
+#: skips / early EOB over mostly-blank images) stay decodable (ADVICE
+#: r14 — the old 255*stream_len proportion gate reclassified them).
+_RLE8_MAX_PIXELS = 64 * 1024 * 1024
+
+
 def _decode_rle8(raw: bytes, offset: int, h: int, w: int) -> np.ndarray:
     """BI_RLE8 decompression (public DIB spec): (count, value) runs;
     escape 00 00 = end of line, 00 01 = end of bitmap, 00 02 = delta
@@ -225,19 +233,22 @@ def _decode_rle8(raw: bytes, offset: int, h: int, w: int) -> np.ndarray:
     Overruns of the pixel grid or the byte stream raise ValueError
     (corrupt_data).
 
-    Allocation guard (ADVICE r13): the grid is sized from header-claimed
-    dimensions, so a ~1 KiB crafted blob claiming 2^20 x 2^20 would
-    otherwise trigger a 1 TiB np.zeros before a single stream byte is
-    read — defeating the quarantine path's row-level resilience with an
-    executor OOM. Every 2 stream bytes write at most 255 pixels, so a
-    grid the stream could never meaningfully cover is rejected up front
-    (degenerate skip-heavy encodings of mostly-blank images fall to the
-    corrupt_data class too — a documented trade for OOM safety)."""
+    Allocation guard (ADVICE r13, re-gated per ADVICE r14): the grid is
+    sized from header-claimed dimensions, so a ~1 KiB crafted blob
+    claiming 2^20 x 2^20 would otherwise trigger a 1 TiB np.zeros before
+    a single stream byte is read — defeating the quarantine path's
+    row-level resilience with an executor OOM. The gate is a hard
+    ALLOCATION budget (_RLE8_MAX_PIXELS, 64 MiB of uint8 grid), not a
+    stream-length proportion: spec-valid skip-heavy encodings (delta
+    skips / early end-of-bitmap over mostly-blank images) cover many
+    pixels with few bytes and must still decode; only a grid too large
+    to safely allocate is rejected."""
     stream_len = len(raw) - offset
-    if stream_len < 2 or h * w > 255 * stream_len:
+    if stream_len < 2 or h * w > _RLE8_MAX_PIXELS:
         raise ValueError(
-            f"RLE8 pixel grid {w}x{h} disproportionate to "
-            f"{stream_len}-byte stream"
+            f"RLE8 pixel grid {w}x{h} disproportionate to the "
+            f"{_RLE8_MAX_PIXELS}-pixel allocation budget "
+            f"(stream is {stream_len} bytes)"
         )
     grid = np.zeros((h, w), dtype=np.uint8)  # file row order (bottom-up)
     x = row = 0

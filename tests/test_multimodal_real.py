@@ -971,10 +971,21 @@ def test_bmp_rle8_allocation_guard():
     with pytest.raises(ValueError):
         decode_bmp(rle_file(b"", 2, 2))
     # The guard admits ordinary encodings: one 2-byte run per 255-or-
-    # fewer pixels stays well inside the 255x bound.
+    # fewer pixels stays well inside the budget.
     ok = rle_file(b"\x04\x09\x00\x00\x04\x07\x00\x01", 2, 4)
     px = decode_bmp(ok)
     assert px.shape == (2, 4) and px[1].tolist() == [9, 9, 9, 9]
+    # ADVICE r14: the gate is an ALLOCATION budget, not a stream-length
+    # proportion — a spec-valid skip-heavy encoding of a mostly-blank
+    # image (600x600 pixels from an 8-byte stream: one run, then early
+    # end-of-bitmap; skipped pixels decode as palette index 0) must
+    # DECODE, not quarantine. Under the old 255*stream_len rule this
+    # blob (360k pixels vs 2040-pixel cap) was reclassified corrupt.
+    sparse = rle_file(b"\x03\x05\x00\x00\x00\x01", 600, 600)
+    px = decode_bmp(sparse)
+    assert px.shape == (600, 600)
+    assert px[599, :3].tolist() == [5, 5, 5]  # bottom-up file rows
+    assert int(px.sum()) == 15  # everything else is skipped -> 0
 
 
 def test_png_trns_seams_by_color_type():

@@ -266,3 +266,30 @@ def test_rebalance_direct_fuzz(prev, groups):
     forced = sum(1 for s in range(N_SHARDS) if prev[s] not in groups)
     forced += sum(max(0, counts[g] - quota[g]) for g in groups)
     assert moves == forced
+
+
+def test_op_log_gids_unique_and_never_rejoin(spark, sf_dir):
+    """ADVICE r14: the unrolled SQL oracle computes step-i membership as
+    (joins with step <= i) MINUS (leaves with step <= i) — a set
+    difference, not a running fold. That is equivalent to the Python
+    fold ONLY while the derived op-log never joins the same gid twice
+    and never rejoins a gid after its leave. Pin that assumption on the
+    log itself so a future re-keying of the gid scheme fails loudly here
+    instead of silently desynchronizing fold and oracle."""
+    from map_reduce_go_spark.operators.shardctrler import shardctrler_op_log
+
+    rows = sorted(
+        shardctrler_op_log(spark, sf_dir).collect(), key=lambda r: r.step
+    )
+    joined: set[int] = set()
+    left: set[int] = set()
+    for r in rows:
+        if r.kind == "join":
+            assert r.gid not in joined, f"gid {r.gid} joins twice (step {r.step})"
+            assert r.gid not in left, f"gid {r.gid} rejoins after leave (step {r.step})"
+            joined.add(r.gid)
+        elif r.kind == "leave":
+            assert r.gid in joined and r.gid not in left, (r.step, r.gid)
+            left.add(r.gid)
+        else:  # move targets must reference a still-live gid
+            assert r.gid in joined and r.gid not in left, (r.step, r.gid)
