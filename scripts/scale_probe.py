@@ -288,6 +288,35 @@ R14_TABLES = ("documents", "orders", "nation")  # nation copies fixed
 # orders key-space distinct.
 R14_EXTRA_SHIFTS = {"orders": ["o_custkey"]}
 
+# Whole-suite family (VERDICT r14 #6): ONE comparable suite-level curve —
+# every bench.py headliner against one 8x full-model fixture, converting
+# the per-family scale claims above into a single table (SCALE.md). The
+# model follows the repo's replication philosophy: facts + customer grow
+# (FK-consistent strides), the true dims (region/nation/supplier/part)
+# stay fixed like real scale-up, and documents grow vocabulary-fresh
+# (word_salt) so token-blocked plans measure corpus growth, not a
+# saturated-shingle fixture artifact. Exclusions are the two documented
+# by-definition-quadratic headliners — logged in the probe output, never
+# silent (the no-silent-caps rule).
+SUITE_EXCLUDE = {
+    "semdedup_prune": "within-cell quadratic by design; K_CELLS grows with N (see probe header)",
+    "dedup_embedding_cosine": "exact all-pairs O(N^2) by definition; LSH/IVF are its scale path",
+}
+
+
+def suite_queries() -> list[str]:
+    from bench import HEADLINE
+
+    return [q for q in HEADLINE if q not in SUITE_EXCLUDE]
+
+
+SUITE_EXTRA_SHIFTS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_custkey"],
+    "events": ["user_id"],
+}
+SUITE_FK_BASES = {"o_custkey": "customer", "l_orderkey": "orders"}
+
 
 def replicate(
     spark,
@@ -971,7 +1000,10 @@ def main() -> None:
         "round11": (R11_QUERIES, R11_TABLES, None, None),
         "distrank": (DISTRANK_QUERIES, DISTRANK_TABLES, DISTRANK_EXTRA_SHIFTS, None),
         "round14": (R14_QUERIES, R14_TABLES, R14_EXTRA_SHIFTS, None),
+        "suite": (None, TABLES, SUITE_EXTRA_SHIFTS, SUITE_FK_BASES),
     }.get(family, (QUERIES, TABLES, None, None))
+    if family == "suite":
+        queries = suite_queries()
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = tempfile.mkdtemp(prefix="sfbig_")
@@ -1035,7 +1067,7 @@ def main() -> None:
             out_dir,
             tables=tables,
             extra_shifts=extra,
-            word_salt=(family in ("setsim", "setsimskew", "round6", "round8c", "round10", "round10b", "round11", "round14")),
+            word_salt=(family in ("setsim", "setsimskew", "round6", "round8c", "round10", "round10b", "round11", "round14", "suite")),
             fk_bases=fk,
             inject_hot=(family == "setsimskew"),
         )
