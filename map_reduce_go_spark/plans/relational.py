@@ -2584,6 +2584,17 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniformly each iteration, so the PageRank vector sums to exactly 1
     at every step (probability-mass conservation is unit-tested).
 
+    Lineage truncation (r15, adjudicating VERDICT r14 watch item 1):
+    each iteration references pr TWICE (leaked + incoming), so the
+    lazily-composed loop re-evaluated the chain ~2^iters times with a
+    broadcast exchange per reference — the r14 calm-host median drifted
+    to 5.0 s and a fresh median-of-5 read 7.5 s with a [4.2, 17.0]
+    spread, the signature of a plan whose cost rides driver/JVM state
+    rather than data. An eager 25-row localCheckpoint per iteration
+    (the dedup_clusters discipline) makes every iteration one tiny job
+    over the cached edge rollup and the final plan shallow; values are
+    bit-identical (same expressions, same order).
+
     Cross-engine determinism: edge weights and out-degrees are exact
     integers; each iteration sums ≤ |nations| double terms of identical
     expression shape ((pr · w) / o), so engine-order ULP drift is
@@ -2644,6 +2655,7 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("pr"),
             )
+            .localCheckpoint(eager=True)  # 25 rows; truncates the 2-ref lineage
         )
     return pr.join(
         F.broadcast(nation), pr.node == F.col("n_nationkey")

@@ -54,91 +54,97 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # green hash no longer certifies the code that will ship, so it re-hashes
 # in the NEXT window regardless of row age.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-14 window — executing the rotation VERDICT r13 #1 pinned at
-    # r13 close. Composition:
-    # --- (a) the FIVE r7-era rows displaced from the r13 window (the
-    #     oldest latest-rows in the registry, pinned by name at r13
-    #     close) ---
-    "weekly_activity_bitmap",
-    "churn_weekly_rates",
-    "doc_chunking_fixed_tokens",
-    "equidepth_histogram_price_approx",
-    "correlated_subquery_above_nation_avg",
-    # --- (b) round-14 additions (never checked, must lead per
-    #     tests/test_registry_contract.py): the shard-controller capstone
-    #     closing §2.4 (VERDICT r13 #3), maximal-span exact-substring
-    #     dedup (VERDICT r13 #4), its decision output — the merged
-    #     keep-lowest-copy cut list — and the reshard movement report
-    #     (minimal movement measured in keys per config transition). ---
-    "shardctrler_apply_log",
+    # Round-15 window — executing the rotation VERDICT r14 #1 pinned at
+    # r14 close. Composition:
+    # --- (a) round-15 additions (never checked, must lead per
+    #     tests/test_registry_contract.py): the exact-substring cut
+    #     APPLICATION closing the span-dedup loop (VERDICT r14 #5) —
+    #     the post-cut corpus manifest and its per-source token
+    #     attrition in the mixture planner's shape. ---
+    "dedup_span_apply",
+    "dedup_span_attrition_by_source",
+    # --- (b) queue-jumpers under the strict rule (fn/oracle/fixture
+    #     changed after their latest driver row):
+    #     dedup_maximal_spans + dedup_span_cuts — their shared core
+    #     shared_span_runs now sizes the match-join shuffle to measured
+    #     candidate mass (VERDICT r14 #4, the 64x spill fix);
+    #     multimodal_quarantine_audit — the RLE8 allocation guard in its
+    #     BMP decode path re-gated from a stream-length proportion to a
+    #     hard pixel budget (ADVICE r14);
+    #     pagerank_nation_trade — per-iteration eager localCheckpoint
+    #     truncating the 2-reference lineage (VERDICT r14 watch item 1
+    #     adjudication: plan-level cause found and fixed). ---
     "dedup_maximal_spans",
     "dedup_span_cuts",
-    "shardctrler_movement_report",
-    # --- (c) queue-jumpers under the strict reading of the rule: their
-    #     r13 rows predate this round's codec hardening (ADVICE r13 —
-    #     RLE8 allocation guard, tRNS reclassification, ADPCM fact
-    #     truncation), which lives inside their decode call path. No
-    #     fixture class changed and verify_driver re-matched 253/253
-    #     post-change, but "changed after its latest row" is read
-    #     conservatively: the driver re-hashes them. ---
     "multimodal_quarantine_audit",
-    "mulaw_audio_energy_windows",
-    # --- (d) 39 of the 50 r9-era rows, oldest-first in registration
-    #     order (computed from CORRECTNESS_r01..r13 latest rows) ---
-    "winnowing_fingerprints",
-    "dedup_sorted_neighborhood",
-    "matryoshka_truncation_recall",
-    "rrf_fusion_topk",
-    "set_ops_all_variants",
-    "unpivot_part_metrics",
-    "minmax_by_order_extremes",
-    "window_range_frame_30d",
-    "window_value_functions",
-    "scalar_subquery_in_select",
-    "quantile_sketch_probe",
-    "mad_outliers_by_segment",
     "pagerank_nation_trade",
-    "bootstrap_ci_avg_price",
-    "events_multi_granularity_rollup",
-    "range_join_error_click_counts",
-    "survival_order_fulfillment",
-    "purchase_scd2_state_lookup",
-    "q4_order_priority_count",
-    "q7_nation_trade_volume",
-    "q10_returned_item_revenue",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_dormant_customers",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "quality_filter_chain",
-    "train_test_split",
-    "shuffle_shards",
-    "sequence_packing",
-    "stratified_sample_by_lang",
-    "data_mixture_upsample",
-    "pii_redaction",
-    "decontaminate_against_eval",
-    # (r15 window, pinned by name: the ELEVEN r9-era rows displaced by
-    # the four new registrations, the two queue-jumpers, and the five
-    # r7-era leads — mixture_temperature_weights, cdc_chunk_stats,
-    # feature_hashing_vectorize,
-    # partkey_skew_spectrum, fifo_inventory_allocation,
-    # dataset_card_by_source, auc_value_by_event_type,
-    # psi_doclen_drift, decision_stump_doclen, cusum_daily_changepoint,
-    # spearman_quantity_price — lead it,
-    # followed by the r10-era rows oldest-first in registration order.
+    # --- (c) the ELEVEN r9-era rows displaced by r14's registrations,
+    #     pinned by name at r14 close (VERDICT r14 #1) — the oldest
+    #     latest-rows in the registry, in registration order. ---
+    "mixture_temperature_weights",
+    "cdc_chunk_stats",
+    "feature_hashing_vectorize",
+    "partkey_skew_spectrum",
+    "fifo_inventory_allocation",
+    "dataset_card_by_source",
+    "auc_value_by_event_type",
+    "psi_doclen_drift",
+    "decision_stump_doclen",
+    "cusum_daily_changepoint",
+    "spearman_quantity_price",
+    # --- (d) 33 of the 49 r10-era rows, oldest-first in registration
+    #     order (computed from CORRECTNESS_r01..r14 latest rows) ---
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_pipeline_exact_then_lsh",
+    "dedup_keep_best",
+    "cross_doc_span_dupes",
+    "lsh_recall_probe",
+    "near_dup_cluster_sizes",
+    "dedup_incremental_batch",
+    "wordcount",
+    "inverted_index",
+    "generic_mapreduce_wordcount",
+    "per_file_count",
+    "file_projections",
+    "multimodal_blob_meta",
+    "multimodal_audio_resample_stub",
+    "embedding_quality_audit",
+    "corpus_head_coverage",
+    "token_commonness_score",
+    "scalar_regex_functions",
+    "null_handling_functions",
+    "map_functions_probe",
+    "corr_quantity_price",
+    "histogram_price_buckets",
+    "date_arithmetic_functions",
+    "explode_outer_probe",
+    "table_profile_lineitem",
+    "scalar_bitwise_functions",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_sessionize",
+    "funnel_view_click_purchase",
+    # (r16 window, pinned by name: the SIXTEEN remaining r10-era rows —
+    # cohort_hourly_retention, event_transition_matrix,
+    # asof_join_purchase_to_click, q2_min_cost_supplier,
+    # q11_important_stock, q20_excess_stock_suppliers,
+    # shard_balance_audit, eval_contamination_report,
+    # length_weighted_sample, cdc_gear_chunk_stats, cdc_chunk_dedup,
+    # quality_classifier_score, classifier_calibration_bins,
+    # ann_ivf_persisted, ann_lsh_persisted, ann_ivf_incremental_probe —
+    # lead it, followed by the r11-era rows oldest-first in registration
+    # order (editdist_deletion_join, dedup_minhash_containment,
+    # lsh_band_tuning_report, ann_ivf_cosine, ann_pq_adc_topk, ...).
     # Any additions with no driver row yet must be appended to THIS
     # tuple so the never-checked invariant in
     # tests/test_registry_contract.py holds, and any query whose
     # fn/oracle/fixture changes after its latest driver row jumps into
     # the next window per the rule above.)
 )
+
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -603,3 +603,109 @@ def test_maximal_span_equals_bruteforce_lcs(spark):
         assert n == want[(a, b)], (a, b, n, want[(a, b)])
         sa, sb = r["pos_a"] - 1, r["pos_b"] - 1
         assert toks[a][sa : sa + n] == toks[b][sb : sb + n]
+
+
+def test_span_apply_composes_with_cut_list(spark):
+    """Cut APPLICATION over the planted corpus (VERDICT r14 #5): every
+    doc appears exactly once; kept + cut == orig everywhere; per-doc
+    cut_tokens equals the cut list's sum (composition with
+    exact_substring_cut_list); the never-cut doc's digest is the digest
+    of its FULL token stream; and a cut doc's digest equals the md5 of
+    exactly the surviving tokens in original order."""
+    import hashlib
+
+    from map_reduce_go_spark.operators.dedup import (
+        exact_substring_apply,
+        exact_substring_cut_list,
+    )
+
+    span = [f"plantword{i}" for i in range(23)]
+    second = [f"secondrun{i}" for i in range(12)]
+    edited = list(span)
+    edited[11] = "EDITEDTOKEN"
+
+    def words(prefix, n):
+        return [f"{prefix}{i}" for i in range(n)]
+
+    toks = {
+        1: words("fillerA", 3) + span + words("fillerB", 5)
+           + second + words("fillerC", 2),
+        2: words("fillerD", 6) + span + words("fillerE", 4)
+           + second + words("fillerF", 3),
+        5: words("fillerK", 9) + edited + words("fillerL", 4),
+    }
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in toks.items()],
+        "doc_id long, text string",
+    )
+    applied = {r["doc_id"]: r for r in exact_substring_apply(docs).collect()}
+    assert set(applied) == set(toks)  # full manifest, not just cut rows
+    # The engine tokenizes on WORD_BOUNDARY = [^\p{L}]+ (digits are
+    # separators), so the expected digests are over letter-only tokens.
+    import re
+
+    toks = {
+        d: [w for w in re.split(r"[^a-zA-Z]+", " ".join(t)) if w]
+        for d, t in toks.items()
+    }
+    cut_sum: dict[int, int] = {}
+    cut_ranges: dict[int, list[tuple[int, int]]] = {}
+    for r in exact_substring_cut_list(docs).collect():
+        cut_sum[r["doc_id"]] = cut_sum.get(r["doc_id"], 0) + r["cut_tokens"]
+        cut_ranges.setdefault(r["doc_id"], []).append(
+            (r["cut_start"], r["cut_end"])
+        )
+    for d, t in toks.items():
+        row = applied[d]
+        assert row["orig_tokens"] == len(t)
+        assert row["kept_tokens"] + row["cut_tokens"] == row["orig_tokens"]
+        assert row["cut_tokens"] == cut_sum.get(d, 0)
+        kept = [
+            tok for i, tok in enumerate(t, start=1)
+            if not any(s <= i <= e for s, e in cut_ranges.get(d, []))
+        ]
+        want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert row["kept_digest"] == want, (d, kept[:5])
+    # Doc 1 is the lowest of its family: untouched, full-stream digest.
+    assert applied[1]["cut_tokens"] == 0
+    assert applied[1]["kept_digest"] == hashlib.md5(
+        " ".join(toks[1]).encode()
+    ).hexdigest()
+    # Doc 2 loses both planted runs (23 + 12); doc 5 its two 11-token
+    # halves around the surviving edit.
+    assert applied[2]["cut_tokens"] == 35
+    assert applied[5]["cut_tokens"] == 22
+    assert "EDITEDTOKEN" not in " ".join(toks[5][:9])  # sanity on layout
+
+
+def test_match_join_width_sizing(spark, sf_dir):
+    """VERDICT r14 #4 regression pin: the span match join's shuffle width
+    follows measured candidate mass — floor at the session default,
+    ceil(mass/2M) in between, hard cap at 4096 — and the physical plan
+    carries the explicit REPARTITION_BY_NUM exchanges on BOTH match-join
+    sides (the co-partitioning that keeps the join from adding its own
+    undersized exchange)."""
+    from map_reduce_go_spark.operators.dedup import (
+        _MATCH_MAX_PARTITIONS,
+        _MATCH_ROWS_PER_PARTITION,
+        _match_partitions,
+        maximal_shared_spans,
+    )
+    from map_reduce_go_spark.sources.readers import load_table
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _match_partitions(spark, 0) == default
+    assert _match_partitions(spark, 1.11e9) == max(
+        default, -(-int(1.11e9) // _MATCH_ROWS_PER_PARTITION)
+    )
+    assert _match_partitions(spark, 1e12) == _MATCH_MAX_PARTITIONS
+    plan = (
+        maximal_shared_spans(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    assert plan.count("REPARTITION_BY_NUM") >= 2, plan[:2000]
