@@ -162,7 +162,44 @@ NOTES = (
     "diagonal-island window — the span-extension family's scale "
     "plan); shardctrler_apply_log (registered r14) is a bounded "
     "control-plane fold + one distinct-over-orders agg, ~1s class, "
-    "not a headliner (the kv_apply_log precedent)."
+    "not a headliner (the kv_apply_log precedent). "
+    "r15 ADJUDICATION of pagerank_nation_trade (VERDICT r14 watch item "
+    "1 / #2): the cause was PLAN-level and is fixed. Each power "
+    "iteration referenced pr TWICE (leaked + incoming), so the lazily "
+    "composed 3-iteration loop re-evaluated the chain ~2^iters times "
+    "with a broadcast exchange per reference — cost rode driver/JVM "
+    "state, which is why it did NOT return to band on a calm host. "
+    "Measured mid-r15 on a noisy host (canary trio 4.9-6.4, well above "
+    "band): median-of-5 BEFORE fix 7.53 [4.24, 16.95] — the wide "
+    "spread is the deep-plan signature; AFTER an eager 25-row "
+    "localCheckpoint per iteration, median-of-3 3.70 [3.67, 3.71] on "
+    "the SAME noisy host — tight spread, values bit-identical (mass "
+    "conservation + oracle re-verified). Expected calm-host band: "
+    "~2.5-3.5s cold. dedup_span_apply / dedup_span_attrition_by_source "
+    "(registered r15, the cut-application stage) are NOT headliners: "
+    "they recompute the full span pipeline plus a corpus tokenize-join "
+    "(~8-9s cold on the same noisy host), and dedup_maximal_spans "
+    "already canaries the family's scale-sensitive core; their scale "
+    "story inherits the match-join sizing below. shared_span_runs now "
+    "SIZES the match-join shuffle from measured candidate mass "
+    "(VERDICT r14 #4): two one-scalar pre-jobs that populate caches "
+    "the plan reuses, then both join sides repartition to "
+    "ceil(mass/2M) on the join keys — expect dedup_maximal_spans cold "
+    "+0.3-0.7s at sf0.1 for the pre-jobs, bought back many times over "
+    "at 64x (see SCALE.md's re-probe). "
+    "r15 close (calm host, light canary 2.93 = band center): suite "
+    "69.7s in-band; pagerank cold median 2.48 [2.39, 2.82] — BELOW "
+    "every prior round (r10-r12 band 2.97-3.56), watch item closed; "
+    "dedup_maximal_spans cold 6.0 [5.7, 7.2] vs 4.0 at r14 — the "
+    "measured 1x price of the match-join sizing is ~+2s (the two "
+    "pre-jobs serialize the fingerprint and position builds ahead of "
+    "the main job instead of overlapping them inside it), larger than "
+    "the +0.3-0.7 first estimated and accepted against the 64x win "
+    "(895.6 -> 676-680s); its warm ~= cold (5.69), so the cost is "
+    "structural, not memo-related — a >7s calm-cold median is the "
+    "re-look signal. First heavy-canary calm reading: 3.58 "
+    "(dedup_clusters warm is memo-trivial at ~0.15s), band recalibrated "
+    "to [1.8, 5.5] before BENCH_r15."
 )
 
 # The adjudication bands the NOTES prose derives (kept as data so each
@@ -187,7 +224,13 @@ DRIFT_BAND = [57.7, 76.8]
 # a ratio above the band adjudicates "heavy-tail host noise" from the
 # artifact alone even when the light trio is calm.
 HEAVY_CANARY = ("dedup_clusters", "semdedup_prune")
-HEAVY_CANARY_RATIO_BAND = [1.5, 3.5]
+# Calibration: the first calm-host reading (r15 close, light canary 2.93
+# = band center) measured 3.58 — dedup_clusters' label memo makes its
+# warm leg ~0.15 s, far below the ~1.2 s the provisional [1.5, 3.5]
+# band assumed from driver-run warms. Band re-centered on the measured
+# calm reading with headroom on both sides; the r14 pressure signature
+# (cold 17.1 / warm ~2.4 -> ~7) stays far outside it.
+HEAVY_CANARY_RATIO_BAND = [1.8, 5.5]
 
 # Headline set: one per operator family, weighted toward scale-sensitive
 # plans (scan-heavy agg, fact⋈fact join, window, LSH dedup, knn, sessions).

@@ -709,3 +709,30 @@ def test_match_join_width_sizing(spark, sf_dir):
         )
     )
     assert plan.count("REPARTITION_BY_NUM") >= 2, plan[:2000]
+
+
+def test_span_attrition_sums_match_apply(spark, sf_dir):
+    """dedup_span_attrition_by_source is exactly dedup_span_apply rolled
+    up by source: token totals and doc counts must agree, and the ppm is
+    the floor of the aggregate ratio (never a per-doc average)."""
+    from map_reduce_go_spark.registry import all_queries
+
+    qs = all_queries()
+    apply_rows = qs["dedup_span_apply"].fn(spark, sf_dir).collect()
+    attr_rows = qs["dedup_span_attrition_by_source"].fn(spark, sf_dir).collect()
+    assert sum(r["docs"] for r in attr_rows) == len(apply_rows)
+    assert sum(r["tokens_before"] for r in attr_rows) == sum(
+        r["orig_tokens"] for r in apply_rows
+    )
+    assert sum(r["tokens_after"] for r in attr_rows) == sum(
+        r["kept_tokens"] for r in apply_rows
+    )
+    assert sum(r["docs_cut"] for r in attr_rows) == sum(
+        1 for r in apply_rows if r["cut_tokens"] > 0
+    )
+    for r in attr_rows:
+        if r["tokens_before"]:
+            want = (1_000_000 * (r["tokens_before"] - r["tokens_after"])) // r[
+                "tokens_before"
+            ]
+            assert r["tokens_removed_ppm"] == want, r
