@@ -2668,3 +2668,121 @@ def dedup_span_attrition_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("tokens_removed_ppm"),
         )
     )
+
+
+@register(
+    "dedup_pipeline_exact_then_span",
+    oracle=f"""
+    WITH keep AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text)
+    ),
+    survivors AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d
+      JOIN keep k ON md5(d.text) = k.h AND d.doc_id = k.keep_id
+    ),
+    {_MAXSPAN_RUNS_CTES.replace("FROM documents", "FROM survivors")},{_SPANCUT_ISLANDS_CTES}{_SPANAPPLY_CTES},
+    tot AS (
+      SELECT source,
+             COUNT(*) AS docs_total,
+             SUM(len(list_filter(string_split_regex(text, '[^\\p{{L}}]+'),
+                                 x -> len(x) > 0))) AS tokens_total
+      FROM documents GROUP BY source
+    ),
+    sv AS (
+      SELECT s.source,
+             COUNT(*) AS docs_after_exact,
+             SUM(a.orig_tokens) AS tokens_after_exact,
+             SUM(a.kept_tokens) AS tokens_after_span
+      FROM applied a JOIN survivors s ON s.doc_id = a.doc_id
+      GROUP BY s.source
+    )
+    SELECT t.source,
+           CAST(t.docs_total AS BIGINT) AS docs_total,
+           CAST(sv.docs_after_exact AS BIGINT) AS docs_after_exact,
+           CAST(t.tokens_total AS BIGINT) AS tokens_total,
+           CAST(sv.tokens_after_exact AS BIGINT) AS tokens_after_exact,
+           CAST(sv.tokens_after_span AS BIGINT) AS tokens_after_span,
+           CASE WHEN t.tokens_total = 0 THEN 0
+                ELSE CAST(floor(1000000.0 * (t.tokens_total - sv.tokens_after_exact)
+                                / t.tokens_total) AS BIGINT) END
+             AS exact_removed_ppm,
+           CASE WHEN sv.tokens_after_exact = 0 THEN 0
+                ELSE CAST(floor(1000000.0 * (sv.tokens_after_exact - sv.tokens_after_span)
+                                / sv.tokens_after_exact) AS BIGINT) END
+             AS span_removed_ppm
+    FROM tot t JOIN sv ON sv.source = t.source
+    """,
+)
+def dedup_pipeline_exact_then_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup ORDER at span granularity — the two-stage
+    funnel a real pipeline runs and reports: exact whole-document dedup
+    first (cheap digest groupBy, keep the lowest doc_id — identical to
+    dedup_exact's rule, so the stages compose with the rest of the
+    suite), THEN exact-substring span cuts applied to the survivors
+    (the full shared-runs -> cut-list -> application chain of
+    dedup_span_apply, scoped to the post-exact corpus). Output is the
+    per-source funnel: docs and tokens at each stage plus the removed
+    ppm per stage — what a mixture planner consumes to correct
+    per-source budgets after BOTH dedup passes (the
+    dedup_pipeline_exact_then_lsh precedent, reported in tokens).
+
+    Oracle note: the span chain is the SAME certified CTE text as
+    dedup_maximal_spans/dedup_span_cuts/dedup_span_apply, re-sourced
+    onto the survivors CTE by name — one substitution, zero semantic
+    drift. Running span dedup after exact dedup also removes the
+    identical-copy families from the candidate space, which is exactly
+    why production orders the stages this way.
+
+    Scale shape: the digest stage is one md5 groupBy + join (fixed
+    32-char keys); the span stage inherits shared_span_runs' measured
+    match-join sizing; the rollup is source-cardinality. Nothing new
+    shuffles beyond the composed stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    survivors = (
+        docs.join(keep, F.md5(docs["text"]) == keep["h"])
+        .where(F.col("keep_id") == F.col("doc_id"))
+        .select("doc_id", "text", "source")
+        .transform(tracked_cache)
+    )
+    applied = exact_substring_apply(survivors.select("doc_id", "text"))
+    ws_n = F.size(
+        F.filter(
+            F.split(F.col("text"), WORD_BOUNDARY), lambda x: F.length(x) > 0
+        )
+    )
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum(ws_n).cast("long").alias("tokens_total"),
+    )
+    sv = (
+        applied.join(survivors.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_after_exact"),
+            F.sum("orig_tokens").cast("long").alias("tokens_after_exact"),
+            F.sum("kept_tokens").cast("long").alias("tokens_after_span"),
+        )
+    )
+    te, ts = F.col("tokens_after_exact"), F.col("tokens_after_span")
+    tt = F.col("tokens_total")
+    return tot.join(sv, "source").select(
+        "source",
+        "docs_total",
+        "docs_after_exact",
+        "tokens_total",
+        "tokens_after_exact",
+        "tokens_after_span",
+        F.when(tt == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(1000000.0) * (tt - te) / tt))
+        .cast("long")
+        .alias("exact_removed_ppm"),
+        F.when(te == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(1000000.0) * (te - ts) / te))
+        .cast("long")
+        .alias("span_removed_ppm"),
+    )

@@ -59,10 +59,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (a) round-15 additions (never checked, must lead per
     #     tests/test_registry_contract.py): the exact-substring cut
     #     APPLICATION closing the span-dedup loop (VERDICT r14 #5) —
-    #     the post-cut corpus manifest and its per-source token
-    #     attrition in the mixture planner's shape. ---
+    #     the post-cut corpus manifest, its per-source token attrition
+    #     in the mixture planner's shape, and the two-stage production
+    #     funnel (exact dedup, then span cuts on the survivors,
+    #     reported per source). ---
     "dedup_span_apply",
     "dedup_span_attrition_by_source",
+    "dedup_pipeline_exact_then_span",
     # --- (b) queue-jumpers under the strict rule (fn/oracle/fixture
     #     changed after their latest driver row):
     #     dedup_maximal_spans + dedup_span_cuts — their shared core
@@ -126,8 +129,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_sliding_window",
     "events_session_window",
     "events_sessionize",
-    "funnel_view_click_purchase",
-    # (r16 window, pinned by name: the SIXTEEN remaining r10-era rows —
+    # (r16 window, pinned by name: the SEVENTEEN remaining r10-era rows —
+    # funnel_view_click_purchase (displaced here by the third r15
+    # registration, dedup_pipeline_exact_then_span),
     # cohort_hourly_retention, event_transition_matrix,
     # asof_join_purchase_to_click, q2_min_cost_supplier,
     # q11_important_stock, q20_excess_stock_suppliers,

@@ -736,3 +736,36 @@ def test_span_attrition_sums_match_apply(spark, sf_dir):
                 "tokens_before"
             ]
             assert r["tokens_removed_ppm"] == want, r
+
+
+def test_pipeline_exact_then_span_funnel_monotone(spark, sf_dir):
+    """The two-stage funnel's invariants per source: docs_after_exact <=
+    docs_total, tokens monotone down each stage, ppms consistent with
+    the aggregate floors, and stage 1 agrees with dedup_exact's keep
+    rule (total survivors == distinct content digests)."""
+    from map_reduce_go_spark.registry import all_queries
+
+    qs = all_queries()
+    rows = qs["dedup_pipeline_exact_then_span"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["docs_after_exact"] <= r["docs_total"]
+        assert r["tokens_after_span"] <= r["tokens_after_exact"] <= r["tokens_total"]
+        if r["tokens_total"]:
+            want = (
+                1_000_000 * (r["tokens_total"] - r["tokens_after_exact"])
+            ) // r["tokens_total"]
+            assert r["exact_removed_ppm"] == want, r
+        if r["tokens_after_exact"]:
+            want = (
+                1_000_000 * (r["tokens_after_exact"] - r["tokens_after_span"])
+            ) // r["tokens_after_exact"]
+            assert r["span_removed_ppm"] == want, r
+    import duckdb as _d  # digest count from the same parquet, independently
+
+    con = _d.connect()
+    n_digests = con.sql(
+        f"SELECT COUNT(DISTINCT md5(text)) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    con.close()
+    assert sum(r["docs_after_exact"] for r in rows) == n_digests
