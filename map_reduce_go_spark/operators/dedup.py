@@ -2218,11 +2218,23 @@ def shared_span_runs(docs: DataFrame) -> DataFrame:
     )
     # Measured candidate mass: pairs × avg positions/doc estimates the
     # expansion row count. Driver receives three scalars, never rows.
-    n_cand = cand.count()
-    st = pos.agg(
-        F.count(F.lit(1)).alias("np"),
-        F.countDistinct("doc_id").alias("nd"),
-    ).first()
+    # The two measurement actions run CONCURRENTLY (independent cached
+    # frames; Spark schedules concurrent jobs from separate threads), so
+    # the pre-pass costs max(fingerprint build, position build), not
+    # their sum — part of the measured ~+2 s 1x price of the sizing
+    # (BENCH_LOCAL notes) bought back.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_cand = ex.submit(cand.count)
+        f_stats = ex.submit(
+            lambda: pos.agg(
+                F.count(F.lit(1)).alias("np"),
+                F.countDistinct("doc_id").alias("nd"),
+            ).first()
+        )
+        n_cand = f_cand.result()
+        st = f_stats.result()
     est_rows = n_cand * (st["np"] / max(st["nd"], 1))
     n_part = _match_partitions(spark, est_rows)
     pa = pos.alias("pa")
