@@ -197,7 +197,10 @@ NOTES = (
     "the +0.3-0.7 first estimated and accepted against the 64x win "
     "(895.6 -> 676-680s); its warm ~= cold (5.69), so the cost is "
     "structural, not memo-related — a >7s calm-cold median is the "
-    "re-look signal. First heavy-canary calm reading: 3.58 "
+    "re-look signal. Post-close the two pre-actions were overlapped "
+    "(concurrent jobs on independent cached frames): cost is now "
+    "max(fingerprint build, position build), median ~5.6-5.7 on a "
+    "mildly elevated host. First heavy-canary calm reading: 3.58 "
     "(dedup_clusters warm is memo-trivial at ~0.15s), band recalibrated "
     "to [1.8, 5.5] before BENCH_r15."
 )
