@@ -2186,20 +2186,38 @@ def shared_span_runs(docs: DataFrame) -> DataFrame:
     the cut decision). See maximal_shared_spans for the candidate and
     diagonal-island mechanics and the scale contract.
 
-    Match-join shuffle sizing (VERDICT r14 #4): the candidate-pair ×
-    positions expansion is this family's one mass-scaling exchange
-    (~1.1G rows at the 64× probe), and at the session's default width
-    it spilled ~2×. The run MEASURES the mass first — two one-scalar
-    aggregates over frames the plan caches and reuses anyway, so the
-    jobs pre-pay cache population rather than adding work — and
-    repartitions BOTH sides of the match join on its keys to
-    ceil(mass / 2M) partitions, which the join reuses (co-partitioned
-    on (doc_b, h), no extra exchange). The explicit width also opts the
-    exchange out of AQE coalescing, deliberately: AQE would re-merge on
-    post-shuffle SIZE and re-create the oversized sorts."""
+    Match-join shuffle sizing (VERDICT r14 #4, cheapened per VERDICT
+    r15 #3): the candidate-pair × positions expansion is this family's
+    one mass-scaling exchange (~1.1G rows at the 64× probe), and at the
+    session's default width it spilled ~2×. The run BOUNDS the mass
+    first with ONE aggregate over frames the plan caches and reuses
+    anyway — for a fingerprint shared by n docs, each of its C(n,2)
+    candidate pairs expands by positions(doc_a) rows, so
+    Σ_fp sum_pos(fp) × (n_docs(fp) − 1) over qualifying fingerprints
+    bounds the expansion from above (pair-distinct collapse and a<b
+    ordering only shrink it); the bound is candidate-side weighted, so
+    the long-doc membership bias ADVICE r15 flagged inflates it, never
+    deflates it. When the bound already fits the session's default
+    width, sizing stops there (small inputs pay one cheap aggregate,
+    not the candidate self-join materialization). Only mass-heavy
+    inputs — where the pre-job is amortized against a long run — fall
+    back to the exact candidate count, multiplied by the
+    membership-weighted positions average (not the corpus-wide average:
+    candidate docs skew long). Both sides of the match join then
+    repartition on its keys to ceil(mass / 2M) partitions, which the
+    join reuses (co-partitioned on (doc_b, h), no extra exchange). The
+    explicit width also opts the exchange out of AQE coalescing,
+    deliberately: AQE would re-merge on post-shuffle SIZE and re-create
+    the oversized sorts.
+
+    NOT fully lazy (ADVICE r15): constructing this DataFrame runs the
+    sizing aggregate (plus, on mass-heavy inputs, the candidate count)
+    and populates tracked caches; the harness owning the action must
+    call release_caches() afterward. On a sizing failure the caches
+    this call created are released before the exception propagates."""
     spark = docs.sparkSession
     pos = _kgram_positions(docs).transform(tracked_cache)
-    fps = winnowing_fingerprint_sets(docs)
+    fps = winnowing_fingerprint_sets(docs).transform(tracked_cache)
     freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
     a, b = fps.alias("a"), fps.alias("b")
     cand = (
@@ -2214,29 +2232,44 @@ def shared_span_runs(docs: DataFrame) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
-        .transform(tracked_cache)
     )
-    # Measured candidate mass: pairs × avg positions/doc estimates the
-    # expansion row count. Driver receives three scalars, never rows.
-    # The two measurement actions run CONCURRENTLY (independent cached
-    # frames; Spark schedules concurrent jobs from separate threads), so
-    # the pre-pass costs max(fingerprint build, position build), not
-    # their sum — part of the measured ~+2 s 1x price of the sizing
-    # (BENCH_LOCAL notes) bought back.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f_cand = ex.submit(cand.count)
-        f_stats = ex.submit(
-            lambda: pos.agg(
-                F.count(F.lit(1)).alias("np"),
-                F.countDistinct("doc_id").alias("nd"),
-            ).first()
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        pos_cnt = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
+        st = (
+            fps.join(pos_cnt, "doc_id")
+            .groupBy("fp")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_pos").alias("sum_pos"),
+            )
+            .where(F.col("n_docs").between(2, WINNOW_STOP_DF))
+            .agg(
+                F.sum(F.col("sum_pos") * (F.col("n_docs") - 1)).alias("bound"),
+                F.sum("sum_pos").alias("sum_pos"),
+                F.sum("n_docs").alias("n_memb"),
+            )
+            .first()
         )
-        n_cand = f_cand.result()
-        st = f_stats.result()
-    est_rows = n_cand * (st["np"] / max(st["nd"], 1))
-    n_part = _match_partitions(spark, est_rows)
+        bound = float(st["bound"] or 0)
+        if bound <= default * _MATCH_ROWS_PER_PARTITION:
+            # Even the over-estimate fits the default width: no exact
+            # count, no extra cache — the 1x cold path ends here.
+            n_part = default
+        else:
+            # Mass-heavy: the bound over-counts by the pair-collapse
+            # factor, so size from the exact candidate count (amortized
+            # against a long run) × the membership-weighted positions
+            # average over qualifying fingerprints.
+            cand = cand.transform(tracked_cache)
+            n_cand = cand.count()
+            avg_pos = float(st["sum_pos"]) / max(int(st["n_memb"]), 1)
+            n_part = _match_partitions(spark, n_cand * avg_pos)
+    except Exception:
+        pos.unpersist()
+        fps.unpersist()
+        cand.unpersist()  # no-op unless the heavy path cached it
+        raise
     pa = pos.alias("pa")
     expn = (
         cand.join(pa, F.col("pa.doc_id") == F.col("doc_a"))
@@ -2309,7 +2342,11 @@ def maximal_shared_spans(docs: DataFrame) -> DataFrame:
     O(|A| + |B| + matches), and match volume is bounded by the
     stop-filter (a k-gram in > WINNOW_STOP_DF docs never forms a
     candidate on its own, and hot-k-gram match skew lands on the AQE
-    skew-join playbook like every hot-key join in this module)."""
+    skew-join playbook like every hot-key join in this module).
+
+    Not fully lazy (ADVICE r15): building the plan runs
+    shared_span_runs' match-join sizing aggregate and populates tracked
+    caches — release via release_caches() after the action."""
     runs = shared_span_runs(docs)
     best = Window.partitionBy("doc_a", "doc_b").orderBy(
         F.col("span_tokens").desc(), F.col("pos_a"), F.col("pos_b")
@@ -2445,7 +2482,9 @@ def exact_substring_cut_list(docs: DataFrame) -> DataFrame:
     Scale shape: inherits shared_span_runs' candidate-bounded cost; the
     decision itself adds one distinct + one per-doc window over RUN
     rows (orders of magnitude fewer than positions) — nothing here
-    re-touches the corpus."""
+    re-touches the corpus. Not fully lazy (ADVICE r15): building the
+    plan runs shared_span_runs' sizing aggregate and populates tracked
+    caches — release via release_caches() after the action."""
     runs = shared_span_runs(docs).where(
         F.col("span_tokens") >= MAXSPAN_MIN_TOKENS
     )
@@ -2552,7 +2591,10 @@ def exact_substring_apply(docs: DataFrame) -> DataFrame:
     scale). Range exclusion is a per-token higher-order filter against
     that bounded array (ranges per doc are merged and disjoint, so the
     inner EXISTS scans a handful of structs) — no explode, no
-    per-token shuffle, nothing driver-side."""
+    per-token shuffle, nothing driver-side. Not fully lazy (ADVICE
+    r15): building the plan runs shared_span_runs' sizing aggregate and
+    populates tracked caches — release via release_caches() after the
+    action."""
     cuts = exact_substring_cut_list(docs)
     ranges = cuts.groupBy("doc_id").agg(
         F.sort_array(
@@ -2682,9 +2724,10 @@ def dedup_span_attrition_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register(
-    "dedup_pipeline_exact_then_span",
-    oracle=f"""
+# The funnel's full oracle text, shared verbatim with its consumer
+# mixture_budget_correction (which wraps it as a CTE): one string, zero
+# drift between the funnel's certification and its downstream reader.
+_FUNNEL_ORACLE_SQL = f"""
     WITH keep AS (
       SELECT md5(text) AS h, min(doc_id) AS keep_id
       FROM documents GROUP BY md5(text)
@@ -2712,21 +2755,23 @@ def dedup_span_attrition_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT t.source,
            CAST(t.docs_total AS BIGINT) AS docs_total,
-           CAST(sv.docs_after_exact AS BIGINT) AS docs_after_exact,
+           CAST(COALESCE(sv.docs_after_exact, 0) AS BIGINT) AS docs_after_exact,
            CAST(t.tokens_total AS BIGINT) AS tokens_total,
-           CAST(sv.tokens_after_exact AS BIGINT) AS tokens_after_exact,
-           CAST(sv.tokens_after_span AS BIGINT) AS tokens_after_span,
+           CAST(COALESCE(sv.tokens_after_exact, 0) AS BIGINT) AS tokens_after_exact,
+           CAST(COALESCE(sv.tokens_after_span, 0) AS BIGINT) AS tokens_after_span,
            CASE WHEN t.tokens_total = 0 THEN 0
-                ELSE CAST(floor(1000000.0 * (t.tokens_total - sv.tokens_after_exact)
+                ELSE CAST(floor(1000000.0 * (t.tokens_total - COALESCE(sv.tokens_after_exact, 0))
                                 / t.tokens_total) AS BIGINT) END
              AS exact_removed_ppm,
-           CASE WHEN sv.tokens_after_exact = 0 THEN 0
+           CASE WHEN COALESCE(sv.tokens_after_exact, 0) = 0 THEN 0
                 ELSE CAST(floor(1000000.0 * (sv.tokens_after_exact - sv.tokens_after_span)
                                 / sv.tokens_after_exact) AS BIGINT) END
              AS span_removed_ppm
-    FROM tot t JOIN sv ON sv.source = t.source
-    """,
-)
+    FROM tot t LEFT JOIN sv ON sv.source = t.source
+    """
+
+
+@register("dedup_pipeline_exact_then_span", oracle=_FUNNEL_ORACLE_SQL)
 def dedup_pipeline_exact_then_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup ORDER at span granularity — the two-stage
     funnel a real pipeline runs and reports: exact whole-document dedup
@@ -2780,15 +2825,22 @@ def dedup_pipeline_exact_then_span(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("kept_tokens").cast("long").alias("tokens_after_span"),
         )
     )
-    te, ts = F.col("tokens_after_exact"), F.col("tokens_after_span")
+    # LEFT join from tot (ADVICE r15): a source whose every document is
+    # an exact duplicate of lower-doc_id documents in OTHER sources has
+    # no survivors row at all — the funnel's consumer (a mixture planner
+    # correcting per-source budgets) must still see it, as
+    # docs_after_exact = 0, not as a missing row.
+    zero = F.lit(0).cast("long")
+    te = F.coalesce(F.col("tokens_after_exact"), zero)
+    ts = F.coalesce(F.col("tokens_after_span"), zero)
     tt = F.col("tokens_total")
-    return tot.join(sv, "source").select(
+    return tot.join(sv, "source", "left").select(
         "source",
         "docs_total",
-        "docs_after_exact",
+        F.coalesce(F.col("docs_after_exact"), zero).alias("docs_after_exact"),
         "tokens_total",
-        "tokens_after_exact",
-        "tokens_after_span",
+        te.alias("tokens_after_exact"),
+        ts.alias("tokens_after_span"),
         F.when(tt == 0, F.lit(0))
         .otherwise(F.floor(F.lit(1000000.0) * (tt - te) / tt))
         .cast("long")
@@ -2797,4 +2849,84 @@ def dedup_pipeline_exact_then_span(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise(F.floor(F.lit(1000000.0) * (te - ts) / te))
         .cast("long")
         .alias("span_removed_ppm"),
+    )
+
+
+@register(
+    "mixture_budget_correction",
+    oracle=f"""
+    WITH funnel AS ({_FUNNEL_ORACLE_SQL}),
+    tots AS (
+      SELECT SUM(tokens_total) AS tt, SUM(tokens_after_span) AS ta
+      FROM funnel
+    )
+    SELECT f.source,
+           f.tokens_total,
+           f.tokens_after_span,
+           CAST(floor(1000000.0 * f.tokens_total / t.tt) AS BIGINT)
+             AS orig_share_ppm,
+           CASE WHEN t.ta = 0 THEN 0
+                ELSE CAST(floor(1000000.0 * f.tokens_after_span / t.ta)
+                          AS BIGINT) END
+             AS post_share_ppm,
+           CASE WHEN f.tokens_after_span = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(floor(1000.0 * f.tokens_total
+                                / f.tokens_after_span) AS BIGINT) END
+             AS oversample_x1000,
+           CAST(CASE WHEN f.tokens_after_span = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS fully_attrited
+    FROM funnel f, tots t
+    """,
+)
+def mixture_budget_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's CONSUMER (r16 — closes the loop ADVICE r15 opened):
+    given dedup_pipeline_exact_then_span's per-source funnel, the
+    mixture re-plan a training pipeline runs after dedup — each
+    source's original token share (the mixture the run was designed
+    around), its post-dedup share (what sampling uniformly from the
+    survivors would give), and the oversample factor (×1000, floored)
+    that restores the original budget from the surviving pool: a
+    source that lost half its tokens to dedup needs ~2 epochs over its
+    survivors to fill its planned slice. Fully-attrited sources — the
+    zero-survivor rows the funnel's LEFT join now reports — carry a
+    NULL oversample (no pool to sample from) and fully_attrited = 1,
+    the signal to re-weight the remaining sources instead.
+
+    Oracle note: wraps the funnel's certified oracle text verbatim as a
+    CTE (_FUNNEL_ORACLE_SQL — one string, shared with the funnel's own
+    registration), so this query's certification cannot drift from the
+    funnel's.
+
+    Scale shape: the funnel output is source-cardinality (bounded);
+    the totals are a one-row aggregate broadcast back — the only work
+    beyond the composed funnel is O(|sources|). Integer/ppm arithmetic
+    end to end for cross-engine hash stability."""
+    funnel = dedup_pipeline_exact_then_span(spark, sf_dir).transform(
+        tracked_cache
+    )
+    tots = funnel.agg(
+        F.sum("tokens_total").alias("tt"),
+        F.sum("tokens_after_span").alias("ta"),
+    )
+    tt, ta = F.col("tt"), F.col("ta")
+    t_total, t_span = F.col("tokens_total"), F.col("tokens_after_span")
+    return funnel.crossJoin(F.broadcast(tots)).select(
+        "source",
+        "tokens_total",
+        "tokens_after_span",
+        F.floor(F.lit(1000000.0) * t_total / tt)
+        .cast("long")
+        .alias("orig_share_ppm"),
+        F.when(ta == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(1000000.0) * t_span / ta))
+        .cast("long")
+        .alias("post_share_ppm"),
+        F.when(t_span == 0, F.lit(None))
+        .otherwise(F.floor(F.lit(1000.0) * t_total / t_span))
+        .cast("long")
+        .alias("oversample_x1000"),
+        F.when(t_span == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fully_attrited"),
     )

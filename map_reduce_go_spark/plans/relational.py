@@ -2590,10 +2590,16 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast exchange per reference — the r14 calm-host median drifted
     to 5.0 s and a fresh median-of-5 read 7.5 s with a [4.2, 17.0]
     spread, the signature of a plan whose cost rides driver/JVM state
-    rather than data. An eager 25-row localCheckpoint per iteration
-    (the dedup_clusters discipline) makes every iteration one tiny job
-    over the cached edge rollup and the final plan shallow; values are
-    bit-identical (same expressions, same order).
+    rather than data. Each iteration therefore materializes the 25-row
+    vector and re-creates it as a driver-held DataFrame (r16, ADVICE
+    r15): collect() + createDataFrame truncates the lineage like the
+    r15 localCheckpoint did, but the state lives on the DRIVER, so an
+    executor loss or dynamic-allocation decommission mid-query
+    recomputes instead of failing — localCheckpoint stores truncated
+    lineage in executor block storage only, a reliability regression at
+    cluster scale. The vector is bounded by |nations|, so driver-held
+    is the 100 TB-correct choice; values are bit-identical (same
+    expressions, same order, exact row passthrough).
 
     Cross-engine determinism: edge weights and out-degrees are exact
     integers; each iteration sums ≤ |nations| double terms of identical
@@ -2655,7 +2661,11 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)  # 25 rows; truncates the 2-ref lineage
+        )
+        # 25-row driver-held truncation (ADVICE r15): survives executor
+        # loss, unlike localCheckpoint's executor-block-only storage.
+        pr = spark.createDataFrame(
+            pr.collect(), schema="node long, pr double"
         )
     return pr.join(
         F.broadcast(nation), pr.node == F.col("n_nationkey")

@@ -54,94 +54,95 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # green hash no longer certifies the code that will ship, so it re-hashes
 # in the NEXT window regardless of row age.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-15 window — executing the rotation VERDICT r14 #1 pinned at
-    # r14 close. Composition:
-    # --- (a) round-15 additions (never checked, must lead per
-    #     tests/test_registry_contract.py): the exact-substring cut
-    #     APPLICATION closing the span-dedup loop (VERDICT r14 #5) —
-    #     the post-cut corpus manifest, its per-source token attrition
-    #     in the mixture planner's shape, and the two-stage production
-    #     funnel (exact dedup, then span cuts on the survivors,
-    #     reported per source). ---
+    # Round-16 window — executing the rotation VERDICT r15 #1 pinned at
+    # r15 close. Composition:
+    # --- (a) round-16 addition (never checked, must lead per
+    #     tests/test_registry_contract.py): the funnel's consumer —
+    #     the post-dedup mixture re-plan (original vs post-dedup token
+    #     share per source, oversample factor to restore the planned
+    #     budget, fully-attrited flag), closing the loop ADVICE r15's
+    #     medium item opened. ---
+    "mixture_budget_correction",
+    # --- (b) queue-jumpers under the strict rule (fn/oracle/fixture
+    #     changed after their latest driver row): the five span-family
+    #     queries composing shared_span_runs — its match-join sizing is
+    #     now a one-aggregate mass BOUND with an exact-count fallback
+    #     only on mass-heavy inputs (VERDICT r15 #3 + ADVICE r15), and
+    #     dedup_pipeline_exact_then_span additionally LEFT-joins the
+    #     survivor rollup so fully-attrited sources report zero rows
+    #     instead of vanishing (ADVICE r15 medium);
+    #     pagerank_nation_trade — per-iteration lineage truncation moved
+    #     from executor-block localCheckpoint to a driver-held
+    #     collect + createDataFrame (ADVICE r15: survives executor
+    #     loss at cluster scale). ---
+    "dedup_maximal_spans",
+    "dedup_span_cuts",
     "dedup_span_apply",
     "dedup_span_attrition_by_source",
     "dedup_pipeline_exact_then_span",
-    # --- (b) queue-jumpers under the strict rule (fn/oracle/fixture
-    #     changed after their latest driver row):
-    #     dedup_maximal_spans + dedup_span_cuts — their shared core
-    #     shared_span_runs now sizes the match-join shuffle to measured
-    #     candidate mass (VERDICT r14 #4, the 64x spill fix);
-    #     multimodal_quarantine_audit — the RLE8 allocation guard in its
-    #     BMP decode path re-gated from a stream-length proportion to a
-    #     hard pixel budget (ADVICE r14);
-    #     pagerank_nation_trade — per-iteration eager localCheckpoint
-    #     truncating the 2-reference lineage (VERDICT r14 watch item 1
-    #     adjudication: plan-level cause found and fixed). ---
-    "dedup_maximal_spans",
-    "dedup_span_cuts",
-    "multimodal_quarantine_audit",
     "pagerank_nation_trade",
-    # --- (c) the ELEVEN r9-era rows displaced by r14's registrations,
-    #     pinned by name at r14 close (VERDICT r14 #1) — the oldest
-    #     latest-rows in the registry, in registration order. ---
-    "mixture_temperature_weights",
-    "cdc_chunk_stats",
-    "feature_hashing_vectorize",
-    "partkey_skew_spectrum",
-    "fifo_inventory_allocation",
-    "dataset_card_by_source",
-    "auc_value_by_event_type",
-    "psi_doclen_drift",
-    "decision_stump_doclen",
-    "cusum_daily_changepoint",
-    "spearman_quantity_price",
-    # --- (d) 33 of the 49 r10-era rows, oldest-first in registration
-    #     order (computed from CORRECTNESS_r01..r14 latest rows) ---
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_pipeline_exact_then_lsh",
-    "dedup_keep_best",
-    "cross_doc_span_dupes",
-    "lsh_recall_probe",
-    "near_dup_cluster_sizes",
-    "dedup_incremental_batch",
-    "wordcount",
-    "inverted_index",
-    "generic_mapreduce_wordcount",
-    "per_file_count",
-    "file_projections",
-    "multimodal_blob_meta",
-    "multimodal_audio_resample_stub",
-    "embedding_quality_audit",
-    "corpus_head_coverage",
-    "token_commonness_score",
-    "scalar_regex_functions",
-    "null_handling_functions",
-    "map_functions_probe",
-    "corr_quantity_price",
-    "histogram_price_buckets",
-    "date_arithmetic_functions",
-    "explode_outer_probe",
-    "table_profile_lineitem",
-    "scalar_bitwise_functions",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_sessionize",
-    # (r16 window, pinned by name: the SEVENTEEN remaining r10-era rows —
-    # funnel_view_click_purchase (displaced here by the third r15
-    # registration, dedup_pipeline_exact_then_span),
-    # cohort_hourly_retention, event_transition_matrix,
-    # asof_join_purchase_to_click, q2_min_cost_supplier,
-    # q11_important_stock, q20_excess_stock_suppliers,
-    # shard_balance_audit, eval_contamination_report,
-    # length_weighted_sample, cdc_gear_chunk_stats, cdc_chunk_dedup,
-    # quality_classifier_score, classifier_calibration_bins,
-    # ann_ivf_persisted, ann_lsh_persisted, ann_ivf_incremental_probe —
-    # lead it, followed by the r11-era rows oldest-first in registration
-    # order (editdist_deletion_join, dedup_minhash_containment,
-    # lsh_band_tuning_report, ann_ivf_cosine, ann_pq_adc_topk, ...).
+    # --- (c) the SEVENTEEN remaining r10-era rows, pinned by name at
+    #     r15 close (VERDICT r15 #1), in the pinned order. ---
+    "funnel_view_click_purchase",
+    "cohort_hourly_retention",
+    "event_transition_matrix",
+    "asof_join_purchase_to_click",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_excess_stock_suppliers",
+    "shard_balance_audit",
+    "eval_contamination_report",
+    "length_weighted_sample",
+    "cdc_gear_chunk_stats",
+    "cdc_chunk_dedup",
+    "quality_classifier_score",
+    "classifier_calibration_bins",
+    "ann_ivf_persisted",
+    "ann_lsh_persisted",
+    "ann_ivf_incremental_probe",
+    # --- (d) 26 of the 49 r11-era rows, oldest-first in registration
+    #     order (computed from CORRECTNESS_r01..r15 latest rows). ---
+    "editdist_deletion_join",
+    "dedup_minhash_containment",
+    "lsh_band_tuning_report",
+    "ann_ivf_cosine",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+    "vocab_overlap_between_sources",
+    "language_confusion_matrix",
+    "char_entropy_quality",
+    "word_graph_reachability",
+    "word_graph_triangles",
+    "word_graph_pagerank",
+    "winsorized_doclen_stats",
+    "ols_tokens_vs_chars_by_source",
+    "orders_yoy_growth",
+    "customer_spend_deciles",
+    "null_safe_join_probe",
+    "listagg_supplier_roster",
+    "robust_central_tendency",
+    "unpivot_lineitem_charges",
+    "lateral_top3_customers_per_nation",
+    "morton_zorder_layout_audit",
+    "try_cast_dirty_data",
+    "moment_stats_quantity",
+    "pareto_frontier_parts",
+    "event_dwell_time_by_type",
+    # (r17 window, pinned by name: the 23 remaining r11-era rows —
+    # events_hourly_heatmap, union_by_name_schema_evolution,
+    # forward_fill_event_values, dq_hourly_volume_anomalies,
+    # conversion_lag_histogram, order_month_gapfill,
+    # purchase_click_attribution_outer, reservoir_sample_per_source,
+    # stratified_sample_mktsegment, zscore_doclen_by_source,
+    # pipeline_stage_attrition, token_mixture_temperature,
+    # salted_join_hot_events, join_key_skew_audit,
+    # upsert_latest_snapshot, scd2_user_type_history,
+    # dq_referential_integrity, compaction_planner,
+    # incremental_agg_merge, equidepth_histogram_price, and the last
+    # three r11-era rows after them in registration order — lead it,
+    # followed by r12-era rows oldest-first in registration order
+    # (dedup_minhash_lsh, dedup_embedding_cosine, dedup_clusters,
+    # dedup_minhash_lsh_stopfiltered, setsim_prefix_filter_join, ...).
     # Any additions with no driver row yet must be appended to THIS
     # tuple so the never-checked invariant in
     # tests/test_registry_contract.py holds, and any query whose

@@ -769,3 +769,113 @@ def test_pipeline_exact_then_span_funnel_monotone(spark, sf_dir):
     ).fetchone()[0]
     con.close()
     assert sum(r["docs_after_exact"] for r in rows) == n_digests
+
+
+def test_pipeline_funnel_reports_fully_attrited_source(spark, tmp_path):
+    """ADVICE r15 (medium): a source whose EVERY document is an exact
+    duplicate of lower-doc_id documents in other sources must still
+    appear in the funnel output — as docs_after_exact = 0 with zeroed
+    token stages and exact_removed_ppm = 1000000 — not silently vanish.
+    The consumer (a mixture planner correcting per-source budgets)
+    needs the zero row to know the source was fully attrited. Pins both
+    the Spark plan and the DuckDB oracle on a constructed fixture."""
+    import duckdb
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+    ]
+    rows = [
+        (1, texts[0], "en", "keep_src", len(texts[0])),
+        (2, texts[1], "en", "keep_src", len(texts[1])),
+        (3, texts[0], "en", "gone_src", len(texts[0])),
+        (4, texts[1], "en", "gone_src", len(texts[1])),
+    ]
+    fix = tmp_path / "attrited"
+    fix.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(fix / "documents.parquet"))
+
+    spec = all_queries()["dedup_pipeline_exact_then_span"]
+    got = {r["source"]: r for r in spec.fn(spark, str(fix)).collect()}
+    from map_reduce_go_spark.functions.caching import release_caches
+
+    release_caches()
+    assert set(got) == {"keep_src", "gone_src"}
+    g = got["gone_src"]
+    assert g["docs_total"] == 2 and g["docs_after_exact"] == 0
+    assert g["tokens_after_exact"] == 0 and g["tokens_after_span"] == 0
+    assert g["exact_removed_ppm"] == 1_000_000 and g["span_removed_ppm"] == 0
+    k = got["keep_src"]
+    assert k["docs_after_exact"] == 2 and k["exact_removed_ppm"] == 0
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{fix}/documents.parquet/*.parquet'"
+    )
+    oracle = {r[0]: r for r in con.sql(spec.oracle).fetchall()}
+    con.close()
+    assert oracle["gone_src"][2] == 0 and oracle["gone_src"][6] == 1_000_000
+    assert oracle["keep_src"][2] == 2
+
+
+def test_span_sizing_failure_releases_caches(spark):
+    """ADVICE r15: shared_span_runs' eager sizing caches two frames
+    before its measurement job; if that job fails the caches must be
+    released before the exception propagates, so a caller that never
+    reaches its own release_caches() does not leak pinned storage."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from map_reduce_go_spark.functions.caching import (
+        release_caches,
+        storage_is_empty,
+    )
+    from map_reduce_go_spark.operators.dedup import shared_span_runs
+
+    release_caches()  # start from a clean CacheManager
+    assert storage_is_empty(spark)
+
+    @F.udf("string")
+    def _boom(_x):
+        raise ValueError("injected sizing failure")
+
+    docs = spark.range(4).select(
+        F.col("id").alias("doc_id"), _boom(F.col("id")).alias("text")
+    )
+    with pytest.raises(Exception, match="injected sizing failure"):
+        shared_span_runs(docs)
+    assert storage_is_empty(spark)
+    release_caches()  # drop the stale _TRACKED entries
+
+
+def test_span_sizing_heavy_path_widens_match_join(spark, sf_dir, monkeypatch):
+    """VERDICT r15 #3 regression pin for the two-tier sizing: when the
+    one-aggregate mass BOUND exceeds the default width's budget, the
+    heavy path runs the exact candidate count and widens the match-join
+    exchanges beyond the session default. Forced here by shrinking the
+    per-partition row budget so the sf fixture counts as mass-heavy."""
+    import re
+
+    import map_reduce_go_spark.operators.dedup as dd
+    from map_reduce_go_spark.functions.caching import release_caches
+    from map_reduce_go_spark.sources.readers import load_table
+
+    monkeypatch.setattr(dd, "_MATCH_ROWS_PER_PARTITION", 10)
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    plan = (
+        dd.maximal_shared_spans(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    release_caches()
+    widths = [
+        int(n) for n in re.findall(r"hashpartitioning\([^()]*?(\d+)\)", plan)
+    ]
+    assert any(w > default for w in widths), plan[:2000]
