@@ -829,14 +829,8 @@ def test_span_sizing_failure_releases_caches(spark):
     import pytest
     from pyspark.sql import functions as F
 
-    from map_reduce_go_spark.functions.caching import (
-        release_caches,
-        storage_is_empty,
-    )
+    from map_reduce_go_spark.functions import caching
     from map_reduce_go_spark.operators.dedup import shared_span_runs
-
-    release_caches()  # start from a clean CacheManager
-    assert storage_is_empty(spark)
 
     @F.udf("string")
     def _boom(_x):
@@ -845,10 +839,18 @@ def test_span_sizing_failure_releases_caches(spark):
     docs = spark.range(4).select(
         F.col("id").alias("doc_id"), _boom(F.col("id")).alias("text")
     )
+    before = len(caching._TRACKED)
     with pytest.raises(Exception, match="injected sizing failure"):
         shared_span_runs(docs)
-    assert storage_is_empty(spark)
-    release_caches()  # drop the stale _TRACKED entries
+    created = caching._TRACKED[before:]
+    assert created, "sizing should have registered tracked caches"
+    # Every cache the failed construction created must be unpersisted
+    # (StorageLevel NONE) — checked per-frame, not via global CacheManager
+    # emptiness, which other queries' non-tracked state can dirty.
+    for df in created:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), lvl
+    caching.release_caches()  # drop the stale _TRACKED entries
 
 
 def test_span_sizing_heavy_path_widens_match_join(spark, sf_dir, monkeypatch):
