@@ -202,7 +202,23 @@ NOTES = (
     "max(fingerprint build, position build), median ~5.6-5.7 on a "
     "mildly elevated host. First heavy-canary calm reading: 3.58 "
     "(dedup_clusters warm is memo-trivial at ~0.15s), band recalibrated "
-    "to [1.8, 5.5] before BENCH_r15."
+    "to [1.8, 5.5] before BENCH_r15. "
+    "r16: the match-join sizing is two-tier (one-aggregate mass bound; "
+    "exact candidate count only when the bound exceeds the default "
+    "width's budget — VERDICT r15 #3), so at sf0.1 dedup_maximal_spans "
+    "takes the cheap path and its construction is ~2s cheaper than the "
+    "r15 plan in same-session A/B; the whole r16 session ran on an "
+    "elevated, DISK-CONTENDED host (light canaries 5.4-6.9, disk ~92% "
+    "util with queue ~42 during span match phases; four same-code 64x "
+    "runs spread 923-2006s while CPU controls stayed flat at 1.5s) — "
+    "see SCALE.md's r16 adjudication: the new sizing (700 parts) beat "
+    "the r15 width (560) 923.5 vs 1503.8 head-to-head. The calm "
+    "median-of-5 for spans at 1x is still owed (no calm window all "
+    "session); heavy-canary band recalibration deferred per the ledger "
+    "rule below (zero calm samples mintable). Elevated-host spans 1x "
+    "medians this session: 15.8 [11.8, 25.3] at a 5.4 canary — "
+    "divide-by-canary-elevation puts the calm equivalent at ~5-7s, "
+    "consistent with the r15 structural price minus the pre-job save."
 )
 
 # The adjudication bands the NOTES prose derives (kept as data so each
@@ -531,6 +547,28 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
+
+    # Canary sample ledger (VERDICT r15 #6): every bench run appends its
+    # light-canary sum and heavy-canary ratio here, tagged calm when the
+    # light canary sits inside CANARY_BAND. RECALIBRATION RULE: when the
+    # ledger holds >= 5 CALM samples, re-center HEAVY_CANARY_RATIO_BAND
+    # on their median with ~±50% headroom and record the derivation in
+    # NOTES; until then the provisional band stands. (The r16 session
+    # could not mint calm samples — 12 elevated-host ratio samples read
+    # 4.0-10.7 with light canaries 5.4-6.9, which is evidence FOR
+    # keeping the calm bar, not data to narrow the band with.)
+    hc = full["heavy_canary"]
+    cs = full["canary_seconds"]
+    if hc.get("cold_warm_ratio") is not None and cs is not None:
+        sample = {
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "sf": full["sf"],
+            "canary_seconds": cs,
+            "heavy_ratio": hc["cold_warm_ratio"],
+            "calm": CANARY_BAND[0] <= cs <= CANARY_BAND[1],
+        }
+        with open(REPO / "BENCH_SAMPLES.jsonl", "a") as f:
+            f.write(json.dumps(sample) + "\n")
 
     print(encode_stdout_line(full, results, errors, os.path.basename(out_path)))
 
