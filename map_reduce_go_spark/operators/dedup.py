@@ -2784,6 +2784,11 @@ def dedup_pipeline_exact_then_span(spark: SparkSession, sf_dir: str) -> DataFram
     ppm per stage — what a mixture planner consumes to correct
     per-source budgets after BOTH dedup passes (the
     dedup_pipeline_exact_then_lsh precedent, reported in tokens).
+    Every source appears, including fully-attrited ones (ADVICE r15:
+    a source whose every document exactly duplicates lower-doc_id
+    documents in other sources reports docs_after_exact = 0 and
+    exact_removed_ppm = 1000000 via the LEFT survivor join — the
+    planner must see the zero, not a missing row).
 
     Oracle note: the span chain is the SAME certified CTE text as
     dedup_maximal_spans/dedup_span_cuts/dedup_span_apply, re-sourced
