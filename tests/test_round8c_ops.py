@@ -679,18 +679,21 @@ def test_span_apply_composes_with_cut_list(spark):
 
 
 def test_match_join_width_sizing(spark, sf_dir):
-    """VERDICT r14 #4 regression pin: the span match join's shuffle width
-    follows measured candidate mass — floor at the session default,
-    ceil(mass/2M) in between, hard cap at 4096 — and the physical plan
-    carries the explicit REPARTITION_BY_NUM exchanges on BOTH match-join
-    sides (the co-partitioning that keeps the join from adding its own
-    undersized exchange)."""
+    """VERDICT r14 #4 regression pin, r16 form: the match-mass shuffle
+    width follows the measured mass — floor at the session default,
+    ceil(mass/2M) in between, hard cap at 4096. On the fixture the
+    cool-tier mass fits the default width, so the CHEAP path must add
+    NO explicit repartition (the r16 rework sizes the matched-position
+    exchange only when the one-aggregate bound overflows the default
+    budget), and with no hot hashes in the fixture (max 25 positions
+    per hash) the hot branch must not be built either."""
     from map_reduce_go_spark.operators.dedup import (
         _MATCH_MAX_PARTITIONS,
         _MATCH_ROWS_PER_PARTITION,
         _match_partitions,
         maximal_shared_spans,
     )
+    from map_reduce_go_spark.functions.caching import release_caches
     from map_reduce_go_spark.sources.readers import load_table
 
     default = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -708,7 +711,18 @@ def test_match_join_width_sizing(spark, sf_dir):
             )
         )
     )
-    assert plan.count("REPARTITION_BY_NUM") >= 2, plan[:2000]
+    release_caches()
+    import re
+
+    # Cheap path: every exchange stays at (or below, post-AQE) the
+    # session default — no sized repartition. (fan_out's scan-splitting
+    # REPARTITION_BY_NUM is parallelism plumbing, not match sizing, so
+    # assert on exchange WIDTHS, not on hint presence.)
+    widths = [
+        int(n) for n in re.findall(r"hashpartitioning\([^()]*?(\d+)\)", plan)
+    ]
+    assert widths and all(w <= default for w in widths), plan[:2000]
+    assert "Union" not in plan, plan[:2000]  # no hot branch on the fixture
 
 
 def test_span_attrition_sums_match_apply(spark, sf_dir):
