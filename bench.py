@@ -576,6 +576,12 @@ def main() -> None:
             "canary_seconds": cs,
             "heavy_ratio": hc["cold_warm_ratio"],
             "calm": CANARY_BAND[0] <= cs <= CANARY_BAND[1],
+            # r17: suite total + headliner count, so DRIFT_BAND can be
+            # recalibrated from calm ledger samples at the CURRENT suite
+            # size (the [57.7, 76.8] band predates the 58-headliner
+            # growth — VERDICT r16 #8).
+            "suite_seconds": full["value"],
+            "n_headliners": full["completed"],
         }
         with open(REPO / "BENCH_SAMPLES.jsonl", "a") as f:
             f.write(json.dumps(sample) + "\n")
@@ -584,12 +590,23 @@ def main() -> None:
 
 
 def encode_stdout_line(
-    full: dict, results: dict, errors: dict, detail: str, budget: int = 1900
+    full: dict, results: dict, errors: dict, detail: str, budget: int = 1980
 ) -> str:
     """The ONE stdout JSON line, guaranteed <= ``budget`` chars: full
     precision first, then 2dp coarsening, then worst-N shrink, then (the
     pathological floor) an empty query map — the line is always
-    parseable, never tail-truncated mid-JSON by the driver."""
+    parseable, never tail-truncated mid-JSON by the driver.
+
+    r17 (VERDICT r16 #3): the driver keeps a 2000-char stdout TAIL and
+    this line is the last thing printed, so the real ceiling is
+    2000 − len(newline); budget=1980 with COMPACT separators fits all 58
+    headliner medians at 2dp (measured 1961 chars) — the worst-30
+    truncation that made PERF_r16 read three IMPROVEMENTS as
+    "dropped_from_bench" no longer engages at the current suite size.
+    If future headliner growth overflows even the compact line, the
+    worst-N fallback now emits queries_omitted = {count, max_sec}: every
+    omitted query completed and its median is <= max_sec, so a missing
+    name can never again be read as a drop or a regression."""
     worst = max(results.items(), key=lambda kv: kv[1]) if results else None
     line = {
         "metric": full["metric"],
@@ -615,32 +632,45 @@ def encode_stdout_line(
     }
     if errors:
         line["error_queries"] = sorted(errors)  # messages live in the file
-    encoded = json.dumps(line)
+    compact = {"separators": (",", ":")}
+    encoded = json.dumps(line, **compact)
     if len(encoded) > budget:
         line["queries"] = {k: round(v, 2) for k, v in results.items()}
-        encoded = json.dumps(line)
+        encoded = json.dumps(line, **compact)
     if len(encoded) > budget:  # last resort: keep the contract parseable
         # Keep the 2dp coarsening in the fallback too, and shrink the
         # worst-N list until the line fits (long query names could
-        # otherwise still overflow a fixed N=30).
+        # otherwise still overflow a fixed N=30). Omission metadata
+        # (count + the max median among omitted queries) keeps the
+        # driver's round-over-round comparison sound: an omitted query
+        # COMPLETED and is at least as fast as max_sec.
         by_worst = sorted(results.items(), key=lambda kv: -kv[1])
-        keep = 30
+        keep = len(by_worst) - 5
         while keep > 0:
+            omitted = by_worst[keep:]
             line["queries"] = {k: round(v, 2) for k, v in by_worst[:keep]}
             line["queries_truncated_to_worst"] = keep
-            encoded = json.dumps(line)
+            line["queries_omitted"] = {
+                "count": len(omitted),
+                "max_sec": round(max(v for _, v in omitted), 2),
+            }
+            encoded = json.dumps(line, **compact)
             if len(encoded) <= budget:
                 break
             keep -= 5
         if len(encoded) > budget:
-            # Even keep=5 overflowed (pathological name/error lengths):
+            # Even keep<=5 overflowed (pathological name/error lengths):
             # drop the per-query map, error list, and worst-name entirely
             # and re-encode, so the printed line NEVER exceeds the budget.
             line["queries"] = {}
             line["queries_truncated_to_worst"] = 0
+            line["queries_omitted"] = {
+                "count": len(results),
+                "max_sec": round(max(results.values()), 2) if results else None,
+            }
             line["worst"] = None
             line.pop("error_queries", None)
-            encoded = json.dumps(line)
+            encoded = json.dumps(line, **compact)
     return encoded
 
 

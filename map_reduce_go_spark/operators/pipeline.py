@@ -896,7 +896,11 @@ def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage 2's count from the cached digest aggregate (Σ group sizes =
     # |q|), not from a fresh q pass — one regex evaluation of the quality
     # predicates total.
-    stage2 = g.agg(F.sum("n_copies").alias("docs_kept")).select(
+    # coalesce: sum() is NULL (not 0) on an empty/degenerate corpus,
+    # diverging from the oracle's count(*) = 0 (ADVICE r16).
+    stage2 = g.agg(
+        F.coalesce(F.sum("n_copies"), F.lit(0)).alias("docs_kept")
+    ).select(
         F.lit(2).cast("long").alias("stage"),
         F.lit("quality").alias("stage_name"),
         F.col("docs_kept").cast("long").alias("docs_kept"),

@@ -895,3 +895,41 @@ def test_span_sizing_heavy_path_widens_match_join(spark, sf_dir, monkeypatch):
         int(n) for n in re.findall(r"hashpartitioning\([^()]*?(\d+)\)", plan)
     ]
     assert any(w > default for w in widths), plan[:2000]
+
+
+def test_span_hot_tier_row_identical_to_cool(spark, sf_dir, monkeypatch):
+    """ADVICE r16 (medium): the hot-tier branch of shared_span_runs —
+    hashes at > _MATCH_HOT_POSITIONS corpus positions routed through the
+    candidate-expansion path — had zero suite coverage (the fixture maxes
+    out well below the 256 cap, so the union the tiering exists for never
+    built). Force most hashes hot by shrinking the cap and assert the
+    two-tier output is ROW-IDENTICAL to the all-cool reference: the tiers
+    partition the hash space, so cool ∪ hot must reproduce the match set
+    (and therefore every diagonal run) exactly."""
+    import map_reduce_go_spark.operators.dedup as dd
+    from map_reduce_go_spark.functions.caching import release_caches
+    from map_reduce_go_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    reference = dd.shared_span_runs(docs).collect()
+    release_caches()
+    assert reference, "fixture must produce spans for this test to bite"
+
+    # Cap low enough that real hashes exceed it (the sf0.001 fixture has
+    # hashes at up to ~25 positions), forcing the hot branch to build.
+    monkeypatch.setattr(dd, "_MATCH_HOT_POSITIONS", 2)
+    forced = dd.shared_span_runs(docs)
+    plan = forced._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "Union" in plan, "hot cap of 2 must build the hot-tier branch"
+    forced_rows = forced.collect()
+    release_caches()
+
+    key = lambda r: (r["doc_a"], r["doc_b"], r["pos_a"], r["pos_b"])  # noqa: E731
+    assert sorted(map(key, forced_rows)) == sorted(map(key, reference))
+    assert {key(r): r["span_tokens"] for r in forced_rows} == {
+        key(r): r["span_tokens"] for r in reference
+    }
