@@ -1501,22 +1501,67 @@ def setsim_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setsim_over(docs: DataFrame) -> DataFrame:
     """The prefix-filter similarity join over any documents-shaped
     DataFrame — split out so property tests can drive it with generated
-    corpora (hypothesis conformance vs a brute-force evaluator)."""
+    corpora (hypothesis conformance vs a brute-force evaluator).
+
+    r17 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+    every stage past the shingle build runs on the 64-bit ``xxhash64``
+    of the shingle, never the ~25-byte string — the frequency aggregate,
+    the per-doc canonical-order window, the candidate self-join, and the
+    verification arrays all carry longs. Correctness:
+
+    - *Recall*: the prefix principle holds for ANY global total order on
+      tokens; (f, h) is one whenever h is injective on the vocabulary
+      (ties in f broken by distinct hashes). The length/positional
+      filters depend only on n/rn, which are unchanged.
+    - *Exactness*: |A ∩ B| computed on hashed arrays equals the true
+      intersection size iff h is injective on A ∪ B. Injectivity over
+      the whole vocabulary is CHECKED AT RUNTIME inside the plan: the
+      frequency aggregate (grouped by h) also records min/max token per
+      hash, and the emitted rows pass through an ``assert_true`` on the
+      corpus-wide collision count — a collision fails the query loudly
+      instead of silently perturbing a jaccard (expected never: ~3.7e-9
+      at a 260k-shingle vocabulary, ~5e-4 at 10^9; corpora beyond that
+      re-key to a wider hash). No extra pass: the guard count rides the
+      cached frequency frame the prefix join needs anyway.
+    """
     # One shingle build feeds BOTH sides: the deduped per-doc arrays (with
     # their sizes) are the verification operand directly — no collect_set
     # re-aggregation — and their explode is the prefix-candidate stream.
     # Cached (tracked, harness-released) because candidates and both
-    # verification joins re-read it.
+    # verification joins re-read it. The hashed array is computed ONCE
+    # into the cache; every consumer past this point reads longs (the
+    # strings leave the cache only into the frequency/guard aggregate).
     sa = tracked_cache(
         _shingle_arrays(docs)
-        .select("doc_id", F.col("shingles").alias("ts"), F.col("n"))
+        .select(
+            "doc_id",
+            F.col("shingles").alias("ts"),
+            F.transform("shingles", lambda x: F.xxhash64(x)).alias("tsh"),
+            F.col("n"),
+        )
         .where(F.col("n") > 0)
     )
-    toks = sa.select("doc_id", "n", F.explode("ts").alias("token"))
-    freq = toks.select("token").groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    toks = sa.select("doc_id", "n", F.explode("tsh").alias("h"))
+    # Frequency table keyed by hash; min/max of the original token per
+    # hash feed the injectivity guard. Cached (tracked): the ordered
+    # join and the guard aggregate both consume it.
+    freq = tracked_cache(
+        sa.select(F.explode(F.arrays_zip("ts", "tsh")).alias("z"))
+        .groupBy(F.col("z.tsh").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("f"),
+            F.min("z.ts").alias("t0"),
+            F.max("z.ts").alias("t1"),
+        )
+    )
+    collisions = freq.agg(
+        F.coalesce(
+            F.sum((F.col("t0") != F.col("t1")).cast("long")), F.lit(0)
+        ).alias("hash_collisions")
+    )
     from pyspark.sql import Window
 
-    w_rn = Window.partitionBy("doc_id").orderBy("f", "token")
+    w_rn = Window.partitionBy("doc_id").orderBy("f", "h")
     # No broadcast hint on the frequency table: it is VOCABULARY-sized
     # state (distinct shingles grow ~linearly with corpus tokens), so a
     # forced broadcast OOMs at 100 TB where the word-3-gram vocabulary is
@@ -1524,10 +1569,12 @@ def setsim_over(docs: DataFrame) -> DataFrame:
     # scale from measured stats and falls back to a shuffle join exactly
     # when the vocabulary outgrows the threshold — the adaptive behavior
     # a size-blind hint forfeits.
-    ordered = toks.join(freq, "token").withColumn("rn", F.row_number().over(w_rn))
+    ordered = toks.join(freq.select("h", "f"), "h").withColumn(
+        "rn", F.row_number().over(w_rn)
+    )
     prefix_len = F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")).cast("long") + 1
     prefix = ordered.where(F.col("rn") <= prefix_len).select(
-        "doc_id", "token", "n", "rn"
+        "doc_id", "h", "n", "rn"
     )
     # PPJoin's two candidate filters (r16), both recall-certified:
     # - LENGTH: J(A,B) = nc/(na+nb-nc) <= min/max, so J >= T forces
@@ -1543,22 +1590,33 @@ def setsim_over(docs: DataFrame) -> DataFrame:
     #   125k (+positional); query cold median 4.9 -> 3.3 s, the saved
     #   work concentrated exactly where it matters at scale (the
     #   distinct + the two array-verification joins).
+    # r17 (ADVICE r16): both filters compare in INTEGERS, exact for any
+    # rational T = P/Q (the float forms were provably exact only for
+    # T = 0.5): min >= T*max <=> Q*min >= P*max, and ov >= ceil(P*(na+nb)
+    # /(P+Q)) <=> (P+Q)*ov >= P*(na+nb) — `int >= real` implies
+    # `int >= ceil(real)` and conversely, so the integer comparisons are
+    # the exact ceiling tests with no binary-representation caveat.
+    from fractions import Fraction
+
+    frac = Fraction(SETSIM_T)  # exact value of the binary double
+    P, Q = frac.numerator, frac.denominator
     na, nb = F.col("a.n"), F.col("b.n")
-    alpha = F.ceil(F.lit(SETSIM_T / (1.0 + SETSIM_T)) * (na + nb))
     overlap_ub = 1 + F.least(na - F.col("a.rn"), nb - F.col("b.rn"))
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.token") == F.col("b.token"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least(na, nb) >= F.lit(SETSIM_T) * F.greatest(na, nb))
-            & (overlap_ub >= alpha),
+            & (F.least(na, nb) * Q >= F.greatest(na, nb) * P)
+            & (overlap_ub * (P + Q) >= (na + nb) * P),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    arrs = sa
+    # Verification on hashed arrays (8 B/element vs ~25 B strings
+    # through both joins); exact under the guarded injectivity.
+    arrs = sa.select("doc_id", F.col("tsh").alias("ts"), "n")
     joined = (
         cand.join(
             arrs.select(
@@ -1579,8 +1637,32 @@ def setsim_over(docs: DataFrame) -> DataFrame:
     )
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
-    return joined.where(jac >= SETSIM_T).select(
+    out = joined.where(jac >= SETSIM_T).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+    # Injectivity guard: a 1-row cross join of the corpus-wide collision
+    # count, asserted zero on the emission path. Implemented as a FILTER
+    # so column pruning cannot drop it; assert_true returns NULL when the
+    # predicate holds (isnull -> keep every row) and raises otherwise.
+    # No broadcast HINT (the plan-audit rule: setsim carries no size-
+    # blind hints): the guard side is an ungrouped aggregate — exactly
+    # one row by construction — so the planner's own size-based choice
+    # is always a broadcast nested-loop join.
+    return (
+        out.crossJoin(collisions)
+        .where(
+            F.isnull(
+                F.assert_true(
+                    F.col("hash_collisions") == 0,
+                    F.lit(
+                        "setsim: xxhash64 collision on the shingle "
+                        "vocabulary — hashed verification is not exact "
+                        "for this corpus; re-key to a wider hash"
+                    ),
+                )
+            )
+        )
+        .drop("hash_collisions")
     )
 
 
@@ -1845,6 +1927,14 @@ def winnowing_fingerprint_sets(docs: DataFrame) -> DataFrame:
         F.min("c").over(win).alias("fp_comb"),
         F.count(F.lit(1)).over(win).alias("cnt"),
     ).where(F.col("cnt") == WINNOW_W)
+    # Plain (doc_id, fp)-keyed distinct: the map-side partial dedup
+    # collapses the per-window duplicate selections (a shared run of L
+    # tokens selects the same (doc, fp) up to ~L times) BEFORE the
+    # exchange. The r17 fp-clustered form used by the span family
+    # (_fingerprints_from_positions) was measured HERE too and reverted:
+    # with no pre-cache window to amortize the fp exchange, shipping the
+    # un-deduped selections clustered by hot fingerprints read 6.1 s vs
+    # ~2.4 s on the same host (standalone winnowing query, r17 A/B).
     return sel.select(
         "doc_id",
         F.expr(f"fp_comb div {_WINNOW_POS_BASE}").alias("fp"),
@@ -2252,10 +2342,27 @@ def _fingerprints_from_positions(pos: DataFrame) -> DataFrame:
         F.min("c").over(win).alias("fp_comb"),
         F.count(F.lit(1)).over(win).alias("cnt"),
     ).where(F.col("cnt") == WINNOW_W)
-    return sel.select(
-        "doc_id",
-        F.expr(f"fp_comb div {_WINNOW_POS_BASE}").alias("fp"),
-    ).distinct()
+    # The per-doc dedup runs on an fp-clustered exchange (r17):
+    # HashPartitioning(fp) satisfies the dropDuplicates clustering on
+    # (doc_id, fp) — same fp ⇒ same partition ⇒ same (doc_id, fp) pair
+    # co-located — so the distinct adds no exchange of its own, and the
+    # OUTPUT (and any cache of it) stays partitioned by fp, which the
+    # caller's df-count and candidate self-join (both keyed on fp) then
+    # reuse: one exchange where the r16 plan paid for the distinct, the
+    # frequency aggregate, and both self-join sides separately. Hot-fp
+    # skew in this exchange is the same skew the fp self-join always
+    # had (same co-location requirement) — the AQE skew playbook; the
+    # map-side partial dedup the old (doc_id, fp) exchange performed
+    # only removed the ≤ WINNOW_W duplicate selections per (doc, fp), a
+    # bounded constant, not a scale factor.
+    return (
+        sel.select(
+            "doc_id",
+            F.expr(f"fp_comb div {_WINNOW_POS_BASE}").alias("fp"),
+        )
+        .repartition("fp")
+        .dropDuplicates()
+    )
 
 
 def shared_span_runs(docs: DataFrame) -> DataFrame:
@@ -2311,20 +2418,36 @@ def shared_span_runs(docs: DataFrame) -> DataFrame:
     unconditional hot branch costs more than the pre-job.)"""
     spark = docs.sparkSession
     pos = _kgram_positions(docs).transform(tracked_cache)
-    fps = _fingerprints_from_positions(pos).transform(tracked_cache)
-    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
-    a, b = fps.alias("a"), fps.alias("b")
-    cand_raw = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .join(
-            freq.where(F.col("n_docs").between(2, WINNOW_STOP_DF)).alias("fr"),
-            F.col("a.fp") == F.col("fr.fp"),
+    # Candidate stage on ONE pre-cache exchange (r17): the fingerprint
+    # dedup already runs fp-clustered (see _fingerprints_from_positions),
+    # so the document-frequency count is a WINDOW over that same
+    # partitioning — distinct + df-count + stop filter all inside one
+    # plan, one exchange — and only the filtered posting list is cached.
+    # The r16 plan cached the unfiltered fingerprints, ran a separate
+    # groupBy aggregate for df, and joined it back (3 consumers of the
+    # cache, each re-exchanged). Filtering BOTH sides to
+    # 2 <= df <= WINNOW_STOP_DF before the self-join keeps exactly the
+    # pairs the old freq-join filter kept (the df is a property of the
+    # shared fp). The window must stay BELOW the cache: an
+    # InMemoryTableScan under AQE reports unknown partitioning, so a
+    # window above the cache re-exchanges (measured: +1 exchange + sort
+    # per join side).
+    fpw = tracked_cache(
+        _fingerprints_from_positions(pos)
+        .withColumn(
+            "n_docs", F.count(F.lit(1)).over(Window.partitionBy("fp"))
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        .where(F.col("n_docs").between(2, WINNOW_STOP_DF))
+        .select("doc_id", "fp")
+    )
+    a, b = fpw.alias("a"), fpw.alias("b")
+    cand_raw = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
     )
     default = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     hc = pos.groupBy("h").agg(F.count(F.lit(1)).alias("hc")).transform(
@@ -2353,7 +2476,7 @@ def shared_span_runs(docs: DataFrame) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("n_pos"))
             )
             st2 = (
-                fps.join(hot_cnt, "doc_id")
+                fpw.join(hot_cnt, "doc_id")
                 .groupBy("fp")
                 .agg(
                     F.count(F.lit(1)).alias("n_docs"),
@@ -2370,7 +2493,7 @@ def shared_span_runs(docs: DataFrame) -> DataFrame:
             hot_part = _match_partitions(spark, float(st2["bound"] or 0))
     except Exception:
         pos.unpersist()
-        fps.unpersist()
+        fpw.unpersist()
         hc.unpersist()
         raise
     n_part = _match_partitions(spark, cool_mass)

@@ -426,6 +426,12 @@ def ivf_train_centroids(emb: DataFrame) -> list[list[float]]:
 
     cnt = F.count(F.lit(1))
 
+    # Overflow bound (ADVICE r16): Spark sums longs with silent
+    # wraparound outside ANSI mode, and |component| <= ~1 means each row
+    # contributes <= ~1e8 to a cell's sum — the int64 range (~9.2e18)
+    # therefore caps a cell at ~9.2e10 rows. The 100 TB design point is
+    # ~6e9 rows/cell at K=16 (~15× margin); corpora beyond that must
+    # widen the buffer (decimal(38,0)) or add cells.
     def scaled(i: int) -> Column:
         return (
             F.col("embedding")[i].cast("decimal(18,8)") * 100000000
@@ -688,8 +694,25 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the entire pipeline bit-for-bit in SQL.
 
     emb is cached (seed collect + Lloyd means + cell assignment = three
-    consumers, one scan); the assigned corpus is cached separately because
-    the pair join and the final left join both consume it.
+    consumers, one scan).
+
+    r17 (guide §4.2 / §2.3): the within-cell scoring is ONE
+    ``groupBy(cell).applyInPandas`` kernel instead of the old
+    cell-self-join → cosine-UDF-filter → distinct → corpus left join.
+    The old plan materialized every within-cell PAIR as a row (each
+    carrying two 64-float arrays) through the Python boundary, then paid
+    a distinct and a join to attach flags; the kernel ships each vector
+    ONCE per cell group, enumerates pairs as numpy index blocks, and
+    emits the flags directly — pairs never exist as Spark rows, and two
+    shuffles (distinct + flag join) disappear. Scoring is bit-identical:
+    the blockwise outer-product accumulation adds dimension-sequentially
+    (the _nearest_cells trick), i.e. the exact float-add order of
+    cosine_udf's _seq_dot per pair; NaN scores (zero-norm vectors) do
+    NOT prune, matching the old form (the pandas-UDF NaN surfaced as
+    NULL, so Spark's filter dropped the pair — as does the oracle's
+    0/0 = NULL in DuckDB; pinned by test vs the join form). Parallelism
+    is one task per cell — K is the scale knob, same as the pair join,
+    whose own shuffle keyed on the same 16 cell values.
     """
     emb = load_table(spark, sf_dir, "embeddings").transform(tracked_cache)
     centroids = ivf_centroids_for(sf_dir, emb)
@@ -697,29 +720,67 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
-    ).transform(tracked_cache)
-    a = corpus.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "cell"
     )
-    b = corpus.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "cell"
+    return corpus.groupBy("cell").applyInPandas(
+        _semdedup_cell_kernel, "vec_id bigint, cell int, pruned int"
     )
-    pruned = (
-        a.join(b, "cell")
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(cosine_udf(F.col("a_emb"), F.col("b_emb")) >= SEMDEDUP_SIM)
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-        .withColumn("p", F.lit(1))
-    )
-    return (
-        corpus.select("vec_id", "cell")
-        .join(pruned, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("pruned"),
-        )
+
+
+def _pair_block_sims(xa: "np.ndarray", xb: "np.ndarray") -> "np.ndarray":
+    """(|xa|, |xb|) cosine numerators with DIMENSION-SEQUENTIAL float64
+    accumulation — for every (i, j) the adds happen in dimension order,
+    exactly the fold _seq_dot applies per pair (and the oracle's
+    list_sum), but vectorized across the whole block of pairs."""
+    acc = np.multiply.outer(xa[:, 0], xb[:, 0])
+    for d in range(1, _DIM):
+        acc += np.multiply.outer(xa[:, d], xb[:, d])
+    return acc
+
+
+#: Pair-enumeration block edge for the within-cell kernel: bounds the
+#: temporary (B×B) sim matrix at ~32 MB float64 regardless of cell size.
+_SEMDEDUP_BLOCK = 2048
+
+
+def _semdedup_cell_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """One cell's prune flags: pruned[j] = 1 iff some lower-vec_id vector
+    in the cell has cosine >= SEMDEDUP_SIM with j (a NaN score never
+    prunes — see the NaN note in the block loop)."""
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    n = len(ids)
+    flag = np.zeros(n, dtype=bool)
+    if n > 1:
+        x = np.vstack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt(_seq_dot(x, x))
+        b = _SEMDEDUP_BLOCK
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for j0 in range(0, n, b):
+                j1 = min(n, j0 + b)
+                xj, nj = x[j0:j1], norms[j0:j1]
+                for i0 in range(0, j1, b):
+                    i1 = min(j1, i0 + b)
+                    sims = _pair_block_sims(x[i0:i1], xj) / np.outer(
+                        norms[i0:i1], nj
+                    )
+                    # NaN (zero-norm vector) is NOT a hit: the old
+                    # pandas-UDF form surfaced NaN as NULL in Spark (and
+                    # the oracle's 0/0 is NULL in DuckDB), so the filter
+                    # dropped those pairs; numpy's NaN >= T == False
+                    # reproduces that exactly.
+                    hit = sims >= SEMDEDUP_SIM
+                    if i0 == j0:  # diagonal block: keep i < j only
+                        hit &= np.tri(i1 - i0, j1 - j0, -1, dtype=bool).T
+                    # (blocks stride identically, so any non-diagonal
+                    # i-block lies fully below the j-block: all valid)
+                    flag[j0:j1] |= hit.any(axis=0)
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cell": np.full(n, pdf["cell"].iloc[0] if n else 0, dtype="int32"),
+            "pruned": flag.astype("int32"),
+        }
     )
 
 
@@ -1040,9 +1101,24 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
     ).select("vec_id", "sv.sub", "sv.v")
 
 
-def _pq_assign_codes(subv: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+def _pq_assign_codes(
+    subv: DataFrame, books: list[list[list[float]]], keep_v: bool = False
+) -> DataFrame:
     """(vec_id, sub, code): nearest-codeword id per subvector, squared-L2,
-    ties to the lower code — one Arrow kernel over (sub, v)."""
+    ties to the lower code — one Arrow kernel over (sub, v).
+
+    ``keep_v=True`` carries the subvector through the projection so the
+    codebook build can aggregate means directly from this frame — r17:
+    the old build re-joined this output back to ``subv`` on
+    (vec_id, sub), a whole shuffle join that existed only to re-attach a
+    column the kernel already had in hand (guide §2.4).
+
+    The kernel is marked non-deterministic (it is deterministic in
+    fact) to stop the optimizer CLONING it: the downstream inner join's
+    inferred ``isnotnull(code)`` was pushed below the projection, and
+    the plan evaluated the whole Arrow kernel TWICE per row — the guide
+    §4.4 duplicated-UDF pattern, two ArrowEvalPython nodes in the
+    r16_pre ann_pq_adc_topk plan."""
     mats = [np.asarray(b, dtype=np.float64) for b in books]  # M_SUB × (K, SUB_DIM)
 
     @F.pandas_udf("int")
@@ -1063,7 +1139,9 @@ def _pq_assign_codes(subv: DataFrame, books: list[list[list[float]]]) -> DataFra
             out[mask] = np.argmin(dists, axis=1).astype(np.int32)
         return pd.Series(out)
 
-    return subv.select("vec_id", "sub", _code("sub", "v").alias("code"))
+    code = _code.asNondeterministic()("sub", "v").alias("code")
+    cols = ["vec_id", "sub", "v", code] if keep_v else ["vec_id", "sub", code]
+    return subv.select(*cols)
 
 
 def pq_codebooks_for(sf_dir: str, emb: DataFrame) -> list[list[list[float]]]:
@@ -1103,18 +1181,25 @@ def pq_codebooks_for(sf_dir: str, emb: DataFrame) -> list[list[list[float]]]:
     ]
 
     subv = _pq_subvecs(emb)
-    assigned = _pq_assign_codes(subv, seeds).withColumnRenamed("code", "cell")
+    # keep_v: the assignment kernel's output carries the subvector, so
+    # the mean aggregate groups it directly — no (vec_id, sub) re-join
+    # of 8×|corpus| rows against itself (r17, guide §2.4).
+    assigned = _pq_assign_codes(subv, seeds, keep_v=True).withColumnRenamed(
+        "code", "cell"
+    )
     cnt = F.count(F.lit(1))
     # Exact means via scaled-long sums (the ivf_train_centroids r16
     # rework): decimal(18,8) HALF_UP rounding per component is kept, but
     # the aggregate buffers are primitive longs; the unscale on the
     # collected M_SUB×K_CODES rows goes through Python Decimal, which
     # divides by 10^8 with the same correct rounding as Spark's
-    # decimal→double cast — bit-identical means.
+    # decimal→double cast — bit-identical means. Overflow bound: long
+    # sums wrap silently past 2^63, capping a (sub, cell) group at
+    # ~9.2e10 rows for |component| <= ~1 (see ivf_train_centroids).
     from decimal import Decimal
 
     means = (
-        subv.join(assigned, ["vec_id", "sub"])
+        assigned
         .groupBy("sub", "cell")
         .agg(
             cnt.alias("c"),

@@ -316,6 +316,80 @@ def test_semdedup_min_id_survives_per_cell(spark, sf_dir):
                 assert r["pruned"] == 0
 
 
+def test_semdedup_kernel_matches_pair_join_form(spark):
+    """r17 regression pin for the applyInPandas within-cell kernel: on a
+    synthetic corpus (tight duplicate clusters, orthogonal singletons,
+    and a ZERO vector whose cosine is NaN) the kernel's flags must be
+    row-identical to the old cell-self-join → cosine_udf filter →
+    distinct → left-join form — including the zero-norm case, where the
+    pandas-UDF NaN surfaces as NULL in Spark and the filter drops the
+    pair, so the zero vector is NOT pruned."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from map_reduce_go_spark.operators.similarity import (
+        SEMDEDUP_SIM,
+        _semdedup_cell_kernel,
+        cosine_udf,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for cell in range(3):
+        base = rng.randn(64)
+        for k in range(5):  # near-duplicates of the base direction
+            v = base + 0.01 * rng.randn(64)
+            rows.append((vid, [float(x) for x in v], cell))
+            vid += 1
+        w = rng.randn(64)
+        w -= w @ base / (base @ base) * base  # orthogonal singleton
+        rows.append((vid, [float(x) for x in w], cell))
+        vid += 1
+    rows.append((vid, [0.0] * 64, 1))  # zero vector -> NaN cosine
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, cell int"
+    )
+
+    kernel_out = {
+        r["vec_id"]: (r["cell"], r["pruned"])
+        for r in corpus.groupBy("cell")
+        .applyInPandas(_semdedup_cell_kernel, "vec_id bigint, cell int, pruned int")
+        .collect()
+    }
+
+    a = corpus.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "cell"
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "cell"
+    )
+    pruned = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(cosine_udf(F.col("a_emb"), F.col("b_emb")) >= SEMDEDUP_SIM)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("p", F.lit(1))
+    )
+    join_out = {
+        r["vec_id"]: (r["cell"], r["pruned"])
+        for r in corpus.select("vec_id", "cell")
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("pruned"),
+        )
+        .collect()
+    }
+    assert kernel_out == join_out
+    # The zero vector's NaN cosine surfaces as NULL in the old form, so
+    # the filter drops the pair and the vector survives — both forms
+    # must agree on NOT pruned.
+    assert kernel_out[vid][1] == 0
+
+
 def test_bpe_pair_counts_match_python(spark, sf_dir):
     """bpe_pair_counts equals a pure-Python recomputation of weighted
     adjacent-char-pair frequencies (top-30, count DESC then pair ASC)."""
