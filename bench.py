@@ -223,7 +223,22 @@ NOTES = (
     "recalibrated to [2.0, 5.3] per the ledger rule (see "
     "HEAVY_CANARY_RATIO_BAND's derivation comment). Earlier "
     "elevated-host spans 1x medians for contrast: 15.8 [11.8, 25.3] "
-    "at a 5.4 canary."
+    "at a 5.4 canary. "
+    "r17: pipeline_stage_attrition's r16 driver regression adjudicated "
+    "by interleaved A/B (aggregate form 1.90 vs join form 2.08 calm "
+    "medians) — aggregate form kept; the four untouched r16 "
+    "'regressions' (bigram/tfidf/mad/survival) all read back in-band "
+    "at the calm r17 baseline (76.27 total, canary 2.829). Optimized: "
+    "semdedup 3.14->2.09, ann_pq_adc 3.07->2.23, setsim 4.49->3.81 "
+    "calm-dev (2.88 in the first final-code bench), span candidate "
+    "stage A/B 5.08 vs 5.27. Final-code suite totals 73.1/83.5/88.4 "
+    "across three light-calm runs — the spread is roaming heavy-tail "
+    "host noise (untouched dedup_clusters cold 2.67->5.69 swings at "
+    "flat light canaries); both bands recalibrated from the ledger "
+    "(DRIFT_BAND [66, 93] at 58 headliners, heavy ratio [5.0, 11.0] "
+    "after the semdedup warm-leg rebase). 64x span probe on a CALM "
+    "disk at last: 224.8/296.1 s (24.6-27.7x) vs the 923-2006 s "
+    "contended r16 spread — see SCALE.md."
 )
 
 # The adjudication bands the NOTES prose derives (kept as data so each
@@ -233,7 +248,19 @@ NOTES = (
 # totals anywhere inside DRIFT_BAND are not evidence of a change.
 CANARY = ("q1_pricing_summary", "q3_top_revenue_orders", "wordcount")
 CANARY_BAND = [2.4, 4.0]
-DRIFT_BAND = [57.7, 76.8]
+# DRIFT_BAND recalibrated r17 (VERDICT r16 #8): the [57.7, 76.8] band
+# predated the growth to 58 headliners and flagged every normal run
+# (r16 driver 81.3, r16 8c 78.6 — both calm). Derivation, same ledger
+# discipline as the heavy band: the six light-canary-calm suite totals
+# at n_headliners=58 recorded in BENCH_SAMPLES.jsonl — 81.322 (r16
+# code), 76.271 (r17 wave-1 code), then 85.025 / 73.075 / 88.395 /
+# 83.490 on the final r17 code (the spread is the host's roaming
+# heavy-tail noise: e.g. the UNTOUCHED dedup_clusters read 2.67 / 3.67
+# / 3.38 / 5.69 cold across those runs at flat light canaries). Floor =
+# best final-code calm total (73.1) − ~10%; ceiling = worst light-calm
+# sample (88.4) + ~5%. Totals inside [66, 93] are not evidence of a
+# change; outside, adjudicate with the canaries + per-query spreads.
+DRIFT_BAND = [66.0, 93.0]
 
 # Heavy-tail canary (VERDICT r14 #3): the light trio senses scan-light
 # host noise only — BENCH_r14 read its canary IN-band (3.429) while the
@@ -259,7 +286,21 @@ HEAVY_CANARY = ("dedup_clusters", "semdedup_prune")
 # this session's contended-disk samples (5.7-10.7 at elevated light
 # canaries) both land ABOVE the ceiling, which is the rejection power
 # the instrument exists for.
-HEAVY_CANARY_RATIO_BAND = [2.0, 5.3]
+#
+# r17 REBASE — the statistic itself moved: semdedup_prune's within-cell
+# kernel cut its WARM leg 1.8 -> ~0.6 s (the memo-warm run now times one
+# applyInPandas pass instead of the old pair join), and dedup_clusters'
+# warm leg is memo-trivial (~0.15-0.2 s), so the calm denominator fell
+# from ~3.0 to ~0.9 s and every calm ratio rescaled ~2.3x. Ten fresh
+# non-elevated samples on the r17 code (BENCH_SAMPLES.jsonl: four bench
+# runs at light canary 2.8-3.1 + six dedicated calm_probe_r17 samples,
+# three of them with the trio BELOW the band floor, i.e. an idle host):
+# 5.698, 6.055, 6.341, 6.486, 6.63, 6.863, 6.939, 7.101, 7.445, 9.98 —
+# median ~6.75. Band = observed spread + ~0.7/1.0 headroom. The smaller
+# denominator makes the ratio MORE sensitive to cold-leg noise (by
+# design — that is the seam it watches); pressure signatures inflate the
+# cold legs 2-4x against a memo-bound warm floor and land well above 12.
+HEAVY_CANARY_RATIO_BAND = [5.0, 11.0]
 
 # Headline set: one per operator family, weighted toward scale-sensitive
 # plans (scan-heavy agg, fact⋈fact join, window, LSH dedup, knn, sessions).
