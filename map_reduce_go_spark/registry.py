@@ -54,97 +54,90 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # green hash no longer certifies the code that will ship, so it re-hashes
 # in the NEXT window regardless of row age.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-16 window — executing the rotation VERDICT r15 #1 pinned at
-    # r15 close. Composition:
-    # --- (a) round-16 addition (never checked, must lead per
-    #     tests/test_registry_contract.py): the funnel's consumer —
-    #     the post-dedup mixture re-plan (original vs post-dedup token
-    #     share per source, oversample factor to restore the planned
-    #     budget, fully-attrited flag), closing the loop ADVICE r15's
-    #     medium item opened. ---
-    "mixture_budget_correction",
-    # --- (b) queue-jumpers under the strict rule (fn/oracle/fixture
-    #     changed after their latest driver row): the five span-family
-    #     queries composing shared_span_runs — its match-join sizing is
-    #     now a one-aggregate mass BOUND with an exact-count fallback
-    #     only on mass-heavy inputs (VERDICT r15 #3 + ADVICE r15), and
-    #     dedup_pipeline_exact_then_span additionally LEFT-joins the
-    #     survivor rollup so fully-attrited sources report zero rows
-    #     instead of vanishing (ADVICE r15 medium);
-    #     pagerank_nation_trade — per-iteration lineage truncation moved
-    #     from executor-block localCheckpoint to a driver-held
-    #     collect + createDataFrame (ADVICE r15: survives executor
-    #     loss at cluster scale). ---
+    # Round-17 window — pinned at r17 close. Composition:
+    # --- (a) queue-jumpers under the strict rule (fn/oracle/fixture
+    #     changed after their latest driver row). r17 optimization
+    #     changes: semdedup_prune's within-cell scoring is one
+    #     applyInPandas kernel (was pair join + cosine-UDF filter +
+    #     distinct + flag join); ann_pq_adc_topk / ann_ivf_pq_topk ride
+    #     the reworked PQ build (assignment kernel marked
+    #     non-deterministic to kill the duplicated ArrowEvalPython,
+    #     codebook means aggregated off the assignment frame instead of
+    #     a (vec_id, sub) re-join); setsim_prefix_filter_join runs every
+    #     post-shingle stage on xxhash64 longs behind an in-plan
+    #     injectivity guard, with integer-exact PPJoin thresholds; the
+    #     five span-family queries share shared_span_runs' new
+    #     candidate stage (distinct + document-frequency window + stop
+    #     filter on ONE fp-clustered pre-cache exchange);
+    #     pipeline_stage_attrition stage-2 count is
+    #     coalesce(sum(n_copies), 0) (ADVICE r16 degenerate-corpus fix).
+    "semdedup_prune",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+    "setsim_prefix_filter_join",
     "dedup_maximal_spans",
     "dedup_span_cuts",
     "dedup_span_apply",
     "dedup_span_attrition_by_source",
     "dedup_pipeline_exact_then_span",
-    "pagerank_nation_trade",
-    # --- (c) the SEVENTEEN remaining r10-era rows, pinned by name at
-    #     r15 close (VERDICT r15 #1), in the pinned order. ---
-    "funnel_view_click_purchase",
-    "cohort_hourly_retention",
-    "event_transition_matrix",
-    "asof_join_purchase_to_click",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_excess_stock_suppliers",
-    "shard_balance_audit",
-    "eval_contamination_report",
-    "length_weighted_sample",
-    "cdc_gear_chunk_stats",
-    "cdc_chunk_dedup",
-    "quality_classifier_score",
-    "classifier_calibration_bins",
-    "ann_ivf_persisted",
-    "ann_lsh_persisted",
-    "ann_ivf_incremental_probe",
-    # --- (d) 26 of the 49 r11-era rows, oldest-first in registration
-    #     order (computed from CORRECTNESS_r01..r15 latest rows). ---
-    "editdist_deletion_join",
-    "dedup_minhash_containment",
-    "lsh_band_tuning_report",
-    "ann_ivf_cosine",
-    "ann_pq_adc_topk",
-    "ann_ivf_pq_topk",
-    "vocab_overlap_between_sources",
-    "language_confusion_matrix",
-    "char_entropy_quality",
-    "word_graph_reachability",
-    "word_graph_triangles",
-    "word_graph_pagerank",
-    "winsorized_doclen_stats",
-    "ols_tokens_vs_chars_by_source",
-    "orders_yoy_growth",
-    "customer_spend_deciles",
-    "null_safe_join_probe",
-    "listagg_supplier_roster",
-    "robust_central_tendency",
-    "unpivot_lineitem_charges",
-    "lateral_top3_customers_per_nation",
-    "morton_zorder_layout_audit",
-    "try_cast_dirty_data",
-    "moment_stats_quantity",
-    "pareto_frontier_parts",
-    "event_dwell_time_by_type",
-    # (r17 window, pinned by name: the 23 remaining r11-era rows —
-    # events_hourly_heatmap, union_by_name_schema_evolution,
-    # forward_fill_event_values, dq_hourly_volume_anomalies,
-    # conversion_lag_histogram, order_month_gapfill,
-    # purchase_click_attribution_outer, reservoir_sample_per_source,
-    # stratified_sample_mktsegment, zscore_doclen_by_source,
-    # pipeline_stage_attrition, token_mixture_temperature,
-    # salted_join_hot_events, join_key_skew_audit,
-    # upsert_latest_snapshot, scd2_user_type_history,
-    # dq_referential_integrity, compaction_planner,
-    # incremental_agg_merge, equidepth_histogram_price, and the last
-    # three r11-era rows after them in registration order — lead it,
-    # followed by r12-era rows oldest-first in registration order
-    # (dedup_minhash_lsh, dedup_embedding_cosine, dedup_clusters,
-    # dedup_minhash_lsh_stopfiltered, setsim_prefix_filter_join, ...).
-    # Any additions with no driver row yet must be appended to THIS
-    # tuple so the never-checked invariant in
+    "pipeline_stage_attrition",
+    # --- (a2) r16-inherited jump debt: _converged_labels moved to the
+    #     observe()-metric convergence check in the r16 window (commit
+    #     cbf0ebc) AFTER these three consumers' latest rows (r12/r15/
+    #     r15) — they were not in the r16 window, so the new loop has
+    #     no driver row yet. ---
+    "dedup_clusters",
+    "dedup_keep_best",
+    "near_dup_cluster_sizes",
+    # --- (b) the 22 remaining r11-era rows (the 23 pinned by name at
+    #     r16 close minus pipeline_stage_attrition, which jumps above),
+    #     oldest-first in registration order. ---
+    "events_hourly_heatmap",
+    "union_by_name_schema_evolution",
+    "forward_fill_event_values",
+    "dq_hourly_volume_anomalies",
+    "conversion_lag_histogram",
+    "order_month_gapfill",
+    "purchase_click_attribution_outer",
+    "reservoir_sample_per_source",
+    "stratified_sample_mktsegment",
+    "zscore_doclen_by_source",
+    "token_mixture_temperature",
+    "salted_join_hot_events",
+    "join_key_skew_audit",
+    "upsert_latest_snapshot",
+    "scd2_user_type_history",
+    "dq_referential_integrity",
+    "compaction_planner",
+    "incremental_agg_merge",
+    "equidepth_histogram_price",
+    "orders_rfm_segmentation",
+    "cms_heavy_hitters",
+    "bloom_join_prune_probe",
+    # --- (c) r12-era rows oldest-first in registration order, filling
+    #     the window to 50 (setsim/semdedup/dedup_clusters from this era
+    #     jump above; dedup_minhash_lsh leads the r18 window with the
+    #     rest of the r12-era rows).
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh_stopfiltered",
+    "shingle_novelty_per_doc",
+    "embedding_centroids",
+    "ann_ivf_recall_probe",
+    "embedding_int8_quant_recall",
+    "hard_negative_mining",
+    "tfidf_top_terms",
+    "bigram_lm_doc_score",
+    "pmi_collocations",
+    "doclen_log2_histogram",
+    "mad_doclen_by_source",
+    "bpe_merge_steps",
+    "readability_flesch_by_source",
+    # (r18 window: the 35 remaining r12-era rows oldest-first —
+    # zipf_tail_slope, word_graph_degree_distribution,
+    # weighted_median_price, ... , table_checksum_buckets — then
+    # r13-era rows. Any additions with no driver row yet must be
+    # appended to THIS tuple so the never-checked invariant in
     # tests/test_registry_contract.py holds, and any query whose
     # fn/oracle/fixture changes after its latest driver row jumps into
     # the next window per the rule above.)
